@@ -1,0 +1,730 @@
+"""Query registry: every implemented operator from SURVEY.md §2, written
+twice — once as a Spark DataFrame plan, once as ANSI SQL for the DuckDB
+oracle (driver correctness gate, see __spark_entry__.py).
+
+Conventions for cross-engine determinism:
+- every computed column is aliased identically in both versions;
+- floating-point outputs are ROUND()ed (6 digits for vector scores,
+  2 for money sums, 4 for means) in BOTH engines;
+- every top-k / limit query breaks ties on a unique id;
+- timestamps are emitted as DATE or explicit CAST(.. AS TIMESTAMP) so both
+  engines agree on type.
+
+Each `@query(name, oracle=...)` registers a callable
+``(spark, sf_dir) -> DataFrame`` plus its oracle SQL. Operators whose
+semantics are not SQL-expressible register with ``oracle=None`` (driver
+records a rows-only check).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from vector_knowledge_base_spark.functions.vector import dot_product
+from vector_knowledge_base_spark.operators.knn import batch_knn, cosine_topk
+from vector_knowledge_base_spark.sources.tables import load_table
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: Optional[str] = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _t(spark, sf_dir, name):
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# K1/K2 — top-k cosine vector search (SURVEY §2.3; reference
+# /root/reference/backend/main.py:185-230, backend/vector_db.py:165-170)
+# ---------------------------------------------------------------------------
+
+_KNN_ORACLE = """
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+SELECT vec_id,
+       ROUND(list_dot_product(embedding::DOUBLE[], qv), 6) AS score
+FROM embeddings, q
+ORDER BY score DESC, vec_id
+LIMIT 10
+"""
+
+
+@query("knn_topk_cosine", oracle=_KNN_ORACLE)
+def q_knn_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship K1: exact top-10 cosine over `embeddings`, query = vector
+    of vec_id 0. Compiles to a pushed-down scan + TakeOrderedAndProject."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
+    return cosine_topk(emb, qvec, k=10)
+
+
+_KNN_FILTERED_ORACLE = """
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+SELECT vec_id,
+       ROUND(list_dot_product(embedding::DOUBLE[], qv), 6) AS score
+FROM embeddings, q
+WHERE label IN (0, 1, 2, 3)
+ORDER BY score DESC, vec_id
+LIMIT 10
+"""
+
+
+@query("knn_topk_filtered", oracle=_KNN_FILTERED_ORACLE)
+def q_knn_topk_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K1 + F1: the filter-DSL (reference backend/vector_db.py:136-163)
+    composes as a Catalyst predicate pushed below the top-k."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
+    return cosine_topk(emb, qvec, k=10, filters={"label": [0, 1, 2, 3]})
+
+
+_KNN_BATCH_ORACLE = """
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+           FROM embeddings WHERE vec_id < 5),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         ROUND(list_dot_product(e.embedding::DOUBLE[], q.qv), 6) AS score
+  FROM embeddings e CROSS JOIN q
+)
+SELECT query_id, vec_id, score, rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY score DESC, vec_id) AS rank
+  FROM scored
+) WHERE rank <= 5
+"""
+
+
+@query("knn_batch", oracle=_KNN_BATCH_ORACLE)
+def q_knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K2 batch kNN: 5 query vectors × corpus, top-5 each, one broadcast
+    join + one windowed rank (no per-query jobs)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return batch_knn(queries, emb, k=5).withColumn(
+        "rank", F.col("rank").cast("int")
+    )
+
+
+_NEIGHBOR_JOIN_ORACLE = """
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+topk AS (
+  SELECT vec_id, ROUND(list_dot_product(embedding::DOUBLE[], qv), 6) AS score
+  FROM embeddings, q
+  ORDER BY score DESC, vec_id
+  LIMIT 10
+)
+SELECT t.vec_id, t.score, e.label
+FROM topk t JOIN embeddings e USING (vec_id)
+"""
+
+
+@query("knn_neighbor_join", oracle=_NEIGHBOR_JOIN_ORACLE)
+def q_knn_neighbor_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1: hits joined back to the corpus for payload (replaces the
+    reference's Python dict probe, /root/reference/backend/main.py:724-745)
+    — a broadcast hash join of k rows."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
+    topk = cosine_topk(emb, qvec, k=10)
+    return F.broadcast(topk).join(emb.select("vec_id", "label"), "vec_id")
+
+
+# ---------------------------------------------------------------------------
+# A3/A4 — cluster aggregates (reference backend/main.py:886-911,
+# backend/clustering.py:64-68)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "clusters_distinct",
+    oracle="SELECT DISTINCT label AS cluster FROM embeddings ORDER BY cluster",
+)
+def q_clusters_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3: distinct (cluster) list, sorted — the reference scans every
+    payload and dedupes in a dict; here it's a 2-column distinct."""
+    return (
+        _t(spark, sf_dir, "embeddings")
+        .select(F.col("label").alias("cluster"))
+        .distinct()
+        .orderBy("cluster")
+    )
+
+
+_CLUSTER_STATS_ORACLE = """
+SELECT COUNT(DISTINCT CASE WHEN label <> -1 THEN label END) AS n_clusters,
+       COALESCE(SUM(CASE WHEN label = -1 THEN 1 ELSE 0 END), 0) AS n_noise,
+       COUNT(*) AS n_points
+FROM embeddings
+"""
+
+
+@query("cluster_stats", oracle=_CLUSTER_STATS_ORACLE)
+def q_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: n_clusters (excluding noise −1), n_noise, n_points — one
+    aggregate instead of the reference's label-list Python pass."""
+    return _t(spark, sf_dir, "embeddings").agg(
+        F.countDistinct(F.when(F.col("label") != -1, F.col("label"))).alias(
+            "n_clusters"
+        ),
+        F.coalesce(
+            F.sum((F.col("label") == -1).cast("long")), F.lit(0)
+        ).alias("n_noise"),
+        F.count(F.lit(1)).alias("n_points"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A1/A2 — document registry as an aggregate view (reference
+# backend/document_registry.py:165-215)
+# ---------------------------------------------------------------------------
+
+_REGISTRY_ORACLE = """
+SELECT source,
+       COUNT(*) AS n_docs,
+       SUM(n_chars) AS total_chars,
+       ROUND(AVG(n_chars), 4) AS avg_chars,
+       MIN(doc_id) AS first_doc_id
+FROM documents
+GROUP BY source
+"""
+
+
+@query("registry_by_source", oracle=_REGISTRY_ORACLE)
+def q_registry_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/A2: the materialized 'registry' view — groupBy replaces the
+    reference's scroll-and-dedupe + JSON side file."""
+    return (
+        _t(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+            F.min("doc_id").alias("first_doc_id"),
+        )
+    )
+
+
+_LANG_ORACLE = """
+SELECT lang,
+       COUNT(*) AS n_docs,
+       ROUND(AVG(n_chars), 4) AS avg_chars,
+       MIN(n_chars) AS min_chars,
+       MAX(n_chars) AS max_chars
+FROM documents
+GROUP BY lang
+"""
+
+
+@query("lang_distribution", oracle=_LANG_ORACLE)
+def q_lang_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language histogram over the corpus (text-analysis family)."""
+    return (
+        _t(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# F1/F3 — filter DSL over relational data (reference
+# backend/vector_db.py:136-163; date handling frontend/search.js:219-229)
+# ---------------------------------------------------------------------------
+
+_FILTER_DSL_ORACLE = """
+SELECT o_orderkey, o_totalprice
+FROM orders
+WHERE o_orderstatus IN ('F', 'O')
+  AND o_orderdate >= TIMESTAMP '1995-01-01'
+  AND o_orderdate <= TIMESTAMP '1996-12-31'
+  AND o_totalprice > 50000
+"""
+
+
+@query("filter_dsl_orders", oracle=_FILTER_DSL_ORACLE)
+def q_filter_dsl_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1 (IN + range) on `orders` via the engine's filter-DSL translator;
+    all three predicates push into the parquet scan."""
+    from vector_knowledge_base_spark.functions.filters import filter_dsl_to_column
+
+    orders = _t(spark, sf_dir, "orders")
+    cond = filter_dsl_to_column(
+        {
+            "o_orderstatus": ["F", "O"],
+            "date_range": {"gte": "1995-01-01 00:00:00", "lte": "1996-12-31 00:00:00"},
+        },
+        date_column="o_orderdate",
+    ) & (F.col("o_totalprice") > 50000)
+    return orders.where(cond).select("o_orderkey", "o_totalprice")
+
+
+# ---------------------------------------------------------------------------
+# J2 — left-anti "unsorted files" (reference backend/filesystem_db.py:151-163)
+# ---------------------------------------------------------------------------
+
+_ANTI_JOIN_ORACLE = """
+SELECT c_custkey, c_name
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+"""
+
+
+@query("customers_without_orders", oracle=_ANTI_JOIN_ORACLE)
+def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2: the reference's Python set-difference as a left_anti join."""
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+# ---------------------------------------------------------------------------
+# A-family on lineitem — partial-agg / map-side-combine showcase
+# ---------------------------------------------------------------------------
+
+_PRICING_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 2) AS sum_qty,
+       ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       ROUND(AVG(l_quantity), 4) AS avg_qty,
+       ROUND(AVG(l_discount), 4) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@query("pricing_summary", oracle=_PRICING_ORACLE)
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped aggregate: hash partial-agg map-side, tiny shuffle
+    (4 groups) — the pattern every registry/stats op reduces to."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+_TOP_CUSTOMERS_ORACLE = """
+SELECT c.c_custkey, c.c_name,
+       ROUND(SUM(o.o_totalprice), 2) AS total_spend,
+       COUNT(*) AS n_orders
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_custkey, c.c_name
+ORDER BY total_spend DESC, c_custkey
+LIMIT 10
+"""
+
+
+@query("top_customers_by_spend", oracle=_TOP_CUSTOMERS_ORACLE)
+def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join + agg + top-k: customer is broadcast (dimension-side), orders
+    aggregates map-side first; ORDER BY..LIMIT is TakeOrderedAndProject."""
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    return (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("total_spend"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy(F.desc("total_spend"), F.col("c_custkey"))
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# O4 — window functions (reference's implicit chunk_index numbering,
+# backend/chunker.py:128-131)
+# ---------------------------------------------------------------------------
+
+_FIRST_LINE_ORACLE = """
+SELECT l_orderkey, l_partkey, l_linenumber FROM (
+  SELECT l_orderkey, l_partkey, l_linenumber,
+         ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                            ORDER BY l_shipdate, l_linenumber) AS rn
+  FROM lineitem
+) WHERE rn = 1
+"""
+
+
+@query("order_first_line", oracle=_FIRST_LINE_ORACLE)
+def q_order_first_line(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O4: row_number per group — the chunk_index pattern."""
+    li = _t(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_orderkey").orderBy("l_shipdate", "l_linenumber")
+    return (
+        li.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("l_orderkey", "l_partkey", "l_linenumber")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text-analysis family (north star): stats, fingerprint, token counting
+# ---------------------------------------------------------------------------
+
+_TEXT_STATS_ORACLE = """
+SELECT doc_id,
+       LENGTH(text) AS n_chars_measured,
+       LEN(string_split(text, ' ')) AS n_tokens,
+       LEN(list_distinct(string_split(text, ' '))) AS n_distinct_tokens
+FROM documents
+"""
+
+
+@query("text_stats", oracle=_TEXT_STATS_ORACLE)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (M4 whitespace fallback,
+    /root/reference/backend/chunker.py:22-31) + distinct-token stats,
+    all JVM-side array functions — no Python in the loop."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    return docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars_measured"),
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+    )
+
+
+@query(
+    "doc_fingerprint",
+    oracle="SELECT doc_id, md5(text) AS fingerprint FROM documents",
+)
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting for exact dedup at scale: content hash
+    computed in the scan projection."""
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", F.md5(F.col("text").cast("binary")).alias("fingerprint")
+    )
+
+
+_DEDUP_EXACT_ORACLE = """
+SELECT md5(text) AS fingerprint,
+       MIN(doc_id) AS keeper_doc_id,
+       COUNT(*) AS n_copies
+FROM documents
+GROUP BY md5(text)
+"""
+
+
+@query("dedup_exact", oracle=_DEDUP_EXACT_ORACLE)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on content fingerprint, keep min id.
+    At 100 TB this groups on the 32-byte hash, never shuffling text."""
+    return (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", F.md5(F.col("text").cast("binary")).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(
+            F.min("doc_id").alias("keeper_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+_TOKENIZE_ORACLE = r"""
+SELECT doc_id,
+       LEN(regexp_extract_all(text, '\w+|[^\w\s]')) AS n_bpe_ish_tokens
+FROM documents
+"""
+
+
+@query("token_count_regex", oracle=_TOKENIZE_ORACLE)
+def q_token_count_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish regex tokenizer count (word runs + lone punctuation)."""
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(r"\w+|[^\w\s]"), 0)).alias(
+            "n_bpe_ish_tokens"
+        ),
+    )
+
+
+_QUALITY_ORACLE = """
+SELECT doc_id,
+       ROUND(LEN(list_filter(string_split(text, ' '),
+                 t -> t IN ('the','a','of','and','to','in','is','it')))
+             * 1.0 / LEN(string_split(text, ' ')), 4) AS stopword_ratio,
+       ROUND(LENGTH(text) * 1.0 / LEN(string_split(text, ' ')), 4)
+         AS chars_per_token
+FROM documents
+"""
+
+
+@query("text_quality_score", oracle=_QUALITY_ORACLE)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring (north star): stopword ratio + mean token length,
+    computed with array higher-order functions."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    stop = ["the", "a", "of", "and", "to", "in", "is", "it"]
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(stop)))
+    return docs.select(
+        "doc_id",
+        F.round(n_stop * F.lit(1.0) / F.size(toks), 4).alias("stopword_ratio"),
+        F.round(F.length("text") * F.lit(1.0) / F.size(toks), 4).alias(
+            "chars_per_token"
+        ),
+    )
+
+
+_SNIPPET_ORACLE = """
+SELECT doc_id,
+       CASE WHEN LENGTH(text) > 100 THEN SUBSTR(text, 1, 100) || '...'
+            ELSE text END AS snippet,
+       UPPER(lang) AS lang_uc
+FROM documents
+"""
+
+
+@query("snippet_projection", oracle=_SNIPPET_ORACLE)
+def q_snippet_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C7 snippet truncation + scalar string functions
+    (frontend/search.js:283-284 semantics)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.when(
+            F.length("text") > 100,
+            F.concat(F.substring("text", 1, 100), F.lit("...")),
+        )
+        .otherwise(F.col("text"))
+        .alias("snippet"),
+        F.upper("lang").alias("lang_uc"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding near-dup (north star dedup family)
+# ---------------------------------------------------------------------------
+
+_EMB_NEARDUP_ORACLE = """
+SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+       ROUND(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6)
+         AS score
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) > 0.9
+"""
+
+
+@query("embedding_neardup_cosine", oracle=_EMB_NEARDUP_ORACLE)
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (threshold 0.9). Brute-force n²
+    here (correctness oracle); the scale path is LSH bucketing
+    (operators.ann) which prunes the pair space before scoring."""
+    emb = _t(spark, sf_dir, "embeddings")
+    a = emb.select(
+        F.col("vec_id").alias("vec_id_a"), F.col("embedding").alias("emb_a")
+    )
+    b = emb.select(
+        F.col("vec_id").alias("vec_id_b"), F.col("embedding").alias("emb_b")
+    )
+    score = dot_product(F.col("emb_a"), F.col("emb_b"))
+    return (
+        a.join(b, F.col("vec_id_a") < F.col("vec_id_b"))
+        .where(score > 0.9)
+        .select(
+            "vec_id_a", "vec_id_b", F.round(score, 6).alias("score")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Events: JSON extraction + time windows (§2.10 capability additions)
+# ---------------------------------------------------------------------------
+
+_JSON_ORACLE = """
+SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k_value
+FROM events
+"""
+
+
+@query("json_props_extract", oracle=_JSON_ORACLE)
+def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C15 JSON parse: schemaless payload field promoted to a column."""
+    return _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k_value"),
+    )
+
+
+_TUMBLING_ORACLE = """
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start,
+       event_type,
+       COUNT(*) AS n_events,
+       ROUND(SUM(value), 2) AS total_value,
+       COUNT(DISTINCT user_id) AS n_users
+FROM events
+GROUP BY 1, 2
+"""
+
+
+@query("events_tumbling_window", oracle=_TUMBLING_ORACLE)
+def q_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-day window aggregate using the streaming-native
+    `window()` operator (same code runs on readStream with a watermark)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+            "n_users",
+        )
+    )
+
+
+_SLIDING_ORACLE = """
+WITH offsets AS (SELECT UNNEST([0, 1]) AS o)
+SELECT CAST(date_trunc('day', ts) - o * INTERVAL 1 DAY AS TIMESTAMP)
+         AS window_start,
+       COUNT(*) AS n_events,
+       ROUND(SUM(value), 2) AS total_value
+FROM events, offsets
+GROUP BY 1
+"""
+
+
+@query("events_sliding_window", oracle=_SLIDING_ORACLE)
+def q_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 2-day/1-day window: each event lands in 2 windows."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "2 days", "1 day").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"), "n_events", "total_value"
+        )
+    )
+
+
+_SESSION_ORACLE = """
+WITH marked AS (
+  SELECT user_id, ts, value,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   > INTERVAL 30 MINUTE
+                OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+),
+sessions AS (
+  SELECT user_id, ts, value,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS UNBOUNDED PRECEDING) AS session_no
+  FROM marked
+)
+SELECT user_id,
+       CAST(MIN(ts) AS TIMESTAMP) AS session_start,
+       COUNT(*) AS n_events,
+       ROUND(SUM(value), 2) AS total_value
+FROM sessions
+GROUP BY user_id, session_no
+"""
+
+
+@query("events_session_window", oracle=_SESSION_ORACLE)
+def q_events_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30-min gap) via the native `session_window`
+    operator — stateful in streaming, gaps-and-islands in batch."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+_LAG_ORACLE = """
+SELECT event_id, user_id,
+       ROUND(value - LAG(value) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id), 4) AS value_delta
+FROM events
+"""
+
+
+@query("events_value_delta", oracle=_LAG_ORACLE)
+def q_events_value_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag() window — per-user deltas (capability beyond the reference)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.col("value") - F.lag("value").over(w), 4).alias("value_delta"),
+    )
+
+
+_HOURLY_ORACLE = """
+SELECT EXTRACT(hour FROM ts) AS hour_of_day, COUNT(*) AS n_events
+FROM events GROUP BY 1
+"""
+
+
+@query("events_hourly_histogram", oracle=_HOURLY_ORACLE)
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C9-C11 date-part extraction."""
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy(F.hour("ts").cast("bigint").alias("hour_of_day"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return dict(QUERIES)
+
+
+def all_oracles() -> dict[str, str]:
+    return dict(ORACLES)
