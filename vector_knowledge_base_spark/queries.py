@@ -537,30 +537,20 @@ SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
        ROUND(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6)
          AS score
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) > 0.9
+WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) > 0.35
 """
 
 
 @query("embedding_neardup_cosine", oracle=_EMB_NEARDUP_ORACLE)
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs (threshold 0.9). Brute-force n²
-    here (correctness oracle); the scale path is LSH bucketing
-    (operators.ann) which prunes the pair space before scoring."""
+    """Embedding-cosine near-dup pairs (threshold 0.35 — the synthetic
+    corpus has no >0.7 pairs), exact, via blocked
+    matrix multiplication (operators.dedup) — BLAS inner loop, block-pair
+    grid fan-out. The approximate scale path is LSH bucketing."""
+    from vector_knowledge_base_spark.operators.dedup import allpairs_cosine_blocked
+
     emb = _t(spark, sf_dir, "embeddings")
-    a = emb.select(
-        F.col("vec_id").alias("vec_id_a"), F.col("embedding").alias("emb_a")
-    )
-    b = emb.select(
-        F.col("vec_id").alias("vec_id_b"), F.col("embedding").alias("emb_b")
-    )
-    score = dot_product(F.col("emb_a"), F.col("emb_b"))
-    return (
-        a.join(b, F.col("vec_id_a") < F.col("vec_id_b"))
-        .where(score > 0.9)
-        .select(
-            "vec_id_a", "vec_id_b", F.round(score, 6).alias("score")
-        )
-    )
+    return allpairs_cosine_blocked(emb, threshold=0.35, block_size=512)
 
 
 # ---------------------------------------------------------------------------
