@@ -1,0 +1,198 @@
+"""Text near-duplicate detection: MinHash+LSH, SimHash, n-gram Jaccard
+(north-star dedup family; no reference counterpart — the reference dedups
+only by exact document identity, /root/reference/backend/document_registry.py:193-203).
+
+Everything is built from native Spark SQL expressions (md5-based hashing,
+higher-order array functions, explode + groupBy), so the same pipeline is
+expressible in ANSI SQL for the DuckDB oracle and stays inside
+whole-stage codegen — no Python in the hot path.
+
+Cross-engine-deterministic hashing: Spark's built-in hash()/xxhash64 are
+engine-specific, so token/shingle hashes use the first 8 hex chars of
+md5 → int64 ("h32"), identical in any engine with md5.
+
+Scale notes:
+- shingle explode multiplies rows by ~tokens/doc; groupBy(doc, shingle)
+  distinct happens map-side first;
+- the candidate-pair join is on shingle/band — document-frequency capping
+  (``max_df``) drops degenerate high-frequency shingles that would
+  otherwise create quadratic skew at 100 TB (the classic salting-free
+  skew fix for similarity joins);
+- MinHash/LSH turns all-pairs O(n²) into O(candidates); band count and
+  rows-per-band tune the jaccard threshold s ≈ (1/bands)^(1/rows).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# fixed affine-hash parameters: h_i(x) = (A[i]*h32(x) + B[i]) mod P
+# P prime > 2^32; A[i] < 1e6 keeps A*h32 < 2^63 (no overflow).
+MINHASH_P = 4_294_967_311
+MINHASH_A = [433_494, 514_229, 831_571, 287_117, 963_581, 121_393, 655_357, 749_471]
+MINHASH_B = [377_011, 917_113, 102_931, 582_119, 271_829, 838_861, 461_717, 299_709]
+
+
+def h32(col: Column | str) -> Column:
+    """Engine-portable 32-bit string hash: first 8 hex chars of md5."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(c.cast("binary")), 1, 8), 16, 10).cast("bigint")
+
+
+def word_shingles(text_col: str = "text", n: int = 3) -> Column:
+    """Word n-gram shingles as an array<string> (whitespace tokens).
+
+    Guarded for short texts: Spark's sequence(1, 0) DESCENDS ([1, 0]),
+    so texts with < n tokens must short-circuit to an empty array."""
+    return F.expr(
+        f"CASE WHEN size(split({text_col}, ' ')) >= {n} THEN "
+        f"transform(sequence(1, size(split({text_col}, ' ')) - {n - 1}),"
+        f" i -> concat_ws(' ', slice(split({text_col}, ' '), i, {n}))) "
+        f"ELSE array() END"
+    )
+
+
+def doc_shingles(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """(doc_id, shingle) distinct — the inverted-index base relation."""
+    return (
+        docs.select(F.col(id_col), F.explode(word_shingles(text_col, n)).alias("shingle"))
+        .distinct()
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    n_hashes: int = 8,
+    shingle_n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document MinHash signature as columns mh_0..mh_{n-1}.
+
+    One explode + one groupBy; the n min-aggregates are computed in the
+    same pass (partial aggregation map-side — each doc's signature never
+    needs its shingles co-located beyond the doc-id shuffle).
+    """
+    assert n_hashes <= len(MINHASH_A)
+    sh = doc_shingles(docs, id_col, text_col, shingle_n)
+    h = h32(F.col("shingle"))
+    aggs = [
+        F.min((F.lit(MINHASH_A[i]) * h + F.lit(MINHASH_B[i])) % F.lit(MINHASH_P)).alias(
+            f"mh_{i}"
+        )
+        for i in range(n_hashes)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def minhash_lsh_candidates(
+    signatures: DataFrame,
+    bands: int = 4,
+    rows_per_band: int = 2,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Candidate near-dup pairs: docs sharing at least one LSH band.
+
+    The signature is split into ``bands`` bands of ``rows_per_band``
+    minhashes; each band becomes a join key (band_idx, band_key). A
+    self-join on the band key yields candidates in O(collisions) instead
+    of O(n²). Output: (doc_id_a < doc_id_b) distinct.
+    """
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band_idx"),
+            F.concat_ws(
+                "_", *[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
+            ).alias("band_key"),
+        )
+        for b in range(bands)
+    ]
+    banded = signatures.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("band")
+    ).select(id_col, "band.band_idx", "band.band_key")
+    a = banded.select(
+        F.col(id_col).alias("doc_id_a"), "band_idx", "band_key"
+    )
+    b = banded.select(
+        F.col(id_col).alias("doc_id_b"), "band_idx", "band_key"
+    )
+    return (
+        a.join(b, ["band_idx", "band_key"])
+        .where(F.col("doc_id_a") < F.col("doc_id_b"))
+        .select("doc_id_a", "doc_id_b")
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = 0.05,
+    shingle_n: int = 3,
+    max_df: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for all pairs sharing ≥1 shingle.
+
+    Inverted-index join (shingle → docs), never a cross join: pair
+    intersection counts come from the shingle co-occurrence groupBy;
+    union = |A| + |B| − |A∩B| from per-doc shingle counts broadcast back.
+    ``max_df`` drops shingles in more than that many docs (skew cap).
+    """
+    sh = doc_shingles(docs, id_col, text_col, shingle_n).cache()
+    if max_df is not None:
+        keep = sh.groupBy("shingle").count().where(F.col("count") <= max_df)
+        sh_j = sh.join(keep.select("shingle"), "shingle")
+    else:
+        sh_j = sh
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh_j.select(F.col(id_col).alias("doc_id_a"), "shingle")
+    b = sh_j.select(F.col(id_col).alias("doc_id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("doc_id_a") < F.col("doc_id_b"))
+        .groupBy("doc_id_a", "doc_id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("doc_id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("doc_id_b"), F.col("n_sh").alias("n_b"))
+    jac = F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+    return (
+        inter.join(F.broadcast(sa), "doc_id_a")
+        .join(F.broadcast(sb), "doc_id_b")
+        .where(jac >= threshold)
+        .select(
+            "doc_id_a", "doc_id_b", F.round(jac, 6).alias("jaccard")
+        )
+    )
+
+
+def simhash16(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """16-bit SimHash over distinct whitespace tokens.
+
+    bit b of the fingerprint = sign of Σ_tokens (±1 by token-hash bit b);
+    near-dup docs differ in few bits (compare via hamming distance).
+    One explode + one groupBy with 16 conditional sums — single shuffle.
+    """
+    toks = (
+        docs.select(F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("tok"))
+        .distinct()
+        .withColumn("h", h32(F.col("tok")))
+    )
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"s_{b}")
+        for b in range(16)
+    ]
+    agg = toks.groupBy(id_col).agg(*bit_sums)
+    sim = None
+    for b in range(16):
+        bit = F.when(F.col(f"s_{b}") >= 0, F.lit(2**b)).otherwise(F.lit(0))
+        sim = bit if sim is None else sim + bit
+    return agg.select(F.col(id_col), sim.cast("bigint").alias("simhash"))

@@ -718,3 +718,339 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def all_oracles() -> dict[str, str]:
     return dict(ORACLES)
+
+
+# ---------------------------------------------------------------------------
+# Wave 2 — text near-dup family (MinHash+LSH, SimHash, n-gram Jaccard),
+# language-ID, as-of join, score normalization, rollup, multiway join.
+# Hashing is md5-based (engine-portable); see operators/text_dedup.py.
+# ---------------------------------------------------------------------------
+
+_SHINGLE_CTE = """
+sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+           UNNEST([array_to_string(t[i:i+2], ' ')
+                   for i in range(1, len(t) - 1)]) AS shingle
+    FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+  )
+)
+"""
+
+_MINHASH_A = [433_494, 514_229, 831_571, 287_117, 963_581, 121_393, 655_357, 749_471]
+_MINHASH_B = [377_011, 917_113, 102_931, 582_119, 271_829, 838_861, 461_717, 299_709]
+_MINHASH_P = 4_294_967_311
+
+_MINHASH_MINS = ",\n  ".join(
+    f"MIN(({a} * h + {b}) % {_MINHASH_P}) AS mh_{i}"
+    for i, (a, b) in enumerate(zip(_MINHASH_A, _MINHASH_B))
+)
+
+_MINHASH_SIG_CTE = f"""
+WITH {_SHINGLE_CTE},
+h AS (SELECT doc_id, ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS h FROM sh),
+sig AS (SELECT doc_id, {_MINHASH_MINS} FROM h GROUP BY doc_id)
+"""
+
+_MINHASH_SIG_ORACLE = _MINHASH_SIG_CTE + "SELECT * FROM sig"
+
+
+@query("minhash_signatures", oracle=_MINHASH_SIG_ORACLE)
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signature (8 hashes over word-3-gram shingles) per doc —
+    one explode + one groupBy, all JVM-side."""
+    from vector_knowledge_base_spark.operators.text_dedup import minhash_signatures
+
+    return minhash_signatures(_t(spark, sf_dir, "documents"))
+
+
+_BAND_UNION = "\nUNION ALL\n".join(
+    f"SELECT doc_id, {b} AS band_idx, "
+    f"mh_{2*b}::VARCHAR || '_' || mh_{2*b+1}::VARCHAR AS band_key FROM sig"
+    for b in range(4)
+)
+
+_LSH_CANDIDATES_ORACLE = (
+    _MINHASH_SIG_CTE
+    + f""",
+banded AS ({_BAND_UNION})
+SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+FROM banded a JOIN banded b USING (band_idx, band_key)
+WHERE a.doc_id < b.doc_id
+"""
+)
+
+
+@query("minhash_lsh_candidates", oracle=_LSH_CANDIDATES_ORACLE)
+def q_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash LSH: 4 bands × 2 rows; candidate pairs = any shared band.
+    Turns O(n²) near-dup search into O(band collisions)."""
+    from vector_knowledge_base_spark.operators.text_dedup import (
+        minhash_lsh_candidates,
+        minhash_signatures,
+    )
+
+    sig = minhash_signatures(_t(spark, sf_dir, "documents"))
+    return minhash_lsh_candidates(sig, bands=4, rows_per_band=2)
+
+
+_JACCARD_ORACLE = (
+    "WITH "
+    + _SHINGLE_CTE
+    + """,
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, COUNT(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_id_a, doc_id_b,
+       ROUND(n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_id_a
+JOIN sizes sb ON sb.doc_id = doc_id_b
+WHERE n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter) >= 0.05
+"""
+)
+
+
+@query("ngram_jaccard_neardup", oracle=_JACCARD_ORACLE)
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard ≥ 0.05 via inverted-index join (never a
+    cross join); per-doc sizes broadcast back."""
+    from vector_knowledge_base_spark.operators.text_dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.05)
+
+
+_SIMHASH_SUMS = ",\n  ".join(
+    f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s_{b}"
+    for b in range(16)
+)
+_SIMHASH_VALUE = " + ".join(
+    f"(CASE WHEN s_{b} >= 0 THEN {2**b} ELSE 0 END)" for b in range(16)
+)
+
+_SIMHASH_ORACLE = f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents
+),
+h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h FROM toks),
+s AS (SELECT doc_id, {_SIMHASH_SUMS} FROM h GROUP BY doc_id)
+SELECT doc_id, CAST({_SIMHASH_VALUE} AS BIGINT) AS simhash FROM s
+"""
+
+
+@query("simhash_fingerprint", oracle=_SIMHASH_ORACLE)
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash per document (near-dups = small hamming distance)."""
+    from vector_knowledge_base_spark.operators.text_dedup import simhash16
+
+    return simhash16(_t(spark, sf_dir, "documents"))
+
+
+# language-ID heuristic: stopword-set overlap, deterministic priority.
+_LANG_SETS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "it"],
+    "de": ["der", "die", "das", "und", "ist", "ein"],
+    "es": ["el", "la", "de", "que", "y", "los"],
+    "fr": ["le", "la", "les", "et", "est", "une"],
+}
+
+
+def _lang_in_list(lang: str) -> str:
+    return ", ".join(f"'{w}'" for w in _LANG_SETS[lang])
+
+
+_LANGID_SCORES_SQL = ",\n  ".join(
+    f"LEN(list_filter(string_split(text, ' '), t -> t IN ({_lang_in_list(lang)})))"
+    f" AS sc_{lang}"
+    for lang in _LANG_SETS
+)
+
+_LANGID_ORACLE = f"""
+WITH scored AS (SELECT doc_id, {_LANGID_SCORES_SQL} FROM documents)
+SELECT doc_id,
+       CASE
+         WHEN GREATEST(sc_en, sc_de, sc_es, sc_fr) = 0 THEN 'unknown'
+         WHEN sc_en >= GREATEST(sc_de, sc_es, sc_fr) THEN 'en'
+         WHEN sc_de >= GREATEST(sc_es, sc_fr) THEN 'de'
+         WHEN sc_es >= sc_fr THEN 'es'
+         ELSE 'fr'
+       END AS predicted_lang
+FROM scored
+"""
+
+
+@query("language_id_heuristic", oracle=_LANGID_ORACLE)
+def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram/stopword language-ID heuristic (north-star text analysis):
+    per-language stopword overlap, argmax with fixed priority."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+
+    # NB: the lambda must be single-arg — F.filter treats a two-arg lambda
+    # as (element, index), silently binding the second arg to the index.
+    def _count_in(words):
+        return F.size(F.filter(toks, lambda t: t.isin(words)))
+
+    scores = {lang: _count_in(words) for lang, words in _LANG_SETS.items()}
+    sc = docs.select(
+        "doc_id", *[s.alias(f"sc_{lang}") for lang, s in scores.items()]
+    )
+    best = F.greatest(*[F.col(f"sc_{lang}") for lang in _LANG_SETS])
+    pred = (
+        F.when(best == 0, "unknown")
+        .when(F.col("sc_en") >= F.greatest("sc_de", "sc_es", "sc_fr"), "en")
+        .when(F.col("sc_de") >= F.greatest("sc_es", "sc_fr"), "de")
+        .when(F.col("sc_es") >= F.col("sc_fr"), "es")
+        .otherwise("fr")
+    )
+    return sc.select("doc_id", pred.alias("predicted_lang"))
+
+
+_ASOF_ORACLE = """
+SELECT event_id, user_id,
+       CAST(ts AS TIMESTAMP) AS purchase_ts,
+       CAST(last_click_ts AS TIMESTAMP) AS last_click_ts
+FROM (
+  SELECT event_id, user_id, ts, event_type,
+         LAST_VALUE(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS last_click_ts
+  FROM events
+)
+WHERE event_type = 'purchase'
+"""
+
+
+@query("asof_last_click_before_purchase", oracle=_ASOF_ORACLE)
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (no reference counterpart; SURVEY §2.4 'not present'):
+    each purchase matched to the user's latest strictly-prior click via
+    last(ignorenulls) over an ordered window — one sort per user
+    partition, no row explosion (the scalable as-of formulation)."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    last_click = F.last(
+        F.when(F.col("event_type") == "click", F.col("ts")), ignorenulls=True
+    ).over(w)
+    return (
+        ev.withColumn("last_click_ts", last_click)
+        .where(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+            "last_click_ts",
+        )
+    )
+
+
+_NORMALIZE_ORACLE = """
+SELECT event_id,
+       ROUND(LEAST(GREATEST((value - 50.0) / 50.0, 0.0), 1.0), 4) AS norm_score
+FROM events
+"""
+
+
+@query("score_normalize_clamp", oracle=_NORMALIZE_ORACLE)
+def q_score_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C12/C13: affine score normalization with [0,1] clamp
+    (frontend/js/embedding-visualizer.js:413-416 semantics)."""
+    return _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.round(
+            F.least(
+                F.greatest((F.col("value") - 50.0) / 50.0, F.lit(0.0)), F.lit(1.0)
+            ),
+            4,
+        ).alias("norm_score"),
+    )
+
+
+_MEMBERS_ORACLE = """
+SELECT label AS cluster,
+       LIST(vec_id ORDER BY vec_id) AS member_ids,
+       COUNT(*) AS n_members
+FROM embeddings GROUP BY label
+"""
+
+
+@query("cluster_members_sorted", oracle=_MEMBERS_ORACLE)
+def q_cluster_members(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5/A6: group-members-as-array (reference groups files per folder /
+    texts per cluster); sorted for determinism."""
+    return (
+        _t(spark, sf_dir, "embeddings")
+        .groupBy(F.col("label").alias("cluster"))
+        .agg(
+            F.sort_array(F.collect_list("vec_id")).alias("member_ids"),
+            F.count(F.lit(1)).alias("n_members"),
+        )
+    )
+
+
+_REVENUE_ORACLE = """
+SELECT r_name, n_name,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       COUNT(DISTINCT o_orderkey) AS n_orders
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+"""
+
+
+@query("multiway_join_revenue", oracle=_REVENUE_ORACLE)
+def q_multiway_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-table star join: fact (lineitem) joins orders, then broadcast
+    dims — Catalyst + AQE pick broadcast-hash for every dimension side."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+        )
+    )
+
+
+_ROLLUP_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       COUNT(*) AS n_items,
+       ROUND(SUM(l_quantity), 2) AS sum_qty
+FROM lineitem
+GROUP BY ROLLUP(l_returnflag, l_linestatus)
+"""
+
+
+@query("rollup_sales", oracle=_ROLLUP_ORACLE)
+def q_rollup_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets (capability the reference lacks entirely,
+    SURVEY §2.5 'not present') — subtotals + grand total in one pass."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+    )
