@@ -1,0 +1,162 @@
+"""MLlib-backed operators: KMeans clustering, TF-IDF naming, PCA 3-D,
+LSH/IVF ANN with recall against the exact oracle."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from vector_knowledge_base_spark.operators.ann import (
+    build_ivf,
+    ivf_topk,
+    lsh_model,
+    lsh_topk,
+    recall_at_k,
+)
+from vector_knowledge_base_spark.operators.clustering import (
+    adaptive_k,
+    apply_cluster_labels,
+    hdbscan_parity_cluster,
+    kmeans_cluster,
+    name_clusters_tfidf,
+)
+from vector_knowledge_base_spark.operators.projection import project_3d, transform_query
+from vector_knowledge_base_spark.sources.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return load_table(spark, SF, "embeddings").cache()
+
+
+def test_adaptive_k_tiers():
+    assert adaptive_k(30) == 3
+    assert adaptive_k(100) == 8
+    assert adaptive_k(10_000) == 10
+
+
+def test_kmeans_clusters(spark, emb):
+    labels = kmeans_cluster(emb, k=10)
+    assert labels.count() == emb.count()
+    n = labels.select("cluster").distinct().count()
+    assert 2 <= n <= 10
+    # labeled ids are the corpus ids
+    assert labels.join(emb, "vec_id").count() == emb.count()
+
+
+def test_kmeans_assignment_is_nearest_centroid(spark, emb):
+    """Structural invariant: every point's assigned cluster is its
+    nearest centroid. (The fixture's `label` column carries no geometric
+    signal — within-label cosine ≈ across-label — so purity against it
+    is not a meaningful check.)"""
+    import numpy as np
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    vecs = emb.select("vec_id", array_to_vector(F.col("embedding")).alias("features"))
+    model = KMeans(k=5, seed=42, featuresCol="features").fit(vecs)
+    cents = np.array([np.asarray(c) for c in model.clusterCenters()])
+    assigned = model.transform(vecs).select("vec_id", "features", "prediction")
+    for r in assigned.limit(100).collect():
+        v = np.asarray(r.features.toArray())
+        d = ((cents - v) ** 2).sum(axis=1)
+        assert int(np.argmin(d)) == r.prediction
+
+
+def test_hdbscan_parity_gated():
+    with pytest.raises((NotImplementedError, Exception)):
+        # hdbscan not installed in this container: must raise cleanly
+        import hdbscan  # noqa: F401
+
+        raise Exception("hdbscan unexpectedly installed")
+
+
+def test_hdbscan_parity_stub(spark, emb):
+    try:
+        import hdbscan  # noqa: F401
+
+        has = True
+    except ImportError:
+        has = False
+    if not has:
+        with pytest.raises(NotImplementedError):
+            hdbscan_parity_cluster(emb)
+
+
+def test_cluster_naming(spark):
+    docs = load_table(spark, SF, "documents")
+    emb = load_table(spark, SF, "embeddings")
+    labels = kmeans_cluster(emb, k=5).withColumnRenamed("vec_id", "doc_id")
+    dc = docs.join(labels, "doc_id")
+    names = name_clusters_tfidf(dc)
+    rows = {r.cluster: r for r in names.collect()}
+    assert len(rows) == 5
+    for r in rows.values():
+        assert r.cluster_name and r.n_docs > 0
+        # top-3 terms joined with ' & ', title-case
+        parts = r.cluster_name.split(" & ")
+        assert 1 <= len(parts) <= 3
+
+
+def test_cluster_naming_sentinels(spark):
+    df = spark.createDataFrame(
+        [(-1, "noise text here"), (5, "lonely solitary document")],
+        "cluster int, text string",
+    )
+    rows = {r.cluster: r.cluster_name for r in name_clusters_tfidf(df).collect()}
+    assert rows[-1] == "Uncategorized"
+    assert rows[5] == "Cluster 5"
+
+
+def test_label_writeback(spark, emb):
+    labels = kmeans_cluster(emb, k=5)
+    out = apply_cluster_labels(emb, labels)
+    assert out.where(F.col("cluster").isNull()).count() == 0
+    assert out.count() == emb.count()
+
+
+def test_pca_projection(spark, emb):
+    coords, model = project_3d(emb)
+    rows = coords.collect()
+    assert len(rows) == emb.count()
+    assert set(coords.columns) == {"vec_id", "x", "y", "z"}
+    # non-degenerate: components have spread
+    xs = [r.x for r in rows]
+    assert max(xs) - min(xs) > 0.01
+    # query transform is finite, 3 components
+    q = emb.select("embedding").first()[0]
+    t = transform_query(model, q)
+    assert len(t) == 3 and all(math.isfinite(v) for v in t)
+
+
+def test_pca_small_corpus_zero_pad(spark, emb):
+    tiny = emb.limit(2)
+    coords, _ = project_3d(tiny)
+    rows = coords.collect()
+    assert len(rows) == 2
+    # k = min(3, n=2) = 2 → z zero-padded
+    assert all(r.z == 0.0 for r in rows)
+
+
+def test_lsh_recall(spark, emb):
+    q = emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
+    model, hashed = lsh_model(emb, bucket_length=1.0, num_hash_tables=4)
+    approx = lsh_topk(model, hashed, q, k=10)
+    r = recall_at_k(emb, approx, q, k=10)
+    assert r >= 0.5, f"LSH recall@10 too low: {r}"
+
+
+def test_ivf_recall(spark, emb):
+    q = emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
+    centroids, assigned = build_ivf(emb, n_partitions=8)
+    approx = ivf_topk(centroids, assigned, q, k=10, n_probe=4)
+    r = recall_at_k(emb, approx, q, k=10)
+    assert r >= 0.7, f"IVF recall@10 too low: {r}"
+    # probing fewer cells reads less of the corpus
+    probed = assigned.where(F.col("ivf_cell").isin([0])).count()
+    assert probed < assigned.count()

@@ -68,6 +68,7 @@ def embed_df(
     output_col: str = "embedding",
     dim: int = DEFAULT_DIM,
     model_name: str = "hashed",
+    precision: str = "float32",
 ) -> DataFrame:
     """Append an ``array<float>`` embedding column via pandas UDF.
 
@@ -78,9 +79,12 @@ def embed_df(
     """
     import pandas as pd
 
+    np_type = np.float32 if precision == "float32" else np.float64
+    spark_type = T.FloatType() if precision == "float32" else T.DoubleType()
+
     # no type hints: `from __future__ import annotations` stringifies them,
     # which pandas_udf cannot resolve; hint-less defaults to SCALAR.
-    @F.pandas_udf(T.ArrayType(T.FloatType()))
+    @F.pandas_udf(T.ArrayType(spark_type))
     def _embed(batch):
         texts = batch.fillna("").tolist()
         if model_name == "hashed":
@@ -88,6 +92,6 @@ def embed_df(
         else:  # pragma: no cover - real model path
             model = _load_real_model(model_name)
             mat = model.encode(texts, normalize_embeddings=True)
-        return pd.Series([row.astype(np.float32) for row in mat])
+        return pd.Series([row.astype(np_type) for row in mat])
 
     return df.withColumn(output_col, _embed(F.col(text_col)))

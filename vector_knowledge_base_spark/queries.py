@@ -1054,3 +1054,150 @@ def q_rollup_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Wave 3 — pipeline operators (chunk → embed → search) and ML jobs.
+# The chunk/embed queries have REAL oracles: this synthetic corpus has no
+# sentence punctuation and ≤100-token docs, so the chunker provably emits
+# one chunk per doc and the hashed embedder is pure bucket-count algebra —
+# both SQL-expressible. The hard chunker paths (packing, overlap, AST)
+# are covered by tests/test_chunker.py.
+# ---------------------------------------------------------------------------
+
+_CHUNK_ORACLE = """
+SELECT doc_id,
+       0 AS chunk_index,
+       1 AS total_chunks,
+       text,
+       LEN(string_split(text, ' ')) AS token_count
+FROM documents
+"""
+
+
+@query("pipeline_chunk_documents", oracle=_CHUNK_ORACLE)
+def q_pipeline_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M2-M4 chunker over the documents table via mapInPandas (UDTF
+    shape). On this corpus every doc fits one chunk — the oracle checks
+    the distributed plumbing end-to-end (text fidelity, counts)."""
+    from vector_knowledge_base_spark.pipeline.chunker import chunk_documents_df
+
+    docs = _t(spark, sf_dir, "documents")
+    ch = chunk_documents_df(docs)
+    return ch.select(
+        "doc_id",
+        F.col("chunk_index").cast("int").alias("chunk_index"),
+        F.col("total_chunks").cast("int").alias("total_chunks"),
+        "text",
+        F.col("token_count").cast("bigint").alias("token_count"),
+    )
+
+
+_EMBED_KNN_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents
+),
+buckets AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(tok), 1, 8))::BIGINT % 64 AS bucket,
+         COUNT(*)::DOUBLE AS cnt
+  FROM tok GROUP BY 1, 2
+),
+norms AS (SELECT doc_id, SQRT(SUM(cnt * cnt)) AS nrm FROM buckets GROUP BY doc_id),
+q AS (SELECT bucket, cnt FROM buckets WHERE doc_id = 0),
+qn AS (SELECT nrm AS qnrm FROM norms WHERE doc_id = 0),
+dots AS (
+  SELECT b.doc_id, SUM(b.cnt * q.cnt) AS dot
+  FROM buckets b JOIN q USING (bucket)
+  GROUP BY b.doc_id
+)
+SELECT d.doc_id, ROUND(d.dot / (n.nrm * qn.qnrm), 6) AS score
+FROM dots d JOIN norms n USING (doc_id), qn
+ORDER BY score DESC, doc_id
+LIMIT 10
+"""
+
+
+@query("pipeline_embed_knn", oracle=_EMBED_KNN_ORACLE)
+def q_pipeline_embed_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's full /search path on raw text: embed the corpus
+    (hashed-BoW pandas UDF), embed doc 0 as the query, exact top-10
+    cosine. End-to-end: text → Arrow batch → vectorized embed → JVM dot
+    product → TakeOrderedAndProject."""
+    from vector_knowledge_base_spark.operators.knn import cosine_topk
+    from vector_knowledge_base_spark.pipeline.embed import embed_df
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = embed_df(docs, dim=64, precision="float64").select("doc_id", "embedding")
+    qvec = emb.where(F.col("doc_id") == 0).select("embedding").first()[0]
+    return cosine_topk(emb, qvec, k=10, id_col="doc_id")
+
+
+@query("kmeans_cluster_sizes", oracle=None)
+def q_kmeans_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M5 scalable clustering (MLlib KMeans): cluster id → size.
+    No SQL oracle (iterative algorithm) — rows-only check; invariants
+    tested in tests/test_ml_operators.py."""
+    from vector_knowledge_base_spark.operators.clustering import kmeans_cluster
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return (
+        kmeans_cluster(emb, k=10, seed=42)
+        .groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("n_members"))
+    )
+
+
+@query("cluster_naming_tfidf", oracle=None)
+def q_cluster_naming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M6 TF-IDF cluster naming over KMeans clusters of the documents'
+    hashed embeddings. Rows-only (MLlib iterative upstream)."""
+    from vector_knowledge_base_spark.operators.clustering import (
+        kmeans_cluster,
+        name_clusters_tfidf,
+    )
+    from vector_knowledge_base_spark.pipeline.embed import embed_df
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = embed_df(docs, dim=64).select("doc_id", "embedding")
+    labels = kmeans_cluster(emb, k=8, id_col="doc_id")
+    return name_clusters_tfidf(docs.join(labels, "doc_id"))
+
+
+@query("pca_projection_3d", oracle=None)
+def q_pca_3d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M7 PCA(3) materialized coords3d. Rows-only (eigendecomposition)."""
+    from vector_knowledge_base_spark.operators.projection import project_3d
+
+    emb = _t(spark, sf_dir, "embeddings")
+    coords, _ = project_3d(emb)
+    return coords.select(
+        "vec_id",
+        F.round("x", 6).alias("x"),
+        F.round("y", 6).alias("y"),
+        F.round("z", 6).alias("z"),
+    )
+
+
+@query("ann_ivf_topk", oracle=None)
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF/centroid-pruned approximate kNN (n_probe=4 of 8 cells) —
+    the 100 TB scan-pruning path. Rows-only; recall vs the exact oracle
+    asserted in tests/test_ml_operators.py."""
+    from vector_knowledge_base_spark.operators.ann import build_ivf, ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
+    centroids, assigned = build_ivf(emb, n_partitions=8)
+    return ivf_topk(centroids, assigned, qvec, k=10, n_probe=4)
+
+
+@query("ann_lsh_topk", oracle=None)
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH (random-hyperplane bucketed) approximate kNN. Rows-only."""
+    from vector_knowledge_base_spark.operators.ann import lsh_model, lsh_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
+    model, hashed = lsh_model(emb, bucket_length=1.0, num_hash_tables=4)
+    return lsh_topk(model, hashed, qvec, k=10)
