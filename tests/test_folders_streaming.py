@@ -1,0 +1,136 @@
+"""Folder-hierarchy operators (J2-J4) and Structured Streaming windows."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from vector_knowledge_base_spark.operators.folders import (
+    file_paths,
+    files_by_folder,
+    resolve_folder_paths,
+    unsorted_files,
+)
+
+
+@pytest.fixture(scope="module")
+def folder_fixtures(spark):
+    folders = spark.createDataFrame(
+        [
+            ("f1", "docs", None),
+            ("f2", "work", "f1"),
+            ("f3", "2024", "f2"),
+            ("f4", "misc", None),
+        ],
+        "id string, name string, parent_id string",
+    )
+    file_folders = spark.createDataFrame(
+        [
+            ("d1", "a.txt", "f3"),
+            ("d2", "b.txt", "f1"),
+            ("d3", "c.txt", None),
+        ],
+        "document_id string, filename string, folder_id string",
+    )
+    documents = spark.createDataFrame(
+        [("d1", "a.txt"), ("d2", "b.txt"), ("d3", "c.txt"), ("d4", "orphan.txt")],
+        "document_id string, filename string",
+    )
+    return folders, file_folders, documents
+
+
+def test_resolve_folder_paths(spark, folder_fixtures):
+    folders, _, _ = folder_fixtures
+    paths = {r.id: r.path for r in resolve_folder_paths(folders).collect()}
+    assert paths == {
+        "f1": "docs",
+        "f2": "docs/work",
+        "f3": "docs/work/2024",
+        "f4": "misc",
+    }
+
+
+def test_unsorted_files_anti_join(spark, folder_fixtures):
+    folders, file_folders, documents = folder_fixtures
+    un = {r.document_id for r in unsorted_files(documents, file_folders).collect()}
+    assert un == {"d4"}
+
+
+def test_files_by_folder_null_sentinel(spark, folder_fixtures):
+    _, file_folders, _ = folder_fixtures
+    rows = {r.folder_id: r for r in files_by_folder(file_folders).collect()}
+    assert rows["null"].n_files == 1  # root files grouped under sentinel
+    assert rows["f3"].files[0]["document_id"] == "d1"
+
+
+def test_file_paths(spark, folder_fixtures):
+    folders, file_folders, documents = folder_fixtures
+    rows = {r.document_id: r.folder_path for r in
+            file_paths(documents, file_folders, folders).collect()}
+    assert rows["d1"] == "docs/work/2024"
+    assert rows["d3"] == ""  # root
+    assert rows["d4"] == ""  # orphan
+
+
+# ---- Structured Streaming ------------------------------------------------
+
+def test_streaming_tumbling_matches_batch(spark, tmp_path):
+    """The SAME aggregation function runs streaming (file source,
+    availableNow) and batch; results must agree — Spark's unified
+    semantics, verified."""
+    from vector_knowledge_base_spark.sources.tables import load_table
+    from vector_knowledge_base_spark.streaming.windows import (
+        read_events_stream,
+        tumbling_window_agg,
+    )
+
+    events = load_table(spark, "/root/testdata/sf0.001", "events")
+    src = str(tmp_path / "events_in")
+    events.write.parquet(src)
+
+    batch_rows = {
+        (r.window_start, r.event_type): (r.n_events, r.total_value)
+        for r in tumbling_window_agg(events).collect()
+    }
+
+    stream = read_events_stream(spark, src)
+    assert stream.isStreaming
+    out = tumbling_window_agg(stream, watermark="1 day")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("tumbling_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.window_start, r.event_type): (r.n_events, r.total_value)
+        for r in spark.sql("select * from tumbling_test").collect()
+    }
+    assert got == batch_rows
+
+
+def test_streaming_ingest_pipeline(spark, tmp_path):
+    """Continuous ingest: docs stream -> chunk -> embed -> parquet sink."""
+    from vector_knowledge_base_spark.sources.tables import load_table
+    from vector_knowledge_base_spark.streaming.windows import streaming_ingest
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text", "lang"
+    )
+    src = str(tmp_path / "docs_in")
+    docs.limit(50).write.parquet(src)
+
+    q = streaming_ingest(
+        spark,
+        src,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        output_dir=str(tmp_path / "chunks_out"),
+    )
+    q.awaitTermination(180)
+    out = spark.read.parquet(str(tmp_path / "chunks_out"))
+    assert out.count() == 50  # 1 chunk per doc on this corpus
+    row = out.first()
+    assert len(row.embedding) == 64
