@@ -1,0 +1,117 @@
+"""Plan-shape guardrails (pushdown / pruning / broadcast) and multimodal
+column operators."""
+
+from __future__ import annotations
+
+import struct
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from vector_knowledge_base_spark.operators.multimodal import (
+    image_features,
+    image_metadata,
+    sample_frames,
+)
+from vector_knowledge_base_spark.plans.inspect import (
+    explain_str,
+    has_broadcast_join,
+    pushed_filters,
+    scan_read_schema,
+)
+from vector_knowledge_base_spark.sources.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+# ---- plan guardrails -----------------------------------------------------
+
+def test_filter_pushdown_reaches_scan(spark):
+    li = load_table(spark, SF, "lineitem")
+    df = li.where(F.col("l_quantity") > 30).select("l_orderkey", "l_quantity")
+    pf = pushed_filters(df)
+    assert any("l_quantity" in f for f in pf), f"no pushdown: {pf}"
+
+
+def test_column_pruning(spark):
+    li = load_table(spark, SF, "lineitem")
+    df = li.select("l_orderkey", "l_quantity")
+    schemas = scan_read_schema(df)
+    assert schemas, "no ReadSchema found"
+    # only the 2 projected columns are read, not all 11
+    assert all(s.count(":") <= 2 for s in schemas), schemas
+
+
+def test_knn_pushes_filter_below_topk(spark):
+    from vector_knowledge_base_spark.operators.knn import cosine_topk
+
+    emb = load_table(spark, SF, "embeddings")
+    q = emb.select("embedding").first()[0]
+    df = cosine_topk(emb, q, k=5, filters={"label": [1, 2]})
+    pf = pushed_filters(df)
+    assert any("label" in f for f in pf), f"label filter not pushed: {pf}"
+    assert "TakeOrderedAndProject" in explain_str(df)
+
+
+def test_dimension_join_broadcasts(spark):
+    orders = load_table(spark, SF, "orders")
+    customer = load_table(spark, SF, "customer")
+    df = orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+    assert has_broadcast_join(df)
+
+
+def test_multiway_join_no_cartesian(spark):
+    from vector_knowledge_base_spark.queries import QUERIES
+
+    df = QUERIES["multiway_join_revenue"](spark, SF)
+    assert "CartesianProduct" not in explain_str(df)
+
+
+# ---- multimodal ----------------------------------------------------------
+
+def _png_bytes(w: int, h: int) -> bytes:
+    # minimal PNG header: signature + IHDR length/type + w/h
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", 13)
+        + b"IHDR"
+        + struct.pack(">II", w, h)
+        + b"\x08\x02\x00\x00\x00" + b"\x00" * 16
+    )
+
+
+@pytest.fixture(scope="module")
+def media_df(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("media")
+    (d / "img1.png").write_bytes(_png_bytes(640, 480))
+    (d / "img2.png").write_bytes(_png_bytes(32, 32))
+    (d / "clip.bin").write_bytes(bytes(range(256)) * 200)  # 51200 B “video”
+    return spark.read.format("binaryFile").load(str(d))
+
+
+def test_image_metadata(spark, media_df):
+    rows = {r.path.split("/")[-1]: r for r in image_metadata(media_df).collect()}
+    assert rows["img1.png"].format == "png"
+    assert (rows["img1.png"].width, rows["img1.png"].height) == (640, 480)
+    assert (rows["img2.png"].width, rows["img2.png"].height) == (32, 32)
+    assert rows["clip.bin"].format == "unknown"
+
+
+def test_image_features_deterministic_unit(spark, media_df):
+    import numpy as np
+
+    f1 = {r.path: list(r.feature) for r in image_features(media_df).collect()}
+    f2 = {r.path: list(r.feature) for r in image_features(media_df).collect()}
+    assert f1 == f2  # deterministic
+    for v in f1.values():
+        assert len(v) == 64
+        assert abs(float(np.linalg.norm(v)) - 1.0) < 1e-5
+
+
+def test_sample_frames_udtf_shape(spark, media_df):
+    frames = sample_frames(media_df, every_n=10).collect()
+    clip_frames = [r for r in frames if r.path.endswith("clip.bin")]
+    # 51200 B → 50 pseudo-frames → sampled every 10 → 5
+    assert len(clip_frames) == 5
+    assert all(len(r.frame) == 1024 for r in clip_frames)

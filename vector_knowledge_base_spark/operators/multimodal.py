@@ -1,0 +1,185 @@
+"""Multimodal (image/audio/video) column operators (north-star family).
+
+Design: media are opaque ``binary`` columns with typed metadata structs —
+the reference's uploaded-file blobs (/root/reference/backend/ingestion.py:70-74,
+served at /root/reference/backend/main.py:589-600) become first-class
+DataFrame columns via the ``binaryFile`` source. Every transform is an
+Arrow-batched ``mapInPandas`` stage: the binary payload crosses to Python
+once per batch, the decoded representation never materializes JVM-side,
+and partitioning carries over (no shuffle for per-row media ops).
+
+The decode kernels themselves (PIL/libsndfile/ffmpeg) are NOT in this
+container: each kernel is import-gated, with a clearly-marked
+deterministic fake (`fake_decode=True`) so the Spark plumbing — schema,
+batch shape, UDF signatures, partition behavior — is real and tested.
+Swapping in the real library changes only the kernel body.
+
+Scale notes: media rows are large (MBs) — `spark.sql.files.maxPartitionBytes`
+and `maxRecordsPerFile` size partitions; feature extraction is
+CPU-bound, so the stage parallelizes by rows with zero skew unless file
+sizes skew (mitigate with size-bucketed repartitioning).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+from typing import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+IMAGE_META_SCHEMA = T.StructType(
+    [
+        T.StructField("path", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("format", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("error", T.StringType()),
+    ]
+)
+
+
+def _sniff_format(content: bytes) -> str:
+    if content[:8] == b"\x89PNG\r\n\x1a\n":
+        return "png"
+    if content[:3] == b"\xff\xd8\xff":
+        return "jpeg"
+    if content[:4] == b"RIFF" and content[8:12] == b"WEBP":
+        return "webp"
+    if content[:4] == b"RIFF" and content[8:12] == b"WAVE":
+        return "wav"
+    return "unknown"
+
+
+def _decode_image_dims(content: bytes, fake: bool) -> tuple[int, int]:
+    """Width/height. Real path uses PIL (import-gated); fake path parses
+    PNG IHDR directly or derives deterministic dims from a content hash."""
+    fmt = _sniff_format(content)
+    if not fake:
+        try:
+            from PIL import Image  # type: ignore
+            import io
+
+            with Image.open(io.BytesIO(content)) as im:
+                return im.width, im.height
+        except ImportError as e:
+            raise NotImplementedError("PIL not installed; use fake_decode") from e
+    if fmt == "png" and len(content) >= 24:
+        w, h = struct.unpack(">II", content[16:24])
+        return int(w), int(h)
+    # deterministic fake: dims derived from content hash
+    d = hashlib.md5(content).digest()
+    return 64 + d[0] % 64, 64 + d[1] % 64
+
+
+def image_metadata(files: DataFrame, fake_decode: bool = True) -> DataFrame:
+    """S7-analog metadata extraction (width/height/format —
+    /root/reference/backend/extractors/image_extractor.py:48-55) over a
+    binaryFile DataFrame, one mapInPandas stage."""
+    import pandas as pd
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            recs = []
+            for row in pdf.itertuples(index=False):
+                content = row.content
+                try:
+                    w, h = _decode_image_dims(content, fake_decode)
+                    err = None
+                except Exception as e:
+                    w = h = 0
+                    err = str(e)
+                recs.append(
+                    {
+                        "path": row.path,
+                        "n_bytes": len(content),
+                        "format": _sniff_format(content),
+                        "width": w,
+                        "height": h,
+                        "error": err,
+                    }
+                )
+            yield pd.DataFrame(recs)
+
+    return files.select("path", "content").mapInPandas(run, schema=IMAGE_META_SCHEMA)
+
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("path", T.StringType()),
+        T.StructField("feature", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+def image_features(files: DataFrame, dim: int = 64, fake_decode: bool = True) -> DataFrame:
+    """Feature extraction: binary → fixed-dim float vector, the input to
+    embedding-space dedup/search for media. Real path = a vision model
+    per executor (same cache pattern as pipeline/embed.py); fake path =
+    deterministic content-hash projection (unit-norm), preserving the
+    pipeline contract (dim, normalization, dtype)."""
+    import numpy as np
+    import pandas as pd
+
+    if not fake_decode:  # pragma: no cover
+        raise NotImplementedError(
+            "vision feature extractors not installed; fake_decode=True "
+            "provides the deterministic stand-in"
+        )
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            feats, paths = [], []
+            for row in pdf.itertuples(index=False):
+                seed = int.from_bytes(
+                    hashlib.md5(row.content).digest()[:4], "big"
+                )
+                rng = np.random.RandomState(seed)
+                v = rng.standard_normal(dim)
+                v /= np.linalg.norm(v)
+                feats.append(v.astype(np.float32))
+                paths.append(row.path)
+            yield pd.DataFrame({"path": paths, "feature": feats})
+
+    return files.select("path", "content").mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("path", T.StringType()),
+        T.StructField("frame_index", T.IntegerType()),
+        T.StructField("frame", T.BinaryType()),
+    ]
+)
+
+
+def sample_frames(files: DataFrame, every_n: int = 10, fake_decode: bool = True) -> DataFrame:
+    """Frame sampling (video → frame rows): the UDTF shape again (one
+    media row → N frame rows). Fake path slices the payload into
+    deterministic pseudo-frames; real path would wrap pyav/ffmpeg."""
+    import pandas as pd
+
+    if not fake_decode:  # pragma: no cover
+        raise NotImplementedError("ffmpeg/pyav not installed; use fake_decode")
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            recs = []
+            for row in pdf.itertuples(index=False):
+                content = row.content
+                n_frames = max(1, len(content) // 1024)
+                for i in range(0, n_frames, every_n):
+                    lo = i * 1024
+                    recs.append(
+                        {
+                            "path": row.path,
+                            "frame_index": i,
+                            "frame": content[lo : lo + 1024],
+                        }
+                    )
+            yield pd.DataFrame(recs)
+
+    return files.select("path", "content").mapInPandas(run, schema=FRAME_SCHEMA)
