@@ -23,12 +23,22 @@ HEADLINE = [
     "embedding_neardup_cosine",
     "dedup_exact",
     "doc_fingerprint",
+    "minhash_signatures",
+    "minhash_lsh_candidates",
+    "ngram_jaccard_neardup",
+    "simhash_fingerprint",
+    "language_id_heuristic",
     "text_stats",
     "text_quality_score",
+    "pipeline_chunk_documents",
+    "pipeline_embed_knn",
     "pricing_summary",
     "top_customers_by_spend",
+    "multiway_join_revenue",
     "customers_without_orders",
     "order_first_line",
+    "rollup_sales",
+    "asof_last_click_before_purchase",
     "events_tumbling_window",
     "events_session_window",
 ]
@@ -46,15 +56,26 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     # warm-up: a tiny end-to-end job (JVM + codegen + parquet footer reads)
+    # plus one Python-UDF stage so the pool of Python workers is spawned
+    # before timing begins — bench measures steady-state throughput, not
+    # interpreter cold-start.
     q.QUERIES["cluster_stats"](spark, sf_dir).collect()
+    par = spark.sparkContext.defaultParallelism
+    warm = spark.range(par * 4).repartition(par)
+    warm.mapInPandas(lambda it: it, "id long").count()
 
+    # min of 2 runs per query: this container's CPU scheduling is noisy
+    # (shared host) — the minimum is the honest steady-state number.
     timings: dict[str, float] = {}
     for name in HEADLINE:
         if name not in q.QUERIES:
             continue
-        t0 = time.time()
-        q.QUERIES[name](spark, sf_dir).count()
-        timings[name] = round(time.time() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            q.QUERIES[name](spark, sf_dir).count()
+            best = min(best, time.time() - t0)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(

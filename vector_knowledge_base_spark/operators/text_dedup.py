@@ -40,15 +40,19 @@ def h32(col: Column | str) -> Column:
     return F.conv(F.substring(F.md5(c.cast("binary")), 1, 8), 16, 10).cast("bigint")
 
 
-def word_shingles(text_col: str = "text", n: int = 3) -> Column:
-    """Word n-gram shingles as an array<string> (whitespace tokens).
+def word_shingles(tokens_col: str = "toks", n: int = 3) -> Column:
+    """Word n-gram shingles from a PRE-MATERIALIZED token-array column.
+
+    Taking the token array (not the raw text) matters ~7×: inlining
+    ``split(text)`` here makes Catalyst re-split the text inside every
+    ``slice`` lambda invocation — O(tokens²) per row.
 
     Guarded for short texts: Spark's sequence(1, 0) DESCENDS ([1, 0]),
-    so texts with < n tokens must short-circuit to an empty array."""
+    so arrays with < n tokens must short-circuit to empty."""
     return F.expr(
-        f"CASE WHEN size(split({text_col}, ' ')) >= {n} THEN "
-        f"transform(sequence(1, size(split({text_col}, ' ')) - {n - 1}),"
-        f" i -> concat_ws(' ', slice(split({text_col}, ' '), i, {n}))) "
+        f"CASE WHEN size({tokens_col}) >= {n} THEN "
+        f"transform(sequence(1, size({tokens_col}) - {n - 1}),"
+        f" i -> concat_ws(' ', slice({tokens_col}, i, {n}))) "
         f"ELSE array() END"
     )
 
@@ -56,9 +60,16 @@ def word_shingles(text_col: str = "text", n: int = 3) -> Column:
 def doc_shingles(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
 ) -> DataFrame:
-    """(doc_id, shingle) distinct — the inverted-index base relation."""
+    """(doc_id, shingle) distinct — the inverted-index base relation.
+
+    Repartitions the (narrow) document rows across the cluster before
+    the explode fan-out: a single dense input file must not serialize
+    the whole shingle pipeline through one task."""
+    par = docs.sparkSession.sparkContext.defaultParallelism
     return (
-        docs.select(F.col(id_col), F.explode(word_shingles(text_col, n)).alias("shingle"))
+        docs.select(F.col(id_col), F.split(F.col(text_col), " ").alias("toks"))
+        .repartition(par)
+        .select(F.col(id_col), F.explode(word_shingles("toks", n)).alias("shingle"))
         .distinct()
     )
 
@@ -179,8 +190,10 @@ def simhash16(
     near-dup docs differ in few bits (compare via hamming distance).
     One explode + one groupBy with 16 conditional sums — single shuffle.
     """
+    par = docs.sparkSession.sparkContext.defaultParallelism
     toks = (
-        docs.select(F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("tok"))
+        docs.repartition(par)
+        .select(F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("tok"))
         .distinct()
         .withColumn("h", h32(F.col("tok")))
     )

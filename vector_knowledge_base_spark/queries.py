@@ -1125,11 +1125,15 @@ def q_pipeline_embed_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     cosine. End-to-end: text → Arrow batch → vectorized embed → JVM dot
     product → TakeOrderedAndProject."""
     from vector_knowledge_base_spark.operators.knn import cosine_topk
-    from vector_knowledge_base_spark.pipeline.embed import embed_df
+    from vector_knowledge_base_spark.pipeline.embed import embed_df, embed_texts
 
     docs = _t(spark, sf_dir, "documents")
+    # query embedding computed driver-side from the query text (the
+    # reference embeds the query string locally too) — the corpus is
+    # embedded exactly once, distributed
+    qtext = docs.where(F.col("doc_id") == 0).select("text").first()[0]
+    qvec = [float(x) for x in embed_texts([qtext], dim=64)[0]]
     emb = embed_df(docs, dim=64, precision="float64").select("doc_id", "embedding")
-    qvec = emb.where(F.col("doc_id") == 0).select("embedding").first()[0]
     return cosine_topk(emb, qvec, k=10, id_col="doc_id")
 
 
