@@ -1205,3 +1205,205 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     qvec = emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
     model, hashed = lsh_model(emb, bucket_length=1.0, num_hash_tables=4)
     return lsh_topk(model, hashed, qvec, k=10)
+
+
+# ---------------------------------------------------------------------------
+# Wave 4 — set operations, grouping sets, percentiles, skew-aware join,
+# range join, scalar C-family coverage (SURVEY §2.7, §2.5, §2.8).
+# ---------------------------------------------------------------------------
+
+_SETOPS_ORACLE = """
+SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+INTERSECT
+SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 100000
+"""
+
+
+@query("set_intersect_buyers", oracle=_SETOPS_ORACLE)
+def q_set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7 set ops (absent in the reference, free in Spark): BUILDING-
+    segment customers who also placed a >100k order."""
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    a = customer.where(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    b = orders.where(F.col("o_totalprice") > 100000).select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return a.intersect(b)
+
+
+_EXCEPT_ORACLE = """
+SELECT DISTINCT o_custkey FROM orders
+EXCEPT
+SELECT c_custkey AS o_custkey FROM customer WHERE c_acctbal > 0
+"""
+
+
+@query("set_except_negative_balance_buyers", oracle=_EXCEPT_ORACLE)
+def q_set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT: ordering customers not in the positive-balance set."""
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.select("o_custkey")
+        .distinct()
+        .exceptAll(
+            customer.where(F.col("c_acctbal") > 0)
+            .select(F.col("c_custkey").alias("o_custkey"))
+            .distinct()
+        )
+    )
+
+
+_CUBE_ORACLE = """
+SELECT o_orderstatus, o_orderpriority,
+       COUNT(*) AS n_orders,
+       ROUND(SUM(o_totalprice), 2) AS total_price
+FROM orders
+GROUP BY CUBE(o_orderstatus, o_orderpriority)
+"""
+
+
+@query("cube_order_stats", oracle=_CUBE_ORACLE)
+def q_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets — all 4 grouping combinations in one pass."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+    )
+
+
+_PERCENTILE_ORACLE = """
+SELECT l_returnflag,
+       ROUND(quantile_cont(l_extendedprice, 0.5)::DOUBLE, 4) AS p50_price,
+       ROUND(quantile_cont(l_extendedprice, 0.9)::DOUBLE, 4) AS p90_price,
+       ROUND(quantile_cont(l_extendedprice, 0.99)::DOUBLE, 4) AS p99_price
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@query("percentiles_by_flag", oracle=_PERCENTILE_ORACLE)
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (Spark `percentile` ≡ SQL
+    quantile_cont). At 100 TB swap for approx_percentile (t-digest) —
+    exact requires a per-group sort."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50_price"),
+        F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias("p90_price"),
+        F.round(F.expr("percentile(l_extendedprice, 0.99)"), 4).alias("p99_price"),
+    )
+
+
+_SALTED_ORACLE = """
+SELECT o.o_orderkey, c.c_name, o.o_totalprice
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE o.o_totalprice > 150000
+"""
+
+
+@query("salted_skew_join", oracle=_SALTED_ORACLE)
+def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted join (operators/skew.py): result identical to the plain
+    join — only the shuffle distribution changes — so the unsalted SQL
+    is a valid oracle. The skew fix for power-law keys beyond AQE."""
+    from vector_knowledge_base_spark.operators.skew import salted_join
+
+    orders = _t(spark, sf_dir, "orders").where(F.col("o_totalprice") > 150000)
+    customer = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return salted_join(orders, customer.withColumnRenamed("c_custkey", "o_custkey"),
+                       key="o_custkey", salt=8).select(
+        "o_orderkey", "c_name", "o_totalprice"
+    )
+
+
+_RANGE_JOIN_ORACLE = """
+SELECT p.event_id AS purchase_id,
+       COUNT(c.event_id) AS n_clicks_next_hour
+FROM events p
+LEFT JOIN events c
+  ON c.user_id = p.user_id
+ AND c.event_type = 'click'
+ AND c.ts > p.ts
+ AND c.ts <= p.ts + INTERVAL 1 HOUR
+WHERE p.event_type = 'purchase'
+GROUP BY p.event_id
+"""
+
+
+@query("range_join_clicks_after_purchase", oracle=_RANGE_JOIN_ORACLE)
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval) join — SURVEY §2.4 'not present' family: clicks
+    within 1 hour after each purchase, per user. Equi-join on user_id
+    carries the shuffle; the time range is a residual predicate — the
+    scalable interval-join shape (bucket by user, never cross-join)."""
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("user_id"), F.col("ts").alias("c_ts"), F.col("event_id").alias("c_id")
+    )
+    joined = purchases.join(
+        clicks,
+        (purchases.user_id == clicks.user_id)
+        & (clicks.c_ts > purchases.p_ts)
+        & (clicks.c_ts <= purchases.p_ts + F.expr("INTERVAL 1 HOUR")),
+        "left",
+    )
+    return joined.groupBy("purchase_id").agg(
+        F.count("c_id").alias("n_clicks_next_hour")
+    )
+
+
+_SCALAR_CHAIN_ORACLE = """
+SELECT doc_id,
+       regexp_replace(source, '[^a-z]', '_', 'g') AS sanitized_source,
+       CONCAT(lang, '/', source) AS lang_path,
+       LPAD(CAST(doc_id AS VARCHAR), 8, '0') AS padded_id,
+       REVERSE(lang) AS lang_rev
+FROM documents
+"""
+
+
+@query("scalar_function_chain", oracle=_SCALAR_CHAIN_ORACLE)
+def q_scalar_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2/C4/C5 scalar chain: regex sanitize, path concat, padding —
+    the sanitize-filename family as pushed-down projections."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.regexp_replace("source", "[^a-z]", "_").alias("sanitized_source"),
+        F.concat_ws("/", "lang", "source").alias("lang_path"),
+        F.lpad(F.col("doc_id").cast("string"), 8, "0").alias("padded_id"),
+        F.reverse("lang").alias("lang_rev"),
+    )
+
+
+_DISTINCT_USERS_ORACLE = """
+SELECT event_type,
+       COUNT(DISTINCT user_id) AS n_users,
+       COUNT(*) AS n_events
+FROM events GROUP BY event_type
+"""
+
+
+@query("distinct_users_by_type", oracle=_DISTINCT_USERS_ORACLE)
+def q_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """countDistinct (expand+two-phase agg in Spark). At 100 TB prefer
+    approx_count_distinct (HLL, single pass, mergeable sketch)."""
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
