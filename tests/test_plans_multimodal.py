@@ -27,6 +27,15 @@ SF = "/root/testdata/sf0.001"
 
 # ---- plan guardrails -----------------------------------------------------
 
+@pytest.fixture(autouse=True)
+def _clear_cache(spark):
+    """Another module's .cache() of the same parquet path would swap the
+    file scan for InMemoryTableScan (which has no PushedFilters) — plan
+    assertions need the real scan."""
+    spark.catalog.clearCache()
+    yield
+
+
 def test_filter_pushdown_reaches_scan(spark):
     li = load_table(spark, SF, "lineitem")
     df = li.where(F.col("l_quantity") > 30).select("l_orderkey", "l_quantity")

@@ -206,9 +206,12 @@ def chunk_documents_df(
 
     cols = [id_col, text_col] + ([lang_col] if lang_col else [])
     # spread a dense single-file input before the Python fan-out stage
-    par = docs.sparkSession.sparkContext.defaultParallelism
-    if docs.rdd.getNumPartitions() < par:
-        docs = docs.repartition(par)
+    # (.rdd is illegal on streaming DataFrames — streams are already
+    # partitioned by their source)
+    if not docs.isStreaming:
+        par = docs.sparkSession.sparkContext.defaultParallelism
+        if docs.rdd.getNumPartitions() < par:
+            docs = docs.repartition(par)
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:

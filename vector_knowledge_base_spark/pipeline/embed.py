@@ -80,10 +80,11 @@ def embed_df(
     import pandas as pd
 
     # spread a dense single-file input across workers before the
-    # Python-side encode stage
-    par = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < par:
-        df = df.repartition(par)
+    # Python-side encode stage (skip for streams: .rdd is illegal there)
+    if not df.isStreaming:
+        par = df.sparkSession.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < par:
+            df = df.repartition(par)
 
     np_type = np.float32 if precision == "float32" else np.float64
     spark_type = T.FloatType() if precision == "float32" else T.DoubleType()
