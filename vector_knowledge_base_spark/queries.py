@@ -1407,3 +1407,130 @@ def q_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_events"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Wave 5 — subqueries, window frames, date arithmetic, ordering variants.
+# `q_orders_above_avg` uses the spark.sql surface (views registered by
+# load_tables) — the engine speaks both DataFrame and SQL.
+# ---------------------------------------------------------------------------
+
+_CORRELATED_ORACLE = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders o
+WHERE o_totalprice > (SELECT AVG(o2.o_totalprice)
+                      FROM orders o2
+                      WHERE o2.o_custkey = o.o_custkey)
+"""
+
+
+@query("orders_above_customer_avg", oracle=_CORRELATED_ORACLE)
+def q_orders_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (no reference counterpart — the
+    reference has no query language at all) through the spark.sql
+    surface; Catalyst de-correlates it into an aggregate + join."""
+    from vector_knowledge_base_spark.sources.tables import load_tables
+
+    load_tables(spark, sf_dir)
+    return spark.sql(_CORRELATED_ORACLE)
+
+
+_CUMULATIVE_ORACLE = """
+SELECT o_custkey, o_orderkey,
+       ROUND(SUM(o_totalprice) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+         AS running_spend
+FROM orders
+"""
+
+
+@query("running_spend_per_customer", oracle=_CUMULATIVE_ORACLE)
+def q_running_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit window frame (ROWS UNBOUNDED PRECEDING → CURRENT ROW):
+    per-customer cumulative spend in order-date order."""
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_spend"),
+    )
+
+
+_NTILE_ORACLE = """
+SELECT p_partkey, p_retailprice,
+       NTILE(4) OVER (ORDER BY p_retailprice, p_partkey) AS price_quartile
+FROM part
+"""
+
+
+@query("part_price_quartiles", oracle=_NTILE_ORACLE)
+def q_price_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile ranking (O-family beyond the reference)."""
+    w = Window.orderBy("p_retailprice", "p_partkey")
+    return _t(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_retailprice",
+        F.ntile(4).over(w).alias("price_quartile"),
+    )
+
+
+_DATE_RANGE_ORACLE = """
+SELECT event_id, user_id
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+  AND ts < TIMESTAMP '2024-01-12 00:00:00' + INTERVAL 1 DAY
+"""
+
+
+@query("date_range_end_inclusive", oracle=_DATE_RANGE_ORACLE)
+def q_date_range_inclusive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3/C11: the reference UI's end-date-inclusive range (lte of
+    midnight-next-day, frontend/search.js:219-229) as predicates that
+    push into the scan."""
+    ev = _t(spark, sf_dir, "events")
+    start = F.lit("2024-01-10 00:00:00").cast("timestamp")
+    end_excl = F.date_add(F.lit("2024-01-12").cast("date"), 1).cast("timestamp")
+    return ev.where((F.col("ts") >= start) & (F.col("ts") < end_excl)).select(
+        "event_id", "user_id"
+    )
+
+
+_NOISE_LAST_ORACLE = """
+SELECT label AS cluster, COUNT(*) AS n
+FROM embeddings GROUP BY label
+ORDER BY (label = 9), label
+"""
+
+
+@query("clusters_noise_last_ordering", oracle=_NOISE_LAST_ORACLE)
+def q_noise_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O2: the UI's noise-last cluster ordering
+    (frontend/search.js:173-178, −1 sorted last) — boolean sort key."""
+    return (
+        _t(spark, sf_dir, "embeddings")
+        .groupBy(F.col("label").alias("cluster"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy((F.col("cluster") == 9), F.col("cluster"))
+    )
+
+
+_TOKEN_HIST_ORACLE = """
+SELECT LEN(string_split(text, ' ')) AS n_tokens, COUNT(*) AS n_docs
+FROM documents GROUP BY 1
+"""
+
+
+@query("token_count_histogram", oracle=_TOKEN_HIST_ORACLE)
+def q_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 corpus token-length distribution (training-data curation
+    staple: length filtering thresholds come from this histogram)."""
+    return (
+        _t(spark, sf_dir, "documents")
+        .groupBy(F.size(F.split("text", " ")).alias("n_tokens"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
