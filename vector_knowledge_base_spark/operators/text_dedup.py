@@ -83,20 +83,29 @@ def minhash_signatures(
 ) -> DataFrame:
     """Per-document MinHash signature as columns mh_0..mh_{n-1}.
 
-    One explode + one groupBy; the n min-aggregates are computed in the
-    same pass (partial aggregation map-side — each doc's signature never
-    needs its shingles co-located beyond the doc-id shuffle).
+    ZERO-shuffle formulation: a document's signature depends only on its
+    own shingles, and MIN over a multiset equals MIN over the set — so
+    each mh_i is ``array_min(transform(shingles, sh → hash_i(sh)))``,
+    a pure projection evaluated inside the scan. No explode, no groupBy,
+    no distinct; the whole operator is embarrassingly parallel (the
+    previous explode+groupBy version paid two shuffles for nothing).
     """
     assert n_hashes <= len(MINHASH_A)
-    sh = doc_shingles(docs, id_col, text_col, shingle_n)
-    h = h32(F.col("shingle"))
-    aggs = [
-        F.min((F.lit(MINHASH_A[i]) * h + F.lit(MINHASH_B[i])) % F.lit(MINHASH_P)).alias(
-            f"mh_{i}"
-        )
-        for i in range(n_hashes)
-    ]
-    return sh.groupBy(id_col).agg(*aggs)
+    with_sh = docs.select(
+        F.col(id_col), F.split(F.col(text_col), " ").alias("toks")
+    ).select(F.col(id_col), word_shingles("toks", shingle_n).alias("sh"))
+    hashes = F.transform(F.col("sh"), lambda s: h32(s))
+
+    # single-arg lambdas only: a 2-arg lambda makes F.transform bind the
+    # second parameter to the element INDEX
+    def _min_hash(i: int):
+        a, b = MINHASH_A[i], MINHASH_B[i]
+        return F.array_min(
+            F.transform(hashes, lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_P))
+        ).alias(f"mh_{i}")
+
+    cols = [_min_hash(i) for i in range(n_hashes)]
+    return with_sh.select(F.col(id_col), *cols)
 
 
 def minhash_lsh_candidates(
@@ -188,24 +197,27 @@ def simhash16(
 
     bit b of the fingerprint = sign of Σ_tokens (±1 by token-hash bit b);
     near-dup docs differ in few bits (compare via hamming distance).
-    One explode + one groupBy with 16 conditional sums — single shuffle.
+
+    ZERO-shuffle formulation: the distinct-token set is per-document, so
+    ``array_distinct`` + higher-order ``filter``/``size`` compute every
+    bit-sum inside the scan projection; s_b = 2·|{h: bit b set}| − |H|.
+    (The previous explode+distinct+groupBy version paid two shuffles for
+    state that always fits in one row.)
     """
-    par = docs.sparkSession.sparkContext.defaultParallelism
-    toks = (
-        docs.repartition(par)
-        .select(F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("tok"))
-        .distinct()
-        .withColumn("h", h32(F.col("tok")))
+    hs = F.transform(
+        F.array_distinct(F.split(F.col(text_col), " ")), lambda t: h32(t)
     )
-    bit_sums = [
-        F.sum(
-            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"s_{b}")
-        for b in range(16)
-    ]
-    agg = toks.groupBy(id_col).agg(*bit_sums)
+    docs_h = docs.select(F.col(id_col), hs.alias("hs"))
+    n = F.size(F.col("hs"))
+
+    # single-arg lambda (2-arg binds the element index — see minhash note)
+    def _ones(b: int):
+        return F.size(
+            F.filter(F.col("hs"), lambda h: F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1)
+        )
+
     sim = None
     for b in range(16):
-        bit = F.when(F.col(f"s_{b}") >= 0, F.lit(2**b)).otherwise(F.lit(0))
+        bit = F.when(2 * _ones(b) - n >= 0, F.lit(2**b)).otherwise(F.lit(0))
         sim = bit if sim is None else sim + bit
-    return agg.select(F.col(id_col), sim.cast("bigint").alias("simhash"))
+    return docs_h.select(F.col(id_col), sim.cast("bigint").alias("simhash"))
