@@ -1534,3 +1534,119 @@ def q_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.size(F.split("text", " ")).alias("n_tokens"))
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Wave 6 — TPC-H-shaped coverage (Q3/Q18 analogs) and the df-capped
+# Jaccard variant (skew-capped semantics mirrored in the oracle).
+# ---------------------------------------------------------------------------
+
+_SHIPPING_PRIORITY_ORACLE = """
+SELECT l_orderkey,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       o_orderdate
+FROM customer, orders, lineitem
+WHERE c_mktsegment = 'BUILDING'
+  AND c_custkey = o_custkey
+  AND l_orderkey = o_orderkey
+  AND o_orderdate < TIMESTAMP '1995-03-15'
+  AND l_shipdate > TIMESTAMP '1995-03-15'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, o_orderdate, l_orderkey
+LIMIT 10
+"""
+
+
+@query("shipping_priority_q3", oracle=_SHIPPING_PRIORITY_ORACLE)
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: segment filter broadcast through orders, fact
+    aggregation, top-10 by revenue (TakeOrderedAndProject)."""
+    cust = _t(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1995-03-15").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "o_orderdate")
+        .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+_LARGE_ORDERS_ORACLE = """
+SELECT o_orderkey, o_totalprice, sum_qty
+FROM orders JOIN (
+  SELECT l_orderkey, ROUND(SUM(l_quantity), 2) AS sum_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING SUM(l_quantity) > 150
+) big ON o_orderkey = big.l_orderkey
+"""
+
+
+@query("large_quantity_orders_q18", oracle=_LARGE_ORDERS_ORACLE)
+def q_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: aggregate-then-join with HAVING semi-filter —
+    the aggregate side shrinks before the join (no full fact×fact)."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.sum("l_quantity").alias("_raw_qty"),
+        )
+        .where(F.col("_raw_qty") > 150)
+        .drop("_raw_qty")
+    )
+    return orders.join(big, orders.o_orderkey == big.l_orderkey).select(
+        "o_orderkey", "o_totalprice", "sum_qty"
+    )
+
+
+_JACCARD_CAPPED_ORACLE = (
+    "WITH "
+    + _SHINGLE_CTE
+    + """,
+df_counts AS (SELECT shingle, COUNT(DISTINCT doc_id) AS df FROM sh GROUP BY shingle),
+sh_capped AS (SELECT sh.* FROM sh JOIN df_counts USING (shingle) WHERE df <= 50),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, COUNT(*) AS n_inter
+  FROM sh_capped a JOIN sh_capped b
+    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_id_a, doc_id_b,
+       ROUND(n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_id_a
+JOIN sizes sb ON sb.doc_id = doc_id_b
+WHERE n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter) >= 0.05
+"""
+)
+
+
+@query("ngram_jaccard_df_capped", oracle=_JACCARD_CAPPED_ORACLE)
+def q_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaccard with a document-frequency cap (df ≤ 50): shingles shared
+    by more than 50 docs are dropped from the inverted index BEFORE the
+    pair join — the skew control that keeps the join sub-quadratic on
+    power-law corpora. The cap is part of the operator's semantics and
+    mirrored in the oracle (lower-bound estimate of true Jaccard)."""
+    from vector_knowledge_base_spark.operators.text_dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), threshold=0.05, max_df=50
+    )
