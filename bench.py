@@ -39,6 +39,11 @@ HEADLINE = [
     "order_first_line",
     "rollup_sales",
     "asof_last_click_before_purchase",
+    "range_join_clicks_after_purchase",
+    "orders_above_customer_avg",
+    "running_spend_per_customer",
+    "shipping_priority_q3",
+    "large_quantity_orders_q18",
     "events_tumbling_window",
     "events_session_window",
 ]

@@ -12,12 +12,13 @@ engine-specific, so token/shingle hashes use the first 8 hex chars of
 md5 → int64 ("h32"), identical in any engine with md5.
 
 Scale notes:
-- shingle explode multiplies rows by ~tokens/doc; groupBy(doc, shingle)
-  distinct happens map-side first;
-- the candidate-pair join is on shingle/band — document-frequency capping
-  (``max_df``) drops degenerate high-frequency shingles that would
-  otherwise create quadratic skew at 100 TB (the classic salting-free
-  skew fix for similarity joins);
+- MinHash/SimHash signatures are ZERO-shuffle scan projections (a doc's
+  signature depends only on its own row — see each function's note);
+- only the inverted-index Jaccard and LSH band join shuffle, and both
+  shuffle signatures/shingles, never document text;
+- document-frequency capping (``max_df``) drops degenerate high-
+  frequency shingles that would otherwise create quadratic skew at
+  100 TB (the classic salting-free skew fix for similarity joins);
 - MinHash/LSH turns all-pairs O(n²) into O(candidates); band count and
   rows-per-band tune the jaccard threshold s ≈ (1/bands)^(1/rows).
 """
