@@ -1,14 +1,31 @@
-"""Local mimic of the driver's DuckDB-oracle comparison: run a Spark query
-and its oracle SQL on the same parquet, normalize (sort columns by name,
-order-insensitive rows, stringify), and diff."""
+"""Local mimic of the driver's DuckDB-oracle comparison.
+
+The driver canonicalizes both result sets as pandas DataFrames (columns
+sorted by name, rows sorted by all columns) and hash-compares the raw
+frames — no float re-rounding, dtype-sensitive hashing (DuckDB HUGEINT
+vs Spark BIGINT hash differently), and array cells crash its sorter
+(``TypeError: unhashable type: 'list'``). Round 1 shipped 3 locally-green
+/ driver-red queries because this harness was more lenient; it now
+reproduces the driver behavior:
+
+- Spark results via ``toPandas()``, oracle via ``duckdb .df()`` — the
+  same Arrow-backed frames the driver hashes;
+- rows sorted with ``sort_values`` over every column (list/array cells
+  raise, reported as an ERR exactly like the driver);
+- values compared via ``pandas.util.hash_pandas_object`` — an object
+  column of Python ints (DuckDB HUGEINT) will NOT match an int64 column,
+  surfacing the SUM(int)→HUGEINT artifact locally;
+- the only normalization applied is unifying datetime precision (both
+  engines emit Arrow timestamps; ns-vs-us is a pandas-version artifact,
+  not an engine difference).
+"""
 
 from __future__ import annotations
 
-import math
 import os
-from datetime import date, datetime
 
 import duckdb
+import pandas as pd
 
 from vector_knowledge_base_spark.sources.tables import TABLES
 
@@ -21,52 +38,56 @@ def duckdb_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
     return con
 
 
-def _norm_cell(v):
-    if v is None:
-        return "NULL"
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        if v == int(v) and abs(v) < 1e15:
-            return str(int(v))
-        return repr(round(v, 9))
-    if isinstance(v, bool):
-        return str(v)
-    if isinstance(v, (int,)):
-        return str(v)
-    if isinstance(v, datetime):
-        return v.strftime("%Y-%m-%d %H:%M:%S.%f")
-    if isinstance(v, date):
-        return v.strftime("%Y-%m-%d")
-    if isinstance(v, (list, tuple)):
-        return "[" + ",".join(_norm_cell(x) for x in v) + "]"
-    return str(v)
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    """Driver-style canonical form: columns sorted by name, rows sorted
+    by all columns. Raises TypeError on unhashable (list) cells — the
+    same failure the driver records as ERR."""
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = df[c].astype("datetime64[us]")
+    if len(df):
+        df = df.sort_values(by=list(df.columns), kind="mergesort")
+    return df.reset_index(drop=True)
 
 
-def normalize(columns, rows):
-    order = sorted(range(len(columns)), key=lambda i: columns[i])
-    cols = [columns[i] for i in order]
-    out = sorted(tuple(_norm_cell(r[i]) for i in order) for r in rows)
-    return cols, out
+def _row_hashes(df: pd.DataFrame):
+    return pd.util.hash_pandas_object(df, index=False).to_numpy()
 
 
-def compare(spark_df, con, sql):
-    spark_cols = spark_df.columns
-    spark_rows = [tuple(r) for r in spark_df.collect()]
-    rel = con.sql(sql)
-    duck_cols = rel.columns
-    duck_rows = rel.fetchall()
+def compare(spark_df, con, sql) -> list[str]:
+    """Return a list of problems (empty = the driver would record
+    rows/schema/hash_match all true)."""
+    sp = spark_df.toPandas()
+    dk = con.sql(sql).df()
 
-    sc, sr = normalize(spark_cols, spark_rows)
-    dc, dr = normalize(duck_cols, duck_rows)
-    problems = []
-    if sc != dc:
-        problems.append(f"schema mismatch: spark={sc} duckdb={dc}")
-    if len(sr) != len(dr):
-        problems.append(f"row count mismatch: spark={len(sr)} duckdb={len(dr)}")
-    if not problems and sr != dr:
+    problems: list[str] = []
+    if sorted(sp.columns) != sorted(dk.columns):
+        problems.append(
+            f"schema mismatch: spark={sorted(sp.columns)} duckdb={sorted(dk.columns)}"
+        )
+        return problems
+    if len(sp) != len(dk):
+        problems.append(f"row count mismatch: spark={len(sp)} duckdb={len(dk)}")
+
+    try:
+        sp_c, dk_c = _canon(sp), _canon(dk)
+    except TypeError as e:  # unhashable list cells — driver ERR
+        problems.append(f"canonicalize ERR (driver would crash): {e}")
+        return problems
+
+    if problems:
+        return problems
+
+    sh, dh = _row_hashes(sp_c), _row_hashes(dk_c)
+    if not (sh == dh).all():
+        bad = (sh != dh).nonzero()[0][:5]
         diffs = [
-            (a, b) for a, b in zip(sr, dr) if a != b
-        ][:5]
-        problems.append(f"value mismatch, first diffs: {diffs}")
+            (sp_c.iloc[i].to_dict(), dk_c.iloc[i].to_dict()) for i in bad
+        ]
+        problems.append(
+            f"hash mismatch on {int((sh != dh).sum())} rows; first diffs: "
+            f"{diffs}; dtypes spark={sp_c.dtypes.to_dict()} "
+            f"duckdb={dk_c.dtypes.to_dict()}"
+        )
     return problems

@@ -92,9 +92,14 @@ def minhash_signatures(
     previous explode+groupBy version paid two shuffles for nothing).
     """
     assert n_hashes <= len(MINHASH_A)
-    with_sh = docs.select(
-        F.col(id_col), F.split(F.col(text_col), " ").alias("toks")
-    ).select(F.col(id_col), word_shingles("toks", shingle_n).alias("sh"))
+    with_sh = (
+        docs.select(F.col(id_col), F.split(F.col(text_col), " ").alias("toks"))
+        .select(F.col(id_col), word_shingles("toks", shingle_n).alias("sh"))
+        # docs shorter than shingle_n tokens have no shingles: emit no row
+        # (array_min over empty would yield NULL mh_* — and the SQL oracle,
+        # which derives docs from exploded shingles, omits them entirely)
+        .where(F.size("sh") > 0)
+    )
     hashes = F.transform(F.col("sh"), lambda s: h32(s))
 
     # single-arg lambdas only: a 2-arg lambda makes F.transform bind the
@@ -109,6 +114,19 @@ def minhash_signatures(
     return with_sh.select(F.col(id_col), *cols)
 
 
+def _pairs_from_sorted_ids(ids_col: str = "ids") -> Column:
+    """All (a < b) pairs from a SORTED id array, as array<struct>.
+
+    ``transform``'s 2-arg lambda binds (element, 0-based index); element
+    i pairs with every later element, i.e. ``slice`` starting at 1-based
+    position i+2 (slice clamps past the end)."""
+    return F.expr(
+        f"flatten(transform({ids_col}, (x, i) -> "
+        f"transform(slice({ids_col}, i + 2, size({ids_col})), "
+        f"y -> struct(x AS doc_id_a, y AS doc_id_b))))"
+    )
+
+
 def minhash_lsh_candidates(
     signatures: DataFrame,
     bands: int = 4,
@@ -118,9 +136,15 @@ def minhash_lsh_candidates(
     """Candidate near-dup pairs: docs sharing at least one LSH band.
 
     The signature is split into ``bands`` bands of ``rows_per_band``
-    minhashes; each band becomes a join key (band_idx, band_key). A
-    self-join on the band key yields candidates in O(collisions) instead
-    of O(n²). Output: (doc_id_a < doc_id_b) distinct.
+    minhashes; each band becomes a grouping key (band_idx, band_key).
+    Formulated as ONE groupBy (bucket members collected per band key,
+    pairs generated inside each bucket) rather than a band-key self-join:
+    a self-join executes the full scan→shingle→minhash lineage once per
+    side (r01's 2nd-slowest headline query), while the groupBy runs it
+    once, with no cache to leak. Bucket sizes are O(band collisions) —
+    tiny for near-dup-scale thresholds — so the per-bucket pair arrays
+    are bounded; candidates stay O(collisions), never O(n²).
+    Output: (doc_id_a < doc_id_b) distinct.
     """
     band_cols = [
         F.struct(
@@ -134,16 +158,19 @@ def minhash_lsh_candidates(
     banded = signatures.select(
         F.col(id_col), F.explode(F.array(*band_cols)).alias("band")
     ).select(id_col, "band.band_idx", "band.band_key")
-    a = banded.select(
-        F.col(id_col).alias("doc_id_a"), "band_idx", "band_key"
-    )
-    b = banded.select(
-        F.col(id_col).alias("doc_id_b"), "band_idx", "band_key"
+    buckets = (
+        banded
+        # null-guard: concat_ws collapses NULL minhashes to "" — such
+        # rows must not become a catch-all bucket (defense in depth;
+        # minhash_signatures already drops shingle-less docs)
+        .where(F.col("band_key") != "")
+        .groupBy("band_idx", "band_key")
+        .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
+        .where(F.size("ids") >= 2)
     )
     return (
-        a.join(b, ["band_idx", "band_key"])
-        .where(F.col("doc_id_a") < F.col("doc_id_b"))
-        .select("doc_id_a", "doc_id_b")
+        buckets.select(F.explode(_pairs_from_sorted_ids("ids")).alias("p"))
+        .select("p.doc_id_a", "p.doc_id_b")
         .distinct()
     )
 
@@ -158,24 +185,46 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for all pairs sharing ≥1 shingle.
 
-    Inverted-index join (shingle → docs), never a cross join: pair
-    intersection counts come from the shingle co-occurrence groupBy;
-    union = |A| + |B| − |A∩B| from per-doc shingle counts broadcast back.
-    ``max_df`` drops shingles in more than that many docs (skew cap).
+    Inverted-index formulation, never a cross join — and single-lineage:
+
+    - per-doc distinct shingle ARRAYS are a scan projection, so per-doc
+      sizes (|A|) are computed without touching the inverted index;
+    - the inverted index groupBy(shingle) collects each posting list
+      once (the ONLY wide shuffle) and emits intersection pairs from
+      inside each posting list — no self-join, so the shingle pipeline
+      executes once and nothing needs a cache (r01 leaked ``sh.cache()``);
+    - union = |A| + |B| − |A∩B| from the sizes broadcast back.
+
+    ``max_df`` drops shingles whose posting list exceeds that many docs
+    (the skew cap): without it a stop-shingle in d docs contributes
+    O(d²) pairs — quadratic on power-law corpora. Uncapped mode is the
+    small-corpus exactness oracle; at scale ALWAYS set ``max_df``, which
+    also bounds every posting-list pair array to max_df²/2.
     """
-    sh = doc_shingles(docs, id_col, text_col, shingle_n).cache()
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    base = (
+        docs.select(F.col(id_col), F.split(F.col(text_col), " ").alias("toks"))
+        # spread dense input files before the explode fan-out (see
+        # doc_shingles note)
+        .repartition(par)
+        .select(
+            F.col(id_col),
+            F.array_distinct(word_shingles("toks", shingle_n)).alias("sh"),
+        )
+        .where(F.size("sh") > 0)
+    )
+    sizes = base.select(F.col(id_col), F.size("sh").alias("n_sh"))
+    inv = base.select(F.col(id_col), F.explode("sh").alias("shingle"))
+    postings = inv.groupBy("shingle").agg(
+        F.sort_array(F.collect_list(id_col)).alias("ids")
+    )
+    keep = F.size("ids") >= 2
     if max_df is not None:
-        keep = sh.groupBy("shingle").count().where(F.col("count") <= max_df)
-        sh_j = sh.join(keep.select("shingle"), "shingle")
-    else:
-        sh_j = sh
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh_j.select(F.col(id_col).alias("doc_id_a"), "shingle")
-    b = sh_j.select(F.col(id_col).alias("doc_id_b"), "shingle")
+        keep = keep & (F.size("ids") <= max_df)
     inter = (
-        a.join(b, "shingle")
-        .where(F.col("doc_id_a") < F.col("doc_id_b"))
-        .groupBy("doc_id_a", "doc_id_b")
+        postings.where(keep)
+        .select(F.explode(_pairs_from_sorted_ids("ids")).alias("p"))
+        .groupBy("p.doc_id_a", "p.doc_id_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
     sa = sizes.select(F.col(id_col).alias("doc_id_a"), F.col("n_sh").alias("n_a"))

@@ -165,10 +165,14 @@ def q_clusters_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CLUSTER_STATS_ORACLE = """
 SELECT COUNT(DISTINCT CASE WHEN label <> -1 THEN label END) AS n_clusters,
-       COALESCE(SUM(CASE WHEN label = -1 THEN 1 ELSE 0 END), 0) AS n_noise,
+       CAST(COALESCE(SUM(CASE WHEN label = -1 THEN 1 ELSE 0 END), 0) AS BIGINT)
+         AS n_noise,
        COUNT(*) AS n_points
 FROM embeddings
 """
+# NB: DuckDB SUM(integer) returns HUGEINT (int128) while Spark returns
+# BIGINT; the driver canonicalizer hashes them differently, so every
+# integer SUM in an oracle must be CAST to BIGINT (r01 hash-fail fix).
 
 
 @query("cluster_stats", oracle=_CLUSTER_STATS_ORACLE)
@@ -194,7 +198,7 @@ def q_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 _REGISTRY_ORACLE = """
 SELECT source,
        COUNT(*) AS n_docs,
-       SUM(n_chars) AS total_chars,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
        ROUND(AVG(n_chars), 4) AS avg_chars,
        MIN(doc_id) AS first_doc_id
 FROM documents
@@ -976,7 +980,7 @@ def q_score_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _MEMBERS_ORACLE = """
 SELECT label AS cluster,
-       LIST(vec_id ORDER BY vec_id) AS member_ids,
+       string_agg(vec_id::VARCHAR, ',' ORDER BY vec_id) AS member_ids,
        COUNT(*) AS n_members
 FROM embeddings GROUP BY label
 """
@@ -985,12 +989,20 @@ FROM embeddings GROUP BY label
 @query("cluster_members_sorted", oracle=_MEMBERS_ORACLE)
 def q_cluster_members(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A5/A6: group-members-as-array (reference groups files per folder /
-    texts per cluster); sorted for determinism."""
+    texts per cluster); sorted for determinism. Emitted as a CSV string,
+    not array<bigint> — the driver canonicalizer can't hash array cells
+    (r01 ERR fix)."""
     return (
         _t(spark, sf_dir, "embeddings")
         .groupBy(F.col("label").alias("cluster"))
         .agg(
-            F.sort_array(F.collect_list("vec_id")).alias("member_ids"),
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list("vec_id")),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("member_ids"),
             F.count(F.lit(1)).alias("n_members"),
         )
     )
@@ -1649,4 +1661,219 @@ def q_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return ngram_jaccard_pairs(
         _t(spark, sf_dir, "documents"), threshold=0.05, max_df=50
+    )
+
+
+# ---------------------------------------------------------------------------
+# Wave 7 (round 2) — oracled IVF, folder hierarchy over inline frames,
+# noise-label (−1) semantics end-to-end (VERDICT r01 #5/#6/#8).
+# ---------------------------------------------------------------------------
+
+
+@query("ann_ivf_exhaustive", oracle=_KNN_ORACLE)
+def q_ann_ivf_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF probe with n_probe = n_cells: searches EVERY cell, so the
+    result is exactly the top-k cosine — which makes the whole IVF
+    machinery (KMeans assignment, centroid ranking, cell filter, rerank)
+    hash-checkable against the exact-kNN oracle. The approximate entries
+    (ann_ivf_topk, n_probe<cells) stay rows-only with the recall pytest."""
+    from vector_knowledge_base_spark.operators.ann import build_ivf, ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
+    centroids, assigned = build_ivf(emb, n_partitions=8)
+    return ivf_topk(centroids, assigned, qvec, k=10, n_probe=8)
+
+
+# Folder hierarchy (J3/J4/A5 — reference backend/filesystem_db.py:135-223,
+# backend/main.py:926-951). The testdata has no folders table — the
+# hierarchy is human-created and broadcast-size by construction — so these
+# queries run over inline literal frames, with the SAME literals in a
+# DuckDB VALUES CTE as the oracle. String ids mirror the reference's TEXT
+# folder ids.
+
+_FOLDERS_ROWS = [
+    ("1", "docs", None),
+    ("2", "projects", None),
+    ("3", "spark", "2"),
+    ("4", "notes", "3"),
+    ("5", "archive", "1"),
+    ("6", "deep", "4"),
+]
+_FILE_FOLDERS_ROWS = [
+    (101, "a.txt", "1"),
+    (102, "b.md", "3"),
+    (103, "c.py", "4"),
+    (104, "d.pdf", None),  # explicit root assignment → 'null' sentinel
+    (105, "e.txt", "6"),
+    (106, "f.txt", "1"),
+]
+_DOCS_ROWS = [
+    (101, "a.txt"), (102, "b.md"), (103, "c.py"), (104, "d.pdf"),
+    (105, "e.txt"), (106, "f.txt"), (107, "g.txt"), (108, "h.txt"),
+]
+
+_FOLDERS_SQL = """folders(id, name, parent_id) AS (
+  SELECT * FROM (VALUES
+    ('1','docs',CAST(NULL AS VARCHAR)), ('2','projects',NULL),
+    ('3','spark','2'), ('4','notes','3'), ('5','archive','1'),
+    ('6','deep','4')) AS t(id, name, parent_id))"""
+_FILE_FOLDERS_SQL = """ff(document_id, filename, folder_id) AS (
+  SELECT * FROM (VALUES
+    (CAST(101 AS BIGINT),'a.txt','1'), (102,'b.md','3'), (103,'c.py','4'),
+    (104,'d.pdf',CAST(NULL AS VARCHAR)), (105,'e.txt','6'),
+    (106,'f.txt','1')) AS t(document_id, filename, folder_id))"""
+_DOCS_SQL = """docs(document_id, filename) AS (
+  SELECT * FROM (VALUES
+    (CAST(101 AS BIGINT),'a.txt'), (102,'b.md'), (103,'c.py'),
+    (104,'d.pdf'), (105,'e.txt'), (106,'f.txt'), (107,'g.txt'),
+    (108,'h.txt')) AS t(document_id, filename))"""
+_WALK_SQL = """walk(id, path, parent_id) AS (
+  SELECT id, name, parent_id FROM folders
+  UNION ALL
+  SELECT w.id, f.name || '/' || w.path, f.parent_id
+  FROM walk w JOIN folders f ON w.parent_id = f.id)"""
+
+
+def _folders_df(spark):
+    return spark.createDataFrame(
+        _FOLDERS_ROWS, "id string, name string, parent_id string"
+    )
+
+
+def _file_folders_df(spark):
+    return spark.createDataFrame(
+        _FILE_FOLDERS_ROWS, "document_id long, filename string, folder_id string"
+    )
+
+
+def _docs_inline_df(spark):
+    return spark.createDataFrame(_DOCS_ROWS, "document_id long, filename string")
+
+
+_FOLDER_PATHS_ORACLE = f"""
+WITH RECURSIVE {_FOLDERS_SQL},
+{_WALK_SQL}
+SELECT id, path FROM walk WHERE parent_id IS NULL
+"""
+
+
+@query("folder_paths_resolved", oracle=_FOLDER_PATHS_ORACLE)
+def q_folder_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3: resolve every folder's full path by walking parent pointers —
+    iterative broadcast self-join to fixpoint (operators/folders.py),
+    checked against a DuckDB recursive CTE (the reference walks one
+    SQLite SELECT per level, filesystem_db.py:179-223)."""
+    from vector_knowledge_base_spark.operators.folders import resolve_folder_paths
+
+    return resolve_folder_paths(_folders_df(spark))
+
+
+_FILES_BY_FOLDER_ORACLE = f"""
+WITH {_FILE_FOLDERS_SQL}
+SELECT COALESCE(folder_id, 'null') AS folder_id,
+       string_agg(CAST(document_id AS VARCHAR) || ':' || filename,
+                  ',' ORDER BY document_id, filename) AS files,
+       CAST(COUNT(*) AS BIGINT) AS n_files
+FROM ff GROUP BY 1
+"""
+
+
+@query("files_by_folder_inline", oracle=_FILES_BY_FOLDER_ORACLE)
+def q_files_by_folder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5: folder_id → member files ('null' sentinel for root files,
+    filesystem_db.py:135-149). The member list is emitted as a sorted
+    'id:name' CSV string — array cells crash the driver canonicalizer."""
+    from vector_knowledge_base_spark.operators.folders import files_by_folder
+
+    grouped = files_by_folder(_file_folders_df(spark))
+    return grouped.select(
+        "folder_id",
+        F.array_join(
+            F.transform(
+                "files",
+                lambda s: F.concat_ws(
+                    ":", s["document_id"].cast("string"), s["filename"]
+                ),
+            ),
+            ",",
+        ).alias("files"),
+        "n_files",
+    )
+
+
+_UNSORTED_FILES_ORACLE = f"""
+WITH {_DOCS_SQL},
+{_FILE_FOLDERS_SQL}
+SELECT document_id, filename FROM docs
+WHERE document_id NOT IN (SELECT document_id FROM ff)
+"""
+
+
+@query("unsorted_files_inline", oracle=_UNSORTED_FILES_ORACLE)
+def q_unsorted_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2/A5: documents assigned to no folder — left_anti join (replaces
+    the reference's Python set difference, filesystem_db.py:151-163)."""
+    from vector_knowledge_base_spark.operators.folders import unsorted_files
+
+    return unsorted_files(_docs_inline_df(spark), _file_folders_df(spark))
+
+
+_FILE_PATHS_ORACLE = f"""
+WITH RECURSIVE {_FOLDERS_SQL},
+{_WALK_SQL},
+{_DOCS_SQL},
+{_FILE_FOLDERS_SQL},
+paths AS (SELECT id, path FROM walk WHERE parent_id IS NULL)
+SELECT d.document_id, d.filename, COALESCE(p.path, '') AS folder_path
+FROM docs d
+LEFT JOIN ff ON d.document_id = ff.document_id
+LEFT JOIN paths p ON ff.folder_id = p.id
+"""
+
+
+@query("file_paths_resolved", oracle=_FILE_PATHS_ORACLE)
+def q_file_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4: full folder path per document (ZIP-export path reconstruction,
+    backend/main.py:926-951): resolve paths once, broadcast-join files
+    onto them; unassigned and root files get ''."""
+    from vector_knowledge_base_spark.operators.folders import file_paths
+
+    return file_paths(
+        _docs_inline_df(spark), _file_folders_df(spark), _folders_df(spark)
+    )
+
+
+_NOISE_STATS_ORACLE = """
+WITH labeled AS (
+  SELECT CASE WHEN label = 9 THEN -1 ELSE label END AS label2 FROM embeddings
+)
+SELECT COUNT(DISTINCT CASE WHEN label2 <> -1 THEN label2 END) AS n_clusters,
+       CAST(COALESCE(SUM(CASE WHEN label2 = -1 THEN 1 ELSE 0 END), 0) AS BIGINT)
+         AS n_noise,
+       COUNT(*) AS n_points
+FROM labeled
+"""
+
+
+@query("cluster_stats_noise", oracle=_NOISE_STATS_ORACLE)
+def q_cluster_stats_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 with HDBSCAN noise semantics exercised end-to-end: label 9 is
+    mapped to −1 (the reference's HDBSCAN noise label, backend/
+    clustering.py:46-49) so the noise-counting branch runs against real
+    data and n_noise > 0 in the driver's green row — in r01 the −1
+    sentinels were dead branches no data path produced."""
+    labeled = _t(spark, sf_dir, "embeddings").select(
+        F.when(F.col("label") == 9, F.lit(-1)).otherwise(F.col("label")).alias(
+            "label2"
+        )
+    )
+    return labeled.agg(
+        F.countDistinct(
+            F.when(F.col("label2") != -1, F.col("label2"))
+        ).alias("n_clusters"),
+        F.coalesce(
+            F.sum(F.when(F.col("label2") == -1, 1).otherwise(0)), F.lit(0)
+        ).alias("n_noise"),
+        F.count(F.lit(1)).alias("n_points"),
     )
