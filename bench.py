@@ -48,6 +48,8 @@ HEADLINE = [
     "pricing_summary",
     "top_customers_by_spend",
     "multiway_join_revenue",
+    "volume_shipping_q7",
+    "orders_with_returns_q4",
     "customers_without_orders",
     "order_first_line",
     "rollup_sales",

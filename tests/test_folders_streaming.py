@@ -134,3 +134,95 @@ def test_streaming_ingest_pipeline(spark, tmp_path):
     assert out.count() == 50  # 1 chunk per doc on this corpus
     row = out.first()
     assert len(row.embedding) == 64
+
+
+def test_streaming_dedup_exact(spark, tmp_path):
+    """Duplicate documents across micro-batches are admitted once:
+    first-writer-wins state keyed on md5(content)."""
+    from vector_knowledge_base_spark.streaming.dedup import dedup_stream_exact
+
+    src = str(tmp_path / "dedup_in")
+    spark.createDataFrame(
+        [(1, "alpha text"), (2, "beta text"), (3, "alpha text")],
+        "doc_id long, text string",
+    ).write.parquet(src)
+    spark.createDataFrame(
+        [(4, "beta text"), (5, "gamma text")], "doc_id long, text string"
+    ).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        dedup_stream_exact(stream)
+        .writeStream.format("memory")
+        .queryName("dedup_exact_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select text from dedup_exact_test").collect()
+    texts = sorted(r.text for r in rows)
+    assert texts == ["alpha text", "beta text", "gamma text"]
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """Watermark-bounded dedup: duplicates inside the horizon are
+    dropped; the state store stays bounded by eviction."""
+    from vector_knowledge_base_spark.streaming.dedup import (
+        dedup_stream_within_watermark,
+    )
+    from datetime import datetime
+
+    src = str(tmp_path / "dedup_wm_in")
+    t0 = datetime(2024, 1, 1, 12, 0, 0)
+    t1 = datetime(2024, 1, 1, 12, 10, 0)
+    spark.createDataFrame(
+        [(1, t0, "alpha"), (2, t1, "alpha"), (3, t1, "beta")],
+        "doc_id long, ts timestamp, text string",
+    ).write.parquet(src)
+
+    stream = spark.readStream.schema(
+        "doc_id long, ts timestamp, text string"
+    ).parquet(src)
+    q = (
+        dedup_stream_within_watermark(stream, watermark="1 hour")
+        .writeStream.format("memory")
+        .queryName("dedup_wm_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    texts = sorted(
+        r.text for r in spark.sql("select text from dedup_wm_test").collect()
+    )
+    assert texts == ["alpha", "beta"]
+
+
+def test_coords3d_materialize_and_invalidate(spark, tmp_path):
+    """M9: the materialized 3-D projection serves from parquet while the
+    fingerprint matches and rebuilds when the corpus mutates."""
+    from vector_knowledge_base_spark.operators.projection import (
+        coords3d_stale,
+        materialize_coords3d,
+        refresh_coords3d_if_stale,
+    )
+    from vector_knowledge_base_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    out = str(tmp_path / "coords3d")
+    assert coords3d_stale(emb, out)  # never built
+    materialize_coords3d(emb, out, model_path=str(tmp_path / "pca"))
+    assert not coords3d_stale(emb, out)
+    n = spark.read.parquet(out).count()
+    assert n == emb.count()
+
+    mutated = emb.where("vec_id <> 0")  # delete one row -> stale
+    assert coords3d_stale(mutated, out)
+    refreshed = refresh_coords3d_if_stale(spark, mutated, out)
+    assert refreshed.count() == n - 1
+    assert not coords3d_stale(mutated, out)

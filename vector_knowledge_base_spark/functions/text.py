@@ -11,13 +11,22 @@ def sanitize_filename(col: Column | str) -> Column:
     """F5: filename sanitization
     (/root/reference/backend/ingestion.py:27-55): strip path components,
     drop control chars, replace Windows-illegal chars with '_', cap at
-    200 chars (extension-preserving cap approximated as a plain cap —
-    the reference splits the extension first), empty → 'unnamed_file'."""
+    200 chars preserving the extension (the reference splits the
+    extension first and truncates only the stem, so a >200-char name
+    keeps its extension and downstream extension-based dispatch still
+    works), empty → 'unnamed_file'."""
     c = F.col(col) if isinstance(col, str) else col
     base = F.element_at(F.split(c, r"[/\\]"), -1)
     cleaned = F.regexp_replace(base, r"[\x00-\x1f\x7f]", "")
     replaced = F.regexp_replace(cleaned, r'[<>:"/\\|?*]', "_")
-    capped = F.substring(replaced, 1, 200)
+    # extension-preserving cap: stem is truncated to 200 − len(ext)
+    ext = F.regexp_extract(replaced, r"(\.[^.]+)$", 1)
+    ext_len = F.length(ext)
+    stem_part = F.substring(replaced, F.lit(1), F.length(replaced) - ext_len)
+    capped = F.when(
+        F.length(replaced) > 200,
+        F.concat(F.substring(stem_part, F.lit(1), F.lit(200) - ext_len), ext),
+    ).otherwise(replaced)
     trimmed = F.trim(capped)
     return F.when(trimmed == "", F.lit("unnamed_file")).otherwise(trimmed)
 

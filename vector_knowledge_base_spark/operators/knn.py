@@ -67,6 +67,37 @@ def cosine_topk(
     )
 
 
+def cosine_topk_df(
+    corpus: DataFrame,
+    query: DataFrame,
+    k: int = 5,
+    vector_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_vec_col: str = "qv",
+    filters: Mapping[str, Any] | None = None,
+) -> DataFrame:
+    """Exact filtered top-k cosine with the query vector as a 1-row
+    DataFrame instead of a driver-side literal.
+
+    ``cosine_topk`` needs the caller to ``collect()`` the query vector
+    first — a full extra Spark job (scan + dispatch) before the search
+    job, which doubles single-query latency. Here the 1-row query side
+    is broadcast into the scoring plan (BroadcastNestedLoopJoin of one
+    row ≈ free), so fetch + score + top-k run as ONE job. Same result,
+    same TakeOrderedAndProject tail."""
+    scored = corpus.where(filter_dsl_to_column(filters)).join(F.broadcast(query))
+    return (
+        scored.select(
+            F.col(id_col),
+            F.round(
+                dot_product(F.col(vector_col), F.col(query_vec_col)), ROUND_DIGITS
+            ).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.col(id_col))
+        .limit(k)
+    )
+
+
 def batch_knn(
     queries: DataFrame,
     corpus: DataFrame,

@@ -50,6 +50,90 @@ def project_3d(
     return arr.select(F.col(id_col), *comps), model
 
 
+def corpus_fingerprint(emb: DataFrame, id_col: str = "vec_id") -> tuple[int, int]:
+    """Order-insensitive fingerprint of a corpus: (row count, sum of
+    per-row id hashes) — one scan, map-side combinable. The distributed
+    analog of the reference's mutation counter: any insert/delete/update
+    of an id changes it."""
+    row = emb.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.sum(F.hash(F.col(id_col))), F.lit(0)).alias("h"),
+    ).first()
+    return int(row["n"]), int(row["h"])
+
+
+def materialize_coords3d(
+    emb: DataFrame, out_path: str, model_path: str | None = None
+) -> DataFrame:
+    """M9: write the 3-D projection as a table (the reference caches the
+    3-D payload in-process and invalidates on every mutation —
+    /root/reference/backend/main.py:62-76 invalidate_3d_cache). Here the
+    cache is a parquet table stamped with the source fingerprint; staleness
+    is a metadata comparison, refresh is a re-run of this function."""
+    import json
+    import os
+
+    coords, model = project_3d(emb)
+    coords.write.mode("overwrite").parquet(out_path)
+    n, h = corpus_fingerprint(emb)
+    with open(os.path.join(out_path, "_fingerprint.json"), "w") as f:
+        json.dump({"n": n, "h": h}, f)
+    if model_path is not None:
+        save_projection_model(model, model_path)
+    return coords
+
+
+def coords3d_stale(emb: DataFrame, out_path: str) -> bool:
+    """True when the materialized projection no longer matches the
+    corpus (or was never built) — the declarative replacement for the
+    reference's invalidate-on-every-mutation flag: instead of pushing
+    invalidation into every write path, staleness is checked at read
+    time against the stamped fingerprint."""
+    import json
+    import os
+
+    fp = os.path.join(out_path, "_fingerprint.json")
+    if not os.path.exists(fp):
+        return True
+    with open(fp) as f:
+        saved = json.load(f)
+    n, h = corpus_fingerprint(emb)
+    return (saved["n"], saved["h"]) != (n, h)
+
+
+def refresh_coords3d_if_stale(
+    spark, emb: DataFrame, out_path: str, model_path: str | None = None
+) -> DataFrame:
+    """Read-through cache: rebuild the coords3d table only when stale,
+    else serve the materialized parquet."""
+    if coords3d_stale(emb, out_path):
+        materialize_coords3d(emb, out_path, model_path)
+    return spark.read.parquet(out_path)
+
+
+def save_projection_model(model, path: str) -> None:
+    """M8: persist the fitted PCA model so the materialized ``coords3d``
+    table plus query-transform path survive restarts — the reference
+    pickles {method, transformer, is_fitted} to disk
+    (/root/reference/backend/dimensionality_reduction.py:160-175). MLlib
+    models serialize natively (JSON metadata + parquet coefficients —
+    readable from any executor, unlike a driver-local pickle)."""
+    model.write().overwrite().save(path)
+
+
+def load_projection_model(path: str):
+    """M8: reload a persisted PCA model for transform-only use
+    (/root/reference/backend/dimensionality_reduction.py:177-187).
+    Returns None if nothing is saved at ``path`` (the reference's
+    load_model returns False) — callers then re-fit via project_3d."""
+    from pyspark.ml.feature import PCAModel
+
+    try:
+        return PCAModel.load(path)
+    except Exception:
+        return None
+
+
 def transform_query(model, query_vector) -> list[float]:
     """Project one query vector with the fitted model's components —
     a driver-side matmul against the broadcast pc matrix (the k=10

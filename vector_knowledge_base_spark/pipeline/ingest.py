@@ -83,6 +83,49 @@ def build_registry(chunks: DataFrame) -> DataFrame:
     )
 
 
+def file_statuses(extracted: DataFrame) -> DataFrame:
+    """A8: per-file upload status over the extraction output — mirrors
+    the reference's per-file result list
+    (/root/reference/backend/main.py:400-426: {filename, status} for
+    successes, {filename, reason} for rejects). A file is rejected when
+    extraction errored or produced no text."""
+    rejected = F.col("error").isNotNull() | (
+        F.coalesce(F.length("text"), F.lit(0)) == 0
+    )
+    return extracted.select(
+        "filename",
+        F.when(rejected, F.lit("rejected")).otherwise(F.lit("success")).alias(
+            "status"
+        ),
+        F.when(rejected, F.coalesce("error", F.lit("empty text"))).alias("reason"),
+    )
+
+
+def batch_upload_summary(statuses: DataFrame) -> DataFrame:
+    """A8: one-row batch summary {status, uploaded, rejected} matching
+    the reference's batch-upload response
+    (/root/reference/backend/main.py:428-435,480-487): 'partial_success'
+    when every file was rejected, else 'success'."""
+    counts = statuses.agg(
+        F.sum(F.when(F.col("status") == "success", 1).otherwise(0)).alias(
+            "uploaded"
+        ),
+        F.sum(F.when(F.col("status") == "rejected", 1).otherwise(0)).alias(
+            "rejected"
+        ),
+    )
+    return counts.select(
+        F.when(
+            (F.col("uploaded") == 0) & (F.col("rejected") > 0),
+            F.lit("partial_success"),
+        )
+        .otherwise(F.lit("success"))
+        .alias("status"),
+        "uploaded",
+        "rejected",
+    )
+
+
 def delete_document(chunks: DataFrame, key: str, value) -> DataFrame:
     """S17: predicate delete as a relational rewrite
     (/root/reference/backend/vector_db.py:204-228) — with Delta this is

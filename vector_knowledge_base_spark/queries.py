@@ -24,7 +24,11 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from vector_knowledge_base_spark.functions.vector import dot_product
-from vector_knowledge_base_spark.operators.knn import batch_knn, cosine_topk
+from vector_knowledge_base_spark.operators.knn import (
+    batch_knn,
+    cosine_topk,
+    cosine_topk_df,
+)
 from vector_knowledge_base_spark.sources.tables import load_table
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -63,10 +67,12 @@ LIMIT 10
 @query("knn_topk_cosine", oracle=_KNN_ORACLE)
 def q_knn_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship K1: exact top-10 cosine over `embeddings`, query = vector
-    of vec_id 0. Compiles to a pushed-down scan + TakeOrderedAndProject."""
+    of vec_id 0. The 1-row query side is broadcast into the plan (no
+    driver round-trip to fetch it — one job, not two); the tail compiles
+    to TakeOrderedAndProject."""
     emb = _t(spark, sf_dir, "embeddings")
-    qvec = emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
-    return cosine_topk(emb, qvec, k=10)
+    q = emb.where(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    return cosine_topk_df(emb, q, k=10)
 
 
 _KNN_FILTERED_ORACLE = """
@@ -83,10 +89,11 @@ LIMIT 10
 @query("knn_topk_filtered", oracle=_KNN_FILTERED_ORACLE)
 def q_knn_topk_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K1 + F1: the filter-DSL (reference backend/vector_db.py:136-163)
-    composes as a Catalyst predicate pushed below the top-k."""
+    composes as a Catalyst predicate pushed below the top-k; single-job
+    via the broadcast 1-row query side."""
     emb = _t(spark, sf_dir, "embeddings")
-    qvec = emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
-    return cosine_topk(emb, qvec, k=10, filters={"label": [0, 1, 2, 3]})
+    q = emb.where(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    return cosine_topk_df(emb, q, k=10, filters={"label": [0, 1, 2, 3]})
 
 
 _KNN_BATCH_ORACLE = """
@@ -137,8 +144,8 @@ def q_knn_neighbor_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference's Python dict probe, /root/reference/backend/main.py:724-745)
     — a broadcast hash join of k rows."""
     emb = _t(spark, sf_dir, "embeddings")
-    qvec = emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
-    topk = cosine_topk(emb, qvec, k=10)
+    q = emb.where(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    topk = cosine_topk_df(emb, q, k=10)
     return F.broadcast(topk).join(emb.select("vec_id", "label"), "vec_id")
 
 
@@ -1023,24 +1030,33 @@ GROUP BY r_name, n_name
 
 @query("multiway_join_revenue", oracle=_REVENUE_ORACLE)
 def q_multiway_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """5-table star join: fact (lineitem) joins orders, then broadcast
-    dims — Catalyst + AQE pick broadcast-hash for every dimension side."""
+    """5-table star join, pre-aggregated before the join: lineitem is
+    first reduced to one revenue row per order (map-side partial agg,
+    ~4× fewer rows into the only wide join), THEN joined to orders and
+    the broadcast dims. This also turns COUNT(DISTINCT o_orderkey) into
+    a plain COUNT(*) — no distinct expand — because each order appears
+    exactly once after the pre-aggregation. At 100 TB the fact→join
+    input shrinks by the avg lines-per-order factor and the distinct's
+    second shuffle disappears entirely."""
     li = _t(spark, sf_dir, "lineitem")
     orders = _t(spark, sf_dir, "orders")
     customer = _t(spark, sf_dir, "customer")
     nation = _t(spark, sf_dir, "nation")
     region = _t(spark, sf_dir, "region")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            "order_rev"
+        )
+    )
     return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        per_order.join(orders, per_order.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
         .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("r_name", "n_name")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue"),
-            F.countDistinct("o_orderkey").alias("n_orders"),
+            F.round(F.sum("order_rev"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
         )
     )
 
@@ -1876,4 +1892,134 @@ def q_cluster_stats_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("label2") == -1, 1).otherwise(0)), F.lit(0)
         ).alias("n_noise"),
         F.count(F.lit(1)).alias("n_points"),
+    )
+
+
+_UPLOAD_STATUS_ROWS = [
+    ("good.txt", "hello world", None),
+    ("empty.txt", "", None),
+    ("broken.pdf", None, "no PDF extractor"),
+    ("fine.md", "# ok", None),
+]
+
+_UPLOAD_SUMMARY_ORACLE = """
+WITH extracted(filename, text, error) AS (
+  SELECT * FROM (VALUES
+    ('good.txt','hello world',CAST(NULL AS VARCHAR)),
+    ('empty.txt','',NULL), ('broken.pdf',CAST(NULL AS VARCHAR),'no PDF extractor'),
+    ('fine.md','# ok',NULL)) AS t(filename, text, error)),
+statuses AS (
+  SELECT CASE WHEN error IS NOT NULL OR COALESCE(LENGTH(text), 0) = 0
+              THEN 'rejected' ELSE 'success' END AS status
+  FROM extracted)
+SELECT CASE WHEN SUM(CASE WHEN status = 'success' THEN 1 ELSE 0 END) = 0
+             AND SUM(CASE WHEN status = 'rejected' THEN 1 ELSE 0 END) > 0
+            THEN 'partial_success' ELSE 'success' END AS status,
+       CAST(SUM(CASE WHEN status = 'success' THEN 1 ELSE 0 END) AS BIGINT)
+         AS uploaded,
+       CAST(SUM(CASE WHEN status = 'rejected' THEN 1 ELSE 0 END) AS BIGINT)
+         AS rejected
+FROM statuses
+"""
+
+
+@query("batch_upload_summary_inline", oracle=_UPLOAD_SUMMARY_ORACLE)
+def q_batch_upload_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8: batch-upload response summary {status, uploaded, rejected}
+    (reference backend/main.py:428-435,480-487) over an inline extraction
+    frame — a file is rejected when extraction errored or yielded no
+    text; 'partial_success' only when every file was rejected."""
+    from vector_knowledge_base_spark.pipeline.ingest import (
+        batch_upload_summary,
+        file_statuses,
+    )
+
+    extracted = spark.createDataFrame(
+        _UPLOAD_STATUS_ROWS, "filename string, text string, error string"
+    )
+    return batch_upload_summary(file_statuses(extracted))
+
+
+_VOLUME_SHIPPING_ORACLE = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+GROUP BY 1, 2, 3
+"""
+
+
+@query("volume_shipping_q7", oracle=_VOLUME_SHIPPING_ORACLE)
+def q_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: supplier-nation × customer-nation revenue by ship
+    year. The nation-pair predicate is pushed BELOW the joins: each
+    nation side is pre-filtered to the two nations of interest, so the
+    supplier broadcast join drops ~23/25 of lineitem before the only
+    wide join (lineitem⋈orders) runs — dimension-filter pushdown through
+    a star join, the plan shape that matters at 100 TB."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    supplier = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    pair = ["NATION_1", "NATION_2"]
+    n1 = nation.where(F.col("n_name").isin(pair)).select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.where(F.col("n_name").isin(pair)).select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    supp = supplier.join(
+        F.broadcast(n1), supplier.s_nationkey == F.col("n1_key")
+    ).select("s_suppkey", "supp_nation")
+    cust = customer.join(
+        F.broadcast(n2), customer.c_nationkey == F.col("n2_key")
+    ).select("c_custkey", "cust_nation")
+    return (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .where(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+_RETURNED_PRIORITY_ORACLE = """
+SELECT o_orderpriority, COUNT(*) AS n_orders
+FROM orders
+WHERE EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+GROUP BY o_orderpriority
+"""
+
+
+@query("orders_with_returns_q4", oracle=_RETURNED_PRIORITY_ORACLE)
+def q_orders_with_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape — EXISTS as a left-semi join: orders with at least
+    one returned lineitem, counted by priority. The semi join never
+    duplicates the left side (no post-join distinct) and only ships the
+    join key of the filtered fact."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    returned = li.where(F.col("l_returnflag") == "R").select("l_orderkey")
+    return (
+        orders.join(returned, orders.o_orderkey == returned.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
     )

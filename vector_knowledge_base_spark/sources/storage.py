@@ -18,6 +18,8 @@ dir. At scale, layout IS the index:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -54,16 +56,71 @@ def read_ivf_cells(spark: SparkSession, path: str, cells: list[int]) -> DataFram
     return spark.read.parquet(path).where(F.col("ivf_cell").isin(cells))
 
 
-def compact(spark: SparkSession, path: str, target_partitions: int) -> None:
-    """Rewrite a table to ``target_partitions`` files (small-file fix
-    after streaming appends). Writes to a temp suffix then swaps."""
-    df = spark.read.parquet(path)
-    tmp = path.rstrip("/") + "__compact"
-    df.repartition(target_partitions).write.mode("overwrite").parquet(tmp)
-    # swap via filesystem move (atomic enough for a maintenance window;
-    # a real deployment uses a table format with transactions — Delta/
-    # Iceberg — which this container doesn't ship)
+def _swap_in(path: str, tmp: str) -> None:
+    """Replace ``path`` with ``tmp``, keeping the old data recoverable at
+    every step: the old directory is moved aside (path__old), the new one
+    moved into place, and only then is the old copy deleted — a crash
+    mid-swap leaves either the original or the rename-aside, never
+    nothing. (A real deployment uses a transactional table format —
+    Delta/Iceberg — which this container doesn't ship.)"""
     import shutil
 
-    shutil.rmtree(path)
-    shutil.move(tmp, path)
+    old = path.rstrip("/") + "__old"
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    shutil.move(path, old)
+    try:
+        shutil.move(tmp, path)
+    except Exception:
+        shutil.move(old, path)  # roll back: restore the original
+        raise
+    shutil.rmtree(old)
+
+
+def _rewrite(df, path: str) -> None:
+    """Write ``df`` to a temp dir then swap it in over ``path``; the temp
+    dir is cleaned up if the write itself fails."""
+    import shutil
+
+    tmp = path.rstrip("/") + "__rewrite"
+    try:
+        df.write.mode("overwrite").parquet(tmp)
+    except Exception:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
+    _swap_in(path, tmp)
+
+
+def compact(spark: SparkSession, path: str, target_partitions: int) -> None:
+    """Rewrite a table to ``target_partitions`` files (small-file fix
+    after streaming appends)."""
+    df = spark.read.parquet(path)
+    _rewrite(df.repartition(target_partitions), path)
+
+
+def delete_where(spark: SparkSession, path: str, predicate: "F.Column | str") -> None:
+    """S17: delete rows matching ``predicate`` from a parquet table —
+    the reference's delete-by-metadata-field
+    (/root/reference/backend/vector_db.py:204-228, Qdrant FilterSelector).
+
+    On immutable parquet a delete is a filtered rewrite: keep the
+    complement (~predicate, with null-safe semantics — rows where the
+    predicate is NULL are kept, matching Qdrant's must-match selector
+    which only deletes rows that positively match). At 100 TB with a
+    partitioned layout, the scan prunes to the partitions the predicate
+    can touch and untouched files could be hard-linked instead of
+    rewritten; a transactional format would make this a metadata-only
+    MERGE/DELETE."""
+    cond = F.expr(predicate) if isinstance(predicate, str) else predicate
+    df = spark.read.parquet(path)
+    kept = df.where(~F.coalesce(cond, F.lit(False)))
+    _rewrite(kept, path)
+
+
+def reset_table(spark: SparkSession, path: str) -> None:
+    """S18: collection reset — drop all rows but keep the schema
+    (/root/reference/backend/vector_db.py:50-60 deletes and recreates the
+    Qdrant collection). The empty-but-typed parquet preserves the schema
+    contract so readers and appends keep working."""
+    df = spark.read.parquet(path)
+    _rewrite(df.limit(0), path)
