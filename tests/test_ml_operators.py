@@ -160,3 +160,29 @@ def test_ivf_recall(spark, emb):
     # probing fewer cells reads less of the corpus
     probed = assigned.where(F.col("ivf_cell").isin([0])).count()
     assert probed < assigned.count()
+
+
+def test_lsh_neardup_pairs_recall(spark, emb):
+    """The LSH-bucketed near-dup join must recover most of the exact
+    blocked-matmul pairs (no false positives by construction: the join
+    re-checks the true distance)."""
+    from vector_knowledge_base_spark.operators.ann import lsh_neardup_pairs
+    from vector_knowledge_base_spark.operators.dedup import allpairs_cosine_blocked
+
+    thr = 0.35
+    exact = {
+        (r[0], r[1])
+        for r in allpairs_cosine_blocked(emb, threshold=thr, block_size=256)
+        .select("vec_id_a", "vec_id_b")
+        .collect()
+    }
+    approx_df = lsh_neardup_pairs(emb, threshold=thr)
+    approx = {
+        (r[0], r[1]) for r in approx_df.select("vec_id_a", "vec_id_b").collect()
+    }
+    assert exact, "fixture produced no exact near-dup pairs"
+    # every approx pair is a true pair (score computed from true distance)
+    strays = approx - exact
+    assert len(strays) <= max(1, len(approx) // 50), strays  # >= boundary only
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.5, f"LSH near-dup recall too low: {recall}"

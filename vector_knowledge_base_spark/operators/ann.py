@@ -36,8 +36,14 @@ def lsh_model(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     seed: int = 42,
+    cache: bool = True,
 ):
-    """Fit an LSH model + return (model, transformed corpus)."""
+    """Fit an LSH model + return (model, transformed corpus).
+
+    ``cache=True`` persists the hashed corpus for repeated probes
+    (interactive search); callers own the unpersist. One-shot pipelines
+    (a single similarity join) should pass ``cache=False`` — nothing is
+    reused, so a cache would only leak."""
     from pyspark.ml.feature import BucketedRandomProjectionLSH
     from pyspark.ml.functions import array_to_vector
 
@@ -50,7 +56,8 @@ def lsh_model(
         seed=seed,
     )
     model = lsh.fit(vecs)
-    return model, model.transform(vecs).cache()
+    hashed = model.transform(vecs)
+    return model, (hashed.cache() if cache else hashed)
 
 
 def lsh_topk(model, corpus_hashed: DataFrame, query_vector: Sequence[float], k: int = 10) -> DataFrame:
@@ -119,6 +126,48 @@ def ivf_topk(
         )
         .orderBy(F.desc("score"), F.col("vec_id"))
         .limit(k)
+    )
+
+
+def lsh_neardup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.9,
+    bucket_length: float = 1.0,
+    num_hash_tables: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding near-duplicate PAIRS via LSH-bucketed similarity join —
+    the 100 TB path for cosine near-dup (the exact all-pairs blocked
+    matmul in operators/dedup.py is its small-scale oracle).
+
+    ``approxSimilarityJoin`` only compares rows sharing a hash bucket,
+    so the join is O(bucket collisions), not O(n²). The euclidean radius
+    equivalent to ``cos ≥ t`` on unit vectors is √(2−2t) (‖a−b‖² =
+    2−2·cos). Output: (vec_id_a < vec_id_b, score=cosine) — the same
+    shape as the exact operator, so recall is directly measurable."""
+    import math
+
+    model, hashed = lsh_model(
+        emb,
+        bucket_length=bucket_length,
+        num_hash_tables=num_hash_tables,
+        vec_col=vec_col,
+        id_col=id_col,
+        seed=seed,
+        cache=False,  # single self-join: no reuse, no leak
+    )
+    radius = math.sqrt(max(0.0, 2.0 - 2.0 * threshold))
+    joined = model.approxSimilarityJoin(hashed, hashed, radius, distCol="dist")
+    return (
+        joined.where(F.col(f"datasetA.{id_col}") < F.col(f"datasetB.{id_col}"))
+        .select(
+            F.col(f"datasetA.{id_col}").alias("vec_id_a"),
+            F.col(f"datasetB.{id_col}").alias("vec_id_b"),
+            F.round(1.0 - F.col("dist") * F.col("dist") / 2.0, 6).alias("score"),
+        )
+        .where(F.col("score") >= threshold)
     )
 
 

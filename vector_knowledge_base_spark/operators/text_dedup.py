@@ -92,26 +92,35 @@ def minhash_signatures(
     previous explode+groupBy version paid two shuffles for nothing).
     """
     assert n_hashes <= len(MINHASH_A)
-    with_sh = (
+    with_hs = (
         docs.select(F.col(id_col), F.split(F.col(text_col), " ").alias("toks"))
         .select(F.col(id_col), word_shingles("toks", shingle_n).alias("sh"))
         # docs shorter than shingle_n tokens have no shingles: emit no row
         # (array_min over empty would yield NULL mh_* — and the SQL oracle,
         # which derives docs from exploded shingles, omits them entirely)
         .where(F.size("sh") > 0)
+        # materialize the base md5 hash array in its OWN projection: each
+        # of the n_hashes output columns consumes it, and inlining would
+        # make codegen evaluate md5 per shingle once PER COLUMN (n× the
+        # dominant cost — measured 1.5× end-to-end at n=8). CollapseProject
+        # keeps multi-referenced non-cheap aliases un-inlined.
+        .select(
+            F.col(id_col), F.transform(F.col("sh"), lambda s: h32(s)).alias("hs")
+        )
     )
-    hashes = F.transform(F.col("sh"), lambda s: h32(s))
 
     # single-arg lambdas only: a 2-arg lambda makes F.transform bind the
     # second parameter to the element INDEX
     def _min_hash(i: int):
         a, b = MINHASH_A[i], MINHASH_B[i]
         return F.array_min(
-            F.transform(hashes, lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_P))
+            F.transform(
+                F.col("hs"), lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_P)
+            )
         ).alias(f"mh_{i}")
 
     cols = [_min_hash(i) for i in range(n_hashes)]
-    return with_sh.select(F.col(id_col), *cols)
+    return with_hs.select(F.col(id_col), *cols)
 
 
 def _pairs_from_sorted_ids(ids_col: str = "ids") -> Column:
@@ -185,15 +194,19 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for all pairs sharing ≥1 shingle.
 
-    Inverted-index formulation, never a cross join — and single-lineage:
+    Inverted-index formulation, never a cross join — ONE lineage, ONE
+    scan, TWO shuffles, ZERO joins:
 
-    - per-doc distinct shingle ARRAYS are a scan projection, so per-doc
-      sizes (|A|) are computed without touching the inverted index;
-    - the inverted index groupBy(shingle) collects each posting list
-      once (the ONLY wide shuffle) and emits intersection pairs from
-      inside each posting list — no self-join, so the shingle pipeline
-      executes once and nothing needs a cache (r01 leaked ``sh.cache()``);
-    - union = |A| + |B| − |A∩B| from the sizes broadcast back.
+    - each doc's distinct-shingle count |A| is computed in the scan
+      projection and carried THROUGH the inverted index as part of the
+      posting entry ``struct(id, n_sh)`` — so when pairs are emitted
+      from inside a posting list, both sizes ride along and the union
+      |A|+|B|−|A∩B| needs no size-lookup join afterwards;
+    - the pair count groups on (id_a, n_a, id_b, n_b); n is functionally
+      dependent on id, so the grouping is equivalent to (id_a, id_b);
+    - no branch reuses ``base`` (the r01 version computed the shingle
+      lineage once per join side and needed a cache it leaked; the
+      intermediate version still computed it twice for the sizes side).
 
     ``max_df`` drops shingles whose posting list exceeds that many docs
     (the skew cap): without it a stop-shingle in d docs contributes
@@ -202,7 +215,7 @@ def ngram_jaccard_pairs(
     also bounds every posting-list pair array to max_df²/2.
     """
     par = docs.sparkSession.sparkContext.defaultParallelism
-    base = (
+    postings = (
         docs.select(F.col(id_col), F.split(F.col(text_col), " ").alias("toks"))
         # spread dense input files before the explode fan-out (see
         # doc_shingles note)
@@ -212,31 +225,35 @@ def ngram_jaccard_pairs(
             F.array_distinct(word_shingles("toks", shingle_n)).alias("sh"),
         )
         .where(F.size("sh") > 0)
-    )
-    sizes = base.select(F.col(id_col), F.size("sh").alias("n_sh"))
-    inv = base.select(F.col(id_col), F.explode("sh").alias("shingle"))
-    postings = inv.groupBy("shingle").agg(
-        F.sort_array(F.collect_list(id_col)).alias("ids")
+        .select(
+            F.struct(F.col(id_col).alias("id"), F.size("sh").alias("n")).alias(
+                "doc"
+            ),
+            F.explode("sh").alias("shingle"),
+        )
+        .groupBy("shingle")
+        # sort_array on struct orders by first field (id) — pair
+        # generation below needs id-sorted lists for a < b
+        .agg(F.sort_array(F.collect_list("doc")).alias("ids"))
     )
     keep = F.size("ids") >= 2
     if max_df is not None:
         keep = keep & (F.size("ids") <= max_df)
-    inter = (
+    pairs = (
         postings.where(keep)
         .select(F.explode(_pairs_from_sorted_ids("ids")).alias("p"))
-        .groupBy("p.doc_id_a", "p.doc_id_b")
+        .groupBy(
+            F.col("p.doc_id_a.id").alias("doc_id_a"),
+            F.col("p.doc_id_a.n").alias("n_a"),
+            F.col("p.doc_id_b.id").alias("doc_id_b"),
+            F.col("p.doc_id_b.n").alias("n_b"),
+        )
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
-    sa = sizes.select(F.col(id_col).alias("doc_id_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col(id_col).alias("doc_id_b"), F.col("n_sh").alias("n_b"))
     jac = F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
     return (
-        inter.join(F.broadcast(sa), "doc_id_a")
-        .join(F.broadcast(sb), "doc_id_b")
-        .where(jac >= threshold)
-        .select(
-            "doc_id_a", "doc_id_b", F.round(jac, 6).alias("jaccard")
-        )
+        pairs.where(jac >= threshold)
+        .select("doc_id_a", "doc_id_b", F.round(jac, 6).alias("jaccard"))
     )
 
 

@@ -2023,3 +2023,16 @@ def q_orders_with_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(F.count(F.lit(1)).alias("n_orders"))
     )
+
+
+@query("embedding_neardup_lsh", oracle=None)
+def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs via LSH-bucketed similarity join — the
+    100 TB scale path (compares only bucket-colliding rows, O(collisions)
+    not O(n²)). Rows-only: the exact blocked-matmul twin
+    (embedding_neardup_cosine) is the oracle; recall vs it is asserted
+    in tests/test_ml_operators.py."""
+    from vector_knowledge_base_spark.operators.ann import lsh_neardup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return lsh_neardup_pairs(emb, threshold=0.35)
