@@ -41,21 +41,37 @@ def h32(col: Column | str) -> Column:
     return F.conv(F.substring(F.md5(c.cast("binary")), 1, 8), 16, 10).cast("bigint")
 
 
-def word_shingles(tokens_col: str = "toks", n: int = 3) -> Column:
-    """Word n-gram shingles from a PRE-MATERIALIZED token-array column.
+def shingle_structs(tokens_col: str = "toks", n: int = 3) -> Column:
+    """Word n-gram shingles from a PRE-MATERIALIZED token-array column,
+    as ``array<struct>`` of n-token windows — built from ``arrays_zip``
+    over n shifted ``slice``s.
 
-    Taking the token array (not the raw text) matters ~7×: inlining
-    ``split(text)`` here makes Catalyst re-split the text inside every
-    ``slice`` lambda invocation — O(tokens²) per row.
+    Why structs, not strings: higher-order lambdas (``transform`` with a
+    per-element ``concat_ws∘slice``) are INTERPRETED in Spark — and worse,
+    ``InferFiltersFromGenerate`` clones the generator-input expression
+    into a pushed-down filter, so an expensive shingle array gets
+    evaluated up to 3× per row (measured 2.3s vs 0.6s at sf0.1). The
+    zip-of-slices form is plain codegen'd expressions; even when the
+    optimizer duplicates it, it stays cheap. Callers needing the string
+    form concat AFTER the explode (per-row codegen, evaluated once).
 
-    Guarded for short texts: Spark's sequence(1, 0) DESCENDS ([1, 0]),
-    so arrays with < n tokens must short-circuit to empty."""
-    return F.expr(
-        f"CASE WHEN size({tokens_col}) >= {n} THEN "
-        f"transform(sequence(1, size({tokens_col}) - {n - 1}),"
-        f" i -> concat_ws(' ', slice({tokens_col}, i, {n}))) "
-        f"ELSE array() END"
+    Guarded for short texts (< n tokens): ``slice`` with a negative
+    length throws under ANSI mode, so short docs short-circuit to an
+    empty array (→ no shingles, doc absent downstream — the same
+    absent-row semantics as the SQL oracles)."""
+    slices = ", ".join(
+        f"slice({tokens_col}, {i + 1}, size({tokens_col}) - {n - 1})" for i in range(n)
     )
+    return F.expr(
+        f"CASE WHEN size({tokens_col}) >= {n} THEN arrays_zip({slices}) "
+        f"ELSE CAST(array() AS ARRAY<STRUCT<{', '.join(f'`{i}`: STRING' for i in range(n))}>>) END"
+    )
+
+
+def _shingle_text(n: int = 3, struct_col: str = "s") -> Column:
+    """Space-joined shingle string from one exploded shingle struct
+    (``arrays_zip`` names fields "0".."n-1")."""
+    return F.concat_ws(" ", *[F.col(f"{struct_col}.{i}") for i in range(n)])
 
 
 def doc_shingles(
@@ -70,7 +86,8 @@ def doc_shingles(
     return (
         docs.select(F.col(id_col), F.split(F.col(text_col), " ").alias("toks"))
         .repartition(par)
-        .select(F.col(id_col), F.explode(word_shingles("toks", n)).alias("shingle"))
+        .select(F.col(id_col), F.explode(shingle_structs("toks", n)).alias("s"))
+        .select(F.col(id_col), _shingle_text(n).alias("shingle"))
         .distinct()
     )
 
@@ -84,43 +101,37 @@ def minhash_signatures(
 ) -> DataFrame:
     """Per-document MinHash signature as columns mh_0..mh_{n-1}.
 
-    ZERO-shuffle formulation: a document's signature depends only on its
-    own shingles, and MIN over a multiset equals MIN over the set — so
-    each mh_i is ``array_min(transform(shingles, sh → hash_i(sh)))``,
-    a pure projection evaluated inside the scan. No explode, no groupBy,
-    no distinct; the whole operator is embarrassingly parallel (the
-    previous explode+groupBy version paid two shuffles for nothing).
-    """
+    Explode + single hash-aggregate — the whole pipeline is codegen'd
+    (split → zip-slice shingles → explode → md5 → n MIN aggregates).
+    MIN over a multiset equals MIN over the set, so no distinct pass is
+    needed. The groupBy shuffles ONE row per (doc × partition) thanks to
+    map-side partial aggregation — and since a document's tokens live in
+    one row (hence one partition), exactly one row per doc: at 100 TB
+    the shuffle is |docs| × (8 longs), independent of document length.
+
+    (The previous zero-shuffle formulation — array_min over transform
+    lambdas in a scan projection — was 4.7× slower at sf0.1: higher-order
+    lambdas are interpreted, and 8 signature columns meant 9 interpreted
+    array passes per row. A tiny pre-combined shuffle beats that.)
+
+    Docs shorter than shingle_n tokens have no shingles: explode emits
+    no row, so they are absent from the output — matching the SQL
+    oracle, which derives docs from exploded shingles."""
     assert n_hashes <= len(MINHASH_A)
-    with_hs = (
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    h = (
         docs.select(F.col(id_col), F.split(F.col(text_col), " ").alias("toks"))
-        .select(F.col(id_col), word_shingles("toks", shingle_n).alias("sh"))
-        # docs shorter than shingle_n tokens have no shingles: emit no row
-        # (array_min over empty would yield NULL mh_* — and the SQL oracle,
-        # which derives docs from exploded shingles, omits them entirely)
-        .where(F.size("sh") > 0)
-        # materialize the base md5 hash array in its OWN projection: each
-        # of the n_hashes output columns consumes it, and inlining would
-        # make codegen evaluate md5 per shingle once PER COLUMN (n× the
-        # dominant cost — measured 1.5× end-to-end at n=8). CollapseProject
-        # keeps multi-referenced non-cheap aliases un-inlined.
-        .select(
-            F.col(id_col), F.transform(F.col("sh"), lambda s: h32(s)).alias("hs")
-        )
+        .repartition(par)
+        .select(F.col(id_col), F.explode(shingle_structs("toks", shingle_n)).alias("s"))
+        .select(F.col(id_col), h32(_shingle_text(shingle_n)).alias("h"))
     )
-
-    # single-arg lambdas only: a 2-arg lambda makes F.transform bind the
-    # second parameter to the element INDEX
-    def _min_hash(i: int):
-        a, b = MINHASH_A[i], MINHASH_B[i]
-        return F.array_min(
-            F.transform(
-                F.col("hs"), lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_P)
-            )
-        ).alias(f"mh_{i}")
-
-    cols = [_min_hash(i) for i in range(n_hashes)]
-    return with_hs.select(F.col(id_col), *cols)
+    aggs = [
+        F.min((F.lit(MINHASH_A[i]) * F.col("h") + F.lit(MINHASH_B[i])) % F.lit(MINHASH_P)).alias(
+            f"mh_{i}"
+        )
+        for i in range(n_hashes)
+    ]
+    return h.groupBy(id_col).agg(*aggs)
 
 
 def _pairs_from_sorted_ids(ids_col: str = "ids") -> Column:
@@ -213,6 +224,13 @@ def ngram_jaccard_pairs(
     O(d²) pairs — quadratic on power-law corpora. Uncapped mode is the
     small-corpus exactness oracle; at scale ALWAYS set ``max_df``, which
     also bounds every posting-list pair array to max_df²/2.
+
+    The inverted index groups on ``xxhash64`` of the shingle (8-byte
+    shuffle keys instead of ~25-byte strings; intersection counts only
+    need shingle IDENTITY, not its text). A 64-bit collision would merge
+    two shingles' posting lists — probability ~n²/2⁶⁵ for n distinct
+    shingles, negligible below ~10¹² shingles and at worst perturbing
+    one pair's intersection count by 1.
     """
     par = docs.sparkSession.sparkContext.defaultParallelism
     postings = (
@@ -222,14 +240,17 @@ def ngram_jaccard_pairs(
         .repartition(par)
         .select(
             F.col(id_col),
-            F.array_distinct(word_shingles("toks", shingle_n)).alias("sh"),
+            F.array_distinct(shingle_structs("toks", shingle_n)).alias("sh"),
         )
-        .where(F.size("sh") > 0)
         .select(
             F.struct(F.col(id_col).alias("id"), F.size("sh").alias("n")).alias(
                 "doc"
             ),
-            F.explode("sh").alias("shingle"),
+            F.explode("sh").alias("s"),
+        )
+        .select(
+            "doc",
+            F.xxhash64(*[F.col(f"s.{i}") for i in range(shingle_n)]).alias("shingle"),
         )
         .groupBy("shingle")
         # sort_array on struct orders by first field (id) — pair
@@ -265,26 +286,34 @@ def simhash16(
     bit b of the fingerprint = sign of Σ_tokens (±1 by token-hash bit b);
     near-dup docs differ in few bits (compare via hamming distance).
 
-    ZERO-shuffle formulation: the distinct-token set is per-document, so
-    ``array_distinct`` + higher-order ``filter``/``size`` compute every
-    bit-sum inside the scan projection; s_b = 2·|{h: bit b set}| − |H|.
-    (The previous explode+distinct+groupBy version paid two shuffles for
-    state that always fits in one row.)
+    Explode + single hash-aggregate, fully codegen'd: distinct tokens
+    explode to rows, each bit-sum is a ``SUM(CASE WHEN bit THEN 1 ELSE
+    -1)`` aggregate, and the 16 sums fold into the fingerprint in a
+    final projection. Map-side partial aggregation means the shuffle is
+    one 16-long row per document (a doc's tokens live in one input row),
+    independent of document length. (A zero-shuffle variant — 16
+    higher-order ``filter`` lambdas over the token-hash array — loses
+    ~4× at any scale: Spark evaluates array lambdas interpreted, outside
+    whole-stage codegen.)
     """
-    hs = F.transform(
-        F.array_distinct(F.split(F.col(text_col), " ")), lambda t: h32(t)
-    )
-    docs_h = docs.select(F.col(id_col), hs.alias("hs"))
-    n = F.size(F.col("hs"))
-
-    # single-arg lambda (2-arg binds the element index — see minhash note)
-    def _ones(b: int):
-        return F.size(
-            F.filter(F.col("hs"), lambda h: F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1)
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    h = (
+        docs.select(
+            F.col(id_col), F.array_distinct(F.split(F.col(text_col), " ")).alias("toks")
         )
-
+        .repartition(par)
+        .select(F.col(id_col), F.explode("toks").alias("tok"))
+        .select(F.col(id_col), h32(F.col("tok")).alias("h"))
+    )
+    sums = [
+        F.sum(
+            F.when(F.shiftright("h", b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"s_{b}")
+        for b in range(16)
+    ]
+    s = h.groupBy(id_col).agg(*sums)
     sim = None
     for b in range(16):
-        bit = F.when(2 * _ones(b) - n >= 0, F.lit(2**b)).otherwise(F.lit(0))
+        bit = F.when(F.col(f"s_{b}") >= 0, F.lit(2**b)).otherwise(F.lit(0))
         sim = bit if sim is None else sim + bit
-    return docs_h.select(F.col(id_col), sim.cast("bigint").alias("simhash"))
+    return s.select(F.col(id_col), sim.cast("bigint").alias("simhash"))
