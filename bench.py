@@ -61,6 +61,15 @@ HEADLINE = [
     "large_quantity_orders_q18",
     "events_tumbling_window",
     "events_session_window",
+    # wave 8
+    "dedup_connected_components",
+    "quality_filter_gopher",
+    "repetition_top_bigram",
+    "cluster_centroids",
+    "range_search_radius",
+    "promo_revenue_q14",
+    "disjunctive_filter_q19",
+    "rich_inactive_customers_q22",
 ]
 
 KNN_BATCH_N_QUERIES = 5  # matches the knn_batch query definition

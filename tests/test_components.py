@@ -1,0 +1,39 @@
+"""Connected components / dedup-canonical: convergence on multi-hop
+graphs (the case a fixed-iteration propagation would get wrong)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from vector_knowledge_base_spark.operators.components import (
+    connected_components,
+    dedup_canonical,
+)
+
+
+def test_chain_converges_to_min_label(spark):
+    # path 1-2-3-4-5 (diameter 4: needs >1 propagation round), pair 10-11,
+    # and an edge listed "backwards" (9, 8)
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (9, 8)], ["src", "dst"]
+    )
+    comp = {r["id"]: r["component"] for r in connected_components(edges).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10, 8: 8, 9: 8}
+
+
+def test_dedup_canonical_covers_all_docs(spark):
+    docs = spark.createDataFrame([(i, f"d{i}") for i in range(7)], ["doc_id", "text"])
+    pairs = spark.createDataFrame([(0, 3), (3, 6)], ["doc_id_a", "doc_id_b"])
+    rows = {r["doc_id"]: r["canonical_id"] for r in dedup_canonical(docs, pairs).collect()}
+    # 0-3-6 one cluster with canonical 0; everything else its own canonical
+    assert rows == {0: 0, 3: 0, 6: 0, 1: 1, 2: 2, 4: 4, 5: 5}
+    # the dedup output keeps exactly one doc per cluster
+    kept = [d for d, c in rows.items() if d == c]
+    assert sorted(kept) == [0, 1, 2, 4, 5]
+
+
+def test_empty_edges(spark):
+    docs = spark.createDataFrame([(1, "a"), (2, "b")], ["doc_id", "text"])
+    empty = spark.createDataFrame([], "doc_id_a BIGINT, doc_id_b BIGINT")
+    rows = {r["doc_id"]: r["canonical_id"] for r in dedup_canonical(docs, empty).collect()}
+    assert rows == {1: 1, 2: 2}

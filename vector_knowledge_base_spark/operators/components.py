@@ -1,0 +1,105 @@
+"""Connected components over near-duplicate candidate pairs — the
+"dedup groups" step of a training-data pipeline: candidate pairs (from
+MinHash-LSH / Jaccard / embedding near-dup) form an undirected graph;
+each connected component is one duplicate cluster, and the member with
+the smallest id becomes the cluster's canonical document.
+
+No reference counterpart (the reference dedups only by exact identity,
+/root/reference/backend/document_registry.py:193-203); this is the
+north-star extension that makes the pair-producing operators actionable.
+
+Algorithm: iterative min-label propagation. Every node starts labeled
+with its own id; each round every node takes the minimum label among
+itself and its neighbors; converged when no label changes. Rounds needed
+= graph diameter — near-dup clusters are small and dense, so a handful.
+
+Scale notes (the shape a 1000-executor run needs):
+- the per-round join is edges ⋈ labels on the node id — both sides
+  hash-partitioned on the same key, so consecutive rounds reuse the
+  partitioning; nothing is ever collected to the driver;
+- each round ends in ``localCheckpoint`` to truncate lineage (without
+  it the plan doubles per round and Catalyst analysis time explodes);
+  on a real cluster prefer reliable ``checkpoint`` to survive executor
+  loss during long runs;
+- the convergence test is a ``count`` on the changed-label set — one
+  tiny action per round, same pattern as folder-path resolution
+  (operators/folders.py);
+- for graphs with huge diameter (not the near-dup case) switch to the
+  large-star/small-star algorithm (Kiveris et al., "Connected
+  Components in MapReduce and Beyond") — O(log²n) rounds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 50,
+) -> DataFrame:
+    """(id, component) for every node appearing in ``edges``; component =
+    min node id reachable through the undirected pair graph."""
+    bi = (
+        edges.select(F.col(src).alias("id"), F.col(dst).alias("nbr"))
+        .unionAll(edges.select(F.col(dst).alias("id"), F.col(src).alias("nbr")))
+        # materialize the edge list ONCE: it is consumed by every
+        # propagation round (and twice by the union) — without this the
+        # upstream pair-producing pipeline (e.g. the whole Jaccard
+        # inverted index) re-executes 2×/round (measured 23s → 3s at
+        # sf0.1 over capped-Jaccard edges)
+        .localCheckpoint(eager=True)
+    )
+    labels = bi.select("id").distinct().select("id", F.col("id").alias("label"))
+    for _ in range(max_iter):
+        nbr_min = (
+            bi.join(
+                labels.select(F.col("id").alias("nbr"), F.col("label").alias("nl")),
+                "nbr",
+            )
+            .groupBy("id")
+            .agg(F.min("nl").alias("nl"))
+        )
+        new_labels = (
+            labels.join(nbr_min, "id", "left")
+            .select("id", F.least("label", F.coalesce("nl", "label")).alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.join(
+                labels.select("id", F.col("label").alias("old")), "id"
+            )
+            .where(F.col("label") < F.col("old"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("id", F.col("label").alias("component"))
+
+
+def dedup_canonical(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    pair_a: str = "doc_id_a",
+    pair_b: str = "doc_id_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """(doc_id, canonical_id) for EVERY document: the min-id member of
+    its near-dup cluster, or itself if it has no near-duplicates.
+
+    The components table is tiny relative to the corpus (only docs that
+    appear in some candidate pair), so it broadcasts into the left join
+    against the full document set — the corpus itself is never shuffled.
+    Downstream dedup = ``WHERE doc_id = canonical_id``."""
+    comp = connected_components(pairs, src=pair_a, dst=pair_b, max_iter=max_iter)
+    return docs.join(
+        F.broadcast(comp.withColumnRenamed("id", id_col)), id_col, "left"
+    ).select(
+        F.col(id_col),
+        F.coalesce("component", F.col(id_col)).alias("canonical_id"),
+    )

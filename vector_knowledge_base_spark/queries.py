@@ -2036,3 +2036,323 @@ def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     return lsh_neardup_pairs(emb, threshold=0.35)
+
+
+# ---------------------------------------------------------------------------
+# Wave 8 (round 2) — dedup groups (connected components + canonical
+# selection), Gopher-style quality rules, repetition detection, cluster
+# centroids, radius range-search, and three more TPC-H shapes (Q14/Q19/Q22
+# adapted to the synthetic schema).
+# ---------------------------------------------------------------------------
+
+# transitive closure over the SAME capped-jaccard pairs the Spark side
+# uses; component = min reachable doc id (undirected: bi has both
+# directions, so every member reaches every other member's id).
+_CC_ORACLE = (
+    "WITH RECURSIVE "
+    + _SHINGLE_CTE
+    + """,
+df_counts AS (SELECT shingle, COUNT(DISTINCT doc_id) AS df FROM sh GROUP BY shingle),
+sh_capped AS (SELECT sh.* FROM sh JOIN df_counts USING (shingle) WHERE df <= 50),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, COUNT(*) AS n_inter
+  FROM sh_capped a JOIN sh_capped b
+    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT doc_id_a, doc_id_b FROM inter
+  JOIN sizes sa ON sa.doc_id = doc_id_a
+  JOIN sizes sb ON sb.doc_id = doc_id_b
+  WHERE n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter) >= 0.05
+),
+bi AS (
+  SELECT doc_id_a AS id, doc_id_b AS nbr FROM pairs
+  UNION ALL
+  SELECT doc_id_b AS id, doc_id_a AS nbr FROM pairs
+),
+reach AS (
+  SELECT id, nbr AS r FROM bi
+  UNION
+  SELECT bi.id, reach.r FROM bi JOIN reach ON bi.nbr = reach.id
+),
+comp AS (SELECT id, LEAST(id, MIN(r)) AS component FROM reach GROUP BY id)
+SELECT d.doc_id,
+       CAST(COALESCE(c.component, d.doc_id) AS BIGINT) AS canonical_id
+FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+"""
+)
+
+
+@query("dedup_connected_components", oracle=_CC_ORACLE)
+def q_dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup groups: capped-Jaccard candidate pairs → connected
+    components (iterative min-label propagation) → canonical id per
+    document (min id of its near-dup cluster; itself when unique).
+    The actionable end of the near-dup family: training-data dedup is
+    ``WHERE doc_id = canonical_id``. Oracle: DuckDB recursive-CTE
+    transitive closure over the identical pair set."""
+    from vector_knowledge_base_spark.operators.components import dedup_canonical
+    from vector_knowledge_base_spark.operators.text_dedup import ngram_jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.05, max_df=50)
+    return dedup_canonical(docs, pairs)
+
+
+_GOPHER_STOP_IN = "'the','a','of','and','to','in','is','it'"
+
+_GOPHER_ORACLE = f"""
+SELECT doc_id,
+       n_words,
+       ROUND(mean_word_len, 4) AS mean_word_len,
+       ROUND(stop_frac, 4) AS stopword_frac,
+       CAST(n_words BETWEEN 20 AND 80
+            AND mean_word_len BETWEEN 3.0 AND 10.0
+            AND stop_frac >= 0.01 AS BOOLEAN) AS passes
+FROM (
+  SELECT doc_id,
+         LEN(string_split(text, ' ')) AS n_words,
+         (LENGTH(text) - LEN(string_split(text, ' ')) + 1) * 1.0
+           / LEN(string_split(text, ' ')) AS mean_word_len,
+         LEN(list_filter(string_split(text, ' '), t -> t IN ({_GOPHER_STOP_IN})))
+           * 1.0 / LEN(string_split(text, ' ')) AS stop_frac
+  FROM documents
+)
+"""
+
+
+@query("quality_filter_gopher", oracle=_GOPHER_ORACLE)
+def q_quality_filter_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style composite quality rules (word-count bounds, mean
+    word length bounds, minimum stopword fraction) as one scan
+    projection — every rule a JVM-side expression, the `passes` flag the
+    conjunction. Training pipelines filter on `passes`; emitting the
+    per-rule features keeps the operator auditable (why was a doc
+    dropped?)."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n_words = F.size(toks)
+    # single-space-joined text: total word chars = len(text) - (n-1)
+    mean_wl = (F.length("text") - n_words + 1) * F.lit(1.0) / n_words
+    stop = ["the", "a", "of", "and", "to", "in", "is", "it"]
+    stop_frac = F.size(F.filter(toks, lambda t: t.isin(stop))) * F.lit(1.0) / n_words
+    passes = (
+        n_words.between(20, 80)
+        & mean_wl.between(3.0, 10.0)
+        & (stop_frac >= 0.01)
+    )
+    return docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        F.round(mean_wl, 4).alias("mean_word_len"),
+        F.round(stop_frac, 4).alias("stopword_frac"),
+        passes.alias("passes"),
+    )
+
+
+_REPETITION_ORACLE = """
+WITH bg AS (
+  SELECT doc_id,
+         UNNEST([array_to_string(t[i:i+1], ' ')
+                 for i in range(1, len(t))]) AS bigram
+  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+),
+counts AS (SELECT doc_id, bigram, COUNT(*) AS c FROM bg GROUP BY 1, 2)
+SELECT doc_id,
+       CAST(MAX(c) AS BIGINT) AS top_bigram_count,
+       CAST(SUM(c) AS BIGINT) AS n_bigrams,
+       ROUND(MAX(c) * 1.0 / SUM(c), 6) AS top_bigram_frac
+FROM counts GROUP BY doc_id
+"""
+
+
+@query("repetition_top_bigram", oracle=_REPETITION_ORACLE)
+def q_repetition_top_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition detection (Gopher's duplicate-n-gram family): fraction
+    of a document's word bigrams taken by its most frequent bigram.
+    Explode → two hash-aggregations, both with map-side partial
+    aggregation; a doc's bigrams live in one partition, so the shuffle
+    is one row per (doc, distinct bigram)."""
+    from vector_knowledge_base_spark.operators.text_dedup import shingle_structs
+
+    docs = _t(spark, sf_dir, "documents")
+    par = spark.sparkContext.defaultParallelism
+    counts = (
+        docs.select("doc_id", F.split("text", " ").alias("toks"))
+        .repartition(par)
+        .select("doc_id", F.explode(shingle_structs("toks", 2)).alias("s"))
+        .groupBy("doc_id", "s")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return counts.groupBy("doc_id").agg(
+        F.max("c").alias("top_bigram_count"),
+        F.sum("c").alias("n_bigrams"),
+        F.round(F.max("c") * F.lit(1.0) / F.sum("c"), 6).alias("top_bigram_frac"),
+    )
+
+
+_CENTROIDS_ORACLE = """
+SELECT label,
+       i - 1 AS dim,
+       ROUND(AVG(embedding[i]::DOUBLE), 6) AS centroid_val
+FROM embeddings, generate_series(1, 64) AS gs(i)
+GROUP BY label, i - 1
+"""
+
+
+@query("cluster_centroids", oracle=_CENTROIDS_ORACLE)
+def q_cluster_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroid, emitted as (label, dim, value) rows
+    (array outputs crash the driver canonicalizer; the row form is also
+    the shuffle-friendly shape — posexplode → one hash-agg keyed on
+    (label, dim), map-side combined, never a vector collected to the
+    driver)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return (
+        emb.select("label", F.posexplode("embedding").alias("dim", "v"))
+        .groupBy("label", "dim")
+        .agg(F.round(F.avg(F.col("v").cast("double")), 6).alias("centroid_val"))
+    )
+
+
+_RANGE_SEARCH_ORACLE = """
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+SELECT vec_id,
+       ROUND(list_dot_product(embedding::DOUBLE[], qv), 6) AS score
+FROM embeddings, q
+WHERE list_dot_product(embedding::DOUBLE[], qv) >= 0.25
+"""
+
+
+@query("range_search_radius", oracle=_RANGE_SEARCH_ORACLE)
+def q_range_search_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius range search: every vector with cosine ≥ 0.25 to the query
+    (the reference's score_threshold parameter,
+    /root/reference/backend/main.py:208) — a scan-side predicate, no
+    top-k heap, no shuffle. Threshold applied to the UNROUNDED score in
+    both engines (identical left-to-right double folds), rounded only
+    for display."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    scored = emb.crossJoin(F.broadcast(q)).select(
+        "vec_id", dot_product("embedding", "qv").alias("raw")
+    )
+    return scored.where(F.col("raw") >= 0.25).select(
+        "vec_id", F.round("raw", 6).alias("score")
+    )
+
+
+_PROMO_Q14_ORACLE = """
+SELECT ROUND(100.0 * SUM(CASE WHEN p_type = 'PROMO'
+                              THEN l_extendedprice * (1 - l_discount)
+                              ELSE 0 END)
+             / SUM(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+"""
+
+
+@query("promo_revenue_q14", oracle=_PROMO_Q14_ORACLE)
+def q_promo_revenue_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional-aggregate ratio over a fact⋈dim
+    join. The date predicate prunes the fact scan; `part` broadcasts."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    )
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+                / F.sum(rev),
+                4,
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+_DISJUNCTIVE_Q19_ORACLE = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 1 AND 20)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+       AND l_quantity BETWEEN 10 AND 35)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
+       AND l_quantity BETWEEN 20 AND 50)
+"""
+
+
+@query("disjunctive_filter_q19", oracle=_DISJUNCTIVE_Q19_ORACLE)
+def q_disjunctive_filter_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: a 3-arm disjunctive predicate spanning both join
+    sides. Catalyst extracts the single-side conjuncts it can (brand IN
+    (...) to the part scan, quantity range to the fact scan) and leaves
+    the cross-side disjunction as the join filter."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    arm = lambda brand, s_lo, s_hi, q_lo, q_hi: (
+        (F.col("p_brand") == brand)
+        & F.col("p_size").between(s_lo, s_hi)
+        & F.col("l_quantity").between(q_lo, q_hi)
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return j.where(
+        arm("Brand#1", 1, 15, 1, 20)
+        | arm("Brand#2", 10, 30, 10, 35)
+        | arm("Brand#3", 20, 50, 20, 50)
+    ).agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.round(F.sum(rev), 2).alias("revenue"),
+    )
+
+
+_RICH_INACTIVE_Q22_ORACLE = """
+WITH avg_bal AS (
+  SELECT AVG(c_acctbal) AS ab FROM customer WHERE c_acctbal > 0.0
+)
+SELECT c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       ROUND(SUM(c_acctbal), 2) AS total_bal
+FROM customer, avg_bal
+WHERE c_acctbal > ab
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_totalprice > 400000.0)
+GROUP BY c_mktsegment
+"""
+
+
+@query("rich_inactive_customers_q22", oracle=_RICH_INACTIVE_Q22_ORACLE)
+def q_rich_inactive_customers_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: scalar subquery (global average) + NOT EXISTS
+    anti-join + aggregate — above-average-balance customers who never
+    placed a large (>400k) order. The scalar average broadcasts as a
+    1-row cross join; NOT EXISTS compiles to a left-anti hash join on
+    o_custkey with the price predicate pushed to the orders scan."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_totalprice") > 400000.0)
+        .select("o_custkey")
+    )
+    avg_bal = cust.where(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("ab")
+    )
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("ab"))
+        .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+        )
+    )
