@@ -70,6 +70,10 @@ HEADLINE = [
     "promo_revenue_q14",
     "disjunctive_filter_q19",
     "rich_inactive_customers_q22",
+    # wave 9
+    "local_supplier_volume_q5",
+    "embedding_quantize_int8",
+    "pipeline_clean_corpus",
 ]
 
 KNN_BATCH_N_QUERIES = 5  # matches the knn_batch query definition

@@ -226,3 +226,47 @@ def test_coords3d_materialize_and_invalidate(spark, tmp_path):
     refreshed = refresh_coords3d_if_stale(spark, mutated, out)
     assert refreshed.count() == n - 1
     assert not coords3d_stale(mutated, out)
+
+
+def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
+    """Stream-stream interval join (watermarked both sides) produces the
+    same pairs as the batch interval join over the same events."""
+    from vector_knowledge_base_spark.sources.tables import load_table
+    from vector_knowledge_base_spark.streaming.joins import (
+        interval_join_clicks_after_purchases,
+    )
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").select(
+        "event_id", "user_id", "event_type", "ts"
+    )
+    purchases = ev.where(F.col("event_type") == "purchase")
+    clicks = ev.where(F.col("event_type") == "click")
+
+    expected = {
+        (r.purchase_id, r.click_id)
+        for r in interval_join_clicks_after_purchases(purchases, clicks).collect()
+    }
+    assert expected, "fixture produced no purchase→click pairs"
+
+    p_dir, c_dir = str(tmp_path / "purchases"), str(tmp_path / "clicks")
+    purchases.write.parquet(p_dir)
+    clicks.write.parquet(c_dir)
+    schema = "event_id long, user_id long, event_type string, ts timestamp"
+    p_stream = spark.readStream.schema(schema).parquet(p_dir)
+    c_stream = spark.readStream.schema(schema).parquet(c_dir)
+    out = interval_join_clicks_after_purchases(p_stream, c_stream)
+    assert out.isStreaming
+
+    q = (
+        out.writeStream.format("memory")
+        .queryName("ssj_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.purchase_id, r.click_id)
+        for r in spark.sql("select * from ssj_test").collect()
+    }
+    assert got == expected

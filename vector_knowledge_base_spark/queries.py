@@ -2356,3 +2356,197 @@ def q_rich_inactive_customers_q22(spark: SparkSession, sf_dir: str) -> DataFrame
             F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Wave 9 (round 2) — TPC-H Q5 6-way join, int8 embedding quantization,
+# and the end-to-end training-data cleaning pipeline (exact dedup ∘
+# near-dup canonical ∘ quality rules) as ONE oracled query.
+# ---------------------------------------------------------------------------
+
+_LOCAL_SUPPLIER_Q5_ORACLE = """
+SELECT n_name,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND c_nationkey = s_nationkey
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1997-01-01'
+GROUP BY n_name
+"""
+
+
+@query("local_supplier_volume_q5", oracle=_LOCAL_SUPPLIER_Q5_ORACLE)
+def q_local_supplier_volume_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way join where the interesting predicate is the
+    cross-dimension equality c_nationkey = s_nationkey ("local"
+    supplier). Plan shape at scale: lineitem⋈orders⋈customer shuffle on
+    their keys; supplier/nation/region broadcast; the region filter
+    prunes nation before it ever joins the fact side."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .where(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.round(F.sum(rev), 2).alias("revenue"))
+    )
+
+
+_QUANTIZE_ORACLE = """
+WITH scaled AS (
+  SELECT vec_id,
+         GREATEST(list_max(list_transform(embedding::DOUBLE[], x -> ABS(x))),
+                  1e-30) AS scale
+  FROM embeddings
+)
+SELECT e.vec_id,
+       i - 1 AS dim,
+       CAST(ROUND(e.embedding[i]::DOUBLE / s.scale * 127.0) AS BIGINT) AS q
+FROM embeddings e
+JOIN scaled s ON s.vec_id = e.vec_id,
+     generate_series(1, 64) AS gs(i)
+"""
+
+
+@query("embedding_quantize_int8", oracle=_QUANTIZE_ORACLE)
+def q_embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization (per-vector absmax scale): the
+    storage-side scale path — 4× less scan IO than float32 at 100 TB,
+    with the scale factor kept per vector for dequantized rescoring.
+    Row form (vec_id, dim, q) for the oracle; the production writer
+    would keep ``array<tinyint>`` + a float scale column."""
+    emb = _t(spark, sf_dir, "embeddings")
+    # absmax via posexplode+agg (codegen) rather than an interpreted
+    # array_max(transform(...)) lambda; guard against all-zero vectors
+    scale = (
+        emb.select("vec_id", F.posexplode("embedding").alias("dim", "v"))
+        .groupBy("vec_id")
+        .agg(F.greatest(F.max(F.abs(F.col("v").cast("double"))), F.lit(1e-30)).alias("scale"))
+    )
+    return (
+        emb.select("vec_id", F.posexplode("embedding").alias("dim", "v"))
+        .join(scale, "vec_id")
+        .select(
+            "vec_id",
+            "dim",
+            F.round(F.col("v").cast("double") / F.col("scale") * 127.0)
+            .cast("bigint")
+            .alias("q"),
+        )
+    )
+
+
+# the full cleaning pipeline, composed from already-oracled stages:
+# exact dedup (md5 groups, keep min id) → near-dup canonical (capped
+# Jaccard + connected components) → Gopher quality rules. Output: the
+# surviving documents with both canonical ids, ready to feed a tokenizer.
+_CLEAN_PIPELINE_ORACLE = (
+    "WITH RECURSIVE "
+    + _SHINGLE_CTE
+    + """,
+df_counts AS (SELECT shingle, COUNT(DISTINCT doc_id) AS df FROM sh GROUP BY shingle),
+sh_capped AS (SELECT sh.* FROM sh JOIN df_counts USING (shingle) WHERE df <= 50),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, COUNT(*) AS n_inter
+  FROM sh_capped a JOIN sh_capped b
+    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT doc_id_a, doc_id_b FROM inter
+  JOIN sizes sa ON sa.doc_id = doc_id_a
+  JOIN sizes sb ON sb.doc_id = doc_id_b
+  WHERE n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter) >= 0.05
+),
+bi AS (
+  SELECT doc_id_a AS id, doc_id_b AS nbr FROM pairs
+  UNION ALL
+  SELECT doc_id_b AS id, doc_id_a AS nbr FROM pairs
+),
+reach AS (
+  SELECT id, nbr AS r FROM bi
+  UNION
+  SELECT bi.id, reach.r FROM bi JOIN reach ON bi.nbr = reach.id
+),
+comp AS (SELECT id, LEAST(id, MIN(r)) AS component FROM reach GROUP BY id),
+exact_keep AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+quality AS (
+  SELECT doc_id FROM (
+    SELECT doc_id,
+           LEN(string_split(text, ' ')) AS n_words,
+           (LENGTH(text) - LEN(string_split(text, ' ')) + 1) * 1.0
+             / LEN(string_split(text, ' ')) AS mwl,
+           LEN(list_filter(string_split(text, ' '),
+               t -> t IN ('the','a','of','and','to','in','is','it')))
+             * 1.0 / LEN(string_split(text, ' ')) AS sf
+    FROM documents
+  ) WHERE n_words BETWEEN 20 AND 80 AND mwl BETWEEN 3.0 AND 10.0 AND sf >= 0.01
+)
+SELECT d.doc_id, d.lang, d.source
+FROM documents d
+JOIN exact_keep USING (doc_id)
+JOIN quality USING (doc_id)
+LEFT JOIN comp c ON c.id = d.doc_id
+WHERE COALESCE(c.component, d.doc_id) = d.doc_id
+"""
+)
+
+
+@query("pipeline_clean_corpus", oracle=_CLEAN_PIPELINE_ORACLE)
+def q_pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end training-data cleaning pipeline as one declarative
+    plan: keep a document iff it (1) is the min-id member of its exact
+    md5-duplicate group, (2) is the canonical member of its near-dup
+    cluster (capped Jaccard → connected components), and (3) passes the
+    Gopher quality rules. Each stage is individually oracled elsewhere
+    (dedup_exact, dedup_connected_components, quality_filter_gopher);
+    this query proves they COMPOSE — the thing a real pipeline runs."""
+    from vector_knowledge_base_spark.operators.components import dedup_canonical
+    from vector_knowledge_base_spark.operators.text_dedup import ngram_jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+
+    exact_keep = (
+        docs.select("doc_id", F.md5(F.col("text").cast("binary")).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+
+    pairs = ngram_jaccard_pairs(docs, threshold=0.05, max_df=50)
+    canon = dedup_canonical(docs, pairs)
+
+    toks = F.split(F.col("text"), " ")
+    n_words = F.size(toks)
+    mean_wl = (F.length("text") - n_words + 1) * F.lit(1.0) / n_words
+    stop = ["the", "a", "of", "and", "to", "in", "is", "it"]
+    stop_frac = F.size(F.filter(toks, lambda t: t.isin(stop))) * F.lit(1.0) / n_words
+    quality = docs.where(
+        n_words.between(20, 80) & mean_wl.between(3.0, 10.0) & (stop_frac >= 0.01)
+    ).select("doc_id")
+
+    return (
+        docs.join(exact_keep, "doc_id", "left_semi")
+        .join(quality, "doc_id", "left_semi")
+        .join(canon, "doc_id")
+        .where(F.col("canonical_id") == F.col("doc_id"))
+        .select("doc_id", "lang", "source")
+    )
