@@ -74,6 +74,12 @@ HEADLINE = [
     "local_supplier_volume_q5",
     "embedding_quantize_int8",
     "pipeline_clean_corpus",
+    # wave 10
+    "events_pivot_type_by_hour",
+    "sample_hash_10pct",
+    "train_test_split_hash",
+    "sample_by_source_weights",
+    "pack_sequences_greedy",
 ]
 
 KNN_BATCH_N_QUERIES = 5  # matches the knn_batch query definition

@@ -2550,3 +2550,152 @@ def q_pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("canonical_id") == F.col("doc_id"))
         .select("doc_id", "lang", "source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Wave 10 (round 2) — training-data management ops: pivot, deterministic
+# hash sampling, train/test split, per-source mixture sampling, sequence
+# packing. All reproducible-by-construction (md5-based hashing, no RNG:
+# rand() is engine- and partitioning-dependent, useless for an oracle and
+# for replaying a 100 TB sampling decision).
+# ---------------------------------------------------------------------------
+
+_PIVOT_ORACLE = """
+SELECT CAST(hour(ts) AS BIGINT) AS hour_of_day,
+       CAST(COUNT(*) FILTER (event_type = 'click')    AS BIGINT) AS click,
+       CAST(COUNT(*) FILTER (event_type = 'error')    AS BIGINT) AS error,
+       CAST(COUNT(*) FILTER (event_type = 'purchase') AS BIGINT) AS purchase,
+       CAST(COUNT(*) FILTER (event_type = 'signup')   AS BIGINT) AS signup,
+       CAST(COUNT(*) FILTER (event_type = 'view')     AS BIGINT) AS view
+FROM events
+GROUP BY 1
+"""
+
+
+@query("events_pivot_type_by_hour", oracle=_PIVOT_ORACLE)
+def q_events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long→wide): event counts per hour × type. The explicit
+    value list keeps it one pass (two-phase pivot without a list runs a
+    distinct-values job first) and pins the output schema — at scale an
+    unbounded pivot is a schema explosion, so production pivots always
+    enumerate."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.hour("ts").cast("bigint").alias("hour_of_day"))
+        .pivot("event_type", ["click", "error", "purchase", "signup", "view"])
+        .count()
+        .na.fill(0)
+    )
+
+
+# md5-based bucket in [0, 100): the engine-portable, replayable sampling
+# primitive (same doc always lands in the same bucket, on any engine,
+# any partitioning, any day).
+def _hash_bucket(col, buckets: int = 100):
+    return (
+        F.conv(F.substring(F.md5(F.col(col).cast("string").cast("binary")), 1, 8), 16, 10)
+        .cast("bigint")
+        % buckets
+    )
+
+
+_SAMPLE_ORACLE = """
+SELECT doc_id, lang, source
+FROM documents
+WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 10
+"""
+
+
+@query("sample_hash_10pct", oracle=_SAMPLE_ORACLE)
+def q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~10% sample: md5(doc_id) bucket < 10. Unlike
+    ``df.sample()`` (RNG per partition — irreproducible after a
+    repartition, and unanswerable by an oracle) the hash sample is a
+    pure scan predicate: replayable, partition-independent, and
+    pushdown-friendly."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.where(_hash_bucket("doc_id") < 10).select("doc_id", "lang", "source")
+
+
+_SPLIT_ORACLE = """
+SELECT doc_id,
+       CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 90
+            THEN 'train' ELSE 'eval' END AS split
+FROM documents
+"""
+
+
+@query("train_test_split_hash", oracle=_SPLIT_ORACLE)
+def q_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """90/10 train/eval split as a deterministic projection of the id —
+    the split survives reshuffles, reruns, and engine changes, and a
+    document can never leak across splits between pipeline versions."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.when(_hash_bucket("doc_id") < 90, "train").otherwise("eval").alias("split"),
+    )
+
+
+_MIXTURE_ORACLE = """
+WITH rates AS (
+  SELECT * FROM (VALUES ('src0', 100), ('src1', 50), ('src2', 25)) AS t(source, pct)
+)
+SELECT d.doc_id, d.source
+FROM documents d JOIN rates r USING (source)
+WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < r.pct
+"""
+
+
+@query("sample_by_source_weights", oracle=_MIXTURE_ORACLE)
+def q_sample_by_source_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture sampling: per-source acceptance rates (the pretraining
+    data-mixing primitive — upsample src0, halve src1, quarter src2,
+    drop the rest). The rate table broadcasts; acceptance is the same
+    hash-bucket predicate, so the mixture is replayable end-to-end."""
+    docs = _t(spark, sf_dir, "documents")
+    rates = spark.createDataFrame(
+        [("src0", 100), ("src1", 50), ("src2", 25)], "source string, pct int"
+    )
+    return (
+        docs.join(F.broadcast(rates), "source")
+        .where(_hash_bucket("doc_id") < F.col("pct"))
+        .select("doc_id", "source")
+    )
+
+
+_PACK_ORACLE = """
+WITH t AS (
+  SELECT doc_id, LEN(string_split(text, ' ')) AS n_tokens FROM documents
+),
+c AS (
+  SELECT doc_id, n_tokens,
+         SUM(n_tokens) OVER (ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum_tokens
+  FROM t
+)
+SELECT doc_id, n_tokens,
+       CAST(FLOOR((cum_tokens - n_tokens) / 2048) AS BIGINT) AS bin_id
+FROM c
+"""
+
+
+@query("pack_sequences_greedy", oracle=_PACK_ORACLE)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: assign documents (in deterministic id order) to
+    ~2048-token training bins by running-token-count — bin = floor of
+    the tokens BEFORE this doc / 2048, the streaming first-fit rule.
+    One global-ordered window (the classic scale caveat: a single
+    ordered cumsum serializes; at 100 TB pack per shard — partition the
+    window by a hash-bucket column — and accept per-shard bin ids)."""
+    docs = _t(spark, sf_dir, "documents")
+    t = docs.select("doc_id", F.size(F.split("text", " ")).alias("n_tokens"))
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    return t.select(
+        "doc_id",
+        "n_tokens",
+        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / 2048)
+        .cast("bigint")
+        .alias("bin_id"),
+    )
