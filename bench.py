@@ -80,6 +80,9 @@ HEADLINE = [
     "train_test_split_hash",
     "sample_by_source_weights",
     "pack_sequences_greedy",
+    # wave 11
+    "decontaminate_train_eval",
+    "semdedup_representatives",
 ]
 
 KNN_BATCH_N_QUERIES = 5  # matches the knn_batch query definition

@@ -63,20 +63,21 @@ def connected_components(
             .groupBy("id")
             .agg(F.min("nl").alias("nl"))
         )
+        # carry the did-it-change flag THROUGH the checkpoint so the
+        # convergence test is a cheap agg over materialized rows, not a
+        # second join against the previous round
         new_labels = (
             labels.join(nbr_min, "id", "left")
-            .select("id", F.least("label", F.coalesce("nl", "label")).alias("label"))
+            .select(
+                "id",
+                F.least("label", F.coalesce("nl", "label")).alias("new_label"),
+                (F.coalesce("nl", "label") < F.col("label")).alias("chg"),
+            )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.join(
-                labels.select("id", F.col("label").alias("old")), "id"
-            )
-            .where(F.col("label") < F.col("old"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        changed = new_labels.agg(F.sum(F.col("chg").cast("int"))).first()[0]
+        labels = new_labels.select("id", F.col("new_label").alias("label"))
+        if not changed:
             break
     return labels.select("id", F.col("label").alias("component"))
 

@@ -2699,3 +2699,115 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("bin_id"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Wave 11 (round 2) — decontamination (train/eval n-gram overlap) and
+# SemDeDup-style representative selection.
+# ---------------------------------------------------------------------------
+
+_DECONTAM_ORACLE = """
+WITH sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+           UNNEST([array_to_string(t[i:i+7], ' ')
+                   for i in range(1, len(t) - 6)]) AS shingle
+    FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+  )
+),
+split AS (
+  SELECT doc_id,
+         CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 90
+              THEN 'train' ELSE 'eval' END AS split
+  FROM documents
+),
+tr AS (SELECT sh.* FROM sh JOIN split USING (doc_id) WHERE split = 'train'),
+ev AS (SELECT DISTINCT shingle FROM sh JOIN split USING (doc_id) WHERE split = 'eval')
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared_ngrams
+FROM tr JOIN ev USING (shingle)
+GROUP BY doc_id
+"""
+
+
+@query("decontaminate_train_eval", oracle=_DECONTAM_ORACLE)
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination: train-split documents sharing ≥1 word-8-gram
+    with any eval-split document (the n-gram-overlap check run before
+    every serious pretraining job). Scale shape: the eval n-gram hash
+    set is tiny relative to the corpus — build it once, broadcast it,
+    and the check is a broadcast semi-join against the train side's
+    exploded shingles; the 100 TB train corpus is never shuffled."""
+    from vector_knowledge_base_spark.operators.text_dedup import shingle_structs
+
+    n = 8
+    docs = _t(spark, sf_dir, "documents")
+    par = spark.sparkContext.defaultParallelism
+
+    def shingled(side):
+        return (
+            side.select("doc_id", F.split("text", " ").alias("toks"))
+            .repartition(par)
+            .select(
+                "doc_id",
+                F.explode(F.array_distinct(shingle_structs("toks", n))).alias("s"),
+            )
+            .select(
+                "doc_id",
+                F.xxhash64(*[F.col(f"s.{i}") for i in range(n)]).alias("shingle"),
+            )
+        )
+
+    is_train = _hash_bucket("doc_id") < 90
+    train_sh = shingled(docs.where(is_train))
+    eval_sh = shingled(docs.where(~is_train)).select("shingle").distinct()
+    return (
+        train_sh.join(F.broadcast(eval_sh), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_ngrams"))
+    )
+
+
+_SEMDEDUP_ORACLE = """
+WITH ex AS (
+  SELECT vec_id, label, i - 1 AS dim, embedding[i]::DOUBLE AS v
+  FROM embeddings, generate_series(1, 64) AS gs(i)
+),
+cent AS (SELECT label, dim, AVG(v) AS c FROM ex GROUP BY label, dim),
+dist AS (
+  SELECT vec_id, ex.label, ROUND(SUM((v - c) * (v - c)), 6) AS d2
+  FROM ex JOIN cent USING (label, dim)
+  GROUP BY vec_id, ex.label
+),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY label ORDER BY d2, vec_id) AS rk
+  FROM dist
+)
+SELECT label, vec_id, d2 FROM r WHERE rk = 1
+"""
+
+
+@query("semdedup_representatives", oracle=_SEMDEDUP_ORACLE)
+def q_semdedup_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style representative selection: per semantic group (the
+    label column standing in for a cluster assignment), keep the vector
+    closest to the group centroid. Everything is explode + two
+    hash-aggs + one windowed rank — no vectors ever leave the executors.
+    The rank orders by the ROUNDED distance (then id): ranking on raw
+    doubles would make the winner depend on aggregation summation
+    order, which no engine guarantees."""
+    emb = _t(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "vec_id", "label", F.posexplode("embedding").alias("dim", "v")
+    ).withColumn("v", F.col("v").cast("double"))
+    cent = ex.groupBy("label", "dim").agg(F.avg("v").alias("c"))
+    dist = (
+        ex.join(cent, ["label", "dim"])
+        .groupBy("vec_id", "label")
+        .agg(F.round(F.sum((F.col("v") - F.col("c")) ** 2), 6).alias("d2"))
+    )
+    w = Window.partitionBy("label").orderBy("d2", "vec_id")
+    return (
+        dist.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select("label", "vec_id", "d2")
+    )
