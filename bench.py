@@ -83,6 +83,9 @@ HEADLINE = [
     # wave 11
     "decontaminate_train_eval",
     "semdedup_representatives",
+    # wave 12
+    "events_hourly_gapfill",
+    "grouping_sets_orders",
 ]
 
 KNN_BATCH_N_QUERIES = 5  # matches the knn_batch query definition

@@ -43,16 +43,16 @@ def connected_components(
 ) -> DataFrame:
     """(id, component) for every node appearing in ``edges``; component =
     min node id reachable through the undirected pair graph."""
-    bi = (
-        edges.select(F.col(src).alias("id"), F.col(dst).alias("nbr"))
-        .unionAll(edges.select(F.col(dst).alias("id"), F.col(src).alias("nbr")))
-        # materialize the edge list ONCE: it is consumed by every
-        # propagation round (and twice by the union) — without this the
-        # upstream pair-producing pipeline (e.g. the whole Jaccard
-        # inverted index) re-executes 2×/round (measured 23s → 3s at
-        # sf0.1 over capped-Jaccard edges)
-        .localCheckpoint(eager=True)
+    # materialize the edge list BEFORE mirroring it: the undirected
+    # union references the edge lineage twice, and every propagation
+    # round references it again — checkpointing after the union ran the
+    # upstream pair-producing pipeline (e.g. the whole Jaccard inverted
+    # index) twice, checkpointing nothing ran it 2×/round (23s at sf0.1;
+    # 3.8s checkpointing the union; ~2s checkpointing the edges first)
+    mat = edges.select(F.col(src).alias("id"), F.col(dst).alias("nbr")).localCheckpoint(
+        eager=True
     )
+    bi = mat.unionAll(mat.select(F.col("nbr").alias("id"), F.col("id").alias("nbr")))
     labels = bi.select("id").distinct().select("id", F.col("id").alias("label"))
     for _ in range(max_iter):
         nbr_min = (

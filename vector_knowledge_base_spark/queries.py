@@ -2811,3 +2811,87 @@ def q_semdedup_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") == 1)
         .select("label", "vec_id", "d2")
     )
+
+
+# ---------------------------------------------------------------------------
+# Wave 12 (round 2) — time-series gap-fill (resample with zero-filled
+# gaps) and explicit GROUPING SETS.
+# ---------------------------------------------------------------------------
+
+_GAPFILL_ORACLE = """
+WITH agg AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour_ts,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1, 2
+),
+bounds AS (
+  SELECT date_trunc('hour', MIN(ts)) AS lo, date_trunc('hour', MAX(ts)) AS hi
+  FROM events
+),
+grid AS (
+  SELECT t.event_type,
+         UNNEST(generate_series(bounds.lo, bounds.hi, INTERVAL 1 HOUR)) AS hour_ts
+  FROM (SELECT DISTINCT event_type FROM events) t, bounds
+)
+SELECT g.event_type, g.hour_ts, COALESCE(a.n_events, 0) AS n_events
+FROM grid g LEFT JOIN agg a USING (event_type, hour_ts)
+"""
+
+
+@query("events_hourly_gapfill", oracle=_GAPFILL_ORACLE)
+def q_events_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resample with gap filling: hourly event counts per
+    type, every hour of the observed range present (0 for silent hours)
+    — the hypertable-rollup shape. The dense grid is generated, not
+    stored: sequence() over the global [min,max] bounds (a 1-row
+    broadcast) × the distinct type dimension; the left join back to the
+    sparse aggregate is the only shuffle beyond the count itself."""
+    ev = _t(spark, sf_dir, "events")
+    agg = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour_ts")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    hours = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("hour_ts")
+    )
+    types = ev.select("event_type").distinct()
+    grid = types.crossJoin(F.broadcast(hours))
+    return grid.join(agg, ["event_type", "hour_ts"], "left").select(
+        "event_type",
+        "hour_ts",
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+    )
+
+
+_GROUPING_SETS_ORACLE = """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       ROUND(SUM(o_totalprice), 2) AS total_price,
+       CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+       CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_priority
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+"""
+
+
+@query("grouping_sets_orders", oracle=_GROUPING_SETS_ORACLE)
+def q_grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (two one-dimensional rollups + grand total
+    in one pass) with GROUPING() flags disambiguating real NULLs from
+    subtotal rows — issued through the SQL surface (spark.sql), same
+    Expand-based physical plan as cube/rollup."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               COUNT(*) AS n_orders,
+               ROUND(SUM(o_totalprice), 2) AS total_price,
+               CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+               CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_priority
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
