@@ -86,6 +86,9 @@ HEADLINE = [
     # wave 12
     "events_hourly_gapfill",
     "grouping_sets_orders",
+    # wave 13
+    "small_quantity_revenue_q17",
+    "events_rolling_1h_window",
 ]
 
 KNN_BATCH_N_QUERIES = 5  # matches the knn_batch query definition

@@ -124,3 +124,34 @@ def test_sample_frames_udtf_shape(spark, media_df):
     # 51200 B → 50 pseudo-frames → sampled every 10 → 5
     assert len(clip_frames) == 5
     assert all(len(r.frame) == 1024 for r in clip_frames)
+
+
+def test_decontaminate_broadcasts_eval_set(spark):
+    """The eval n-gram set must broadcast (the train corpus must never
+    shuffle for the contamination semi-join)."""
+    from vector_knowledge_base_spark.plans.inspect import (
+        assert_no_cartesian,
+        has_broadcast_join,
+    )
+    from vector_knowledge_base_spark.queries import QUERIES
+
+    df = QUERIES["decontaminate_train_eval"](spark, SF)
+    assert has_broadcast_join(df)
+    assert_no_cartesian(df)
+
+
+def test_approx_sketches_within_corridor(spark):
+    """The approx swap-ins a 100 TB run would use (HLL distinct count,
+    quantile sketch) stay within tight relative error of the exact
+    answers on the events table — the evidence behind the README claim."""
+    from vector_knowledge_base_spark.sources.tables import load_table
+
+    ev = load_table(spark, SF, "events")
+    exact = ev.select(F.countDistinct("user_id")).first()[0]
+    approx = ev.select(F.approx_count_distinct("user_id", rsd=0.02)).first()[0]
+    assert abs(approx - exact) / exact <= 0.05, (exact, approx)
+
+    exact_p50 = ev.selectExpr("percentile(value, 0.5)").first()[0]
+    approx_p50 = ev.selectExpr("approx_percentile(value, 0.5, 10000)").first()[0]
+    spread = ev.selectExpr("max(value) - min(value)").first()[0]
+    assert abs(approx_p50 - exact_p50) <= 0.01 * spread, (exact_p50, approx_p50)

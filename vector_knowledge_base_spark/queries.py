@@ -2895,3 +2895,65 @@ def q_grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# Wave 13 (round 2) — TPC-H Q17 (correlated per-group avg threshold) and
+# a RANGE-frame rolling window over event time.
+# ---------------------------------------------------------------------------
+
+_SMALL_QTY_Q17_ORACLE = """
+WITH pavg AS (
+  SELECT l_partkey, AVG(l_quantity) AS avg_qty
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT ROUND(SUM(l_extendedprice) / 7.0, 2) AS avg_yearly
+FROM lineitem l JOIN pavg USING (l_partkey)
+WHERE l.l_quantity < 0.2 * pavg.avg_qty
+"""
+
+
+@query("small_quantity_revenue_q17", oracle=_SMALL_QTY_Q17_ORACLE)
+def q_small_quantity_revenue_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: lineitems below 20% of their part's average
+    quantity. The correlated scalar subquery decorrelates into a
+    per-part aggregate joined back to the fact — both sides shuffle on
+    l_partkey, so the join is co-partitioned (one exchange each, reused
+    by the aggregation)."""
+    li = _t(spark, sf_dir, "lineitem")
+    pavg = li.groupBy("l_partkey").agg(F.avg("l_quantity").alias("avg_qty"))
+    return (
+        li.join(pavg, "l_partkey")
+        .where(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+_ROLLING_1H_ORACLE = """
+SELECT event_id, user_id,
+       ROUND(SUM(value) OVER (
+         PARTITION BY user_id ORDER BY epoch_us(ts)
+         RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW), 4)
+         AS rolling_1h_value
+FROM events
+"""
+
+
+@query("events_rolling_1h_window", oracle=_ROLLING_1H_ORACLE)
+def q_events_rolling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame rolling aggregate: per user, the sum of `value` over
+    the trailing hour of EVENT TIME (not row count) — the frame is
+    bounded by microsecond epoch offsets, so ties and uneven spacing
+    are handled identically in any engine. Partitioned by user: the
+    window never sees a global sort."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.sum("value").over(w), 4).alias("rolling_1h_value"),
+    )
