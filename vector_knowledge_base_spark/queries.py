@@ -2957,3 +2957,101 @@ def q_events_rolling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.round(F.sum("value").over(w), 4).alias("rolling_1h_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Wave 14 (round 2) — multimodal plumbing under the driver gate: inline
+# binary fixtures with a known-answer VALUES oracle (same pattern as the
+# folder-hierarchy queries; testdata ships no media files).
+# ---------------------------------------------------------------------------
+
+# expected rows are KNOWN AT CONSTRUCTION: the PNG carries real IHDR dims
+# (32×16); the jpeg/raw rows take the documented deterministic fake dims
+# (64 + md5(content)[i] % 64 — precomputed for these exact byte strings).
+_MM_META_ORACLE = """
+SELECT * FROM (VALUES
+  ('mem://a.png', CAST(32 AS BIGINT), 'png',     32,  16, CAST(NULL AS VARCHAR)),
+  ('mem://b.jpg', CAST(19 AS BIGINT), 'jpeg',    71,  82, CAST(NULL AS VARCHAR)),
+  ('mem://c.bin', CAST(29 AS BIGINT), 'unknown', 120, 80, CAST(NULL AS VARCHAR))
+) AS t(path, n_bytes, format, width, height, error)
+"""
+
+
+@query("multimodal_image_meta_inline", oracle=_MM_META_ORACLE)
+def q_multimodal_image_meta_inline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal metadata extraction driver-checked end-to-end: inline
+    binary rows (a structurally-valid PNG header + two non-PNG payloads)
+    through the mapInPandas image_metadata stage. The PNG's 32×16 comes
+    from real IHDR parsing; the others exercise the deterministic
+    fake-decode path (PIL absent from this container — kernel is
+    import-gated, plumbing is what's under test)."""
+    import struct as _struct
+
+    from vector_knowledge_base_spark.operators.multimodal import image_metadata
+
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + b"\x00\x00\x00\rIHDR"
+        + _struct.pack(">II", 32, 16)
+        + b"\x00" * 8
+    )
+    jpg = b"\xff\xd8\xff\xe0JFIFfakepayload"
+    raw = b"just some bytes, not an image"
+    files = spark.createDataFrame(
+        [
+            ("mem://a.png", bytearray(png)),
+            ("mem://b.jpg", bytearray(jpg)),
+            ("mem://c.bin", bytearray(raw)),
+        ],
+        "path string, content binary",
+    )
+    return image_metadata(files, fake_decode=True)
+
+
+_EXTRACT_ORACLE = r"""
+SELECT * FROM (VALUES
+  ('up/table.csv', '.csv', 'name | qty' || chr(10) || 'alpha | 1' || chr(10) || 'beta | 2',
+   '3', ',', 'True', CAST(NULL AS VARCHAR)),
+  ('up/note.txt', '.txt', 'hello spark engine',
+   CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)),
+  ('up/Prog.cs', '.cs', 'using System;' || chr(10) || 'namespace Acme.Tools;' || chr(10) || 'class P {}' || chr(10),
+   CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)),
+  ('up/data.xyz', '.xyz', '', CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+   'unsupported extension: .xyz'),
+  ('up/doc.pdf', '.pdf', '', CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+   'binary decoder for .pdf not installed (pypdf/docx2txt/python-pptx/openpyxl/PIL+pytesseract)')
+) AS t(path, extension, text, row_count, delimiter, has_header, error)
+"""
+
+
+@query("extract_dispatch_inline", oracle=_EXTRACT_ORACLE)
+def q_extract_dispatch_inline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extractor dispatch (S6/S8/S10/S11 + stub policy) driver-checked:
+    inline binary rows through the mapInPandas extraction stage — CSV
+    sniffing (header detection, ' | ' rendering, row/col counts), txt
+    passthrough, C# namespace sniff, the unsupported-extension error
+    row, and the honestly-stubbed PDF path (decoder lib absent). The
+    map-typed extractor_meta is projected to scalar columns (the driver
+    canonicalizer hashes scalars only)."""
+    from vector_knowledge_base_spark.pipeline.extract import extract_files_df
+
+    files = spark.createDataFrame(
+        [
+            ("up/table.csv", bytearray(b"name,qty\nalpha, 1\nbeta,2\n")),
+            ("up/note.txt", bytearray(b"hello spark engine")),
+            ("up/Prog.cs", bytearray(b"using System;\nnamespace Acme.Tools;\nclass P {}\n")),
+            ("up/data.xyz", bytearray(b"????")),
+            ("up/doc.pdf", bytearray(b"%PDF-1.4 fake")),
+        ],
+        "path string, content binary",
+    )
+    out = extract_files_df(files)
+    return out.select(
+        "path",
+        "extension",
+        "text",
+        F.col("extractor_meta")["row_count"].alias("row_count"),
+        F.col("extractor_meta")["delimiter"].alias("delimiter"),
+        F.col("extractor_meta")["has_header"].alias("has_header"),
+        "error",
+    )
