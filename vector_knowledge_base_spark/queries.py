@@ -3055,3 +3055,47 @@ def q_extract_dispatch_inline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("extractor_meta")["has_header"].alias("has_header"),
         "error",
     )
+
+
+_GEOMEAN_ORACLE = """
+SELECT event_type, ROUND(EXP(AVG(LN(value))), 4) AS geomean_value
+FROM events GROUP BY event_type
+"""
+
+
+@query("geomean_value_by_type", oracle=_GEOMEAN_ORACLE)
+def q_geomean_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-aggregate pandas UDF (the UDAF family of SURVEY §2.11):
+    geometric mean of event values per type — Arrow ships each group's
+    values as one Series, the log-space mean runs in numpy. ROUND(4)
+    absorbs the pairwise-vs-sequential summation difference between
+    numpy and the oracle's AVG(LN(...))."""
+    from vector_knowledge_base_spark.functions.pyfuncs import geomean_udaf
+
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(geomean_udaf("value"), 4).alias("geomean_value")
+    )
+
+
+_TOKENIZE_UDTF_ORACLE = """
+SELECT doc_id,
+       CAST(generate_subscripts(t, 1) - 1 AS INT) AS pos,
+       UNNEST(t) AS token
+FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents WHERE doc_id < 20)
+"""
+
+
+@query("tokenize_udtf_positions", oracle=_TOKENIZE_UDTF_ORACLE)
+def q_tokenize_udtf_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (Spark-4 table-function surface) via lateral join:
+    one document row in, one row per (position, token) out. Registry
+    demo of the API — bulk explosion belongs to the native posexplode
+    (JVM) path, so the input is capped to 20 docs; the point is the
+    UDTF + lateralJoin plumbing under the driver gate."""
+    from vector_knowledge_base_spark.functions.pyfuncs import TokenizeUDTF
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 20)
+    return docs.lateralJoin(TokenizeUDTF(F.col("text").outer())).select(
+        "doc_id", "pos", "token"
+    )
