@@ -1,0 +1,75 @@
+"""Edge inputs for the text-dedup family: short/empty docs, exact
+duplicates, unicode — the cases the synthetic corpus never produces
+(every fixture doc has ≥10 ascii tokens) but any real corpus does."""
+
+from __future__ import annotations
+
+from vector_knowledge_base_spark.operators.text_dedup import (
+    minhash_lsh_candidates,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash16,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_short_docs_emit_no_signature(spark):
+    # < shingle_n tokens → no shingles → absent from signatures (the
+    # oracle's absent-row semantics; ADVICE r01: NULL signatures must
+    # never become LSH catch-all buckets)
+    docs = _docs(spark, [(1, "one two"), (2, ""), (3, "a b c d e")])
+    sig = minhash_signatures(docs)
+    assert [r["doc_id"] for r in sig.collect()] == [3]
+    cands = minhash_lsh_candidates(sig)
+    assert cands.count() == 0
+
+
+def test_exact_duplicates_are_lsh_candidates_and_jaccard_1(spark):
+    text = "alpha beta gamma delta epsilon zeta"
+    docs = _docs(spark, [(1, text), (2, text), (3, "totally different words here now")])
+    sig = minhash_signatures(docs)
+    rows = {r["doc_id"]: tuple(v for k, v in r.asDict().items() if k != "doc_id")
+            for r in sig.collect()}
+    assert rows[1] == rows[2] != rows[3]
+    cands = {(r[0], r[1]) for r in minhash_lsh_candidates(sig).collect()}
+    assert (1, 2) in cands
+    jac = {(r["doc_id_a"], r["doc_id_b"]): r["jaccard"]
+           for r in ngram_jaccard_pairs(docs, threshold=0.05).collect()}
+    assert jac == {(1, 2): 1.0}
+
+
+def test_simhash_identical_for_duplicates_and_total_for_all(spark):
+    docs = _docs(spark, [(1, "x y z"), (2, "x y z"), (3, "p q r"), (4, "")])
+    out = {r["doc_id"]: r["simhash"] for r in simhash16(docs).collect()}
+    # every doc (even empty text: split('') → ['']) gets a fingerprint
+    assert set(out) == {1, 2, 3, 4}
+    assert out[1] == out[2]
+
+
+def test_unicode_shingles_survive(spark):
+    docs = _docs(
+        spark,
+        [(1, "日本語 トークン の テスト です よ"), (2, "日本語 トークン の テスト です よ"), (3, "völlig anderer text hier übrig")],
+    )
+    jac = {(r["doc_id_a"], r["doc_id_b"]): r["jaccard"]
+           for r in ngram_jaccard_pairs(docs, threshold=0.5).collect()}
+    assert jac == {(1, 2): 1.0}
+    sig = minhash_signatures(docs)
+    assert sig.count() == 3
+
+
+def test_jaccard_max_df_drops_universal_shingle(spark):
+    # a shingle present in EVERY doc is dropped by the cap, so docs whose
+    # only overlap is that stop-shingle produce no pair
+    common = "the quick brown"
+    docs = _docs(
+        spark,
+        [(i, f"{common} unique{i} tail{i} more{i}") for i in range(1, 6)],
+    )
+    uncapped = ngram_jaccard_pairs(docs, threshold=0.01)
+    assert uncapped.count() == 10  # all pairs share the stop-shingle
+    capped = ngram_jaccard_pairs(docs, threshold=0.01, max_df=3)
+    assert capped.count() == 0

@@ -3,19 +3,27 @@
 only by exact document identity, /root/reference/backend/document_registry.py:193-203).
 
 Everything is built from native Spark SQL expressions (md5-based hashing,
-higher-order array functions, explode + groupBy), so the same pipeline is
-expressible in ANSI SQL for the DuckDB oracle and stays inside
-whole-stage codegen — no Python in the hot path.
+zip-slice shingle construction, explode + hash-aggregate), so the same
+pipeline is expressible in ANSI SQL for the DuckDB oracle and stays
+inside whole-stage codegen — no Python anywhere, and no higher-order
+array lambdas either: Spark evaluates transform/filter lambdas
+INTERPRETED, and ``InferFiltersFromGenerate`` clones generator-input
+expressions into pushed-down filters, so lambda-built arrays get
+evaluated up to 3× per row (this module's r01→r02 rewrite was worth
+2-5× on every operator).
 
-Cross-engine-deterministic hashing: Spark's built-in hash()/xxhash64 are
-engine-specific, so token/shingle hashes use the first 8 hex chars of
-md5 → int64 ("h32"), identical in any engine with md5.
+Cross-engine-deterministic hashing: where the oracle must reproduce the
+VALUE (MinHash/SimHash signatures), hashes use the first 8 hex chars of
+md5 → int64 ("h32"), identical in any engine with md5. Where only
+IDENTITY matters (Jaccard posting-list keys), the cheaper engine-local
+``xxhash64`` is used and the oracle keeps the string form — identical
+results modulo 64-bit collisions (~n²/2⁶⁵).
 
 Scale notes:
-- MinHash/SimHash signatures are ZERO-shuffle scan projections (a doc's
-  signature depends only on its own row — see each function's note);
-- only the inverted-index Jaccard and LSH band join shuffle, and both
-  shuffle signatures/shingles, never document text;
+- signature operators shuffle exactly ONE pre-combined row per document
+  (map-side partial aggregation; a doc's tokens live in one input row),
+  independent of document length — and never document text;
+- the inverted-index Jaccard and LSH banding shuffle 8-byte hashed keys;
 - document-frequency capping (``max_df``) drops degenerate high-
   frequency shingles that would otherwise create quadratic skew at
   100 TB (the classic salting-free skew fix for similarity joins);
