@@ -89,6 +89,10 @@ HEADLINE = [
     # wave 13
     "small_quantity_revenue_q17",
     "events_rolling_1h_window",
+    # ML anchors (BASELINE.md: "HDBSCAN 1k pts < 1s incl. naming",
+    # "PCA 3-D 1k embeddings < 100ms" — here at 5k embeddings)
+    "pca_projection_3d",
+    "cluster_naming_tfidf",
 ]
 
 KNN_BATCH_N_QUERIES = 5  # matches the knn_batch query definition
