@@ -139,7 +139,14 @@ def name_clusters_tfidf(
     )
     # tf within cluster
     tf = toks.groupBy("cluster", "term").agg(F.count(F.lit(1)).alias("tf"))
-    n_clusters = tf.select("cluster").distinct().count()
+    # IDF's N: distinct clusters, counted from the LABEL column — not
+    # from tf, whose count action would execute the whole text explode
+    # pipeline eagerly per call (a cluster whose docs have no valid
+    # tokens is the only divergence, and it takes the 'Cluster {id}'
+    # fallback regardless)
+    n_clusters = (
+        docs_with_cluster.select(F.col(cluster_col).alias("cluster")).distinct().count()
+    )
     # idf over clusters: log((1+N)/(1+df)) + 1 (sklearn smooth_idf)
     df_ = tf.groupBy("term").agg(F.countDistinct("cluster").alias("df"))
     scored = tf.join(F.broadcast(df_), "term").withColumn(
