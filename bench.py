@@ -93,6 +93,8 @@ HEADLINE = [
     # "PCA 3-D 1k embeddings < 100ms" — here at 5k embeddings)
     "pca_projection_3d",
     "cluster_naming_tfidf",
+    # wave 15
+    "winnowing_fingerprints",
 ]
 
 KNN_BATCH_N_QUERIES = 5  # matches the knn_batch query definition

@@ -4,6 +4,8 @@ duplicates, unicode — the cases the synthetic corpus never produces
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from vector_knowledge_base_spark.operators.text_dedup import (
     minhash_lsh_candidates,
     minhash_signatures,
@@ -73,3 +75,30 @@ def test_jaccard_max_df_drops_universal_shingle(spark):
     assert uncapped.count() == 10  # all pairs share the stop-shingle
     capped = ngram_jaccard_pairs(docs, threshold=0.01, max_df=3)
     assert capped.count() == 0
+
+
+def test_winnowing_guarantee_shared_run_shares_fingerprint(spark):
+    from vector_knowledge_base_spark.operators.text_dedup import winnowing_fingerprints
+
+    # docs 1 and 2 share a 7-token run (>= window+shingle_n-1 = 6):
+    # winnowing guarantees a common fingerprint
+    shared = "one two three four five six seven"
+    docs = _docs(
+        spark,
+        [
+            (1, f"prefix tokens here {shared} alpha beta gamma"),
+            (2, f"{shared} completely different tail words now"),
+            (3, "no overlap with anything else at all in this document"),
+        ],
+    )
+    fps = winnowing_fingerprints(docs)
+    by_doc = {
+        i: {r["fp"] for r in fps.where(F.col("doc_id") == i).collect()}
+        for i in (1, 2, 3)
+    }
+    assert by_doc[1] & by_doc[2], "shared 7-token run must share a fingerprint"
+    assert not (by_doc[1] & by_doc[3])
+    # fingerprints are a strict subset of the full shingle hash set
+    from vector_knowledge_base_spark.operators.text_dedup import doc_shingles
+    n_sh = doc_shingles(docs).count()
+    assert fps.count() < n_sh

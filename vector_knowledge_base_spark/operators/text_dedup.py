@@ -325,3 +325,46 @@ def simhash16(
         bit = F.when(F.col(f"s_{b}") >= 0, F.lit(2**b)).otherwise(F.lit(0))
         sim = bit if sim is None else sim + bit
     return s.select(F.col(id_col), sim.cast("bigint").alias("simhash"))
+
+
+def winnowing_fingerprints(
+    docs: DataFrame,
+    shingle_n: int = 3,
+    window: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Winnowing (MOSS-style) document fingerprints: the distinct set of
+    windowed-minimum shingle hashes — every window of ``window``
+    consecutive shingles contributes its minimum hash, guaranteeing any
+    shared run of ≥ window+shingle_n−1 tokens between two documents
+    shares a fingerprint, at a fraction of the full shingle set's size.
+
+    All codegen: zip-slice shingles → posexplode → md5 hash (h32 — the
+    VALUES are the output, so the engine-portable hash, not xxhash64) →
+    one per-doc ROWS window MIN → distinct. The window partitions by
+    document, so there is no global sort; the shuffle carries (doc,
+    pos, 8-byte hash) rows once.
+    """
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    from pyspark.sql import Window as W
+
+    sh = (
+        docs.select(F.col(id_col), F.split(F.col(text_col), " ").alias("toks"))
+        .repartition(par)
+        .select(F.col(id_col), F.posexplode(shingle_structs("toks", shingle_n)).alias("pos", "s"))
+        .select(F.col(id_col), F.col("pos"), h32(_shingle_text(shingle_n)).alias("h"))
+    )
+    w_min = W.partitionBy(id_col).orderBy("pos").rowsBetween(0, window - 1)
+    w_all = W.partitionBy(id_col)
+    return (
+        sh.select(
+            F.col(id_col),
+            F.col("pos"),
+            F.min("h").over(w_min).alias("fp"),
+            F.count(F.lit(1)).over(w_all).alias("n_sh"),
+        )
+        .where(F.col("pos") <= F.col("n_sh") - window)
+        .select(F.col(id_col), F.col("fp"))
+        .distinct()
+    )

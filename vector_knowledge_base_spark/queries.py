@@ -3099,3 +3099,37 @@ def q_tokenize_udtf_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.lateralJoin(TokenizeUDTF(F.col("text").outer())).select(
         "doc_id", "pos", "token"
     )
+
+
+_WINNOWING_ORACLE = """
+WITH sh AS (
+  SELECT doc_id,
+         generate_subscripts(sl, 1) - 1 AS pos,
+         ('0x' || substr(md5(UNNEST(sl)), 1, 8))::BIGINT AS h
+  FROM (
+    SELECT doc_id,
+           [array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)] AS sl
+    FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+    WHERE len(t) >= 3
+  )
+),
+wmin AS (
+  SELECT doc_id, pos,
+         MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+         COUNT(*) OVER (PARTITION BY doc_id) AS n_sh
+  FROM sh
+)
+SELECT DISTINCT doc_id, fp FROM wmin WHERE pos <= n_sh - 4
+"""
+
+
+@query("winnowing_fingerprints", oracle=_WINNOWING_ORACLE)
+def q_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint selection (window 4 over word-trigram
+    hashes): any ≥6-token run shared between documents is guaranteed a
+    common fingerprint — the compact robust alternative to full shingle
+    sets for substring-level dedup."""
+    from vector_knowledge_base_spark.operators.text_dedup import winnowing_fingerprints
+
+    return winnowing_fingerprints(_t(spark, sf_dir, "documents"))
