@@ -95,6 +95,7 @@ HEADLINE = [
     "cluster_naming_tfidf",
     # wave 15
     "winnowing_fingerprints",
+    "incremental_lsh_dedup",
 ]
 
 KNN_BATCH_N_QUERIES = 5  # matches the knn_batch query definition

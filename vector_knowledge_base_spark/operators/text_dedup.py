@@ -368,3 +368,51 @@ def winnowing_fingerprints(
         .select(F.col(id_col), F.col("fp"))
         .distinct()
     )
+
+
+def _banded(signatures: DataFrame, bands: int, rows_per_band: int, id_col: str) -> DataFrame:
+    """(id, band_idx, band_key) rows — one per signature band."""
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band_idx"),
+            F.concat_ws(
+                "_", *[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
+            ).alias("band_key"),
+        )
+        for b in range(bands)
+    ]
+    return (
+        signatures.select(F.col(id_col), F.explode(F.array(*band_cols)).alias("band"))
+        .select(id_col, "band.band_idx", "band.band_key")
+        .where(F.col("band_key") != "")
+    )
+
+
+def lsh_candidates_between(
+    new_sigs: DataFrame,
+    corpus_sigs: DataFrame,
+    bands: int = 4,
+    rows_per_band: int = 2,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Incremental dedup: candidate pairs BETWEEN an arriving batch and
+    the existing corpus — the production ingest pattern (dedup the delta
+    against what's stored; never re-pair the corpus against itself).
+
+    The new batch is tiny relative to the corpus, so its banded rows
+    BROADCAST; the corpus side streams through the join with no shuffle
+    and no self-pairing. At 100 TB the corpus band table is a stored,
+    bucketed-by-band_key artifact written at ingest time — this join
+    then prunes to the buckets the batch actually touches.
+    Output: (new_id, corpus_id) distinct."""
+    nb = _banded(new_sigs, bands, rows_per_band, id_col).withColumnsRenamed(
+        {id_col: "new_id"}
+    )
+    cb = _banded(corpus_sigs, bands, rows_per_band, id_col).withColumnsRenamed(
+        {id_col: "corpus_id"}
+    )
+    return (
+        cb.join(F.broadcast(nb), ["band_idx", "band_key"])
+        .select("new_id", "corpus_id")
+        .distinct()
+    )

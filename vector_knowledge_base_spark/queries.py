@@ -3133,3 +3133,36 @@ def q_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vector_knowledge_base_spark.operators.text_dedup import winnowing_fingerprints
 
     return winnowing_fingerprints(_t(spark, sf_dir, "documents"))
+
+
+_INCR_LSH_ORACLE = (
+    _MINHASH_SIG_CTE
+    + f""",
+banded AS ({_BAND_UNION})
+SELECT n.doc_id AS new_id, c.doc_id AS corpus_id
+FROM banded n JOIN banded c USING (band_idx, band_key)
+WHERE n.doc_id >= 400 AND c.doc_id < 400
+GROUP BY 1, 2
+"""
+)
+
+
+@query("incremental_lsh_dedup", oracle=_INCR_LSH_ORACLE)
+def q_incremental_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest dedup: the arriving batch (doc_id ≥ 400 stands
+    in for the delta) LSH-banded and BROADCAST against the stored
+    corpus's band table — candidates only between batch and corpus,
+    never corpus×corpus. The 100 TB shape: the corpus bands are a
+    bucketed stored artifact; the delta probe touches only colliding
+    buckets."""
+    from vector_knowledge_base_spark.operators.text_dedup import (
+        lsh_candidates_between,
+        minhash_signatures,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("doc_id") < 400)
+    batch = docs.where(F.col("doc_id") >= 400)
+    return lsh_candidates_between(
+        minhash_signatures(batch), minhash_signatures(corpus)
+    )
