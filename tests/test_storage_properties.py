@@ -125,3 +125,20 @@ def test_compact_reduces_files(spark, tmp_path):
     n_after = len(glob.glob(p + "/part-*"))
     assert n_after < n_before
     assert spark.read.parquet(p).count() == 1000
+
+
+def test_schema_evolution_merge_read(spark, tmp_path):
+    """Appending files with a widened schema must read back as the
+    merged schema (old rows NULL for the new column) — the parquet
+    schema-evolution contract an append-only chunk store relies on."""
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "x")], "id long, text string").write.parquet(path)
+    spark.createDataFrame(
+        [(2, "y", 7)], "id long, text string, cluster int"
+    ).write.mode("append").parquet(path)
+    got = spark.read.option("mergeSchema", "true").parquet(path)
+    assert set(got.columns) == {"id", "text", "cluster"}
+    rows = {r["id"]: r["cluster"] for r in got.collect()}
+    assert rows == {1: None, 2: 7}

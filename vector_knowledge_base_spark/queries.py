@@ -3166,3 +3166,22 @@ def q_incremental_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_candidates_between(
         minhash_signatures(batch), minhash_signatures(corpus)
     )
+
+
+_NULL_SAFE_JOIN_ORACLE = """
+WITH a(k, va) AS (VALUES (1, 'a1'), (NULL, 'a-null'), (2, 'a2')),
+     b(k, vb) AS (VALUES (1, 'b1'), (NULL, 'b-null'), (3, 'b3'))
+SELECT a.k AS k, va, vb
+FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+"""
+
+
+@query("null_safe_join_inline", oracle=_NULL_SAFE_JOIN_ORACLE)
+def q_null_safe_join_inline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL keys
+    match each other instead of silently dropping — the semantics a
+    dedup or registry merge needs when the join key is optional. A
+    plain equi-join here would lose the NULL row on both sides."""
+    a = spark.createDataFrame([(1, "a1"), (None, "a-null"), (2, "a2")], "k int, va string")
+    b = spark.createDataFrame([(1, "b1"), (None, "b-null"), (3, "b3")], "k int, vb string")
+    return a.join(b, a["k"].eqNullSafe(b["k"])).select(a["k"].alias("k"), "va", "vb")
