@@ -96,6 +96,14 @@ HEADLINE = [
     # wave 15
     "winnowing_fingerprints",
     "incremental_lsh_dedup",
+    # wave 16 — remaining TPC-H shapes
+    "forecast_revenue_q6",
+    "market_share_q8",
+    "product_profit_q9",
+    "late_shipment_q12",
+    "customer_distribution_q13",
+    "top_supplier_q15",
+    "waiting_suppliers_q21",
 ]
 
 KNN_BATCH_N_QUERIES = 5  # matches the knn_batch query definition
