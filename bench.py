@@ -104,6 +104,11 @@ HEADLINE = [
     "customer_distribution_q13",
     "top_supplier_q15",
     "waiting_suppliers_q21",
+    # wave 17 — corpus analysis
+    "vocab_top_terms",
+    "type_token_ratio",
+    "df_idf_vocabulary",
+    "doc_length_band_filter",
 ]
 
 KNN_BATCH_N_QUERIES = 5  # matches the knn_batch query definition

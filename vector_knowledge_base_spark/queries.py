@@ -3473,3 +3473,185 @@ def q_waiting_suppliers_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Wave 17 — corpus-analysis operators for training-data curation: ranked
+# vocabulary, lexical diversity, document-frequency IDF, percentile
+# length-band filtering, and PII redaction (inline known-answer fixture —
+# the synthetic corpus contains no PII).
+# ---------------------------------------------------------------------------
+
+_VOCAB_ORACLE = """
+WITH toks AS (
+  SELECT UNNEST(string_split(text, ' ')) AS term FROM documents
+),
+freq AS (
+  SELECT term, COUNT(*) AS freq FROM toks
+  WHERE term NOT IN ('a', 'the')
+  GROUP BY term
+)
+SELECT term, freq,
+       CAST(ROW_NUMBER() OVER (ORDER BY freq DESC, term) AS INT) AS rank
+FROM freq
+ORDER BY rank
+LIMIT 50
+"""
+
+
+@query("vocab_top_terms", oracle=_VOCAB_ORACLE)
+def q_vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranked corpus vocabulary (stopword-filtered): tokenize → explode →
+    hash-agg count → rank. The explode+count is map-side partial so the
+    shuffle carries one row per distinct term per partition, not per
+    token; the ROW_NUMBER window runs on the already-aggregated
+    vocabulary (orders of magnitude smaller than the corpus — a
+    single-partition sort of the vocab, not the data)."""
+    docs = _t(spark, sf_dir, "documents")
+    freq = (
+        docs.select(F.explode(F.split("text", " ")).alias("term"))
+        .where(~F.col("term").isin("a", "the"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    w = Window.orderBy(F.desc("freq"), F.asc("term"))
+    return freq.select("term", "freq", F.row_number().over(w).alias("rank")).where(
+        F.col("rank") <= 50
+    )
+
+
+_TTR_ORACLE = """
+SELECT doc_id,
+       CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS n_distinct,
+       CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+       ROUND(len(list_distinct(string_split(text, ' ')))::DOUBLE
+             / len(string_split(text, ' ')), 4) AS ttr
+FROM documents
+"""
+
+
+@query("type_token_ratio", oracle=_TTR_ORACLE)
+def q_type_token_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical diversity (type-token ratio) per document — a standard
+    training-data quality signal (low TTR ⇒ repetitive/boilerplate
+    text). Pure scan projection on array builtins: zero shuffle, scales
+    linearly with the scan."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    return docs.select(
+        "doc_id",
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        F.size(toks).alias("n_tokens"),
+        F.round(
+            F.size(F.array_distinct(toks)).cast("double") / F.size(toks), 4
+        ).alias("ttr"),
+    )
+
+
+_DF_IDF_ORACLE = """
+WITH pairs AS (
+  SELECT DISTINCT doc_id, term FROM (
+    SELECT doc_id, UNNEST(string_split(text, ' ')) AS term FROM documents
+  )
+),
+df AS (SELECT term, COUNT(*) AS df FROM pairs GROUP BY term),
+n AS (SELECT COUNT(*) AS n_docs FROM documents)
+SELECT term, df, ROUND(LN((n_docs + 1.0) / (df + 1.0)) + 1.0, 6) AS idf
+FROM df, n
+"""
+
+
+@query("df_idf_vocabulary", oracle=_DF_IDF_ORACLE)
+def q_df_idf_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document frequency + smoothed IDF per term (the sklearn
+    ``smooth_idf`` formula the reference's TF-IDF naming uses —
+    /root/reference/backend/clustering.py:117-131). distinct(doc,term)
+    BEFORE the count so a term repeated in one doc counts once; the
+    corpus size joins in as a broadcast 1-row aggregate."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    ).distinct()
+    df = pairs.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    return df.join(F.broadcast(n)).select(
+        "term",
+        "df",
+        F.round(
+            F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)) + 1.0, 6
+        ).alias("idf"),
+    )
+
+
+_LENGTH_BAND_ORACLE = """
+WITH b AS (SELECT quantile_cont(n_chars, 0.05) AS lo,
+                  quantile_cont(n_chars, 0.95) AS hi
+           FROM documents)
+SELECT doc_id, n_chars FROM documents, b
+WHERE n_chars >= lo AND n_chars <= hi
+"""
+
+
+@query("doc_length_band_filter", oracle=_LENGTH_BAND_ORACLE)
+def q_doc_length_band_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile length-band filter (drop the shortest 5% and longest
+    5% — the classic outlier trim before training): exact interpolated
+    percentiles computed once as a 1-row aggregate, broadcast back over
+    the scan. Both engines use linear interpolation ((1-g)*lo + g*hi),
+    so the band edges agree bit-for-bit."""
+    docs = _t(spark, sf_dir, "documents")
+    bounds = docs.agg(
+        F.percentile("n_chars", F.lit(0.05)).alias("lo"),
+        F.percentile("n_chars", F.lit(0.95)).alias("hi"),
+    )
+    return (
+        docs.join(F.broadcast(bounds))
+        .where((F.col("n_chars") >= F.col("lo")) & (F.col("n_chars") <= F.col("hi")))
+        .select("doc_id", "n_chars")
+    )
+
+
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_SSN = r"\b\d{3}-\d{2}-\d{4}\b"
+_PII_PHONE = r"\b\d{3}-\d{3}-\d{4}\b"
+
+_PII_ORACLE = """
+SELECT * FROM (VALUES
+  (1, 'contact me at [EMAIL] or [EMAIL]', 2, 0, 0),
+  (2, 'call [PHONE] now', 0, 1, 0),
+  (3, 'no pii here', 0, 0, 0),
+  (4, 'ssn [SSN] and mail [EMAIL]', 1, 0, 1)
+) AS t(row_id, redacted, n_emails, n_phones, n_ssns)
+"""
+
+
+@query("pii_redact_inline", oracle=_PII_ORACLE)
+def q_pii_redact_inline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing for training corpora: email/phone/SSN regex
+    redaction + per-row match counts, over an inline fixture with a
+    known-answer oracle (the synthetic corpus has no PII; the VALUES
+    oracle pins the exact expected output, so engine regex dialects
+    can't drift). SSN replaces before phone — the patterns overlap on
+    the 3-digit prefix. JVM-side regexp_replace/regexp_count: the
+    production shape is a zero-shuffle scan projection."""
+    rows = [
+        (1, "contact me at alice@example.com or bob.smith+x@mail.co.uk"),
+        (2, "call 555-123-4567 now"),
+        (3, "no pii here"),
+        (4, "ssn 123-45-6789 and mail carol@test.org"),
+    ]
+    df = spark.createDataFrame(rows, "row_id int, text string")
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace("text", _PII_EMAIL, "[EMAIL]"), _PII_SSN, "[SSN]"
+        ),
+        _PII_PHONE,
+        "[PHONE]",
+    )
+    return df.select(
+        "row_id",
+        redacted.alias("redacted"),
+        F.regexp_count("text", F.lit(_PII_EMAIL)).cast("int").alias("n_emails"),
+        F.regexp_count("text", F.lit(_PII_PHONE)).cast("int").alias("n_phones"),
+        F.regexp_count("text", F.lit(_PII_SSN)).cast("int").alias("n_ssns"),
+    )
