@@ -109,6 +109,11 @@ HEADLINE = [
     "type_token_ratio",
     "df_idf_vocabulary",
     "doc_length_band_filter",
+    # wave 18 — relational surface + mixing
+    "nation_balance_full_outer",
+    "set_except_all_custkeys",
+    "unpivot_order_price_stats",
+    "sample_temperature_mixture",
 ]
 
 KNN_BATCH_N_QUERIES = 5  # matches the knn_batch query definition

@@ -3655,3 +3655,157 @@ def q_pii_redact_inline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_count("text", F.lit(_PII_PHONE)).cast("int").alias("n_phones"),
         F.regexp_count("text", F.lit(_PII_SSN)).cast("int").alias("n_ssns"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Wave 18 — relational-surface completeness (full outer join, EXCEPT ALL,
+# unpivot/melt, outer-explode null semantics) + temperature-scaled domain
+# mixing for training-data curation.
+# ---------------------------------------------------------------------------
+
+_FULL_OUTER_ORACLE = """
+WITH cb AS (SELECT c_nationkey AS nationkey, ROUND(SUM(c_acctbal), 2) AS cust_bal
+            FROM customer WHERE c_acctbal < -900 GROUP BY 1),
+     sb AS (SELECT s_nationkey AS nationkey, ROUND(SUM(s_acctbal), 2) AS supp_bal
+            FROM supplier WHERE s_acctbal > 9900 GROUP BY 1)
+SELECT COALESCE(cb.nationkey, sb.nationkey) AS nationkey, cust_bal, supp_bal
+FROM cb FULL OUTER JOIN sb ON cb.nationkey = sb.nationkey
+"""
+
+
+@query("nation_balance_full_outer", oracle=_FULL_OUTER_ORACLE)
+def q_nation_balance_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join of two sparse per-nation aggregates (extreme
+    negative customer balances vs extreme positive supplier balances) —
+    nations present on only one side keep a NULL other side. Both inputs
+    aggregate BEFORE the join, so the outer join runs on nation-count
+    rows, not raw tables."""
+    cust = _t(spark, sf_dir, "customer").where(F.col("c_acctbal") < -900)
+    supp = _t(spark, sf_dir, "supplier").where(F.col("s_acctbal") > 9900)
+    cb = cust.groupBy(F.col("c_nationkey").alias("nationkey")).agg(
+        F.round(F.sum("c_acctbal"), 2).alias("cust_bal")
+    )
+    sb = supp.groupBy(F.col("s_nationkey").alias("nationkey")).agg(
+        F.round(F.sum("s_acctbal"), 2).alias("supp_bal")
+    )
+    return (
+        cb.join(sb, "nationkey", "full_outer")
+        .select("nationkey", "cust_bal", "supp_bal")
+    )
+
+
+_EXCEPT_ALL_ORACLE = """
+SELECT o_custkey FROM orders WHERE o_orderstatus <> 'F'
+EXCEPT ALL
+SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+"""
+
+
+@query("set_except_all_custkeys", oracle=_EXCEPT_ALL_ORACLE)
+def q_set_except_all_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL (bag semantics): multiplicities subtract instead of
+    collapsing — a customer with 3 open orders and 1 urgent order keeps
+    2 rows. Complements the distinct INTERSECT/EXCEPT pair already in
+    the registry; Spark plans it as a single aggregate on counts, not a
+    join per duplicate."""
+    orders = _t(spark, sf_dir, "orders")
+    open_keys = orders.where(F.col("o_orderstatus") != "F").select("o_custkey")
+    urgent_keys = orders.where(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    return open_keys.exceptAll(urgent_keys)
+
+
+_UNPIVOT_ORACLE = """
+WITH wide AS (
+  SELECT o_orderstatus,
+         ROUND(AVG(o_totalprice), 2) AS avg_price,
+         ROUND(MAX(o_totalprice), 2) AS max_price,
+         ROUND(MIN(o_totalprice), 2) AS min_price
+  FROM orders GROUP BY o_orderstatus
+)
+SELECT o_orderstatus, 'avg_price' AS measure, avg_price AS value FROM wide
+UNION ALL
+SELECT o_orderstatus, 'max_price', max_price FROM wide
+UNION ALL
+SELECT o_orderstatus, 'min_price', min_price FROM wide
+"""
+
+
+@query("unpivot_order_price_stats", oracle=_UNPIVOT_ORACLE)
+def q_unpivot_order_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt): the wide per-status price stats fold into long
+    (status, measure, value) form — the inverse of the wave-10 pivot.
+    Spark's native unpivot is one Expand node over the aggregated rows
+    (3 output rows per input row, no shuffle, no UNION re-scan)."""
+    orders = _t(spark, sf_dir, "orders")
+    wide = orders.groupBy("o_orderstatus").agg(
+        F.round(F.avg("o_totalprice"), 2).alias("avg_price"),
+        F.round(F.max("o_totalprice"), 2).alias("max_price"),
+        F.round(F.min("o_totalprice"), 2).alias("min_price"),
+    )
+    return wide.unpivot(
+        ids=["o_orderstatus"],
+        values=["avg_price", "max_price", "min_price"],
+        variableColumnName="measure",
+        valueColumnName="value",
+    )
+
+
+_POSEXPLODE_OUTER_ORACLE = """
+SELECT * FROM (VALUES
+  (1, 0, 'a'), (1, 1, 'b'),
+  (2, CAST(NULL AS INT), CAST(NULL AS VARCHAR)),
+  (3, CAST(NULL AS INT), CAST(NULL AS VARCHAR))
+) AS t(row_id, pos, tag)
+"""
+
+
+@query("posexplode_outer_inline", oracle=_POSEXPLODE_OUTER_ORACLE)
+def q_posexplode_outer_inline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outer-explode null semantics (inline known-answer fixture): an
+    empty tags array and a NULL tags array each KEEP their parent row
+    with (pos, tag) = NULL — plain explode would silently drop both.
+    The semantics a chunk-expansion or tag-normalization pipeline needs
+    when upstream rows may have no elements."""
+    rows = [(1, ["a", "b"]), (2, []), (3, None)]
+    df = spark.createDataFrame(rows, "row_id int, tags array<string>")
+    return df.select(
+        "row_id", F.posexplode_outer("tags").alias("pos", "tag")
+    )
+
+
+_TEMPERATURE_ORACLE = """
+WITH counts AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
+tot AS (SELECT SUM(POW(n, 0.5)) AS z FROM counts),
+rates AS (
+  SELECT source,
+         CAST(FLOOR(ROUND(POW(n, 0.5) / z * 500.0, 6)) AS INT) AS pct
+  FROM counts, tot
+)
+SELECT d.doc_id, d.source
+FROM documents d JOIN rates r USING (source)
+WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < r.pct
+"""
+
+
+@query("sample_temperature_mixture", oracle=_TEMPERATURE_ORACLE)
+def q_sample_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled domain mixing (rate ∝ n^α, α=0.5): the
+    standard pretraining re-balancer — small sources are upsampled
+    relative to their share, large sources damped. Rates derive from the
+    source histogram in-plan (one aggregate + a 1-row normalizer, both
+    broadcast back); acceptance stays the deterministic hash-bucket
+    predicate, so the mixture is replayable. ROUND(6) before FLOOR keeps
+    the integer thresholds identical across engines' float summation
+    order."""
+    docs = _t(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    tot = counts.agg(F.sum(F.pow("n", 0.5)).alias("z"))
+    rates = counts.join(F.broadcast(tot)).select(
+        "source",
+        F.floor(F.round(F.pow("n", 0.5) / F.col("z") * 500.0, 6)).cast("int").alias("pct"),
+    )
+    return (
+        docs.join(F.broadcast(rates), "source")
+        .where(_hash_bucket("doc_id") < F.col("pct"))
+        .select("doc_id", "source")
+    )
