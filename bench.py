@@ -114,6 +114,10 @@ HEADLINE = [
     "set_except_all_custkeys",
     "unpivot_order_price_stats",
     "sample_temperature_mixture",
+    # wave 19 — window surface + fuzzy matching
+    "customer_spend_percent_rank",
+    "orders_monthly_growth",
+    "fuzzy_name_match_levenshtein",
 ]
 
 KNN_BATCH_N_QUERIES = 5  # matches the knn_batch query definition

@@ -270,3 +270,57 @@ def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
         for r in spark.sql("select * from ssj_test").collect()
     }
     assert got == expected
+
+
+def test_stream_static_enrichment_matches_batch(spark, tmp_path):
+    """Stream-static enrichment (streaming fact ⋈ broadcast dimension →
+    windowed agg per segment) agrees with the batch run of the same
+    plan, including events whose user has no dimension row (coalesced
+    to the 'unknown' segment by the left join)."""
+    from vector_knowledge_base_spark.sources.tables import load_table
+    from vector_knowledge_base_spark.streaming.enrich import enriched_windowed_value
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").select(
+        "ts", "user_id", "value"
+    )
+    # dimension covering only even user ids -> odd ids hit the NULL path
+    dim = (
+        ev.select("user_id")
+        .distinct()
+        .where(F.col("user_id") % 2 == 0)
+        .withColumn(
+            "segment",
+            F.when(F.col("user_id") % 4 == 0, "gold").otherwise("silver"),
+        )
+    )
+
+    expected = {
+        (r.window_start, r.segment, r.total_value)
+        for r in enriched_windowed_value(ev, dim).collect()
+    }
+    assert any(seg == "unknown" for _, seg, _ in expected), (
+        "fixture must exercise the missing-dimension path"
+    )
+
+    ev_dir = str(tmp_path / "events")
+    ev.write.parquet(ev_dir)
+    stream = (
+        spark.readStream.schema("ts timestamp, user_id long, value double")
+        .parquet(ev_dir)
+    )
+    out = enriched_windowed_value(stream, dim)
+    assert out.isStreaming
+
+    q = (
+        out.writeStream.format("memory")
+        .queryName("enrich_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.window_start, r.segment, r.total_value)
+        for r in spark.sql("select * from enrich_test").collect()
+    }
+    assert got == expected

@@ -3809,3 +3809,112 @@ def q_sample_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(_hash_bucket("doc_id") < F.col("pct"))
         .select("doc_id", "source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Wave 19 — window-function surface completion (percent_rank / cume_dist,
+# lag-based growth) and blocked fuzzy string matching (levenshtein).
+# ---------------------------------------------------------------------------
+
+_PERCENT_RANK_ORACLE = """
+WITH spend AS (
+  SELECT o_custkey, ROUND(SUM(o_totalprice), 2) AS total_spend
+  FROM orders GROUP BY o_custkey
+)
+SELECT o_custkey, total_spend,
+       ROUND(PERCENT_RANK() OVER (ORDER BY total_spend), 6) AS pr,
+       ROUND(CUME_DIST() OVER (ORDER BY total_spend), 6) AS cd
+FROM spend
+"""
+
+
+@query("customer_spend_percent_rank", oracle=_PERCENT_RANK_ORACLE)
+def q_customer_spend_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank + cume_dist over per-customer total spend — the
+    relative-standing scores a quality-bucketing or curriculum step
+    needs. Both are RANK-based (tie rows share a value), so ties on
+    total_spend are deterministic across engines. The global window runs
+    on the aggregated per-customer table (|customers| rows, not
+    |orders|); at 100 TB swap the exact global sort for
+    approx_percentile buckets."""
+    orders = _t(spark, sf_dir, "orders")
+    spend = orders.groupBy("o_custkey").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("total_spend")
+    )
+    w = Window.orderBy("total_spend")
+    return spend.select(
+        "o_custkey",
+        "total_spend",
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+    )
+
+
+_MOM_GROWTH_ORACLE = """
+WITH m AS (
+  SELECT date_trunc('month', o_orderdate) AS month,
+         ROUND(SUM(o_totalprice), 2) AS revenue
+  FROM orders GROUP BY 1
+)
+SELECT month, revenue,
+       ROUND(revenue / LAG(revenue) OVER (ORDER BY month) - 1.0, 6) AS mom_growth
+FROM m
+"""
+
+
+@query("orders_monthly_growth", oracle=_MOM_GROWTH_ORACLE)
+def q_orders_monthly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue growth: date_trunc rollup then LAG over
+    the month series (first month's growth is NULL). The lag window is
+    a single partition by construction — but over ~80 monthly rows
+    post-aggregation, not the fact table."""
+    orders = _t(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.date_trunc("month", "o_orderdate").alias("month")
+    ).agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    w = Window.orderBy("month")
+    return monthly.select(
+        "month",
+        "revenue",
+        F.round(F.col("revenue") / F.lag("revenue").over(w) - 1.0, 6).alias(
+            "mom_growth"
+        ),
+    )
+
+
+_FUZZY_NAME_ORACLE = """
+WITH names AS (SELECT DISTINCT p_name FROM part)
+SELECT a.p_name AS name_a, b.p_name AS name_b,
+       CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist
+FROM names a JOIN names b
+  ON split_part(a.p_name, ' ', 2) = split_part(b.p_name, ' ', 2)
+ AND a.p_name < b.p_name
+WHERE levenshtein(a.p_name, b.p_name) <= 2
+"""
+
+
+@query("fuzzy_name_match_levenshtein", oracle=_FUZZY_NAME_ORACLE)
+def q_fuzzy_name_match_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy matching: near-identical part names by edit
+    distance ≤ 2 ('cold bolt' ↔ 'old bolt'). The classic record-linkage
+    shape — distinct the dirty column FIRST (the name vocabulary is
+    orders of magnitude smaller than the table), block on a cheap key
+    (second token) so levenshtein runs per blocked pair, never all
+    pairs. a < b halves the symmetric pairs."""
+    part = _t(spark, sf_dir, "part")
+    names = part.select("p_name").distinct()
+    a = names.select(F.col("p_name").alias("name_a"))
+    b = names.select(F.col("p_name").alias("name_b"))
+    blocked = a.join(
+        b,
+        (
+            F.split_part(F.col("name_a"), F.lit(" "), F.lit(2))
+            == F.split_part(F.col("name_b"), F.lit(" "), F.lit(2))
+        )
+        & (F.col("name_a") < F.col("name_b")),
+    )
+    return blocked.select(
+        "name_a",
+        "name_b",
+        F.levenshtein("name_a", "name_b").alias("dist"),
+    ).where(F.col("dist") <= 2)
