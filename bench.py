@@ -118,6 +118,11 @@ HEADLINE = [
     "customer_spend_percent_rank",
     "orders_monthly_growth",
     "fuzzy_name_match_levenshtein",
+    # wave 20 — hybrid retrieval + vector geometry
+    "hybrid_search_rrf",
+    "knn_topk_doc_filtered",
+    "centroid_similarity_matrix",
+    "embedding_norm_stats",
 ]
 
 KNN_BATCH_N_QUERIES = 5  # matches the knn_batch query definition

@@ -3918,3 +3918,200 @@ def q_fuzzy_name_match_levenshtein(spark: SparkSession, sf_dir: str) -> DataFram
         "name_b",
         F.levenshtein("name_a", "name_b").alias("dist"),
     ).where(F.col("dist") <= 2)
+
+
+# ---------------------------------------------------------------------------
+# Wave 20 — core-domain depth: hybrid (keyword + vector) retrieval with
+# reciprocal-rank fusion, kNN under a JOINED document predicate (the
+# payload-filter shape when metadata lives in another table), centroid
+# geometry, and per-label norm diagnostics.
+# ---------------------------------------------------------------------------
+
+_HYBRID_RRF_ORACLE = """
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+kw AS (
+  SELECT doc_id,
+         ROW_NUMBER() OVER (
+           ORDER BY len(list_filter(string_split(text, ' '), t -> t = 'vector')) DESC,
+                    doc_id) AS rk
+  FROM documents
+),
+vec AS (
+  SELECT e.vec_id AS doc_id,
+         ROW_NUMBER() OVER (
+           ORDER BY list_dot_product(e.embedding::DOUBLE[], q.qv) DESC,
+                    e.vec_id) AS rv
+  FROM embeddings e, q
+)
+SELECT kw.doc_id,
+       ROUND(1.0 / (60 + kw.rk) + 1.0 / (60 + vec.rv), 6) AS rrf_score
+FROM kw JOIN vec USING (doc_id)
+ORDER BY rrf_score DESC, doc_id
+LIMIT 10
+"""
+
+
+@query("hybrid_search_rrf", oracle=_HYBRID_RRF_ORACLE)
+def q_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval with reciprocal-rank fusion: a keyword ranking
+    (term frequency of 'vector') and a cosine ranking fused as
+    1/(60+rank_kw) + 1/(60+rank_vec) — the standard RAG hybrid-search
+    combiner the reference's vector-only /search lacks
+    (/root/reference/backend/main.py:185-230). Both rankings are global
+    row_numbers here (corpus-sized input); at 100 TB each side prunes to
+    its own top-N candidates first (TakeOrderedAndProject) and fusion
+    runs on the candidate union."""
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    tf = F.size(F.filter(F.split("text", " "), lambda t: t == F.lit("vector")))
+    kw = docs.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc(tf.alias("tf")), F.asc("doc_id")))
+        .alias("rk"),
+    )
+    scored = emb.join(F.broadcast(q)).select(
+        F.col("vec_id").alias("doc_id"),
+        dot_product(F.col("embedding"), F.col("qv")).alias("score"),
+    )
+    vec = scored.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("score"), F.asc("doc_id")))
+        .alias("rv"),
+    )
+    return (
+        kw.join(vec, "doc_id")
+        .select(
+            "doc_id",
+            F.round(
+                1.0 / (60 + F.col("rk")) + 1.0 / (60 + F.col("rv")), 6
+            ).alias("rrf_score"),
+        )
+        .orderBy(F.desc("rrf_score"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
+_KNN_DOC_FILTERED_ORACLE = """
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+SELECT e.vec_id,
+       ROUND(list_dot_product(e.embedding::DOUBLE[], q.qv), 6) AS score
+FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id, q
+WHERE d.lang = 'en'
+ORDER BY score DESC, vec_id
+LIMIT 10
+"""
+
+
+@query("knn_topk_doc_filtered", oracle=_KNN_DOC_FILTERED_ORACLE)
+def q_knn_topk_doc_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K1+F1 where the filter predicate lives in ANOTHER table: top-10
+    cosine among vectors whose joined document is English — the payload
+    filter as a semi-join instead of a same-row column (the reference
+    stores payload inline in Qdrant; a lakehouse keeps metadata
+    normalized). The doc filter prunes before scoring, and the top-k
+    still compiles to TakeOrderedAndProject."""
+    emb = _t(spark, sf_dir, "embeddings")
+    docs = _t(spark, sf_dir, "documents").where(F.col("lang") == "en")
+    q = emb.where(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    return (
+        emb.join(docs.select(F.col("doc_id")), emb.vec_id == F.col("doc_id"), "left_semi")
+        .join(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.round(dot_product(F.col("embedding"), F.col("qv")), 6).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
+_CENTROID_SIM_ORACLE = """
+WITH c AS (
+  SELECT label, i, AVG(v) AS cv FROM (
+    SELECT label,
+           UNNEST(embedding::DOUBLE[]) AS v,
+           generate_subscripts(embedding, 1) AS i
+    FROM embeddings
+  ) GROUP BY label, i
+),
+norms AS (SELECT label, SQRT(SUM(cv * cv)) AS n FROM c GROUP BY label),
+dots AS (
+  SELECT a.label AS label_a, b.label AS label_b, SUM(a.cv * b.cv) AS dot
+  FROM c a JOIN c b ON a.i = b.i AND a.label < b.label
+  GROUP BY 1, 2
+)
+SELECT label_a, label_b,
+       ROUND(dot / (na.n * nb.n), 6) AS cos_sim
+FROM dots
+JOIN norms na ON na.label = label_a
+JOIN norms nb ON nb.label = label_b
+"""
+
+
+@query("centroid_similarity_matrix", oracle=_CENTROID_SIM_ORACLE)
+def q_centroid_similarity_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise cosine between label centroids — the cluster-geometry
+    diagnostic behind merge/split decisions. The corpus collapses to
+    |labels|×dim centroid rows in one partial-aggregated pass; the
+    pairwise self-join then runs on that tiny table (broadcast), never
+    on the corpus."""
+    emb = _t(spark, sf_dir, "embeddings")
+    c = (
+        emb.select("label", F.posexplode("embedding").alias("i", "v"))
+        .groupBy("label", "i")
+        .agg(F.avg(F.col("v").cast("double")).alias("cv"))
+    )
+    norms = c.groupBy("label").agg(F.sqrt(F.sum(F.col("cv") * F.col("cv"))).alias("n"))
+    a = c.select(F.col("label").alias("label_a"), "i", F.col("cv").alias("cva"))
+    b = c.select(F.col("label").alias("label_b"), "i", F.col("cv").alias("cvb"))
+    dots = (
+        a.join(b, ["i"])
+        .where(F.col("label_a") < F.col("label_b"))
+        .groupBy("label_a", "label_b")
+        .agg(F.sum(F.col("cva") * F.col("cvb")).alias("dot"))
+    )
+    na = norms.select(F.col("label").alias("label_a"), F.col("n").alias("na"))
+    nb = norms.select(F.col("label").alias("label_b"), F.col("n").alias("nb"))
+    return (
+        dots.join(F.broadcast(na), "label_a")
+        .join(F.broadcast(nb), "label_b")
+        .select(
+            "label_a",
+            "label_b",
+            F.round(F.col("dot") / (F.col("na") * F.col("nb")), 6).alias("cos_sim"),
+        )
+    )
+
+
+_NORM_STATS_ORACLE = """
+SELECT label,
+       ROUND(AVG(nrm), 6) AS avg_norm,
+       ROUND(MIN(nrm), 6) AS min_norm,
+       ROUND(MAX(nrm), 6) AS max_norm
+FROM (
+  SELECT label,
+         SQRT(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+  FROM embeddings
+) GROUP BY label
+"""
+
+
+@query("embedding_norm_stats", oracle=_NORM_STATS_ORACLE)
+def q_embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label L2-norm distribution — the write-time sanity gate for a
+    cosine index (unit-normalized vectors must cluster at norm 1; drift
+    means a broken embedder). Scan projection + one aggregate."""
+    emb = _t(spark, sf_dir, "embeddings")
+    nrm = F.sqrt(dot_product(F.col("embedding"), F.col("embedding")))
+    return (
+        emb.select("label", nrm.alias("nrm"))
+        .groupBy("label")
+        .agg(
+            F.round(F.avg("nrm"), 6).alias("avg_norm"),
+            F.round(F.min("nrm"), 6).alias("min_norm"),
+            F.round(F.max("nrm"), 6).alias("max_norm"),
+        )
+    )
