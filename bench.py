@@ -123,6 +123,9 @@ HEADLINE = [
     "knn_topk_doc_filtered",
     "centroid_similarity_matrix",
     "embedding_norm_stats",
+    # wave 21 — event analytics
+    "funnel_view_click_purchase",
+    "retention_cohorts_daily",
 ]
 
 KNN_BATCH_N_QUERIES = 5  # matches the knn_batch query definition

@@ -4115,3 +4115,114 @@ def q_embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("nrm"), 6).alias("max_norm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Wave 21 — event analytics: ordered conversion funnel (time-bounded
+# stages) and retention cohorts. The events table's product-analytics
+# face, complementing the windowed/sessionized family.
+# ---------------------------------------------------------------------------
+
+_FUNNEL_ORACLE = """
+WITH v AS (
+  SELECT user_id, MIN(ts) AS t_view FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, MIN(e.ts) AS t_click
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click'
+    AND e.ts > v.t_view AND e.ts <= v.t_view + INTERVAL 1 HOUR
+  GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase'
+    AND e.ts > c.t_click AND e.ts <= c.t_click + INTERVAL 1 HOUR
+  GROUP BY e.user_id
+)
+SELECT '1_view' AS stage, COUNT(*) AS n_users FROM v
+UNION ALL SELECT '2_click_1h', COUNT(*) FROM c
+UNION ALL SELECT '3_purchase_1h', COUNT(*) FROM p
+"""
+
+
+@query("funnel_view_click_purchase", oracle=_FUNNEL_ORACLE)
+def q_funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel with per-stage time bounds: first view
+    → first click within 1h of it → purchase within 1h of that click.
+    Each stage is one aggregate + one equi-join on user_id (the interval
+    is a residual predicate) — stage N's table only shrinks, so the
+    chain never re-shuffles more than the previous stage's survivors."""
+    ev = _t(spark, sf_dir, "events")
+    hour = F.expr("INTERVAL 1 HOUR")
+    v = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        ev.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where((F.col("ts") > F.col("t_view")) & (F.col("ts") <= F.col("t_view") + hour))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where(
+            (F.col("ts") > F.col("t_click")) & (F.col("ts") <= F.col("t_click") + hour)
+        )
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)))
+    )
+    def stage(df, label):
+        return df.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit(label).alias("stage"), "n_users"
+        )
+    return stage(v, "1_view").unionAll(stage(c, "2_click_1h")).unionAll(
+        stage(p, "3_purchase_1h")
+    )
+
+
+_RETENTION_ORACLE = """
+WITH first_day AS (
+  SELECT user_id, MIN(date_trunc('day', ts)) AS cohort_day
+  FROM events GROUP BY user_id
+),
+activity AS (
+  SELECT DISTINCT e.user_id, f.cohort_day,
+         CAST(date_diff('day', f.cohort_day, date_trunc('day', e.ts)) AS INT)
+           AS day_offset
+  FROM events e JOIN first_day f ON e.user_id = f.user_id
+)
+SELECT cohort_day, day_offset, COUNT(*) AS n_users
+FROM activity
+GROUP BY cohort_day, day_offset
+"""
+
+
+@query("retention_cohorts_daily", oracle=_RETENTION_ORACLE)
+def q_retention_cohorts_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention cohorts: users grouped by first-activity day, counted
+    on each later active day (offset in days). First-day table is one
+    aggregate; the fact re-joins it on user_id (both sides partitioned
+    the same), distinct collapses per-day duplicates BEFORE the cohort
+    count so a chatty user counts once per day."""
+    ev = _t(spark, sf_dir, "events")
+    day = F.date_trunc("day", "ts")
+    first_day = ev.groupBy("user_id").agg(F.min(day).alias("cohort_day"))
+    activity = (
+        ev.join(first_day, "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            F.datediff(day, F.col("cohort_day")).cast("int").alias("day_offset"),
+        )
+        .distinct()
+    )
+    return activity.groupBy("cohort_day", "day_offset").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
