@@ -126,6 +126,9 @@ HEADLINE = [
     # wave 21 — event analytics
     "funnel_view_click_purchase",
     "retention_cohorts_daily",
+    # wave 22 — sessionization + market basket
+    "session_stats_lag_gap",
+    "copurchase_part_pairs",
 ]
 
 KNN_BATCH_N_QUERIES = 5  # matches the knn_batch query definition

@@ -4226,3 +4226,217 @@ def q_retention_cohorts_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     return activity.groupBy("cohort_day", "day_offset").agg(
         F.count(F.lit(1)).alias("n_users")
     )
+
+
+# ---------------------------------------------------------------------------
+# Wave 22 — write-path semantics as oracled plans (registry merge upsert,
+# SCD2 dimension update), lag-gap sessionization, market-basket
+# co-occurrence, and the multimodal frame sampler under the driver gate.
+# ---------------------------------------------------------------------------
+
+_REGISTRY_MERGE_ORACLE = """
+SELECT * FROM (VALUES
+  ('doc1', 'a.txt',    TIMESTAMP '2024-01-01 00:00:00', 3),
+  ('doc2', 'b_v2.txt', TIMESTAMP '2024-03-01 00:00:00', 6),
+  ('doc3', 'c.txt',    TIMESTAMP '2024-03-02 00:00:00', 2)
+) AS t(document_id, filename, upload_date, total_chunks)
+"""
+
+
+@query("registry_merge_upsert_inline", oracle=_REGISTRY_MERGE_ORACLE)
+def q_registry_merge_upsert_inline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The documents-registry MERGE (A1/A2 write-path maintenance,
+    reference /root/reference/backend/document_registry.py:57-122
+    add/update under a lock): existing registry ∪ new-batch summaries as
+    a full-outer join, new values winning per column. On immutable
+    parquet this IS the upsert — the same shape Delta MERGE compiles to.
+    Inline fixture + known-answer oracle (doc1 untouched, doc2 updated,
+    doc3 inserted)."""
+    import datetime as _dt
+
+    old = spark.createDataFrame(
+        [
+            ("doc1", "a.txt", _dt.datetime(2024, 1, 1), 3),
+            ("doc2", "b.txt", _dt.datetime(2024, 1, 2), 5),
+        ],
+        "document_id string, filename string, upload_date timestamp, total_chunks int",
+    )
+    new = spark.createDataFrame(
+        [
+            ("doc2", "b_v2.txt", _dt.datetime(2024, 3, 1), 6),
+            ("doc3", "c.txt", _dt.datetime(2024, 3, 2), 2),
+        ],
+        "document_id string, filename string, upload_date timestamp, total_chunks int",
+    )
+    o = old.alias("o")
+    n = new.alias("n")
+    return o.join(n, "document_id", "full_outer").select(
+        "document_id",
+        F.coalesce("n.filename", "o.filename").alias("filename"),
+        F.coalesce("n.upload_date", "o.upload_date").alias("upload_date"),
+        F.coalesce("n.total_chunks", "o.total_chunks").alias("total_chunks"),
+    )
+
+
+_SCD2_ORACLE = """
+SELECT * FROM (VALUES
+  ('k1', 'v1', '2024-01-01', '2024-06-01'),
+  ('k1', 'v2', '2024-06-01', CAST(NULL AS VARCHAR)),
+  ('k2', 'x1', '2024-01-01', CAST(NULL AS VARCHAR)),
+  ('k3', 'z1', '2024-06-01', CAST(NULL AS VARCHAR))
+) AS t(key, value, valid_from, valid_to)
+"""
+
+
+@query("scd2_dimension_update_inline", oracle=_SCD2_ORACLE)
+def q_scd2_dimension_update_inline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type 2: an update batch closes the
+    matching open rows (valid_to = effective date) and appends the new
+    versions; untouched keys pass through. Three branches of one current
+    table — changed (semi-join), unchanged (anti-join), incoming — and
+    a union; no row-at-a-time mutation, the historical versions stay
+    immutable. Inline fixture + known-answer oracle."""
+    eff = "2024-06-01"
+    current = spark.createDataFrame(
+        [("k1", "v1", "2024-01-01", None), ("k2", "x1", "2024-01-01", None)],
+        "key string, value string, valid_from string, valid_to string",
+    )
+    updates = spark.createDataFrame(
+        [("k1", "v2"), ("k3", "z1")], "key string, value string"
+    )
+    upd_keys = updates.select("key")
+    closed = (
+        current.where(F.col("valid_to").isNull())
+        .join(upd_keys, "key", "left_semi")
+        .select("key", "value", "valid_from", F.lit(eff).alias("valid_to"))
+    )
+    unchanged = current.join(upd_keys, "key", "left_anti")
+    incoming = updates.select(
+        "key",
+        "value",
+        F.lit(eff).alias("valid_from"),
+        F.lit(None).cast("string").alias("valid_to"),
+    )
+    return unchanged.unionByName(closed).unionByName(incoming)
+
+
+_SESSION_LAG_ORACLE = """
+WITH flags AS (
+  SELECT user_id, ts,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS sess_id
+  FROM flags
+)
+SELECT user_id, CAST(MAX(sess_id) AS BIGINT) AS n_sessions,
+       COUNT(*) AS n_events
+FROM sess GROUP BY user_id
+"""
+
+
+@query("session_stats_lag_gap", oracle=_SESSION_LAG_ORACLE)
+def q_session_stats_lag_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization by the lag-gap method: a 30-minute silence starts
+    a new session (flag = lag-gap > threshold, session id = running sum
+    of flags). The window-function twin of the session_window aggregate
+    already in the registry — same 30-min semantics, but yields per-event
+    session ids usable for further joins. One shuffle on user_id; both
+    windows share it."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    flags = ev.select(
+        "user_id",
+        "ts",
+        F.when(gap.isNull() | (gap > 1800), 1).otherwise(0).alias("new_sess"),
+    )
+    wrun = (
+        Window.partitionBy("user_id")
+        .orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sess = flags.select("user_id", F.sum("new_sess").over(wrun).alias("sess_id"))
+    return sess.groupBy("user_id").agg(
+        F.max("sess_id").alias("n_sessions"), F.count(F.lit(1)).alias("n_events")
+    )
+
+
+_COPURCHASE_ORACLE = """
+SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS n_orders
+FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
+JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
+  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+GROUP BY 1, 2
+HAVING COUNT(*) >= 3
+"""
+
+
+@query("copurchase_part_pairs", oracle=_COPURCHASE_ORACLE)
+def q_copurchase_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: part pairs appearing together in ≥3
+    orders. Same bounded-bucket shape as the Jaccard inverted index —
+    baskets collect per order (bounded by order size), pairs generate
+    INSIDE each basket array (no self-join, the fact table is scanned
+    once), then one count per pair. The oracle is the equivalent
+    self-join formulation."""
+    from vector_knowledge_base_spark.operators.text_dedup import (
+        _pairs_from_sorted_ids,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    baskets = (
+        li.select("l_orderkey", "l_partkey")
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.array_distinct(F.collect_list("l_partkey"))).alias("ids"))
+        .where(F.size("ids") >= 2)
+    )
+    return (
+        baskets.select(F.explode(_pairs_from_sorted_ids("ids")).alias("p"))
+        .groupBy(
+            F.col("p.doc_id_a").alias("part_a"), F.col("p.doc_id_b").alias("part_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .where(F.col("n_orders") >= 3)
+    )
+
+
+_FRAME_SAMPLE_ORACLE = """
+SELECT * FROM (VALUES
+  ('mem://a.vid', 0, 1024, '9ee0a0e0c0bc0f1ff29d663d1fdf0743'),
+  ('mem://a.vid', 2, 1024, '84b299039c9fef15e82c181871ebab0a'),
+  ('mem://a.vid', 4, 1024, '9a016568d5860c0acba364d0a6ca5ed8'),
+  ('mem://b.vid', 0, 1024, '89fb2523f6f2e1329f6886ecfd9e2aad')
+) AS t(path, frame_index, frame_len, frame_md5)
+"""
+
+
+@query("multimodal_frame_sample_inline", oracle=_FRAME_SAMPLE_ORACLE)
+def q_multimodal_frame_sample_inline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling driver-checked end-to-end (wave-14 pattern):
+    inline binary payloads through the mapInPandas sampler (every 2nd
+    1024-byte pseudo-frame — the deterministic fake-decode path; pyav/
+    ffmpeg absent, the Spark plumbing is what's under test). Frames are
+    emitted as md5+length so the binary column never reaches the
+    canonicalizer."""
+    from vector_knowledge_base_spark.operators.multimodal import sample_frames
+
+    content_a = bytes(i % 251 for i in range(5120))
+    content_b = b"xyz" * 500
+    files = spark.createDataFrame(
+        [("mem://a.vid", bytearray(content_a)), ("mem://b.vid", bytearray(content_b))],
+        "path string, content binary",
+    )
+    frames = sample_frames(files, every_n=2, fake_decode=True)
+    return frames.select(
+        "path",
+        "frame_index",
+        F.length("frame").cast("int").alias("frame_len"),
+        F.md5("frame").alias("frame_md5"),
+    )
