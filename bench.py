@@ -129,6 +129,9 @@ HEADLINE = [
     # wave 22 — sessionization + market basket
     "session_stats_lag_gap",
     "copurchase_part_pairs",
+    # wave 23 — quality proxy + keep-best dedup
+    "unigram_logprob_quality",
+    "dedup_keep_best",
 ]
 
 KNN_BATCH_N_QUERIES = 5  # matches the knn_batch query definition

@@ -4440,3 +4440,73 @@ def q_multimodal_frame_sample_inline(spark: SparkSession, sf_dir: str) -> DataFr
         F.length("frame").cast("int").alias("frame_len"),
         F.md5("frame").alias("frame_md5"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Wave 23 — model-free quality proxy (corpus unigram log-probability) and
+# policy-based canonical selection for exact duplicates.
+# ---------------------------------------------------------------------------
+
+_UNIGRAM_LOGPROB_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, UNNEST(string_split(text, ' ')) AS term FROM documents
+),
+freq AS (SELECT term, COUNT(*) AS n FROM toks GROUP BY term),
+tot AS (SELECT SUM(n) AS total FROM freq)
+SELECT doc_id,
+       COUNT(*) AS n_tokens,
+       ROUND(AVG(LN(n / (total * 1.0))), 4) AS avg_logprob
+FROM toks JOIN freq USING (term), tot
+GROUP BY doc_id
+"""
+
+
+@query("unigram_logprob_quality", oracle=_UNIGRAM_LOGPROB_ORACLE)
+def q_unigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-free perplexity proxy: each document's mean unigram
+    log-probability under the corpus's own unigram distribution —
+    documents of rare/garbled tokens score low, boilerplate scores
+    high; the cheap first-pass quality filter before an LM-based one.
+    Two aggregates over one exploded scan; the frequency table
+    broadcasts back onto the token stream (vocabulary ≪ corpus)."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    freq = toks.groupBy("term").agg(F.count(F.lit(1)).alias("n"))
+    tot = freq.agg(F.sum("n").alias("total"))
+    return (
+        toks.join(F.broadcast(freq), "term")
+        .join(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg(F.log(F.col("n") / (F.col("total") * 1.0))), 4).alias(
+                "avg_logprob"
+            ),
+        )
+    )
+
+
+_KEEP_BEST_ORACLE = """
+SELECT doc_id, content_hash FROM (
+  SELECT doc_id, md5(text) AS content_hash,
+         ROW_NUMBER() OVER (PARTITION BY md5(text)
+                            ORDER BY n_chars DESC, doc_id) AS rn
+  FROM documents
+) WHERE rn = 1
+"""
+
+
+@query("dedup_keep_best", oracle=_KEEP_BEST_ORACLE)
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Policy-based exact dedup: within each content-hash group keep the
+    BEST row (longest, then smallest id) — the keep-policy twin of
+    dedup_exact's keep-first. One window over the hash key; the text
+    itself never shuffles (the 32-byte hash does)."""
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("content_hash").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    return (
+        docs.select("doc_id", F.md5("text").alias("content_hash"), "n_chars")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("doc_id", "content_hash")
+    )
