@@ -132,6 +132,9 @@ HEADLINE = [
     # wave 23 — quality proxy + keep-best dedup
     "unigram_logprob_quality",
     "dedup_keep_best",
+    # wave 24 — data quality + smoothing
+    "dq_constraint_report",
+    "events_ewma_final",
 ]
 
 KNN_BATCH_N_QUERIES = 5  # matches the knn_batch query definition

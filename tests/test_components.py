@@ -37,3 +37,42 @@ def test_empty_edges(spark):
     empty = spark.createDataFrame([], "doc_id_a BIGINT, doc_id_b BIGINT")
     rows = {r["doc_id"]: r["canonical_id"] for r in dedup_canonical(docs, empty).collect()}
     assert rows == {1: 1, 2: 2}
+
+
+def test_pagerank_mass_conservation_and_hub(spark):
+    """Star graph: the hub must out-rank every leaf; total rank mass
+    stays ≈ |nodes| (damping redistributes, never leaks)."""
+    from vector_knowledge_base_spark.operators.components import pagerank
+
+    edges = spark.createDataFrame(
+        [(0, i) for i in range(1, 6)] + [(10, 11)], ["src", "dst"]
+    )
+    ranks = {r["id"]: r["rank"] for r in pagerank(edges, iterations=10).collect()}
+    assert len(ranks) == 8
+    assert all(v > 0 for v in ranks.values())
+    assert abs(sum(ranks.values()) - 8) < 0.05
+    hub = ranks[0]
+    assert all(hub > ranks[i] for i in range(1, 6))
+    # symmetric 2-cycle: equal ranks
+    assert abs(ranks[10] - ranks[11]) < 1e-9
+
+
+def test_observation_metrics_single_pass(spark):
+    """The Observation API collects pipeline counters DURING the action
+    (no second scan) — the production pattern for ingest audit metrics."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    df = spark.range(100).withColumn("v", F.col("id") * 2.0)
+    obs = Observation("ingest_metrics")
+    observed = df.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("v").alias("total_v"),
+        F.max("id").alias("max_id"),
+    )
+    assert observed.count() == 100
+    got = obs.get
+    assert got["n_rows"] == 100
+    assert got["total_v"] == sum(i * 2.0 for i in range(100))
+    assert got["max_id"] == 99

@@ -104,3 +104,47 @@ def dedup_canonical(
         F.col(id_col),
         F.coalesce("component", F.col(id_col)).alias("canonical_id"),
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 10,
+    damping: float = 0.85,
+) -> DataFrame:
+    """PageRank over an undirected edge list (both directions added),
+    fixed iteration count. Same distributed shape as
+    ``connected_components``: per-round join of the edge list with the
+    current rank vector on the source id, aggregate contributions per
+    destination, ``localCheckpoint`` to truncate lineage. No driver-side
+    state beyond the loop counter; ranks sum to ~|nodes| throughout
+    (damping mass redistributed uniformly).
+    """
+    mat = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).localCheckpoint(
+        eager=True
+    )
+    bi = mat.unionAll(mat.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    deg = bi.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
+    n_nodes = deg.count()
+    ranks = deg.select("a", F.lit(1.0).alias("rank"))
+    for _ in range(iterations):
+        contrib = (
+            bi.join(ranks.join(deg, "a"), "a")
+            .select(F.col("b").alias("a"), (F.col("rank") / F.col("deg")).alias("c"))
+            .groupBy("a")
+            .agg(F.sum("c").alias("c"))
+        )
+        ranks = (
+            deg.select("a")
+            .join(contrib, "a", "left")
+            .select(
+                "a",
+                (
+                    F.lit(1.0 - damping)
+                    + F.lit(damping) * F.coalesce("c", F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select(F.col("a").alias("id"), "rank")

@@ -4510,3 +4510,102 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") == 1)
         .select("doc_id", "content_hash")
     )
+
+
+# ---------------------------------------------------------------------------
+# Wave 24 — production data-quality constraints (deequ-style report),
+# EWMA smoothing via a closed-form window expression, and PageRank over
+# the co-purchase graph (iterative; rows-only with pytest invariants).
+# ---------------------------------------------------------------------------
+
+_DQ_ORACLE = """
+SELECT 'orders' AS table_name,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS null_custkey,
+       COUNT(*) - COUNT(DISTINCT o_orderkey) AS dup_orderkeys,
+       (SELECT COUNT(*) FROM orders o2
+        WHERE NOT EXISTS (SELECT 1 FROM customer c
+                          WHERE c.c_custkey = o2.o_custkey)) AS fk_violations
+FROM orders
+"""
+
+
+@query("dq_constraint_report", oracle=_DQ_ORACLE)
+def q_dq_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality constraint report (the deequ/expectations pattern):
+    row count, null-key count, primary-key duplicate count, and
+    foreign-key violations in ONE pass over orders plus one anti-join
+    count — the audit a 100 TB ingest runs before promoting a batch.
+    All four metrics land in a single 1-row frame."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    fk = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey, "left_anti")
+        .agg(F.count(F.lit(1)).alias("fk_violations"))
+    )
+    base = orders.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("o_custkey").isNull(), 1).otherwise(0)).alias(
+            "null_custkey"
+        ),
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias("dup_orderkeys"),
+    )
+    return base.join(F.broadcast(fk)).select(
+        F.lit("orders").alias("table_name"),
+        "n_rows",
+        "null_custkey",
+        "dup_orderkeys",
+        "fk_violations",
+    )
+
+
+_EWMA_ORACLE = """
+WITH seq AS (
+  SELECT user_id, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS i,
+         COUNT(*) OVER (PARTITION BY user_id) AS n
+  FROM events
+)
+SELECT user_id,
+       ROUND(SUM(CASE WHEN i = 1 THEN POW(0.8, n - 1) * value
+                      ELSE 0.2 * POW(0.8, n - i) * value END), 4) AS ewma
+FROM seq GROUP BY user_id
+"""
+
+
+@query("events_ewma_final", oracle=_EWMA_ORACLE)
+def q_events_ewma_final(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average (α=0.2) of each user's
+    value sequence — the recursive s_i = αv_i + (1−α)s_{i−1} unrolled
+    into its closed form Σ α(1−α)^(n−i)v_i, which is ONE window pass +
+    ONE aggregate instead of an unexpressible sequential recursion.
+    Weights underflow harmlessly for long histories."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wall = Window.partitionBy("user_id")
+    seq = ev.select(
+        "user_id",
+        "value",
+        F.row_number().over(w).alias("i"),
+        F.count(F.lit(1)).over(wall).alias("n"),
+    )
+    term = F.when(
+        F.col("i") == 1, F.pow(0.8, F.col("n") - 1) * F.col("value")
+    ).otherwise(F.lit(0.2) * F.pow(0.8, F.col("n") - F.col("i")) * F.col("value"))
+    return seq.groupBy("user_id").agg(F.round(F.sum(term), 4).alias("ewma"))
+
+
+@query("pagerank_copurchase", oracle=None)
+def q_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the co-purchase part graph (edges = pairs bought
+    together in ≥3 orders). Iterative joins with lineage truncation —
+    rows-only (recursive aggregation is not SQL-expressible); rank-mass
+    conservation and positivity are pytest invariants."""
+    from vector_knowledge_base_spark.operators.components import pagerank
+
+    edges = QUERIES["copurchase_part_pairs"](spark, sf_dir).select(
+        F.col("part_a").alias("src"), F.col("part_b").alias("dst")
+    )
+    pr = pagerank(edges, iterations=5)
+    return pr.select("id", F.round("rank", 6).alias("rank"))
