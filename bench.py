@@ -135,6 +135,9 @@ HEADLINE = [
     # wave 24 — data quality + smoothing
     "dq_constraint_report",
     "events_ewma_final",
+    # wave 25 — Spark-4 surface
+    "variant_props_extract",
+    "collation_case_insensitive_group",
 ]
 
 KNN_BATCH_N_QUERIES = 5  # matches the knn_batch query definition

@@ -76,3 +76,34 @@ def test_observation_metrics_single_pass(spark):
     assert got["n_rows"] == 100
     assert got["total_v"] == sum(i * 2.0 for i in range(100))
     assert got["max_id"] == 99
+
+
+def test_python_datasource_synthetic_docs(spark):
+    """Spark-4 Python DataSource contract end-to-end: registration,
+    options, partition planning (one task per InputPartition), and
+    deterministic per-partition generation — content equals the same
+    generator called locally."""
+    from pyspark.sql import functions as F
+
+    from vector_knowledge_base_spark.sources.pyds import (
+        SyntheticDocsDataSource,
+        synthetic_text,
+    )
+
+    spark.dataSource.register(SyntheticDocsDataSource)
+    df = (
+        spark.read.format("synthetic_docs")
+        .option("n", 50)
+        .option("num_partitions", 5)
+        .load()
+    )
+    assert df.schema.simpleString() == "struct<doc_id:bigint,text:string>"
+    rows = {r.doc_id: r.text for r in df.collect()}
+    assert len(rows) == 50
+    assert rows[7] == synthetic_text(7)
+    assert rows[49] == synthetic_text(49)
+    n_parts = df.select(F.spark_partition_id().alias("p")).distinct().count()
+    assert n_parts == 5
+    # the source composes with ordinary plans (filter + agg downstream)
+    n_spark_docs = df.where(F.col("text").contains("spark")).count()
+    assert n_spark_docs == sum(1 for t in rows.values() if "spark" in t)

@@ -4609,3 +4609,63 @@ def q_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pr = pagerank(edges, iterations=5)
     return pr.select("id", F.round("rank", 6).alias("rank"))
+
+
+# ---------------------------------------------------------------------------
+# Wave 25 — Spark 4 surface: VARIANT semi-structured handling and
+# case-insensitive collation. (The Python DataSource API is exercised in
+# tests/test_components.py — a source has no DuckDB-oracle form.)
+# ---------------------------------------------------------------------------
+
+_VARIANT_ORACLE = """
+SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k_value
+FROM events
+"""
+
+
+@query("variant_props_extract", oracle=_VARIANT_ORACLE)
+def q_variant_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark-4 VARIANT twin of json_props_extract: props parsed ONCE
+    into the binary VARIANT encoding, fields then read with typed
+    variant_get — at 100 TB the parse cost is paid once per row instead
+    of once per extracted path, and a variant column stored shredded
+    prunes like a struct. Same oracle as the string-path version (the
+    semantics are identical; the encoding is the point)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id", F.parse_json("props").alias("v")
+    ).select(
+        "event_id",
+        F.try_variant_get("v", "$.k", "int").alias("k_value"),
+    )
+
+
+_COLLATION_ORACLE = """
+WITH mixed AS (
+  SELECT CASE WHEN p_partkey % 2 = 0 THEN upper(p_name) ELSE p_name END AS s
+  FROM part
+)
+SELECT MIN(s) AS name_repr, COUNT(*) AS n
+FROM mixed
+GROUP BY lower(s)
+"""
+
+
+@query("collation_case_insensitive_group", oracle=_COLLATION_ORACLE)
+def q_collation_case_insensitive_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark-4 string collation: grouping under UTF8_LCASE merges case
+    variants WITHOUT materializing a lowered copy of the column (the
+    comparator, not the data, changes — ICU-aware beyond ASCII, unlike
+    the lower() rewrite the oracle uses). Deterministic representative
+    via MIN over the raw strings."""
+    part = _t(spark, sf_dir, "part")
+    mixed = part.select(
+        F.when(F.col("p_partkey") % 2 == 0, F.upper("p_name"))
+        .otherwise(F.col("p_name"))
+        .alias("s")
+    )
+    return (
+        mixed.groupBy(F.collate("s", "UTF8_LCASE").alias("k"))
+        .agg(F.min("s").alias("name_repr"), F.count(F.lit(1)).alias("n"))
+        .select("name_repr", "n")
+    )

@@ -1,0 +1,80 @@
+"""Custom Python DataSource (Spark 4 DataSource API): a deterministic
+synthetic-documents source, registered as ``format("synthetic_docs")``.
+
+Why this exists: the reference ingests from REST uploads
+(/root/reference/backend/main.py:284-292) — a push source. A Spark
+engine pulls; anything that can enumerate records (an HTTP API, a queue,
+a proprietary store) becomes a first-class table via this API, with the
+engine's partitioning driving parallel fetch. This source demonstrates
+the contract end-to-end: options → schema → partition planning → per-
+partition record generation, all driver-checked by a deterministic
+content hash in tests.
+
+Scale note: ``partitions()`` is the parallelism contract — each
+InputPartition becomes one task, so a real connector maps shards/
+key-ranges/log-segments to partitions and each task reads only its own
+slice. Nothing flows through the driver.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+_WORDS = [
+    "spark", "vector", "table", "query", "index", "batch", "stream",
+    "merge", "scan", "join", "filter", "window", "agg", "sort",
+]
+
+
+def synthetic_text(doc_id: int, n_tokens: int = 12) -> str:
+    """Deterministic pseudo-text for a doc id (md5-driven token picks)."""
+    toks = []
+    seed = hashlib.md5(str(doc_id).encode()).digest()
+    for i in range(n_tokens):
+        toks.append(_WORDS[seed[i % len(seed)] % len(_WORDS)])
+        if i % len(seed) == len(seed) - 1:
+            seed = hashlib.md5(seed).digest()
+    return " ".join(toks)
+
+
+class _RangePartition(InputPartition):
+    def __init__(self, start: int, end: int):
+        self.start = start
+        self.end = end
+
+
+class SyntheticDocsDataSource(DataSource):
+    """``spark.read.format("synthetic_docs").option("n", 100)
+    .option("num_partitions", 4).load()``"""
+
+    @classmethod
+    def name(cls) -> str:
+        return "synthetic_docs"
+
+    def schema(self) -> str:
+        return "doc_id bigint, text string"
+
+    def reader(self, schema) -> "SyntheticDocsReader":
+        return SyntheticDocsReader(
+            n=int(self.options.get("n", 100)),
+            num_partitions=int(self.options.get("num_partitions", 4)),
+        )
+
+
+class SyntheticDocsReader(DataSourceReader):
+    def __init__(self, n: int, num_partitions: int):
+        self.n = n
+        self.num_partitions = max(1, num_partitions)
+
+    def partitions(self):
+        step = -(-self.n // self.num_partitions)  # ceil div
+        return [
+            _RangePartition(lo, min(lo + step, self.n))
+            for lo in range(0, self.n, step)
+        ]
+
+    def read(self, partition: _RangePartition):
+        for doc_id in range(partition.start, partition.end):
+            yield (doc_id, synthetic_text(doc_id))
