@@ -324,3 +324,52 @@ def test_stream_static_enrichment_matches_batch(spark, tmp_path):
         for r in spark.sql("select * from enrich_test").collect()
     }
     assert got == expected
+
+
+def test_streaming_registry_upsert_matches_batch(spark, tmp_path):
+    """foreachBatch registry maintenance: chunks streamed one file per
+    micro-batch MERGE into the registry; the final table equals the
+    one-shot batch registry (the merge rules are associative, so
+    batching cannot change the result)."""
+    import datetime as dt
+
+    from vector_knowledge_base_spark.pipeline.ingest import (
+        build_registry,
+        streaming_registry_sink,
+    )
+
+    rows = []
+    for d in range(6):
+        for c in range(d % 3 + 1):
+            rows.append(
+                (d, f"doc{d}.txt", dt.datetime(2024, 1, 1 + d, c), d % 3 + 1)
+            )
+    chunks = spark.createDataFrame(
+        rows, "doc_id long, filename string, upload_date timestamp, total_chunks int"
+    )
+    src = str(tmp_path / "chunks_in")
+    chunks.repartition(4).write.parquet(src)
+
+    expected = {
+        r.doc_id: (r.filename, r.upload_date, r.total_chunks, r.n_chunks)
+        for r in build_registry(chunks).collect()
+    }
+
+    stream = (
+        spark.readStream.schema(
+            "doc_id long, filename string, upload_date timestamp, total_chunks int"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    reg_path = str(tmp_path / "registry")
+    q = streaming_registry_sink(
+        stream, reg_path, str(tmp_path / "ckpt")
+    ).start()
+    q.awaitTermination(120)
+
+    got = {
+        r.doc_id: (r.filename, r.upload_date, r.total_chunks, r.n_chunks)
+        for r in spark.read.parquet(reg_path).collect()
+    }
+    assert got == expected

@@ -131,3 +131,57 @@ def delete_document(chunks: DataFrame, key: str, value) -> DataFrame:
     (/root/reference/backend/vector_db.py:204-228) — with Delta this is
     ``DELETE WHERE``; on plain parquet, filter-and-rewrite."""
     return chunks.where(~(F.col(key) == F.lit(value)) | F.col(key).isNull())
+
+
+def upsert_registry(spark, registry_path: str, batch_summary: DataFrame) -> None:
+    """Merge a batch's per-document summaries into the registry table on
+    disk (A2 incremental maintenance — the relational form of the
+    reference's locked JSON-dict update,
+    /root/reference/backend/document_registry.py:57-122).
+
+    Merge rules are associative/commutative per column (latest filename,
+    earliest upload_date, max total_chunks, summed n_chunks), so the
+    result is independent of how ingestion was batched — any stream
+    chopping converges to the same registry as one big batch."""
+    import os
+
+    from vector_knowledge_base_spark.sources.storage import _rewrite
+
+    if os.path.exists(registry_path):
+        old = spark.read.parquet(registry_path).alias("o")
+        new = batch_summary.alias("n")
+        merged = old.join(new, "doc_id", "full_outer").select(
+            "doc_id",
+            F.coalesce("n.filename", "o.filename").alias("filename"),
+            F.least("o.upload_date", "n.upload_date").alias("upload_date"),
+            F.greatest("o.total_chunks", "n.total_chunks").alias("total_chunks"),
+            (
+                F.coalesce("o.n_chunks", F.lit(0)) + F.coalesce("n.n_chunks", F.lit(0))
+            ).alias("n_chunks"),
+        )
+        _rewrite(merged, registry_path)
+    else:
+        batch_summary.write.parquet(registry_path)
+
+
+def streaming_registry_sink(
+    chunks_stream: DataFrame, registry_path: str, checkpoint: str
+):
+    """Continuous registry maintenance: each micro-batch of chunk rows
+    aggregates to per-document summaries and MERGEs into the registry
+    (foreachBatch — the streaming write-path idiom for sinks that need
+    upsert semantics plain appends can't express). availableNow trigger:
+    drain what exists, then stop — the scheduled-ingest mode."""
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        upsert_registry(
+            batch_df.sparkSession, registry_path, build_registry(batch_df)
+        )
+
+    return (
+        chunks_stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+    )

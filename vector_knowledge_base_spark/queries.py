@@ -4669,3 +4669,29 @@ def q_collation_case_insensitive_group(spark: SparkSession, sf_dir: str) -> Data
         .agg(F.min("s").alias("name_repr"), F.count(F.lit(1)).alias("n"))
         .select("name_repr", "n")
     )
+
+
+@query("folder_paths_recursive_sql", oracle=_FOLDER_PATHS_ORACLE)
+def q_folder_paths_recursive_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 twin via Spark 4's native WITH RECURSIVE (same semantics as
+    the iterative broadcast self-join in folder_paths_resolved, same
+    DuckDB recursive-CTE oracle — plan parity across three engines).
+    The recursion is driven by the engine, not a driver loop; depth =
+    folder-tree height. Closes the ROADMAP round-3 candidate #4."""
+    return spark.sql(
+        """
+        WITH RECURSIVE folders(id, name, parent_id) AS (
+          SELECT * FROM VALUES
+            ('1','docs',CAST(NULL AS STRING)), ('2','projects',NULL),
+            ('3','spark','2'), ('4','notes','3'), ('5','archive','1'),
+            ('6','deep','4') AS t(id, name, parent_id)
+        ),
+        walk(id, path, parent_id) AS (
+          SELECT id, name, parent_id FROM folders
+          UNION ALL
+          SELECT w.id, f.name || '/' || w.path, f.parent_id
+          FROM walk w JOIN folders f ON w.parent_id = f.id
+        )
+        SELECT id, path FROM walk WHERE parent_id IS NULL
+        """
+    )
