@@ -138,6 +138,9 @@ HEADLINE = [
     # wave 25 — Spark-4 surface
     "variant_props_extract",
     "collation_case_insensitive_group",
+    # wave 26 — statistical aggregates + sketches
+    "events_value_trend_regression",
+    "hll_cardinality_by_source",
 ]
 
 KNN_BATCH_N_QUERIES = 5  # matches the knn_batch query definition

@@ -229,3 +229,60 @@ def test_bucketed_join_avoids_shuffle(spark, tmp_path):
         spark.sql(f"DROP TABLE {t2}")
     finally:
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
+def test_hll_sketch_union_matches_rescan(spark):
+    """Sketch mergeability: the union of per-group HLL sketches and a
+    single sketch over all rows both land within 5% of the exact count
+    (union changes the estimator path, so the two estimates may differ
+    slightly — the corridor is the contract, not bit-equality)."""
+    from vector_knowledge_base_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    merged = (
+        docs.groupBy("source")
+        .agg(F.hll_sketch_agg("doc_id").alias("sk"))
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"))
+        .first()["est"]
+    )
+    direct = docs.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("doc_id")).alias("est")
+    ).first()["est"]
+    exact = docs.select("doc_id").distinct().count()
+    assert abs(merged - exact) / exact < 0.05
+    assert abs(direct - exact) / exact < 0.05
+
+
+def test_bloom_filter_runtime_join_filter(spark):
+    """AQE injects a bloom-filter runtime filter on the fact side of a
+    selective join (size thresholds pinned for fixture scale) — the
+    shuffle-side row pruning a 100 TB fact⋈filtered-dim join relies on
+    when broadcast is off the table."""
+    from vector_knowledge_base_spark.plans.inspect import explain_str
+    from vector_knowledge_base_spark.sources.tables import load_table
+
+    old = {
+        "spark.sql.autoBroadcastJoinThreshold": spark.conf.get(
+            "spark.sql.autoBroadcastJoinThreshold"
+        ),
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": spark.conf.get(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+        ),
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        li = load_table(spark, "/root/testdata/sf0.001", "lineitem")
+        orders = load_table(spark, "/root/testdata/sf0.001", "orders").where(
+            F.col("o_totalprice") > 400000
+        )
+        j = li.join(orders, li.l_orderkey == orders.o_orderkey).agg(
+            F.sum("l_quantity")
+        )
+        assert "bloom_filter_agg" in explain_str(j), explain_str(j)
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)

@@ -4695,3 +4695,61 @@ def q_folder_paths_recursive_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT id, path FROM walk WHERE parent_id IS NULL
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# Wave 26 — statistical aggregate completeness (built-in linear
+# regression / correlation family) and mergeable HLL sketches (the
+# partial-aggregation cardinality pattern).
+# ---------------------------------------------------------------------------
+
+_REGR_ORACLE = """
+SELECT event_type,
+       ROUND(regr_slope(value, EXTRACT(hour FROM ts)), 6) AS slope,
+       ROUND(regr_intercept(value, EXTRACT(hour FROM ts)), 6) AS intercept,
+       ROUND(corr(value, EXTRACT(hour FROM ts)), 6) AS corr_vh,
+       ROUND(covar_samp(value, EXTRACT(hour FROM ts)), 6) AS covar_vh,
+       CAST(regr_count(value, EXTRACT(hour FROM ts)) AS BIGINT) AS n
+FROM events
+GROUP BY event_type
+"""
+
+
+@query("events_value_trend_regression", oracle=_REGR_ORACLE)
+def q_events_value_trend_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Built-in OLS aggregate family: per-type slope/intercept/
+    correlation/covariance of value against hour-of-day — trend
+    detection as ONE hash aggregate (the closed-form sums, not an ML
+    fit; both engines share the formula, so values match to rounding).
+    Map-side partial like any other aggregate."""
+    ev = _t(spark, sf_dir, "events")
+    hour = F.hour("ts").cast("double")
+    return ev.groupBy("event_type").agg(
+        F.round(F.regr_slope("value", hour), 6).alias("slope"),
+        F.round(F.regr_intercept("value", hour), 6).alias("intercept"),
+        F.round(F.corr("value", hour), 6).alias("corr_vh"),
+        F.round(F.covar_samp("value", hour), 6).alias("covar_vh"),
+        F.regr_count("value", hour).alias("n"),
+    )
+
+
+@query("hll_cardinality_by_source", oracle=None)
+def q_hll_cardinality_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HLL sketches (Datasketches): per-source distinct-doc
+    estimates PLUS the global estimate obtained by UNIONING the
+    per-source sketches — never re-scanning the data. The pattern that
+    makes 100 TB cardinality dashboards incremental: store sketches per
+    partition/day, merge on read. Rows-only (sketch internals aren't
+    SQL-expressible in the oracle); the ±5% corridor and the
+    union-equals-rescan property are pytest-asserted."""
+    docs = _t(spark, sf_dir, "documents")
+    per_source = docs.groupBy("source").agg(
+        F.hll_sketch_agg("doc_id").alias("sk")
+    )
+    by_source = per_source.select(
+        "source", F.hll_sketch_estimate("sk").alias("est_docs")
+    )
+    total = per_source.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_docs")
+    ).select(F.lit("TOTAL").alias("source"), "est_docs")
+    return by_source.unionByName(total)
