@@ -1,0 +1,82 @@
+"""End-to-end facade test: the reference's endpoint verbs exercised in
+sequence against one workspace — upload, inline create, search, list,
+cluster, 3-D, export, delete, reset."""
+
+from __future__ import annotations
+
+import zipfile
+
+from pyspark.sql import functions as F
+
+from vector_knowledge_base_spark.service import KnowledgeBase
+
+
+def test_knowledge_base_lifecycle(spark, tmp_path):
+    # -- upload a directory of text files (POST /upload-batch)
+    src = tmp_path / "uploads"
+    src.mkdir()
+    (src / "spark_notes.txt").write_text(
+        "spark shuffle partitions tuning broadcast join adaptive execution"
+    )
+    (src / "cooking.md").write_text(
+        "tomato basil pasta garlic olive oil recipe dinner"
+    )
+    kb = KnowledgeBase(spark, str(tmp_path / "ws"))
+    n = kb.upload_directory(str(src), category="notes")
+    assert n >= 2
+
+    # -- inline string document (POST /mcp/create-document)
+    n2 = kb.create_document(
+        "gardening.txt", "tomato seedling soil watering sunlight garden"
+    )
+    assert n2 >= 1
+
+    # -- registry listing (GET /documents)
+    docs = {r.filename for r in kb.list_documents().collect()}
+    assert docs == {"spark_notes.txt", "cooking.md", "gardening.txt"}
+
+    # -- search routes to the right document (POST /search)
+    hits = kb.search("spark broadcast join", k=2).collect()
+    assert hits and hits[0].filename == "spark_notes.txt"
+    assert hits[0].score > 0
+    # token overlap should rank the two tomato docs above spark_notes
+    food = kb.search("tomato garlic recipe", k=3).collect()
+    assert food[0].filename in ("cooking.md", "gardening.txt")
+
+    # -- filter DSL composes with search (F1)
+    filtered = kb.search("tomato", k=5, filters={"category": "notes"}).collect()
+    assert {h.filename for h in filtered} <= {"spark_notes.txt", "cooking.md"}
+
+    # -- clustering job + label write-back (POST /api/cluster)
+    names = kb.run_clustering(k=2).collect()
+    assert len(names) == 2
+    labeled = kb.chunks().where(F.col("cluster").isNotNull()).count()
+    assert labeled == kb.chunks().count()
+    assert kb.list_clusters().count() == 2
+
+    # -- 3-D projection, materialized + cached (GET /api/embeddings/3d)
+    coords = kb.embeddings_3d()
+    assert coords.count() == kb.chunks().count()
+    assert set(coords.columns) == {"vec_id", "x", "y", "z"}
+    # read-through: second call serves without rebuilding (same rows)
+    assert kb.embeddings_3d().count() == coords.count()
+
+    # -- export (GET /export)
+    zpath = str(tmp_path / "out.zip")
+    n_entries = kb.export_zip(zpath)
+    assert n_entries == 3
+    with zipfile.ZipFile(zpath) as zf:
+        assert "spark_notes.txt" in zf.namelist()
+        text = zf.read("spark_notes.txt").decode()
+        assert "shuffle" in text
+
+    # -- delete one document (DELETE /documents/...)
+    kb.delete_document("cooking.md")
+    docs = {r.filename for r in kb.list_documents().collect()}
+    assert docs == {"spark_notes.txt", "gardening.txt"}
+    assert kb.chunks().where(F.col("filename") == "cooking.md").count() == 0
+
+    # -- reset (POST /admin/reset)
+    kb.reset()
+    assert kb.chunks().count() == 0
+    assert kb.list_documents().count() == 0

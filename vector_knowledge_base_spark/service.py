@@ -1,0 +1,257 @@
+"""The service facade: every verb of the reference's REST/MCP surface as
+one class over the Spark engine — the "switch path" for a reference
+user. Method ↔ endpoint map (reference /root/reference/backend/main.py):
+
+| method              | reference endpoint / code                        |
+|---------------------|--------------------------------------------------|
+| upload_directory    | POST /upload, /upload-batch (main.py:284-487)    |
+| create_document     | POST /mcp/create-document (main.py:1026-1154)    |
+| search              | POST /search (main.py:185-230)                   |
+| list_documents      | GET /documents (main.py:239-250)                 |
+| delete_document     | DELETE /documents (vector_db.py:204-228)         |
+| run_clustering      | POST /api/cluster (main.py:775-862)              |
+| list_clusters       | GET /api/clusters (main.py:886-911)              |
+| embeddings_3d       | GET /api/embeddings/3d (main.py:614-675)         |
+| export_zip          | GET /export (main.py:917-1000)                   |
+| reset               | POST /admin/reset (main.py:1157-1198)            |
+
+State is three parquet tables under a workspace directory (chunks,
+registry, coords3d) plus a persisted PCA model — no Qdrant, no SQLite,
+no JSON side-files. Every mutation is a crash-safe table rewrite; every
+read is a plain DataFrame the caller can keep composing.
+
+Deviation from the reference, by design: raw uploaded blobs are not
+duplicated into the workspace (a lakehouse keeps originals where they
+live), so export_zip writes each document's extracted text, not the
+original bytes.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Mapping
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from vector_knowledge_base_spark.operators.knn import cosine_topk
+from vector_knowledge_base_spark.pipeline.embed import embed_texts
+from vector_knowledge_base_spark.pipeline.ingest import (
+    build_registry,
+    ingest_directory,
+    upsert_registry,
+)
+from vector_knowledge_base_spark.sources.storage import _rewrite, reset_table
+
+
+class KnowledgeBase:
+    """A vector knowledge base persisted under ``workspace_dir``."""
+
+    def __init__(
+        self, spark: SparkSession, workspace_dir: str, embedding_dim: int = 64
+    ):
+        self.spark = spark
+        self.dim = embedding_dim
+        self.chunks_path = os.path.join(workspace_dir, "chunks")
+        self.registry_path = os.path.join(workspace_dir, "registry")
+        self.coords_path = os.path.join(workspace_dir, "coords3d")
+        self.model_path = os.path.join(workspace_dir, "pca_model")
+        os.makedirs(workspace_dir, exist_ok=True)
+
+    # -- reads -------------------------------------------------------------
+
+    def chunks(self) -> DataFrame:
+        return self.spark.read.parquet(self.chunks_path)
+
+    def list_documents(self) -> DataFrame:
+        """O(1)-style listing from the materialized registry (A2)."""
+        return self.spark.read.parquet(self.registry_path)
+
+    # -- ingest ------------------------------------------------------------
+
+    _CHUNK_COLUMNS = (
+        "chunk_id", "doc_id", "filename", "text", "embedding", "chunk_index",
+        "total_chunks", "token_count", "upload_date", "category", "tags",
+        "extractor_meta",
+    )
+
+    def _append(self, chunks: DataFrame) -> int:
+        # normalize to one canonical schema so directory uploads (which
+        # carry extractor_meta) and inline documents (which don't) land
+        # in the same parquet table without mergeSchema surprises
+        if "extractor_meta" not in chunks.columns:
+            chunks = chunks.withColumn(
+                "extractor_meta", F.lit(None).cast("map<string,string>")
+            )
+        # a None category/tags arrives as a VOID-typed literal; parquet
+        # files of mixed void/string footers poison later reads
+        chunks = chunks.withColumn(
+            "category", F.col("category").cast("string")
+        ).withColumn("tags", F.col("tags").cast("array<string>"))
+        chunks = chunks.select(*self._CHUNK_COLUMNS)
+        chunks = chunks.cache()
+        try:
+            n = chunks.count()
+            chunks.write.mode("append").parquet(self.chunks_path)
+            upsert_registry(self.spark, self.registry_path, build_registry(chunks))
+        finally:
+            chunks.unpersist()
+        return n
+
+    def upload_directory(
+        self,
+        input_dir: str,
+        category: str | None = None,
+        tags: list[str] | None = None,
+    ) -> int:
+        """Batch upload: extract → chunk → embed → append + registry
+        merge. Returns the number of chunk rows written."""
+        return self._append(
+            ingest_directory(
+                self.spark, input_dir, category=category, tags=tags,
+                embedding_dim=self.dim,
+            )
+        )
+
+    def create_document(
+        self,
+        filename: str,
+        content: str,
+        category: str | None = None,
+        tags: list[str] | None = None,
+    ) -> int:
+        """Inline string document through the same pipeline (S21)."""
+        from vector_knowledge_base_spark.sources.inline import create_document
+
+        return self._append(
+            create_document(
+                self.spark, filename, content, category=category, tags=tags,
+                embedding_dim=self.dim,
+            )
+        )
+
+    # -- the flagship read path -------------------------------------------
+
+    def search(
+        self,
+        query: str,
+        k: int = 5,
+        filters: Mapping[str, Any] | None = None,
+        cluster: int | str | None = None,
+    ) -> DataFrame:
+        """Filtered top-k cosine search; returns (chunk_id, score, text,
+        filename, chunk_index) — the reference's hit projection (F7).
+        The query embeds driver-side (one vector, exactly as the
+        reference does in-process); scoring + top-k is one Spark job."""
+        f = dict(filters or {})
+        if cluster is not None:
+            f["cluster"] = cluster  # "all" sentinel handled by the DSL
+        qv = embed_texts([query], dim=self.dim)[0].tolist()
+        hits = cosine_topk(
+            self.chunks(), qv, k=k, id_col="chunk_id", filters=f or None
+        )
+        return hits.join(self.chunks(), "chunk_id", "left").select(
+            "chunk_id", "score", "text", "filename", "chunk_index"
+        )
+
+    # -- mutation ----------------------------------------------------------
+
+    def delete_document(self, filename: str) -> None:
+        """Predicate delete (S17) + registry rebuild from the surviving
+        chunks — the set-oriented form of the reference's
+        delete-by-payload loop."""
+        from vector_knowledge_base_spark.sources.storage import delete_where
+
+        delete_where(self.spark, self.chunks_path, F.col("filename") == filename)
+        _rewrite(build_registry(self.chunks()), self.registry_path)
+
+    def reset(self) -> None:
+        """Drop all derived state (S18)."""
+        for p in (self.chunks_path, self.registry_path, self.coords_path):
+            if os.path.exists(p):
+                reset_table(self.spark, p)
+
+    # -- analytics jobs ----------------------------------------------------
+
+    def run_clustering(self, k: int | None = None) -> DataFrame:
+        """Cluster the chunk embeddings (M5, scalable mode), name the
+        clusters (M6), and write labels back into the chunks table in
+        ONE rewrite (replaces the reference's per-point set_payload
+        loop, main.py:813-830). Returns (cluster, cluster_name,
+        n_docs)."""
+        from vector_knowledge_base_spark.operators.clustering import (
+            kmeans_cluster,
+            name_clusters_tfidf,
+        )
+
+        chunks = self.chunks()
+        labels = kmeans_cluster(
+            chunks.select("chunk_id", "embedding"), k=k, id_col="chunk_id"
+        )
+        # materialize the (tiny) naming result BEFORE the table rewrite:
+        # its lazy plan references the pre-rewrite chunk files, which the
+        # swap below deletes
+        names = name_clusters_tfidf(
+            chunks.join(labels, "chunk_id"), text_col="text"
+        ).localCheckpoint(eager=True)
+        relabeled = (
+            chunks.drop("cluster", "cluster_name")
+            .join(labels, "chunk_id", "left")
+            .join(F.broadcast(names.select("cluster", "cluster_name")), "cluster", "left")
+        )
+        _rewrite(relabeled, self.chunks_path)
+        return names
+
+    def list_clusters(self) -> DataFrame:
+        """(cluster, cluster_name) distinct, ordered (A3)."""
+        return (
+            self.chunks()
+            .where(F.col("cluster").isNotNull())
+            .select("cluster", "cluster_name")
+            .distinct()
+            .orderBy("cluster")
+        )
+
+    def embeddings_3d(self) -> DataFrame:
+        """Materialized PCA 3-D coordinates with fingerprint-staleness
+        read-through (M7-M9) — the relational form of the reference's
+        in-process 3-D cache + invalidation."""
+        from vector_knowledge_base_spark.operators.projection import (
+            refresh_coords3d_if_stale,
+        )
+
+        emb = self.chunks().select(
+            F.col("chunk_id").alias("vec_id"), F.col("embedding")
+        )
+        return refresh_coords3d_if_stale(
+            self.spark, emb, self.coords_path, model_path=self.model_path
+        )
+
+    # -- export ------------------------------------------------------------
+
+    def export_zip(self, zip_path: str) -> int:
+        """ZIP of every document's extracted text (S19), one entry per
+        document, reassembled from its chunks in order."""
+        from vector_knowledge_base_spark.sources.inline import export_zip
+
+        docs = (
+            self.chunks()
+            .groupBy("doc_id", "filename")
+            .agg(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("chunk_index", "text"))
+                        ),
+                        lambda s: s["text"],
+                    ),
+                    "\n",
+                ).alias("text")
+            )
+        )
+        files = docs.select(
+            F.lit("").alias("folder_path"),
+            F.col("filename"),
+            F.encode("text", "utf-8").alias("content"),
+        )
+        return export_zip(files, zip_path)

@@ -79,7 +79,10 @@ def _swap_in(path: str, tmp: str) -> None:
 
 def _rewrite(df, path: str) -> None:
     """Write ``df`` to a temp dir then swap it in over ``path``; the temp
-    dir is cleaned up if the write itself fails."""
+    dir is cleaned up if the write itself fails. The file-listing cache
+    for ``path`` is invalidated afterwards — Spark memoizes the
+    InMemoryFileIndex per path, and a reader planned against the
+    pre-swap listing would chase deleted part files."""
     import shutil
 
     tmp = path.rstrip("/") + "__rewrite"
@@ -89,6 +92,7 @@ def _rewrite(df, path: str) -> None:
         shutil.rmtree(tmp, ignore_errors=True)
         raise
     _swap_in(path, tmp)
+    df.sparkSession.catalog.refreshByPath(path)
 
 
 def compact(spark: SparkSession, path: str, target_partitions: int) -> None:
