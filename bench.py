@@ -141,6 +141,20 @@ HEADLINE = [
     # wave 26 — statistical aggregates + sketches
     "events_value_trend_regression",
     "hll_cardinality_by_source",
+    # wave 27 — graph analytics + intra-doc dedup + entropy + quantiles
+    "triangle_count_copurchase",
+    "pagerank_copurchase",
+    "doc_intra_dedup_tokens",
+    "token_entropy_quality",
+    "stratified_sample_fixed_n",
+    "events_value_exact_percentiles",
+    # wave 28 — max_by top-1, skew diagnostics, chi-square audit
+    "latest_event_per_user",
+    "join_key_skew_report",
+    "lang_source_chisq",
+    # wave 29 — exact mergeable distinct, paragraph-level dedup
+    "bitmap_distinct_customers_monthly",
+    "paragraph_dup_fraction",
 ]
 
 KNN_BATCH_N_QUERIES = 5  # matches the knn_batch query definition

@@ -80,3 +80,61 @@ def test_knowledge_base_lifecycle(spark, tmp_path):
     kb.reset()
     assert kb.chunks().count() == 0
     assert kb.list_documents().count() == 0
+
+
+def test_folder_surface_and_3d_query(spark, tmp_path):
+    """The organization half of the facade: folder CRUD, file moves,
+    unsorted listing, content fetch, 3-D query projection."""
+    src = tmp_path / "uploads"
+    src.mkdir()
+    (src / "a.txt").write_text("spark shuffle partitions broadcast join")
+    (src / "b.txt").write_text("tomato basil pasta garlic dinner recipe")
+    kb = KnowledgeBase(spark, str(tmp_path / "ws"))
+    kb.upload_directory(str(src))
+
+    # -- folder CRUD (POST/PUT /folders)
+    root_id = kb.create_folder("docs")
+    child_id = kb.create_folder("spark", parent_id=root_id)
+    paths = {r.id: r.path for r in kb.list_folders().collect()}
+    assert paths[child_id] == "docs/spark"
+    kb.update_folder(root_id, name="library")
+    paths = {r.id: r.path for r in kb.list_folders().collect()}
+    assert paths[child_id] == "library/spark"
+
+    # -- move a file into a folder (POST /files/move)
+    doc_a = next(
+        r for r in kb.list_documents().collect() if r.filename == "a.txt"
+    )
+    kb.move_file(str(doc_a.doc_id), "a.txt", child_id)
+    unsorted = {r.filename for r in kb.unsorted_files().collect()}
+    assert unsorted == {"b.txt"}
+    by_folder = {r.folder_id: r.n_files for r in kb.files_in_folders().collect()}
+    assert by_folder == {child_id: 1}
+
+    # -- move back to unsorted deletes the mapping
+    kb.move_file(str(doc_a.doc_id), "a.txt", "unsorted")
+    assert {r.filename for r in kb.unsorted_files().collect()} == {
+        "a.txt",
+        "b.txt",
+    }
+
+    # -- deleting a folder unsorts its files
+    kb.move_file(str(doc_a.doc_id), "a.txt", child_id)
+    kb.delete_folder(child_id)
+    assert kb.files_in_folders().count() == 0
+    assert {r.id for r in kb.folders().collect()} == {root_id}
+
+    # -- file content (GET /files/content/...)
+    assert "shuffle" in kb.file_content("a.txt")
+
+    # -- 3-D query (POST /api/embeddings/3d/query)
+    qc, neighbors = kb.query_3d("spark broadcast join", k=2)
+    assert len(qc) == 3
+    rows = neighbors.collect()
+    assert rows and rows[0].filename == "a.txt"
+    assert all(r.x is not None for r in rows)
+
+    # -- health + config getters
+    h = kb.health()
+    assert h["status"] == "healthy" and h["documents"] == 2
+    assert ".txt" in kb.allowed_extensions()

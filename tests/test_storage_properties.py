@@ -142,3 +142,46 @@ def test_schema_evolution_merge_read(spark, tmp_path):
     assert set(got.columns) == {"id", "text", "cluster"}
     rows = {r["id"]: r["cluster"] for r in got.collect()}
     assert rows == {1: None, 2: 7}
+
+
+def test_range_clustered_write_skips_files(spark, tmp_path):
+    """write_range_clustered yields near-disjoint per-file min/max spans
+    on the cluster column (the property row-group pruning depends on),
+    and a range predicate scan actually prunes files."""
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from vector_knowledge_base_spark.sources.storage import (
+        write_range_clustered,
+    )
+
+    path = str(tmp_path / "range_clustered")
+    df = spark.range(0, 10_000).withColumn(
+        "v", (F.col("id") * 2654435761 % 10_000).cast("long")
+    )
+    write_range_clustered(df, path, col="v", n_files=8)
+
+    spans = []
+    for name in os.listdir(path):
+        if not name.endswith(".parquet"):
+            continue
+        md = pq.ParquetFile(os.path.join(path, name)).metadata
+        vi = next(
+            i for i in range(md.num_columns) if md.schema.column(i).name == "v"
+        )
+        stats = [md.row_group(r).column(vi).statistics for r in range(md.num_row_groups)]
+        spans.append((min(s.min for s in stats), max(s.max for s in stats)))
+    assert len(spans) >= 4
+    # files must be (near-)disjoint: total span ≈ sum of file spans
+    spans.sort()
+    overlaps = sum(
+        max(0, a_hi - b_lo + 1) for (_, a_hi), (b_lo, _) in zip(spans, spans[1:])
+    )
+    assert overlaps <= 10_000 * 0.02
+
+    # and a narrow range predicate's result rows must come from a small
+    # subset of files (row-group stats pruned the rest to zero rows)
+    scan = spark.read.parquet(path).where((F.col("v") >= 0) & (F.col("v") < 1000))
+    assert scan.count() == 1000
+    n_read = scan.select(F.input_file_name()).distinct().count()
+    assert n_read < len(spans) / 2

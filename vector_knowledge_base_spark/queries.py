@@ -4596,12 +4596,14 @@ def q_events_ewma_final(spark: SparkSession, sf_dir: str) -> DataFrame:
     return seq.groupBy("user_id").agg(F.round(F.sum(term), 4).alias("ewma"))
 
 
-@query("pagerank_copurchase", oracle=None)
+@query("pagerank_copurchase", oracle=None)  # oracle attached in wave 27:
+# the iteration count is FIXED (5), so the power iteration unrolls into
+# five chained CTEs — see _PAGERANK_ORACLE below (ORACLES assignment).
 def q_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the co-purchase part graph (edges = pairs bought
-    together in ≥3 orders). Iterative joins with lineage truncation —
-    rows-only (recursive aggregation is not SQL-expressible); rank-mass
-    conservation and positivity are pytest invariants."""
+    together in ≥3 orders). Iterative joins with lineage truncation;
+    value-checked against a 5-step unrolled SQL power iteration (wave
+    27); rank-mass conservation and positivity are pytest invariants."""
     from vector_knowledge_base_spark.operators.components import pagerank
 
     edges = QUERIES["copurchase_part_pairs"](spark, sf_dir).select(
@@ -4753,3 +4755,443 @@ def q_hll_cardinality_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_docs")
     ).select(F.lit("TOTAL").alias("source"), "est_docs")
     return by_source.unionByName(total)
+
+
+# ---------------------------------------------------------------------------
+# Wave 27 — graph analytics (triangles, oracled PageRank), intra-document
+# dedup, information-theoretic quality scoring, balanced sampling, exact
+# quantiles.
+# ---------------------------------------------------------------------------
+
+_TRIANGLE_ORACLE = """
+WITH pairs AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb
+  FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
+  JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING COUNT(*) >= 3
+),
+tri AS (
+  SELECT e1.pa AS a, e1.pb AS b, e2.pb AS c
+  FROM pairs e1
+  JOIN pairs e2 ON e1.pb = e2.pa
+  JOIN pairs e3 ON e3.pa = e1.pa AND e3.pb = e2.pb
+),
+nodes AS (
+  SELECT a AS node FROM tri
+  UNION ALL SELECT b FROM tri
+  UNION ALL SELECT c FROM tri
+)
+SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles
+FROM nodes GROUP BY node
+"""
+
+
+@query("triangle_count_copurchase", oracle=_TRIANGLE_ORACLE)
+def q_triangle_count_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts on the co-purchase graph via the ordered
+    adjacency join: edges kept as (a < b) once, triangles enumerated as
+    e1(a,b) ⋈ e2(b,c) ⋈ e3(a,c) — each triangle found exactly once, no
+    orientation blow-up, no NxN self-join. The edge list (already
+    support-thresholded) is orders of magnitude smaller than the fact
+    table, so both probe sides broadcast; at 100 TB the same plan holds
+    with a shuffle hash join on the (b) key. Edges are checkpointed so
+    the basket pipeline runs once, not three times."""
+    edges = (
+        QUERIES["copurchase_part_pairs"](spark, sf_dir)
+        .select(F.col("part_a").alias("pa"), F.col("part_b").alias("pb"))
+        .localCheckpoint(eager=True)
+    )
+    e1 = edges.select(F.col("pa").alias("a"), F.col("pb").alias("b"))
+    e2 = edges.select(F.col("pa").alias("b"), F.col("pb").alias("c"))
+    e3 = edges.select(F.col("pa").alias("a"), F.col("pb").alias("c"))
+    tri = e1.join(F.broadcast(e2), "b").join(F.broadcast(e3), ["a", "c"])
+    nodes = (
+        tri.select(F.col("a").alias("node"))
+        .unionAll(tri.select(F.col("b").alias("node")))
+        .unionAll(tri.select(F.col("c").alias("node")))
+    )
+    return nodes.groupBy("node").agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
+_PR_STEP = """,
+s{i} AS (SELECT bi.b AS a, SUM(r{p}.pr / deg.deg) AS c
+         FROM bi JOIN r{p} ON bi.a = r{p}.a JOIN deg ON bi.a = deg.a
+         GROUP BY bi.b),
+r{i} AS (SELECT deg.a, 0.15 + 0.85 * COALESCE(s{i}.c, 0) AS pr
+         FROM deg LEFT JOIN s{i} ON deg.a = s{i}.a)"""
+
+_PAGERANK_ORACLE = (
+    """
+WITH pairs AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb
+  FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
+  JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING COUNT(*) >= 3
+),
+bi AS (SELECT pa AS a, pb AS b FROM pairs
+       UNION ALL SELECT pb, pa FROM pairs),
+deg AS (SELECT a, COUNT(*) AS deg FROM bi GROUP BY a),
+r0 AS (SELECT a, CAST(1.0 AS DOUBLE) AS pr FROM deg)"""
+    + "".join(_PR_STEP.format(i=i, p=i - 1) for i in range(1, 6))
+    + """
+SELECT a AS id, ROUND(pr, 6) AS rank FROM r5
+"""
+)
+
+# Upgrade pagerank_copurchase (wave 24, registered rows-only above) to a
+# value-checked row: with the iteration count fixed at 5 the recursion
+# unrolls into plain SQL, so the driver can hash-compare the ranks.
+ORACLES["pagerank_copurchase"] = _PAGERANK_ORACLE
+
+
+_DOC_INTRA_DEDUP_ORACLE = """
+WITH tok AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS tok,
+         generate_subscripts(string_split(text, ' '), 1) AS pos
+  FROM documents
+),
+firsts AS (
+  SELECT doc_id, tok, pos,
+         ROW_NUMBER() OVER (PARTITION BY doc_id, tok ORDER BY pos) AS rn
+  FROM tok
+)
+SELECT doc_id,
+       string_agg(tok, ' ' ORDER BY pos) AS deduped_text,
+       CAST(COUNT(*) AS BIGINT) AS n_unique_tokens
+FROM firsts WHERE rn = 1
+GROUP BY doc_id
+"""
+
+
+@query("doc_intra_dedup_tokens", oracle=_DOC_INTRA_DEDUP_ORACLE)
+def q_doc_intra_dedup_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repeated-content removal: keep each token's FIRST
+    occurrence, drop later repeats, reassemble the document in original
+    order — the within-doc half of training-data dedup (boilerplate /
+    repeated-span stripping; corpus-level near-dup is the other half,
+    see minhash/jaccard family). posexplode carries position through the
+    pipeline; the window partitions by (doc, token) so state per group
+    is one row_number counter — skew-bounded by the max repeats of one
+    token in one doc, never by corpus size."""
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
+    )
+    w = Window.partitionBy("doc_id", "tok").orderBy("pos")
+    firsts = tok.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+    return firsts.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("deduped_text"),
+        F.count(F.lit(1)).alias("n_unique_tokens"),
+    )
+
+
+_ENTROPY_ORACLE = """
+WITH cnt AS (
+  SELECT doc_id, tok, COUNT(*) AS c
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+  GROUP BY doc_id, tok
+)
+SELECT doc_id,
+       CAST(SUM(c) AS BIGINT) AS n_tokens,
+       ROUND(LN(SUM(c)) - SUM(c * LN(c)) / SUM(c), 6) AS token_entropy
+FROM cnt GROUP BY doc_id
+"""
+
+
+@query("token_entropy_quality", oracle=_ENTROPY_ORACLE)
+def q_token_entropy_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each document's token distribution — the
+    information-theoretic quality signal (low entropy = repetitive /
+    template text; complements the Gopher rules and unigram-logprob
+    proxies). The recursion-free closed form H = ln N − (Σ c·ln c)/N
+    needs only per-(doc,token) counts then one per-doc aggregate: two
+    map-side-partial hash aggregates, no window, no second scan."""
+    docs = _t(spark, sf_dir, "documents")
+    cnt = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n = F.sum("c")
+    return cnt.groupBy("doc_id").agg(
+        n.alias("n_tokens"),
+        F.round(F.log(n) - F.sum(F.col("c") * F.log("c")) / n, 6).alias(
+            "token_entropy"
+        ),
+    )
+
+
+_STRATIFIED_ORACLE = """
+SELECT doc_id, source, rn FROM (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+  FROM documents
+) WHERE rn <= 20
+"""
+
+
+@query("stratified_sample_fixed_n", oracle=_STRATIFIED_ORACLE)
+def q_stratified_sample_fixed_n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balanced stratified sampling: exactly n=20 documents per source,
+    chosen by rank over md5(doc_id) — deterministic and replayable like
+    the hash-bucket samplers (rand() is neither), but with a per-stratum
+    COUNT guarantee they can't give (class-balanced eval sets, per-domain
+    audits). One window sort per stratum; at scale the md5 order is
+    computed in the scan projection and only the top-n per partition
+    survive the sort boundary."""
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 20)
+        .select("doc_id", "source", "rn")
+    )
+
+
+_EXACT_PCTL_ORACLE = """
+SELECT event_type,
+       ROUND(quantile_cont(value, 0.5), 6) AS p50,
+       ROUND(quantile_cont(value, 0.9), 6) AS p90,
+       ROUND(quantile_cont(value, 0.99), 6) AS p99
+FROM events GROUP BY event_type
+"""
+
+
+@query("events_value_exact_percentiles", oracle=_EXACT_PCTL_ORACLE)
+def q_events_value_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolated quantiles per group (percentile_cont
+    semantics — both engines share the type-7 interpolation formula, so
+    values match to rounding). The exact twin of the approx_percentile
+    corridor test: exact quantiles buffer each group's values, the
+    sketch path doesn't — at 100 TB use approx_percentile and keep this
+    as the per-partition / audit variant."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.5)), 6).alias("p50"),
+        F.round(F.percentile("value", F.lit(0.9)), 6).alias("p90"),
+        F.round(F.percentile("value", F.lit(0.99)), 6).alias("p99"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Wave 28 — aggregate-instead-of-window top-1 (max_by), shuffle-planning
+# skew diagnostics, and a chi-square contingency audit.
+# ---------------------------------------------------------------------------
+
+_LATEST_EVENT_ORACLE = """
+SELECT user_id, event_id AS last_event_id, event_type AS last_event_type,
+       ROUND(value, 2) AS last_value
+FROM (
+  SELECT user_id, event_id, event_type, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+
+@query("latest_event_per_user", oracle=_LATEST_EVENT_ORACLE)
+def q_latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-1-per-group WITHOUT a window: ``max_by`` is a plain hash
+    aggregate (map-side partial, one shuffle of one row per group),
+    where ``row_number() = 1`` sorts every partition's full history.
+    At 100 TB of events this is the difference between an agg and a
+    per-user sort — the oracle states the window form, the Spark plan
+    is the aggregate form; identical results, different cost class.
+    Ties break on event_id via the composite ordering struct."""
+    ev = _t(spark, sf_dir, "events")
+    ordk = F.struct(F.col("ts"), F.col("event_id"))
+    return ev.groupBy("user_id").agg(
+        F.max_by("event_id", ordk).alias("last_event_id"),
+        F.max_by("event_type", ordk).alias("last_event_type"),
+        F.round(F.max_by("value", ordk), 2).alias("last_value"),
+    )
+
+
+_SKEW_REPORT_ORACLE = """
+WITH cnt AS (
+  SELECT l_partkey, COUNT(*) AS cnt FROM lineitem GROUP BY l_partkey
+),
+tot AS (SELECT SUM(cnt) AS total, AVG(cnt) AS avg_cnt FROM cnt)
+SELECT l_partkey, CAST(cnt AS BIGINT) AS cnt,
+       ROUND(cnt / total, 6) AS share,
+       ROUND(cnt / avg_cnt, 2) AS skew_factor
+FROM cnt CROSS JOIN tot
+ORDER BY cnt DESC, l_partkey
+LIMIT 10
+"""
+
+
+@query("join_key_skew_report", oracle=_SKEW_REPORT_ORACLE)
+def q_join_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-planning diagnostic: the top heavy-hitter join keys with
+    their share of the table and skew factor (count / mean count). This
+    is the measurement that decides between a plain shuffle join, AQE
+    skew splitting, and explicit salting (operators/skew.py) BEFORE a
+    100 TB shuffle is launched. One hash aggregate + a broadcast 1-row
+    marginal; the top-10 tail is TakeOrderedAndProject."""
+    li = _t(spark, sf_dir, "lineitem")
+    cnt = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = cnt.agg(
+        F.sum("cnt").alias("total"), F.avg("cnt").alias("avg_cnt")
+    )
+    return (
+        cnt.crossJoin(F.broadcast(tot))
+        .select(
+            "l_partkey",
+            "cnt",
+            F.round(F.col("cnt") / F.col("total"), 6).alias("share"),
+            F.round(F.col("cnt") / F.col("avg_cnt"), 2).alias("skew_factor"),
+        )
+        .orderBy(F.desc("cnt"), "l_partkey")
+        .limit(10)
+    )
+
+
+_CHISQ_ORACLE = """
+WITH obs AS (
+  SELECT lang, source, COUNT(*) AS o FROM documents GROUP BY lang, source
+),
+r AS (SELECT lang, COUNT(*) AS rn FROM documents GROUP BY lang),
+c AS (SELECT source, COUNT(*) AS cn FROM documents GROUP BY source),
+n AS (SELECT COUNT(*) AS n FROM documents)
+SELECT obs.lang, obs.source, CAST(o AS BIGINT) AS observed,
+       ROUND(rn * cn / CAST(n AS DOUBLE), 4) AS expected,
+       ROUND(POW(o - rn * cn / CAST(n AS DOUBLE), 2)
+             / (rn * cn / CAST(n AS DOUBLE)), 6) AS chi2_contrib
+FROM obs JOIN r USING (lang) JOIN c USING (source) CROSS JOIN n
+"""
+
+
+@query("lang_source_chisq", oracle=_CHISQ_ORACLE)
+def q_lang_source_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square contingency audit of language × source: per-cell
+    observed vs expected counts and χ² contribution — the drift check
+    that catches one source suddenly flooding one language. The
+    marginals are tiny aggregates broadcast back onto the cell grid
+    (never a window over the corpus); the fact table is scanned once
+    for cells and once per marginal, all map-side partial."""
+    docs = _t(spark, sf_dir, "documents")
+    obs = docs.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("o"))
+    r = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("rn"))
+    c = docs.groupBy("source").agg(F.count(F.lit(1)).alias("cn"))
+    n = docs.agg(F.count(F.lit(1)).alias("n"))
+    e = F.col("rn") * F.col("cn") / F.col("n").cast("double")
+    return (
+        obs.join(F.broadcast(r), "lang")
+        .join(F.broadcast(c), "source")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "lang",
+            "source",
+            F.col("o").alias("observed"),
+            F.round(e, 4).alias("expected"),
+            F.round(F.pow(F.col("o") - e, 2) / e, 6).alias("chi2_contrib"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Wave 29 — exact mergeable distinct counts (bitmap aggregates) and
+# cross-document paragraph-level duplication (sub-document dedup
+# granularity: corpus-level near-dup and intra-doc token dedup's middle
+# sibling).
+# ---------------------------------------------------------------------------
+
+_BITMAP_DISTINCT_ORACLE = """
+SELECT date_trunc('month', o_orderdate) AS order_month,
+       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers
+FROM orders GROUP BY 1
+"""
+
+
+@query("bitmap_distinct_customers_monthly", oracle=_BITMAP_DISTINCT_ORACLE)
+def q_bitmap_distinct_customers_monthly(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """EXACT distinct customers per month via bitmap partial aggregates
+    (Spark 3.5 bitmap_* family): ids bucket into fixed 32k-bit bitmaps,
+    per-(month, bucket) partials OR-merge associatively, the final count
+    is a SUM of bitmap popcounts. Same mergeability story as the HLL
+    sketches (hll_cardinality_by_source) but exact — store per-day
+    bucket bitmaps and a month/quarter rollup is a metadata-sized merge,
+    never a re-scan of 100 TB of orders. COUNT(DISTINCT) over the same
+    data is the oracle."""
+    orders = _t(spark, sf_dir, "orders")
+    month = F.date_trunc("month", "o_orderdate")
+    partials = (
+        orders.select(
+            month.alias("order_month"),
+            F.bitmap_bucket_number("o_custkey").alias("bkt"),
+            F.bitmap_bit_position("o_custkey").alias("pos"),
+        )
+        .groupBy("order_month", "bkt")
+        .agg(F.bitmap_construct_agg("pos").alias("bm"))
+    )
+    return partials.groupBy("order_month").agg(
+        F.sum(F.bitmap_count("bm")).alias("n_customers")
+    )
+
+
+_PARA_DUP_ORACLE = """
+WITH blocks AS (
+  SELECT doc_id,
+         UNNEST([md5(array_to_string(t[i*20+1:i*20+20], ' '))
+                 for i in range(0, len(t) // 20)]) AS h
+  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+  WHERE len(t) >= 20
+),
+freq AS (SELECT h, COUNT(*) AS c FROM blocks GROUP BY h)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_blocks,
+       ROUND(SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END)
+             / CAST(COUNT(*) AS DOUBLE), 4) AS dup_block_frac
+FROM blocks JOIN freq USING (h)
+GROUP BY doc_id
+"""
+
+
+@query("paragraph_dup_fraction", oracle=_PARA_DUP_ORACLE)
+def q_paragraph_dup_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document duplication audit (the RefinedWeb/CCNet quality
+    feature): split each document into consecutive 20-token blocks,
+    hash them, and score each doc by the fraction of its blocks that
+    appear anywhere else in the corpus. Catches boilerplate shared
+    across documents that whole-doc dedup (exact/minhash) misses and
+    intra-doc dedup can't see. Block hashes are md5-32 (never the
+    text) so the shuffle carries 32-byte keys; the frequency side
+    aggregates to |distinct blocks| before the join."""
+    docs = _t(spark, sf_dir, "documents")
+    t = F.split("text", " ")
+    docs_t = docs.select("doc_id", t.alias("t")).where(F.size("t") >= 20)
+    blocks = docs_t.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                # size>=20 guarantees floor(size/20)>=1, so the sequence
+                # never descends (sequence(0,-1) counts DOWN in Spark)
+                F.sequence(F.lit(0), F.floor(F.size("t") / 20).cast("int") - 1),
+                lambda i: F.md5(F.array_join(F.slice("t", i * 20 + 1, 20), " ")),
+            )
+        ).alias("h"),
+    )
+    freq = blocks.groupBy("h").agg(F.count(F.lit(1)).alias("c"))
+    return blocks.join(freq, "h").groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_blocks"),
+        F.round(
+            F.sum((F.col("c") > 1).cast("int")) / F.count(F.lit(1)).cast("double"),
+            4,
+        ).alias("dup_block_frac"),
+    )

@@ -44,8 +44,11 @@ from vector_knowledge_base_spark.pipeline.ingest import (
 from vector_knowledge_base_spark.sources.storage import _rewrite, reset_table
 
 
-class KnowledgeBase:
-    """A vector knowledge base persisted under ``workspace_dir``."""
+class _KnowledgeBaseCore:
+    """Core verbs of a vector knowledge base persisted under
+    ``workspace_dir`` (the folder/file-organization surface is the
+    ``KnowledgeBaseFolders`` mixin; users instantiate ``KnowledgeBase``,
+    which composes both)."""
 
     def __init__(
         self, spark: SparkSession, workspace_dir: str, embedding_dim: int = 64
@@ -56,6 +59,8 @@ class KnowledgeBase:
         self.registry_path = os.path.join(workspace_dir, "registry")
         self.coords_path = os.path.join(workspace_dir, "coords3d")
         self.model_path = os.path.join(workspace_dir, "pca_model")
+        self.folders_path = os.path.join(workspace_dir, "folders")
+        self.file_folders_path = os.path.join(workspace_dir, "file_folders")
         os.makedirs(workspace_dir, exist_ok=True)
 
     # -- reads -------------------------------------------------------------
@@ -164,10 +169,24 @@ class KnowledgeBase:
 
         delete_where(self.spark, self.chunks_path, F.col("filename") == filename)
         _rewrite(build_registry(self.chunks()), self.registry_path)
+        # drop the folder assignment too (filesystem_db.py:172-177)
+        if os.path.exists(self.file_folders_path):
+            self._write_small(
+                self.file_folders().where(F.col("filename") != filename),
+                self.file_folders_path,
+            )
 
     def reset(self) -> None:
-        """Drop all derived state (S18)."""
-        for p in (self.chunks_path, self.registry_path, self.coords_path):
+        """Drop all derived state (S18) — including the folder hierarchy,
+        like the reference's /admin/reset (main.py:1157-1198 step 2
+        resets the filesystem DB too)."""
+        for p in (
+            self.chunks_path,
+            self.registry_path,
+            self.coords_path,
+            self.folders_path,
+            self.file_folders_path,
+        ):
             if os.path.exists(p):
                 reset_table(self.spark, p)
 
@@ -255,3 +274,171 @@ class KnowledgeBase:
             F.encode("text", "utf-8").alias("content"),
         )
         return export_zip(files, zip_path)
+
+
+# ---------------------------------------------------------------------------
+# Folder hierarchy + file surface (reference /folders, /files/*,
+# /files/content, /api/embeddings/3d/query, /health,
+# /config/allowed-extensions — main.py:513-611,691-753,170-183).
+# ---------------------------------------------------------------------------
+
+_FOLDERS_SCHEMA = "id string, name string, parent_id string"
+_FILE_FOLDERS_SCHEMA = "document_id string, filename string, folder_id string"
+
+
+class KnowledgeBaseFolders:
+    """Folder/file-organization mixin — split out only for readability;
+    composed into KnowledgeBase below. Folder tables are human-created
+    and therefore broadcast-size by construction; every mutation is a
+    full crash-safe rewrite of a tiny parquet table (the lakehouse
+    analog of the reference's SQLite rows, filesystem_db.py:36-53)."""
+
+    def _read_or_empty(self, path: str, schema: str) -> DataFrame:
+        if os.path.exists(path):
+            return self.spark.read.schema(schema).parquet(path)
+        return self.spark.createDataFrame([], schema)
+
+    def _write_small(self, df: DataFrame, path: str) -> None:
+        if os.path.exists(path):
+            _rewrite(df.coalesce(1), path)
+        else:
+            df.coalesce(1).write.parquet(path)
+
+    def folders(self) -> DataFrame:
+        return self._read_or_empty(self.folders_path, _FOLDERS_SCHEMA)
+
+    def file_folders(self) -> DataFrame:
+        return self._read_or_empty(self.file_folders_path, _FILE_FOLDERS_SCHEMA)
+
+    def create_folder(self, name: str, parent_id: str | None = None) -> str:
+        """POST /folders (filesystem_db.py:67-78)."""
+        import uuid
+
+        folder_id = str(uuid.uuid4())
+        row = self.spark.createDataFrame(
+            [(folder_id, name, parent_id)], _FOLDERS_SCHEMA
+        )
+        self._write_small(self.folders().unionByName(row), self.folders_path)
+        return folder_id
+
+    def update_folder(
+        self,
+        folder_id: str,
+        name: str | None = None,
+        parent_id: str | None = None,
+    ) -> None:
+        """PUT /folders/{id}: rename and/or re-parent
+        (filesystem_db.py:79-98 — absent fields keep their value)."""
+        hit = F.col("id") == folder_id
+        df = self.folders()
+        if name is not None:
+            df = df.withColumn("name", F.when(hit, F.lit(name)).otherwise(F.col("name")))
+        if parent_id is not None:
+            df = df.withColumn(
+                "parent_id", F.when(hit, F.lit(parent_id)).otherwise(F.col("parent_id"))
+            )
+        self._write_small(df, self.folders_path)
+
+    def delete_folder(self, folder_id: str) -> None:
+        """DELETE /folders/{id}: the folder's files become unsorted, the
+        folder row disappears (filesystem_db.py:100-108)."""
+        self._write_small(
+            self.file_folders().where(F.col("folder_id") != folder_id),
+            self.file_folders_path,
+        )
+        self._write_small(
+            self.folders().where(F.col("id") != folder_id), self.folders_path
+        )
+
+    def move_file(
+        self, document_id: str, filename: str, folder_id: str | None
+    ) -> None:
+        """POST /files/move: 'unsorted' removes the mapping entirely,
+        None means Root, else upsert the assignment
+        (filesystem_db.py:110-133)."""
+        ff = self.file_folders().where(F.col("document_id") != document_id)
+        if folder_id != "unsorted":
+            row = self.spark.createDataFrame(
+                [(document_id, filename, folder_id)], _FILE_FOLDERS_SCHEMA
+            )
+            ff = ff.unionByName(row)
+        self._write_small(ff, self.file_folders_path)
+
+    def list_folders(self) -> DataFrame:
+        """GET /folders, with fully-resolved paths (J3)."""
+        from vector_knowledge_base_spark.operators.folders import (
+            resolve_folder_paths,
+        )
+
+        f = self.folders()
+        return f.join(resolve_folder_paths(f), "id", "left")
+
+    def unsorted_files(self) -> DataFrame:
+        """GET /files/unsorted (J2 left-anti; filesystem_db.py:151-163)."""
+        from vector_knowledge_base_spark.operators.folders import unsorted_files
+
+        docs = self.list_documents().select(
+            F.col("doc_id").cast("string").alias("document_id"), "filename"
+        )
+        return unsorted_files(docs, self.file_folders())
+
+    def files_in_folders(self) -> DataFrame:
+        """GET /files/in_folders (A5 group-by with 'null' root sentinel)."""
+        from vector_knowledge_base_spark.operators.folders import files_by_folder
+
+        return files_by_folder(self.file_folders())
+
+    def file_content(self, filename: str) -> str:
+        """GET /files/content/{filename}: the document's extracted text,
+        reassembled from its chunks in order (main.py:589-611)."""
+        rows = (
+            self.chunks()
+            .where(F.col("filename") == filename)
+            .select("chunk_index", "text")
+            .orderBy("chunk_index")
+            .collect()
+        )
+        return "\n".join(r.text for r in rows)
+
+    def query_3d(
+        self, query: str, k: int = 10, cluster: int | str | None = None
+    ):
+        """POST /api/embeddings/3d/query (main.py:691-753): embed the
+        query, project it through the persisted PCA model, and return
+        (query_coords, neighbors DataFrame) where neighbors carry their
+        materialized 3-D coords joined from the coords3d table — a
+        broadcast join against the top-k hits instead of the reference's
+        per-neighbor transform loop."""
+        from vector_knowledge_base_spark.operators.projection import (
+            load_projection_model,
+            transform_query,
+        )
+        from vector_knowledge_base_spark.pipeline.embed import embed_texts
+
+        coords = self.embeddings_3d()  # refreshes model + table if stale
+        model = load_projection_model(self.model_path)
+        qv = embed_texts([query], dim=self.dim)[0].tolist()
+        query_coords = transform_query(model, qv)
+
+        hits = self.search(query, k=k, cluster=cluster)
+        neighbors = hits.join(
+            coords.select(F.col("vec_id").alias("chunk_id"), "x", "y", "z"),
+            "chunk_id",
+            "left",
+        ).select("chunk_id", "filename", "score", "x", "y", "z")
+        return query_coords, neighbors
+
+    def health(self) -> dict:
+        """GET /health (main.py:170-178)."""
+        return {"status": "healthy", "documents": self.list_documents().count()}
+
+    @staticmethod
+    def allowed_extensions() -> list[str]:
+        """GET /config/allowed-extensions (main.py:180-183)."""
+        from vector_knowledge_base_spark.pipeline.extract import ALLOWED_EXTENSIONS
+
+        return sorted(ALLOWED_EXTENSIONS)
+
+
+class KnowledgeBase(_KnowledgeBaseCore, KnowledgeBaseFolders):
+    """The full facade: every reference endpoint verb in one class."""

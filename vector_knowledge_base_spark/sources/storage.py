@@ -128,3 +128,23 @@ def reset_table(spark: SparkSession, path: str) -> None:
     contract so readers and appends keep working."""
     df = spark.read.parquet(path)
     _rewrite(df.limit(0), path)
+
+
+def write_range_clustered(
+    df: DataFrame, path: str, col: str, n_files: int, mode: str = "overwrite"
+) -> None:
+    """Range-cluster a table on ``col`` before writing: rows land in
+    ``n_files`` contiguous, (almost) non-overlapping value ranges, one
+    per output file. Parquet footers then carry tight min/max stats for
+    ``col``, so any engine's row-group pruning (Spark, DuckDB, Trino)
+    skips the files a range predicate can't match — the sort-key half
+    of data skipping, complementing ``write_chunks``'s partition-column
+    half. repartitionByRange samples the distribution, so the ranges
+    are balanced even when the column is skewed; sortWithinPartitions
+    keeps row groups internally ordered for finer-grained pruning."""
+    (
+        df.repartitionByRange(n_files, F.col(col))
+        .sortWithinPartitions(col)
+        .write.mode(mode)
+        .parquet(path)
+    )
