@@ -286,3 +286,25 @@ def test_bloom_filter_runtime_join_filter(spark):
     finally:
         for k, v in old.items():
             spark.conf.set(k, v)
+
+
+def test_max_by_top1_has_no_window_sort(spark):
+    """latest_event_per_user's claim: top-1-per-group compiles to a hash
+    aggregate (max_by), never a Window + per-partition sort — the
+    cost-class difference the docstring promises at scale."""
+    from vector_knowledge_base_spark import queries as q
+
+    plan = explain_str(q.QUERIES["latest_event_per_user"](spark, SF))
+    assert "Window" not in plan, plan
+    assert "max_by" in plan or "Aggregate" in plan
+
+
+def test_triangle_join_broadcasts_edges(spark):
+    """Triangle enumeration probes broadcast copies of the (small,
+    support-thresholded) edge list — no sort-merge join, no cartesian."""
+    from vector_knowledge_base_spark import queries as q
+    from vector_knowledge_base_spark.plans.inspect import assert_no_cartesian
+
+    df = q.QUERIES["triangle_count_copurchase"](spark, SF)
+    assert has_broadcast_join(df)
+    assert_no_cartesian(df)
