@@ -155,6 +155,9 @@ HEADLINE = [
     # wave 29 — exact mergeable distinct, paragraph-level dedup
     "bitmap_distinct_customers_monthly",
     "paragraph_dup_fraction",
+    # wave 30 — mapInArrow kernel, try_* error-safe arithmetic
+    "embedding_l2_normalize_arrow",
+    "safe_ratio_try_divide",
 ]
 
 KNN_BATCH_N_QUERIES = 5  # matches the knn_batch query definition

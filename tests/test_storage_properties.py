@@ -185,3 +185,48 @@ def test_range_clustered_write_skips_files(spark, tmp_path):
     assert scan.count() == 1000
     n_read = scan.select(F.input_file_name()).distinct().count()
     assert n_read < len(spans) / 2
+
+
+def test_zorder_write_skips_on_both_columns(spark, tmp_path):
+    """Z-order clustering bounds BOTH columns' per-file spans (each file
+    covers a hyper-rectangle), where single-column range clustering
+    leaves the second column's spans at ~full width."""
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from vector_knowledge_base_spark.sources.storage import (
+        write_range_clustered,
+        write_zorder_clustered,
+    )
+
+    n = 20_000
+    df = (
+        spark.range(n)
+        .withColumn("x", (F.col("id") * 2654435761 % n).cast("long"))
+        .withColumn("y", (F.col("id") * 40503 % n).cast("long"))
+    )
+
+    def mean_span(path, col):
+        spans = []
+        for name in os.listdir(path):
+            if not name.endswith(".parquet"):
+                continue
+            md = pq.ParquetFile(os.path.join(path, name)).metadata
+            ci = next(
+                i for i in range(md.num_columns) if md.schema.column(i).name == col
+            )
+            st = [md.row_group(r).column(ci).statistics for r in range(md.num_row_groups)]
+            spans.append(max(s.max for s in st) - min(s.min for s in st))
+        return sum(spans) / len(spans)
+
+    zpath = str(tmp_path / "zorder")
+    rpath = str(tmp_path / "range_x")
+    write_zorder_clustered(df, zpath, cols=["x", "y"], n_files=16)
+    write_range_clustered(df, rpath, col="x", n_files=16)
+
+    # z-order: both dimensions bounded well below full width
+    assert mean_span(zpath, "x") < 0.5 * n
+    assert mean_span(zpath, "y") < 0.5 * n
+    # range-by-x: x tight, y unbounded (≈ full width) — the contrast
+    assert mean_span(rpath, "x") < 0.15 * n
+    assert mean_span(rpath, "y") > 0.8 * n

@@ -5195,3 +5195,55 @@ def q_paragraph_dup_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("dup_block_frac"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Wave 30 — UDF-surface completeness (mapInArrow, the zero-copy Arrow
+# path) and error-safe arithmetic (try_* family).
+# ---------------------------------------------------------------------------
+
+_NORM_ARROW_ORACLE = """
+SELECT vec_id,
+       ROUND(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])),
+             6) AS l2_norm,
+       ROUND(embedding[1]::DOUBLE
+             / sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])),
+             6) AS unit_x
+FROM embeddings
+"""
+
+
+@query("embedding_l2_normalize_arrow", oracle=_NORM_ARROW_ORACLE)
+def q_embedding_l2_normalize_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInArrow vector kernel (the last UDF-surface family: pandas
+    scalar / grouped-agg / applyInPandas / mapInPandas / UDTF /
+    applyInPandasWithState are all exercised elsewhere): RecordBatches
+    flow Arrow→numpy→Arrow with no pandas boxing; the list column is
+    one flatten+reshape away from a BLAS matrix. Value-identical to the
+    JVM-side l2_norm expression and to the SQL oracle — the point is
+    the execution path, not new semantics."""
+    from vector_knowledge_base_spark.functions.vector import l2_normalize_arrow
+
+    return l2_normalize_arrow(_t(spark, sf_dir, "embeddings"))
+
+
+_SAFE_RATIO_ORACLE = """
+SELECT l_orderkey,
+       ROUND(SUM(l_discount) / NULLIF(SUM(l_tax), 0), 6) AS disc_tax_ratio
+FROM lineitem GROUP BY l_orderkey
+"""
+
+
+@query("safe_ratio_try_divide", oracle=_SAFE_RATIO_ORACLE)
+def q_safe_ratio_try_divide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe arithmetic surface: ``try_divide`` yields NULL on a
+    zero denominator instead of raising under ANSI mode — the
+    divide-by-zero rows survive as NULLs the pipeline can audit, the
+    job never dies 6 hours into a 100 TB pass. Oracle spells the same
+    semantics as NULLIF."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_orderkey").agg(
+        F.round(F.try_divide(F.sum("l_discount"), F.sum("l_tax")), 6).alias(
+            "disc_tax_ratio"
+        )
+    )

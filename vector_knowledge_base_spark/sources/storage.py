@@ -148,3 +148,52 @@ def write_range_clustered(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+def write_zorder_clustered(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    n_files: int,
+    bits: int = 16,
+    mode: str = "overwrite",
+) -> None:
+    """Z-order (Morton-curve) clustering for MULTI-column data skipping
+    — the technique behind Delta's OPTIMIZE ZORDER, built from plain
+    Spark expressions: each cluster column is min-max scaled to a
+    ``bits``-bit integer (one broadcast 1-row bounds row; swap in
+    approx quantile ranks for heavily skewed columns), the bit planes
+    are interleaved into one Morton key, and the table is range-
+    partitioned + sorted on that key. Every output file then covers a
+    small hyper-rectangle of the value space, so parquet footer min/max
+    stats prune files for predicates on ANY of the clustered columns —
+    where ``write_range_clustered`` only serves its single sort column.
+    The interleave is pure shift/and/or column arithmetic: whole-stage
+    codegen, no UDF."""
+    bounds = df.agg(
+        *[F.min(c).alias(f"_lo_{c}") for c in cols],
+        *[F.max(c).alias(f"_hi_{c}") for c in cols],
+    )
+    scaled = df.crossJoin(F.broadcast(bounds))
+    top = (1 << bits) - 1
+    keys = []
+    for c in cols:
+        span = F.col(f"_hi_{c}") - F.col(f"_lo_{c}")
+        frac = F.when(span > 0, (F.col(c) - F.col(f"_lo_{c}")) / span).otherwise(
+            F.lit(0.0)
+        )
+        keys.append(F.round(frac * top).cast("long"))
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        for j, k in enumerate(keys):
+            bit = F.shiftright(k, i).bitwiseAND(F.lit(1))
+            z = z.bitwiseOR(F.shiftleft(bit, i * len(keys) + j))
+    (
+        scaled.withColumn("_zkey", z)
+        .select(*df.columns, "_zkey")
+        .repartitionByRange(n_files, F.col("_zkey"))
+        .sortWithinPartitions("_zkey")
+        .drop("_zkey")
+        .write.mode(mode)
+        .parquet(path)
+    )
