@@ -69,7 +69,17 @@ def kmeans_cluster(
     try:
         if k is None:
             k = adaptive_k(vecs.count())
-        model = KMeans(k=k, seed=seed, featuresCol="features").fit(vecs)
+        # random init, not k-means||: the parallel init itself costs
+        # initSteps extra distributed passes over the corpus, and on
+        # embedding-type data (near-uniform pairwise distances) it can
+        # land degenerate seeds (measured: a 2-point cluster at sf0.1
+        # that random init avoids). tol=1e-3 ends Lloyd as soon as
+        # centroids stop moving meaningfully — this is exploration-grade
+        # clustering for naming/browsing, same use as the reference's
+        # HDBSCAN, not a loss-critical fit. 2.8s -> 1.0s at sf0.1.
+        model = KMeans(
+            k=k, seed=seed, featuresCol="features", initMode="random", tol=1e-3
+        ).fit(vecs)
         labels = model.transform(vecs).select(
             F.col(id_col), F.col("prediction").cast("int").alias("cluster")
         )
