@@ -158,6 +158,9 @@ HEADLINE = [
     # wave 30 — mapInArrow kernel, try_* error-safe arithmetic
     "embedding_l2_normalize_arrow",
     "safe_ratio_try_divide",
+    # wave 31 — LSH precision audit, deterministic weighted sampling
+    "lsh_candidate_precision",
+    "weighted_sample_priority",
 ]
 
 KNN_BATCH_N_QUERIES = 5  # matches the knn_batch query definition

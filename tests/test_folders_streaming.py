@@ -373,3 +373,40 @@ def test_streaming_registry_upsert_matches_batch(spark, tmp_path):
         for r in spark.read.parquet(reg_path).collect()
     }
     assert got == expected
+
+
+def test_streaming_ingest_checkpoint_resume_exactly_once(spark, tmp_path):
+    """Checkpoint recovery: a second availableNow run over the SAME
+    checkpoint processes only files added since the first run — no
+    reprocessing, no duplicates (the exactly-once contract scheduled
+    ingest depends on)."""
+    from pyspark.sql import functions as F
+
+    from vector_knowledge_base_spark.sources.tables import load_table
+    from vector_knowledge_base_spark.streaming.windows import streaming_ingest
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text", "lang"
+    )
+    src = str(tmp_path / "docs_in")
+    out = str(tmp_path / "chunks_out")
+    ckpt = str(tmp_path / "ckpt")
+    docs.where(F.col("doc_id") < 20).write.parquet(src)
+
+    streaming_ingest(spark, src, checkpoint_dir=ckpt, output_dir=out).awaitTermination(180)
+    n1 = spark.read.parquet(out).count()
+    assert n1 >= 20
+
+    # second wave of files lands; resume from the same checkpoint
+    docs.where((F.col("doc_id") >= 20) & (F.col("doc_id") < 30)).write.mode(
+        "append"
+    ).parquet(src)
+    streaming_ingest(spark, src, checkpoint_dir=ckpt, output_dir=out).awaitTermination(180)
+
+    got = spark.read.parquet(out)
+    assert got.count() == n1 + 10  # only the delta was processed
+    # and every doc id appears exactly once per chunk index
+    dups = (
+        got.groupBy("doc_id", "chunk_index").count().where(F.col("count") > 1).count()
+    )
+    assert dups == 0

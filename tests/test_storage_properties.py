@@ -230,3 +230,35 @@ def test_zorder_write_skips_on_both_columns(spark, tmp_path):
     # range-by-x: x tight, y unbounded (≈ full width) — the contrast
     assert mean_span(rpath, "x") < 0.15 * n
     assert mean_span(rpath, "y") > 0.8 * n
+
+
+def test_dynamic_partition_overwrite_backfill(spark, tmp_path):
+    """overwrite_partitions replaces only the partitions in the incoming
+    frame (day-2 backfill leaves day 1/3 untouched) and is idempotent."""
+    from pyspark.sql import functions as F
+
+    from vector_knowledge_base_spark.sources.storage import overwrite_partitions
+
+    path = str(tmp_path / "days")
+    base = spark.createDataFrame(
+        [(i, f"2024-01-0{d}", "v1") for d in (1, 2, 3) for i in range(d * 10, d * 10 + 5)],
+        "id long, day string, val string",
+    )
+    base.write.partitionBy("day").parquet(path)
+
+    fix = spark.createDataFrame(
+        [(99, "2024-01-02", "v2")], "id long, day string, val string"
+    )
+    overwrite_partitions(fix, path, partition_col="day")
+    got = spark.read.parquet(path)
+    # partition values type-infer to DATE on read — compare as strings
+    by_day = {
+        str(r["day"]): r["n"]
+        for r in got.groupBy("day").agg(F.count("*").alias("n")).collect()
+    }
+    assert by_day == {"2024-01-01": 5, "2024-01-02": 1, "2024-01-03": 5}
+    assert got.where((F.col("day") == "2024-01-02") & (F.col("val") == "v2")).count() == 1
+
+    # idempotent: the same backfill again changes nothing
+    overwrite_partitions(fix, path, partition_col="day")
+    assert spark.read.parquet(path).count() == 11

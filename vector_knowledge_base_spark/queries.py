@@ -5247,3 +5247,135 @@ def q_safe_ratio_try_divide(spark: SparkSession, sf_dir: str) -> DataFrame:
             "disc_tax_ratio"
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Wave 31 — approximation-quality auditing (LSH banding precision) and
+# deterministic weighted sampling (Efraimidis–Spirakis as a scan).
+# ---------------------------------------------------------------------------
+
+_LSH_PRECISION_ORACLE = (
+    _MINHASH_SIG_CTE
+    + f""",
+banded AS ({_BAND_UNION}),
+cand AS (SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+         FROM banded a JOIN banded b USING (band_idx, band_key)
+         WHERE a.doc_id < b.doc_id),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_id_a, c.doc_id_b, COUNT(*) AS n_inter
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.doc_id_a
+  JOIN sh b ON b.doc_id = c.doc_id_b AND b.shingle = a.shingle
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT COALESCE(n_inter, 0) * 1.0
+         / (sa.n_sh + sb.n_sh - COALESCE(n_inter, 0)) AS j
+  FROM cand c
+  LEFT JOIN inter i ON i.doc_id_a = c.doc_id_a AND i.doc_id_b = c.doc_id_b
+  JOIN sizes sa ON sa.doc_id = c.doc_id_a
+  JOIN sizes sb ON sb.doc_id = c.doc_id_b
+)
+SELECT CASE WHEN j >= 0.5 THEN 'j>=0.5'
+            WHEN j >= 0.2 THEN '0.2<=j<0.5'
+            WHEN j >= 0.05 THEN '0.05<=j<0.2'
+            ELSE 'j<0.05' END AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM scored GROUP BY 1
+"""
+)
+
+
+@query("lsh_candidate_precision", oracle=_LSH_PRECISION_ORACLE)
+def q_lsh_candidate_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximation-quality audit: every LSH candidate pair is scored
+    with its EXACT shingle Jaccard and bucketed — the report that tunes
+    bands×rows (how many candidates are real near-dups vs banding false
+    positives) before a 100 TB dedup run commits to a scheme. The
+    verify stage only touches candidate pairs (O(collisions), never
+    all-pairs); the shingle relation is checkpointed once and probed
+    from both sides of the intersection join."""
+    from vector_knowledge_base_spark.operators.text_dedup import (
+        doc_shingles,
+        minhash_lsh_candidates,
+        minhash_signatures,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    cand = minhash_lsh_candidates(minhash_signatures(docs), bands=4, rows_per_band=2)
+    sh = doc_shingles(docs).localCheckpoint(eager=True)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    inter = (
+        cand.join(
+            sh.select(F.col("doc_id").alias("doc_id_a"), "shingle"), "doc_id_a"
+        )
+        .join(
+            sh.select(F.col("doc_id").alias("doc_id_b"), "shingle"),
+            ["doc_id_b", "shingle"],
+        )
+        .groupBy("doc_id_a", "doc_id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    ni = F.coalesce("n_inter", F.lit(0))
+    scored = (
+        cand.join(inter, ["doc_id_a", "doc_id_b"], "left")
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_id_a"), F.col("n_sh").alias("na")),
+            "doc_id_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_id_b"), F.col("n_sh").alias("nb")),
+            "doc_id_b",
+        )
+        .select((ni / (F.col("na") + F.col("nb") - ni)).alias("j"))
+    )
+    bucket = (
+        F.when(F.col("j") >= 0.5, "j>=0.5")
+        .when(F.col("j") >= 0.2, "0.2<=j<0.5")
+        .when(F.col("j") >= 0.05, "0.05<=j<0.2")
+        .otherwise("j<0.05")
+    )
+    return scored.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_pairs")
+    )
+
+
+_WEIGHTED_SAMPLE_ORACLE = """
+SELECT doc_id, source,
+       ROUND(LN((('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT + 0.5)
+                / 4294967296.0) / n_chars, 6) AS priority
+FROM documents
+WHERE n_chars > 0
+ORDER BY LN((('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT + 0.5)
+            / 4294967296.0) / n_chars DESC, doc_id
+LIMIT 200
+"""
+
+
+@query("weighted_sample_priority", oracle=_WEIGHTED_SAMPLE_ORACLE)
+def q_weighted_sample_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement as a DETERMINISTIC scan —
+    Efraimidis–Spirakis A-ES: each row's priority is ln(u)/w for a
+    hash-derived uniform u ∈ (0,1) (md5, replayable — the same 200 docs
+    come back on every run and every engine) and weight w = n_chars;
+    the top-k by priority is a weight-proportional sample. One scan +
+    TakeOrderedAndProject: no shuffle of the corpus, no rand(), no
+    driver-side reservoir. The monotone ln(u)/w form avoids u^(1/w)
+    overflow for large weights."""
+    docs = _t(spark, sf_dir, "documents").where(F.col("n_chars") > 0)
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
+            "long"
+        )
+        + F.lit(0.5)
+    ) / F.lit(4294967296.0)
+    pri = F.log(u) / F.col("n_chars")
+    return (
+        docs.select(
+            "doc_id", "source", F.round(pri, 6).alias("priority"), pri.alias("_p")
+        )
+        .orderBy(F.desc("_p"), "doc_id")
+        .limit(200)
+        .drop("_p")
+    )

@@ -197,3 +197,21 @@ def write_zorder_clustered(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+def overwrite_partitions(
+    df: DataFrame, path: str, partition_col: str = "upload_day"
+) -> None:
+    """Idempotent backfill: rewrite ONLY the partitions present in
+    ``df``, leaving every other partition untouched (dynamic partition
+    overwrite — static mode would wipe the whole table). This is the
+    reprocessing verb of a day-partitioned lakehouse: re-run one bad
+    day through the pipeline and land it atomically per-partition; run
+    the same backfill twice and the table is unchanged (idempotent by
+    construction, no dedup pass needed)."""
+    (
+        df.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(partition_col)
+        .parquet(path)
+    )
