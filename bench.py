@@ -194,15 +194,25 @@ def main() -> None:
     warm = spark.range(par * 4).repartition(par)
     warm.mapInPandas(lambda it: it, "id long").count()
 
+    # Per-query fault isolation: one failing query must never zero the
+    # round's entire perf evidence (r2's BENCH was a stack trace because a
+    # single AnalysisException aborted the loop). Errors are recorded and
+    # the JSON summary line is ALWAYS printed.
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in HEADLINE:
         if name not in q.QUERIES:
+            errors[name] = "not_registered"
             continue
         runs = []
-        for _ in range(RUNS_PER_QUERY):
-            t0 = time.time()
-            _materialize(q.QUERIES[name](spark, sf_dir))
-            runs.append(time.time() - t0)
+        try:
+            for _ in range(RUNS_PER_QUERY):
+                t0 = time.time()
+                _materialize(q.QUERIES[name](spark, sf_dir))
+                runs.append(time.time() - t0)
+        except Exception as e:  # noqa: BLE001 — record and keep benching
+            errors[name] = f"{type(e).__name__}: {str(e).splitlines()[0][:200]}"
+            continue
         timings[name] = round(statistics.median(runs), 3)
 
     total = round(sum(timings.values()), 3)
@@ -213,6 +223,7 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
         "runs_per_query": RUNS_PER_QUERY,
+        "errors": errors,
     }
     if timings.get("knn_batch"):
         out["knn_batch_qps"] = round(KNN_BATCH_N_QUERIES / timings["knn_batch"], 3)

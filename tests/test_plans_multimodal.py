@@ -299,6 +299,22 @@ def test_max_by_top1_has_no_window_sort(spark):
     assert "max_by" in plan or "Aggregate" in plan
 
 
+def test_hybrid_rrf_prunes_before_ranking(spark):
+    """hybrid_search_rrf must prune each side to top-N candidates via
+    TakeOrderedAndProject (per-partition heap) BEFORE any row_number
+    Window — the corpus is never globally sorted; every Window in the
+    plan ranks an already-limited N-row candidate list."""
+    from vector_knowledge_base_spark import queries as q
+
+    plan = explain_str(q.QUERIES["hybrid_search_rrf"](spark, SF))
+    # r2's global-rank plan had exactly ONE TakeOrderedAndProject (the
+    # final limit) with both Windows sorting the raw corpus; prune-first
+    # shows three: kw candidate prune, vec candidate prune, final top-10.
+    # The Windows' own Exchange SinglePartition still appears, but it now
+    # moves only the N pruned candidate rows.
+    assert plan.count("TakeOrderedAndProject") >= 3, plan
+
+
 def test_triangle_join_broadcasts_edges(spark):
     """Triangle enumeration probes broadcast copies of the (small,
     support-thresholded) edge list — no sort-merge join, no cartesian."""

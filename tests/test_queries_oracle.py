@@ -32,6 +32,28 @@ def test_query_matches_oracle(spark, con, name):
     assert not problems, f"{name}: " + "; ".join(problems)
 
 
+def test_events_ts_loads_as_timestamp(spark):
+    """Regression for the round-2 TIMESTAMP_NTZ crash: whatever parquet
+    flavor the testdata ships (ns-as-long legacy or µs→NTZ), load_table
+    must normalize events.ts to a session-tz TimestampType so
+    unix_micros()/cast("long") work in every event-time query."""
+    from pyspark.sql import types as T
+
+    from vector_knowledge_base_spark.sources.tables import load_table
+
+    df = load_table(spark, ORACLE_SF_DIR, "events")
+    assert isinstance(df.schema["ts"].dataType, T.TimestampType)
+
+
+def test_driver_window_first50_all_oracled():
+    """The driver hash-checks only the first 50 queries() entries; every
+    one of those slots must carry a SQL oracle (rows-only entries belong
+    past the window)."""
+    first50 = list(q.all_queries())[:50]
+    missing = [n for n in first50 if n not in q.all_oracles()]
+    assert not missing, f"rows-only queries inside the driver window: {missing}"
+
+
 def test_entry_smoke(spark):
     import __spark_entry__ as e
 

@@ -29,16 +29,39 @@ def project_3d(
 ) -> tuple[DataFrame, "object"]:
     """Fit PCA(k=3) and project every row → (id, x, y, z). Returns
     (coords3d DataFrame, fitted PCAModel) — keep the model to transform
-    query vectors without re-fitting."""
+    query vectors without re-fitting.
+
+    Inputs are mean-centered before fit AND transform: MLlib's
+    ``PCAModel.transform`` multiplies the raw vector by the components
+    (no centering), while the reference's sklearn PCA subtracts the
+    training mean first (/root/reference/backend/
+    dimensionality_reduction.py:97-99) — without this step every
+    coordinate is offset by mean·pc. The mean is one Summarizer pass,
+    broadcast as a literal; it rides on the model as ``_center_mean``
+    and round-trips through save/load_projection_model."""
     from pyspark.ml.feature import PCA
     from pyspark.ml.functions import array_to_vector, vector_to_array
+    from pyspark.ml.stat import Summarizer
 
     n = emb.count()
     dim = len(emb.select(vec_col).first()[0])
     k = min(3, n, dim)
 
-    vecs = emb.select(F.col(id_col), array_to_vector(F.col(vec_col)).alias("features"))
+    raw = emb.select(F.col(id_col), array_to_vector(F.col(vec_col)).alias("raw"))
+    mean = raw.select(Summarizer.mean(F.col("raw"))).first()[0].toArray()
+    mean_lit = F.array(*[F.lit(float(v)) for v in mean])
+    vecs = emb.select(
+        F.col(id_col),
+        array_to_vector(
+            F.zip_with(
+                F.col(vec_col).cast("array<double>"),
+                mean_lit,
+                lambda x, m: x - m,
+            )
+        ).alias("features"),
+    )
     model = PCA(k=k, inputCol="features", outputCol="pca").fit(vecs)
+    model._center_mean = [float(v) for v in mean]
     arr = model.transform(vecs).select(
         F.col(id_col), vector_to_array(F.col("pca")).alias("coords")
     )
@@ -117,8 +140,17 @@ def save_projection_model(model, path: str) -> None:
     pickles {method, transformer, is_fitted} to disk
     (/root/reference/backend/dimensionality_reduction.py:160-175). MLlib
     models serialize natively (JSON metadata + parquet coefficients —
-    readable from any executor, unlike a driver-local pickle)."""
+    readable from any executor, unlike a driver-local pickle). The
+    centering mean (not part of MLlib's model state) is stamped beside
+    it."""
+    import json
+    import os
+
     model.write().overwrite().save(path)
+    mean = getattr(model, "_center_mean", None)
+    if mean is not None:
+        with open(os.path.join(path, "center_mean.json"), "w") as f:
+            json.dump(mean, f)
 
 
 def load_projection_model(path: str):
@@ -126,21 +158,34 @@ def load_projection_model(path: str):
     (/root/reference/backend/dimensionality_reduction.py:177-187).
     Returns None if nothing is saved at ``path`` (the reference's
     load_model returns False) — callers then re-fit via project_3d."""
+    import json
+    import os
+
     from pyspark.ml.feature import PCAModel
 
     try:
-        return PCAModel.load(path)
+        model = PCAModel.load(path)
     except Exception:
         return None
+    mean_file = os.path.join(path, "center_mean.json")
+    if os.path.exists(mean_file):
+        with open(mean_file) as f:
+            model._center_mean = json.load(f)
+    return model
 
 
 def transform_query(model, query_vector) -> list[float]:
     """Project one query vector with the fitted model's components —
     a driver-side matmul against the broadcast pc matrix (the k=10
-    3-D query path, /root/reference/backend/main.py:691-754)."""
+    3-D query path, /root/reference/backend/main.py:691-754). Subtracts
+    the training mean first, matching sklearn transform semantics
+    (reference dimensionality_reduction.py:97-99)."""
     import numpy as np
 
     pc = model.pc.toArray()  # (dim, k)
     q = np.asarray(query_vector, dtype=np.float64)
+    mean = getattr(model, "_center_mean", None)
+    if mean is not None:
+        q = q - np.asarray(mean, dtype=np.float64)
     out = q @ pc
     return list(out) + [0.0] * (3 - out.shape[0])

@@ -43,9 +43,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
-        # integer division: truncate ns→µs exactly as DuckDB/Arrow do
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        if isinstance(df.schema["ts"].dataType, T.LongType):
+            # integer division: truncate ns→µs exactly as DuckDB/Arrow do
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif not isinstance(df.schema["ts"].dataType, T.TimestampType):
+            # µs parquet timestamps load as TIMESTAMP_NTZ in Spark 4, which
+            # rejects unix_micros()/cast("long"); with the UTC session tz the
+            # cast to TimestampType is value-identical.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
