@@ -161,6 +161,11 @@ HEADLINE = [
     # wave 31 — LSH precision audit, deterministic weighted sampling
     "lsh_candidate_precision",
     "weighted_sample_priority",
+    # wave 32 — BM25, TF-IDF cosine, token-budget mix, source dup matrix
+    "bm25_keyword_search",
+    "tfidf_cosine_pairs",
+    "token_budget_mixture",
+    "cross_source_dup_matrix",
 ]
 
 KNN_BATCH_N_QUERIES = 5  # matches the knn_batch query definition

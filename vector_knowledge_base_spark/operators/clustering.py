@@ -67,8 +67,20 @@ def kmeans_cluster(
     # fit: the returned label plan re-derives the features in ONE pass.
     vecs.persist()
     try:
+        n_points = vecs.count()
         if k is None:
-            k = adaptive_k(vecs.count())
+            k = adaptive_k(n_points)
+        # size the ITERATION input to the data, not the cluster default:
+        # every Lloyd step is a job over these partitions, so 5k rows
+        # spread across 32 partitions pay 32-task scheduling per
+        # iteration for microsecond compute. The coalesce sits ON TOP of
+        # the already-materialized cache (narrow merge of in-memory
+        # partitions — the wide upstream embed ran at full parallelism
+        # during the count above), and ~200k rows/partition ≈ 100 MB of
+        # 64-d doubles keeps the same rule giving thousands of
+        # partitions at 100 TB.
+        target = max(1, -(-n_points // 200_000))
+        fit_input = vecs.coalesce(target) if target < 32 else vecs
         # random init, not k-means||: the parallel init itself costs
         # initSteps extra distributed passes over the corpus, and on
         # embedding-type data (near-uniform pairwise distances) it can
@@ -79,8 +91,8 @@ def kmeans_cluster(
         # HDBSCAN, not a loss-critical fit. 2.8s -> 1.0s at sf0.1.
         model = KMeans(
             k=k, seed=seed, featuresCol="features", initMode="random", tol=1e-3
-        ).fit(vecs)
-        labels = model.transform(vecs).select(
+        ).fit(fit_input)
+        labels = model.transform(fit_input).select(
             F.col(id_col), F.col("prediction").cast("int").alias("cluster")
         )
         # materialize the (id, cluster) pairs while the cache is hot so

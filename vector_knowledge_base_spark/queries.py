@@ -5433,3 +5433,284 @@ def q_weighted_sample_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(200)
         .drop("_p")
     )
+
+
+# ---------------------------------------------------------------------------
+# Wave 32 — retrieval & training-mix depth: Okapi BM25 keyword ranking,
+# TF-IDF cosine near-dup (the weighted twin of n-gram Jaccard), per-band
+# token-budget mix planning, and the cross-source duplication matrix.
+# ---------------------------------------------------------------------------
+
+_BM25_ORACLE = """
+WITH base AS (
+  SELECT doc_id,
+         len(string_split(text, ' ')) AS dl,
+         len(list_filter(string_split(text, ' '), t -> t = 'vector')) AS tf
+  FROM documents
+),
+stats AS (
+  SELECT COUNT(*) AS n,
+         AVG(dl) AS avgdl,
+         SUM(CASE WHEN tf > 0 THEN 1 ELSE 0 END) AS df
+  FROM base
+)
+SELECT doc_id,
+       ROUND(LN(1 + (n - df + 0.5) / (df + 0.5))
+             * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)), 6) AS bm25
+FROM base, stats
+WHERE tf > 0
+ORDER BY bm25 DESC, doc_id
+LIMIT 20
+"""
+
+
+@query("bm25_keyword_search", oracle=_BM25_ORACLE)
+def q_bm25_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 ranking for one term (k1=1.2, b=0.75, Lucene-style
+    idf = ln(1+(N-df+0.5)/(df+0.5))) — the keyword side a hybrid
+    retrieval stack pairs with the reference's vector-only /search
+    (/root/reference/backend/main.py:185-230). One corpus scan computes
+    (dl, tf); the three corpus stats (N, avgdl, df) reduce to ONE
+    broadcast row joined back — no second scan, no shuffle of text —
+    and the top-20 compiles to TakeOrderedAndProject."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    base = docs.select(
+        "doc_id",
+        F.size(toks).alias("dl"),
+        F.size(F.filter(toks, lambda t: t == F.lit("vector"))).alias("tf"),
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("dl").alias("avgdl"),
+        F.sum((F.col("tf") > 0).cast("long")).alias("df"),
+    )
+    idf = F.log(1.0 + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    score = idf * F.col("tf") * 2.2 / (
+        F.col("tf") + 1.2 * (0.25 + 0.75 * F.col("dl") / F.col("avgdl"))
+    )
+    return (
+        base.where(F.col("tf") > 0)
+        .join(F.broadcast(stats))
+        .select("doc_id", F.round(score, 6).alias("bm25"))
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
+_TFIDF_COSINE_ORACLE = """
+WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+shing AS (
+  SELECT doc_id,
+         UNNEST([array_to_string(t[i:i+2], ' ')
+                 for i in range(1, len(t) - 1)]) AS shingle
+  FROM tok
+),
+tf AS (SELECT doc_id, shingle, COUNT(*) AS tf FROM shing GROUP BY 1, 2),
+df AS (SELECT shingle, COUNT(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT COUNT(*) AS n FROM documents),
+w AS (
+  SELECT doc_id, shingle, tf * LN(n.n * 1.0 / df.df) AS w
+  FROM tf JOIN df USING (shingle), n
+  WHERE df.df <= 20
+),
+nrm AS (SELECT doc_id, SQRT(SUM(w * w)) AS nrm FROM w GROUP BY 1),
+dot AS (
+  SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, SUM(a.w * b.w) AS dot
+  FROM w a JOIN w b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_id_a, doc_id_b,
+       ROUND(dot / (na.nrm * nb.nrm), 6) AS cos_sim
+FROM dot
+JOIN nrm na ON na.doc_id = doc_id_a
+JOIN nrm nb ON nb.doc_id = doc_id_b
+WHERE ROUND(dot / (na.nrm * nb.nrm), 6) >= 0.3
+ORDER BY cos_sim DESC, doc_id_a, doc_id_b
+LIMIT 50
+"""
+
+
+@query("tfidf_cosine_pairs", oracle=_TFIDF_COSINE_ORACLE)
+def q_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF-weighted cosine similarity between documents over trigram
+    shingle terms — the weighted vector-space twin of n-gram Jaccard
+    (rare shared shingles count more). Sparse formulation throughout:
+    per-doc norms and pairwise dots come from ONE posting-list relation
+    (never a dense matrix), and the ``df <= 20`` cap drops degenerate
+    high-frequency shingles — the same salting-free skew fix as
+    ngram_jaccard_df_capped, which bounds every posting list (and so
+    every pair-generation group) at 100 TB. Norms are computed over the
+    capped vectors, consistently on both engines."""
+    from vector_knowledge_base_spark.operators.text_dedup import shingle_structs, _shingle_text
+
+    docs = _t(spark, sf_dir, "documents")
+    par = spark.sparkContext.defaultParallelism
+    shing = (
+        docs.select("doc_id", F.split("text", " ").alias("toks"))
+        .repartition(par)
+        .select("doc_id", F.explode(shingle_structs("toks", 3)).alias("s"))
+        .select("doc_id", _shingle_text(3).alias("shingle"))
+    )
+    tf = shing.groupBy("doc_id", "shingle").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n"))
+    w = (
+        tf.join(df_.where(F.col("df") <= 20), "shingle")
+        .join(F.broadcast(n))
+        .select(
+            "doc_id",
+            "shingle",
+            (F.col("tf") * F.log(F.col("n") * 1.0 / F.col("df"))).alias("w"),
+        )
+    )
+    nrm = w.groupBy("doc_id").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
+    a = w.select(F.col("doc_id").alias("doc_id_a"), "shingle", F.col("w").alias("wa"))
+    b = w.select(F.col("doc_id").alias("doc_id_b"), "shingle", F.col("w").alias("wb"))
+    dot = (
+        a.join(b, "shingle")
+        .where(F.col("doc_id_a") < F.col("doc_id_b"))
+        .groupBy("doc_id_a", "doc_id_b")
+        .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot"))
+    )
+    sim = F.round(
+        F.col("dot") / (F.col("na") * F.col("nb")), 6
+    )
+    return (
+        dot.join(nrm.select(F.col("doc_id").alias("doc_id_a"), F.col("nrm").alias("na")), "doc_id_a")
+        .join(nrm.select(F.col("doc_id").alias("doc_id_b"), F.col("nrm").alias("nb")), "doc_id_b")
+        .select("doc_id_a", "doc_id_b", sim.alias("cos_sim"))
+        .where(F.col("cos_sim") >= 0.3)
+        .orderBy(F.desc("cos_sim"), F.asc("doc_id_a"), F.asc("doc_id_b"))
+        .limit(50)
+    )
+
+
+_TOKEN_BUDGET_ORACLE = """
+WITH banded AS (
+  SELECT doc_id,
+         len(string_split(text, ' ')) AS n_tok,
+         CASE WHEN n_chars < 130 THEN 'short'
+              WHEN n_chars < 170 THEN 'mid'
+              ELSE 'long' END AS band
+  FROM documents
+),
+budgets AS (
+  SELECT * FROM (VALUES ('short', 2000), ('mid', 6000), ('long', 12000))
+  AS t(band, budget)
+),
+ranked AS (
+  SELECT band, n_tok, budget,
+         SUM(n_tok) OVER (
+           PARTITION BY band
+           ORDER BY md5(doc_id::VARCHAR), doc_id
+           ROWS UNBOUNDED PRECEDING) AS running
+  FROM banded JOIN budgets USING (band)
+)
+SELECT band,
+       COUNT(*) AS n_docs,
+       SUM(n_tok)::BIGINT AS tokens_selected,
+       ANY_VALUE(budget) AS budget
+FROM ranked
+WHERE running <= budget
+GROUP BY band
+ORDER BY band
+"""
+
+
+@query("token_budget_mixture", oracle=_TOKEN_BUDGET_ORACLE)
+def q_token_budget_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix planner: band documents by a quality proxy, then
+    fill each band's TOKEN budget (not row budget — batches are paid in
+    tokens) with a deterministic md5-ordered greedy scan. The running
+    token sum is a per-band window (shuffle keyed on the handful of
+    bands; at 100 TB salt the scan by hash(doc) into per-band
+    sub-streams and take a prefix per sub-stream instead). Output is
+    the per-band audit row: docs taken, tokens taken, budget."""
+    docs = _t(spark, sf_dir, "documents")
+    band = (
+        F.when(F.col("n_chars") < 130, "short")
+        .when(F.col("n_chars") < 170, "mid")
+        .otherwise("long")
+    )
+    budget = (
+        F.when(F.col("band") == "short", 2000)
+        .when(F.col("band") == "mid", 6000)
+        .otherwise(12000)
+    )
+    banded = docs.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("n_tok"),
+        band.alias("band"),
+    ).withColumn("budget", budget)
+    w = (
+        Window.partitionBy("band")
+        .orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = banded.withColumn("running", F.sum("n_tok").over(w))
+    return (
+        ranked.where(F.col("running") <= F.col("budget"))
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("tokens_selected"),
+            F.any_value("budget").alias("budget"),
+        )
+        .orderBy("band")
+    )
+
+
+_CROSS_SOURCE_DUP_ORACLE = (
+    _MINHASH_SIG_CTE
+    + f""",
+banded AS ({_BAND_UNION}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+  FROM banded a JOIN banded b USING (band_idx, band_key)
+  WHERE a.doc_id < b.doc_id
+)
+SELECT LEAST(da.source, db.source) AS source_x,
+       GREATEST(da.source, db.source) AS source_y,
+       COUNT(*) AS n_pairs
+FROM cand
+JOIN documents da ON da.doc_id = cand.doc_id_a
+JOIN documents db ON db.doc_id = cand.doc_id_b
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+)
+
+
+@query("cross_source_dup_matrix", oracle=_CROSS_SOURCE_DUP_ORACLE)
+def q_cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-governance view of near-duplication: LSH candidate pairs
+    rolled up to an unordered source×source matrix (which feeds
+    per-source keep/drop policy and licensing triage before a training
+    run). The candidate set is O(band collisions); the two source
+    lookups join on slim (doc_id, source) projections — document text
+    never reaches the pair stream."""
+    from vector_knowledge_base_spark.operators.text_dedup import (
+        minhash_lsh_candidates,
+        minhash_signatures,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    cand = minhash_lsh_candidates(minhash_signatures(docs), bands=4, rows_per_band=2)
+    src = docs.select("doc_id", "source")
+    return (
+        cand.join(
+            src.select(F.col("doc_id").alias("doc_id_a"), F.col("source").alias("sa")),
+            "doc_id_a",
+        )
+        .join(
+            src.select(F.col("doc_id").alias("doc_id_b"), F.col("source").alias("sb")),
+            "doc_id_b",
+        )
+        .groupBy(
+            F.least("sa", "sb").alias("source_x"),
+            F.greatest("sa", "sb").alias("source_y"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy("source_x", "source_y")
+    )
