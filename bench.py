@@ -166,6 +166,15 @@ HEADLINE = [
     "tfidf_cosine_pairs",
     "token_budget_mixture",
     "cross_source_dup_matrix",
+    # wave 33 — PQ ANN, incremental agg maintenance, retrieve+rerank
+    "pq_ann_topk",
+    "incremental_agg_maintenance",
+    "rerank_pipeline_topk",
+    # wave 34 — TPC-H Q10, bloom decontamination, bigram LM, Zipf audit
+    "returned_item_reporting_q10",
+    "decontaminate_bloom",
+    "bigram_logprob_quality",
+    "zipf_slope_by_source",
 ]
 
 KNN_BATCH_N_QUERIES = 5  # matches the knn_batch query definition

@@ -162,6 +162,23 @@ def test_ivf_recall(spark, emb):
     assert probed < assigned.count()
 
 
+def test_pq_recall_and_compression(spark, emb):
+    from vector_knowledge_base_spark.operators.ann import build_pq, pq_topk
+    from vector_knowledge_base_spark.operators.knn import cosine_topk
+
+    q = emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
+    codebooks, codes = build_pq(emb, m=8, ksub=64)
+    # codes really are m small ints (the 32x compression claim)
+    row = codes.first()
+    assert len(row["codes"]) == 8
+    assert all(0 <= c < 64 for c in row["codes"])
+    # ADC shortlist + exact rerank: the production shape's recall floor
+    shortlist = pq_topk(codebooks, codes, q, k=50).select("vec_id")
+    rer = cosine_topk(emb.join(shortlist, "vec_id", "left_semi"), q, k=10)
+    r = recall_at_k(emb, rer, q, k=10)
+    assert r >= 0.6, f"PQ+rerank recall@10 too low: {r}"
+
+
 def test_lsh_neardup_pairs_recall(spark, emb):
     """The LSH-bucketed near-dup join must recover most of the exact
     blocked-matmul pairs (no false positives by construction: the join

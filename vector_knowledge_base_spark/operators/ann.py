@@ -180,3 +180,116 @@ def recall_at_k(
     }
     approx_ids = {r[0] for r in approx_result.select("vec_id").collect()}
     return len(exact_ids & approx_ids) / float(k)
+
+
+def build_pq(
+    emb: DataFrame,
+    m: int = 8,
+    ksub: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    train_limit: int = 100_000,
+):
+    """Product quantization: split the D-dim space into ``m`` subspaces,
+    learn ``ksub`` centroids per subspace, encode each vector as ``m``
+    small codes — the memory-side scale path HNSW/IVF don't cover:
+    64-d float32 = 256 B/vec shrinks to ``m`` bytes (32× here), so a
+    10¹¹-vector corpus's codes fit a few hundred GB and the ADC scan
+    reads codes only, never raw vectors.
+
+    Training collects a bounded sample (``train_limit`` rows — codebook
+    fitting is O(sample), not O(corpus); FAISS trains on samples the
+    same way) and runs ``m`` tiny k-means fits driver-side with numpy —
+    each problem is (sample × D/m), far too small to amortize a
+    distributed fit. ENCODING is distributed: codebooks broadcast to an
+    Arrow-batched pandas UDF that argmins all subspaces vectorized.
+
+    Returns (codebooks ndarray [m, ksub, D/m], codes DataFrame
+    (id, codes array<int>)).
+    """
+    import numpy as np
+    import pandas as pd
+
+    sample = np.array(
+        emb.select(vec_col).limit(train_limit).toPandas()[vec_col].tolist(),
+        dtype=np.float64,
+    )
+    dim = sample.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    ksub = min(ksub, len(sample))  # can't have more centroids than points
+    rng = np.random.RandomState(seed)
+    codebooks = np.empty((m, ksub, dsub), dtype=np.float64)
+    for j in range(m):
+        sub = sample[:, j * dsub : (j + 1) * dsub]
+        # Lloyd on the driver: deterministic seeded init, 25 iterations
+        cents = sub[rng.choice(len(sub), size=ksub, replace=False)]
+        for _ in range(25):
+            d2 = ((sub[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(ksub):
+                mask = assign == c
+                if mask.any():
+                    cents[c] = sub[mask].mean(axis=0)
+        codebooks[j] = cents
+
+    spark = emb.sparkSession
+    bc = spark.sparkContext.broadcast(codebooks)
+
+    @F.pandas_udf("array<int>")
+    def _encode(batch):
+        cb = bc.value
+        mat = np.array(batch.tolist(), dtype=np.float64)
+        codes = np.empty((len(mat), cb.shape[0]), dtype=np.int32)
+        for j in range(cb.shape[0]):
+            sub = mat[:, j * dsub : (j + 1) * dsub]
+            d2 = ((sub[:, None, :] - cb[j][None, :, :]) ** 2).sum(axis=2)
+            codes[:, j] = d2.argmin(axis=1)
+        import pandas as pd
+
+        return pd.Series(list(codes))
+
+    codes = emb.select(F.col(id_col), _encode(F.col(vec_col)).alias("codes"))
+    return codebooks, codes
+
+
+def pq_topk(
+    codebooks,
+    codes: DataFrame,
+    query_vector,
+    k: int = 10,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k: the query stays full-precision;
+    per subspace a ksub-entry inner-product table is computed ONCE on
+    the driver and broadcast as a flat literal array, so scoring a
+    vector is ``m`` array lookups + adds over its codes — no vector
+    math, no raw-vector reads, and the top-k still compiles to
+    TakeOrderedAndProject."""
+    import numpy as np
+
+    q = np.asarray(list(query_vector), dtype=np.float64)
+    m, ksub, dsub = codebooks.shape
+    # flat[j*ksub + c] = dot(q_j, codebook[j][c])
+    flat = [
+        float(np.dot(q[j * dsub : (j + 1) * dsub], codebooks[j][c]))
+        for j in range(m)
+        for c in range(ksub)
+    ]
+    table = F.lit(flat)
+    score = F.aggregate(
+        F.zip_with(
+            F.col("codes"),
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            lambda c, j: F.element_at(table, (j * ksub + c + 1).cast("int")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        codes.select(F.col(id_col), F.round(score, 6).alias("score"))
+        .orderBy(F.desc("score"), F.col(id_col))
+        .limit(k)
+    )

@@ -5714,3 +5714,407 @@ def q_cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_pairs"))
         .orderBy("source_x", "source_y")
     )
+
+
+# ---------------------------------------------------------------------------
+# Wave 33 — PQ compression ANN, incremental aggregate maintenance, and
+# two-stage retrieve→rerank. The remaining production-retrieval shapes:
+# memory-bounded ANN, materialized-view upkeep without rescans, and the
+# candidate-generation + expensive-scorer split every ranking stack uses.
+# ---------------------------------------------------------------------------
+
+
+@query("pq_ann_topk", oracle=None)
+def q_pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN, the full production shape: the corpus
+    is encoded to 8 codes/vec (32× memory compression), the ADC scan
+    over-retrieves a 50-candidate shortlist from CODES ONLY, and raw
+    vectors are fetched just for the shortlist (a 50-row semi-join) for
+    the exact top-10 rerank — at 100 TB the hot scan touches the
+    compressed codes table and the raw-vector store serves 50 point
+    reads. Rows-only (k-means codebooks are iterative); recall vs the
+    exact scan is asserted in tests/test_ml_operators.py, and
+    ann_ivf_exhaustive remains the oracled exact twin."""
+    from vector_knowledge_base_spark.operators.ann import build_pq, pq_topk
+    from vector_knowledge_base_spark.operators.knn import cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
+    codebooks, codes = build_pq(emb, m=8, ksub=64)
+    shortlist = pq_topk(codebooks, codes, qvec, k=50).select("vec_id")
+    return cosine_topk(emb.join(shortlist, "vec_id", "left_semi"), qvec, k=10)
+
+
+_INCR_AGG_ORACLE = """
+SELECT o_custkey,
+       COUNT(*)::BIGINT AS n_orders,
+       ROUND(SUM(o_totalprice), 2) AS total_spend
+FROM orders
+GROUP BY o_custkey
+"""
+
+
+@query("incremental_agg_maintenance", oracle=_INCR_AGG_ORACLE)
+def q_incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-view maintenance without a rescan: a pre-aggregated
+    base state (orders before 1997) and a delta batch (1997 onward) are
+    MERGED at the partial-aggregate level — count ⊎ count, sum ⊎ sum —
+    never re-reading base fact rows. This is the algebraic-aggregate
+    contract that makes 100 TB rollups maintainable: the base state here
+    is computed inline for the oracle's sake, but in production it's the
+    stored agg table and only the delta is scanned. The oracle is the
+    full recompute — equality proves the merge is lossless."""
+    orders = _t(spark, sf_dir, "orders")
+    cut = F.lit("1997-01-01").cast("date")
+
+    def partial(df):
+        return df.groupBy("o_custkey").agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("o_totalprice").alias("total_spend"),
+        )
+
+    base = partial(orders.where(F.col("o_orderdate") < cut))
+    delta = partial(orders.where(F.col("o_orderdate") >= cut))
+    return (
+        base.unionByName(delta)
+        .groupBy("o_custkey")
+        .agg(
+            F.sum("n_orders").alias("n_orders"),
+            F.round(F.sum("total_spend"), 2).alias("total_spend"),
+        )
+    )
+
+
+_RERANK_ORACLE = """
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+cand AS (
+  SELECT e.vec_id, list_dot_product(e.embedding::DOUBLE[], q.qv) AS vec_score
+  FROM embeddings e, q
+  ORDER BY vec_score DESC, e.vec_id
+  LIMIT 100
+)
+SELECT vec_id,
+       ROUND(0.8 * vec_score
+             + 0.2 * (('0x' || substr(md5(vec_id::VARCHAR), 1, 8))::BIGINT
+                      / 4294967296.0), 6) AS rerank_score
+FROM cand
+ORDER BY rerank_score DESC, vec_id
+LIMIT 10
+"""
+
+
+@query("rerank_pipeline_topk", oracle=_RERANK_ORACLE)
+def q_rerank_pipeline_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage retrieval: a cheap candidate generator prunes the
+    corpus to top-100 by embedding dot product (TakeOrderedAndProject),
+    then an expensive reranker scores ONLY those 100 — the
+    cross-encoder/LTR production shape where the scorer costs 1000× the
+    retriever and must never see the full corpus. The reranker here is a
+    deterministic stand-in (blend of vector score and an md5-uniform
+    feature) so the oracle can replay it; a real cross-encoder slots in
+    as an Arrow-batched pandas UDF over the same 100-row candidate
+    frame."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    cand = (
+        emb.join(F.broadcast(q))
+        .select(
+            "vec_id",
+            dot_product(F.col("embedding"), F.col("qv")).alias("vec_score"),
+        )
+        .orderBy(F.desc("vec_score"), F.asc("vec_id"))
+        .limit(100)
+    )
+    feat = (
+        F.conv(F.substring(F.md5(F.col("vec_id").cast("string")), 1, 8), 16, 10).cast(
+            "long"
+        )
+        / F.lit(4294967296.0)
+    )
+    return (
+        cand.select(
+            "vec_id",
+            F.round(0.8 * F.col("vec_score") + 0.2 * feat, 6).alias("rerank_score"),
+        )
+        .orderBy(F.desc("rerank_score"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Wave 34 — TPC-H Q10 (the last TPC-H shape expressible without a
+# partsupp table), Bloom-filter decontamination with a bit-exact
+# cross-engine oracle, bigram-LM quality scoring, and a Zipf-slope
+# corpus audit per source.
+# ---------------------------------------------------------------------------
+
+_Q10_ORACLE = """
+SELECT c.c_custkey, c.c_name, n.n_name,
+       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+WHERE o.o_orderdate >= DATE '1996-10-01' AND o.o_orderdate < DATE '1997-01-01'
+  AND l.l_returnflag = 'R'
+GROUP BY 1, 2, 3
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+@query("returned_item_reporting_q10", oracle=_Q10_ORACLE)
+def q_returned_item_reporting_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10: top-20 customers by revenue lost to returns in a
+    quarter. Star-join shape: the date filter prunes orders FIRST, the
+    returnflag filter prunes lineitem at the scan, nation broadcasts,
+    and the top-20 compiles to TakeOrderedAndProject over the grouped
+    revenue — at 100 TB only the quarter's orders and 'R' lines shuffle."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-10-01").cast("date"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("date"))
+    )
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+# Bloom geometry: 63 usable bits per signed-64 word (bit 63 would
+# overflow DuckDB's signed shift), 16384 words ~ 1M bits, 5 md5-derived
+# hash functions — portable to any engine with md5, so the filter (and
+# its false positives, if any) is reproduced bit-for-bit by the oracle.
+_BLOOM_WORDS = 16384
+_BLOOM_BITS = 63 * _BLOOM_WORDS
+_BLOOM_K = 5
+
+_BLOOM_DECONTAM_ORACLE = f"""
+WITH sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+           UNNEST([array_to_string(t[i:i+7], ' ')
+                   for i in range(1, len(t) - 6)]) AS shingle
+    FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+  )
+),
+split AS (
+  SELECT doc_id,
+         CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 90
+              THEN 'train' ELSE 'eval' END AS split
+  FROM documents
+),
+tr AS (SELECT sh.* FROM sh JOIN split USING (doc_id) WHERE split = 'train'),
+ev AS (SELECT DISTINCT shingle FROM sh JOIN split USING (doc_id) WHERE split = 'eval'),
+evpos AS (
+  SELECT DISTINCT
+         ('0x' || substr(md5(shingle || '#' || i), 1, 8))::BIGINT % {_BLOOM_BITS} AS pos
+  FROM ev, UNNEST([0, 1, 2, 3, 4]) AS t(i)
+),
+bloom AS (
+  SELECT pos // 63 AS word, BIT_OR(1::BIGINT << (pos % 63)) AS bits
+  FROM evpos GROUP BY 1
+),
+trpos AS (
+  SELECT doc_id, shingle, i,
+         ('0x' || substr(md5(shingle || '#' || i), 1, 8))::BIGINT % {_BLOOM_BITS} AS pos
+  FROM tr, UNNEST([0, 1, 2, 3, 4]) AS t(i)
+),
+hit AS (
+  SELECT doc_id, shingle,
+         SUM(CASE WHEN bloom.bits IS NOT NULL
+                   AND (bloom.bits & (1::BIGINT << (pos % 63))) != 0
+                  THEN 1 ELSE 0 END) AS n_set
+  FROM trpos LEFT JOIN bloom ON bloom.word = trpos.pos // 63
+  GROUP BY 1, 2
+)
+SELECT doc_id, COUNT(*)::BIGINT AS n_flagged_shingles
+FROM hit WHERE n_set = {_BLOOM_K}
+GROUP BY doc_id
+"""
+
+
+@query("decontaminate_bloom", oracle=_BLOOM_DECONTAM_ORACLE)
+def q_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination via a Bloom filter instead of a semi-join: eval
+    8-gram shingles are folded into a ~1M-bit filter (16384 signed-64
+    words, 5 md5 hash positions), and every TRAIN shingle probes the
+    broadcast word table — the shape for when the eval/blocklist set is
+    too large to broadcast raw but its bits are not (10⁸ shingles → a
+    few MB of bitmap vs GBs of strings). All positions are md5-derived,
+    so the filter — including any false positive — is reproduced
+    bit-for-bit by the SQL oracle; the exact twin is
+    decontaminate_train_eval. Fully JVM-side: explode + bit_or build,
+    broadcast join + bitmask probe, no UDF."""
+    from vector_knowledge_base_spark.operators.text_dedup import (
+        shingle_structs,
+        _shingle_text,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    par = spark.sparkContext.defaultParallelism
+    sh = (
+        docs.select("doc_id", F.split("text", " ").alias("toks"))
+        .repartition(par)
+        .select("doc_id", F.explode(shingle_structs("toks", 8)).alias("s"))
+        .select("doc_id", _shingle_text(8).alias("shingle"))
+        .distinct()
+    )
+    pct = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 100
+    )
+    sh = sh.withColumn("split", F.when(pct < 90, "train").otherwise("eval"))
+    ev = sh.where(F.col("split") == "eval").select("shingle").distinct()
+    tr = sh.where(F.col("split") == "train").select("doc_id", "shingle")
+
+    def positions(df):
+        pos_exprs = [
+            (
+                F.conv(
+                    F.substring(F.md5(F.concat("shingle", F.lit(f"#{i}"))), 1, 8),
+                    16,
+                    10,
+                ).cast("long")
+                % _BLOOM_BITS
+            ).alias(f"p{i}")
+            for i in range(_BLOOM_K)
+        ]
+        return df.select("*", F.posexplode(F.array(*pos_exprs)).alias("i", "pos"))
+
+    bloom = (
+        positions(ev)
+        .select(
+            (F.col("pos") / 63).cast("long").alias("word"),
+            (F.col("pos") % 63).cast("int").alias("bit"),
+        )
+        .groupBy("word")
+        .agg(F.bit_or(F.expr("shiftleft(1L, bit)")).alias("bits"))
+    )
+    probed = (
+        positions(tr)
+        .withColumn("word", (F.col("pos") / 63).cast("long"))
+        .withColumn("bit", (F.col("pos") % 63).cast("int"))
+        .join(F.broadcast(bloom), "word", "left")
+        .withColumn(
+            "set",
+            F.col("bits").isNotNull()
+            & (F.expr("bits & shiftleft(1L, bit)") != 0),
+        )
+    )
+    return (
+        probed.groupBy("doc_id", "shingle")
+        .agg(F.sum(F.col("set").cast("int")).alias("n_set"))
+        .where(F.col("n_set") == _BLOOM_K)
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_flagged_shingles"))
+    )
+
+
+_BIGRAM_LP_ORACLE = """
+WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+uni AS (SELECT doc_id, UNNEST(t) AS w FROM tok),
+c1 AS (SELECT w, COUNT(*) AS c FROM uni GROUP BY 1),
+v AS (SELECT COUNT(*) AS v FROM c1),
+bi AS (
+  SELECT doc_id,
+         UNNEST([array_to_string(t[i:i+1], ' ') for i in range(1, len(t))]) AS bg
+  FROM tok
+),
+c2 AS (SELECT bg, COUNT(*) AS c FROM bi GROUP BY 1),
+scored AS (
+  SELECT bi.doc_id, LN((c2.c + 1.0) / (c1.c + v.v)) AS lp
+  FROM bi JOIN c2 USING (bg)
+  JOIN c1 ON c1.w = string_split(bg, ' ')[1], v
+)
+SELECT doc_id, ROUND(AVG(lp), 6) AS avg_bigram_logprob
+FROM scored GROUP BY doc_id
+"""
+
+
+@query("bigram_logprob_quality", oracle=_BIGRAM_LP_ORACLE)
+def q_bigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean bigram log-likelihood under an add-one-smoothed
+    corpus bigram model — the KenLM-style fluency proxy one tier above
+    unigram_logprob_quality (gibberish token ORDER scores low even when
+    the tokens themselves are common). Two hash-agg count tables (bigram,
+    unigram) joined back to the exploded bigram stream on their keys;
+    the vocabulary size is one broadcast row. All codegen."""
+    from vector_knowledge_base_spark.operators.text_dedup import shingle_structs
+
+    docs = _t(spark, sf_dir, "documents")
+    par = spark.sparkContext.defaultParallelism
+    tok = docs.select("doc_id", F.split("text", " ").alias("toks")).repartition(par)
+    uni = tok.select("doc_id", F.explode("toks").alias("w"))
+    c1 = uni.groupBy("w").agg(F.count(F.lit(1)).alias("c1"))
+    v = c1.agg(F.count(F.lit(1)).alias("v"))
+    bi = tok.select(
+        "doc_id", F.explode(shingle_structs("toks", 2)).alias("s")
+    ).select("doc_id", F.col("s.0").alias("w"), F.col("s.1").alias("w2"))
+    c2 = bi.groupBy("w", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    scored = (
+        bi.join(c2, ["w", "w2"])
+        .join(c1, "w")
+        .join(F.broadcast(v))
+        .select(
+            "doc_id",
+            F.log((F.col("c2") + 1.0) / (F.col("c1") + F.col("v"))).alias("lp"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.round(F.avg("lp"), 6).alias("avg_bigram_logprob")
+    )
+
+
+_ZIPF_ORACLE = """
+WITH uni AS (
+  SELECT source, UNNEST(string_split(text, ' ')) AS w FROM documents
+),
+freq AS (SELECT source, w, COUNT(*) AS c FROM uni GROUP BY 1, 2),
+ranked AS (
+  SELECT source,
+         LN(ROW_NUMBER() OVER (PARTITION BY source ORDER BY c DESC, w)) AS x,
+         LN(c) AS y
+  FROM freq
+)
+SELECT source,
+       ROUND((COUNT(*) * SUM(x * y) - SUM(x) * SUM(y))
+             / (COUNT(*) * SUM(x * x) - SUM(x) * SUM(x)), 6) AS zipf_slope
+FROM ranked
+GROUP BY source
+"""
+
+
+@query("zipf_slope_by_source", oracle=_ZIPF_ORACLE)
+def q_zipf_slope_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-health audit: OLS slope of ln(freq) vs ln(rank) per source
+    — natural text tracks Zipf (slope ≈ −1); generated/boilerplate
+    corpora flatten or steepen. The rank window partitions by source
+    (its sort input is the per-source VOCABULARY, already collapsed by
+    the count agg — not the token stream), and the slope is a closed-
+    form single aggregate, no iterative fit."""
+    docs = _t(spark, sf_dir, "documents")
+    uni = docs.select("source", F.explode(F.split("text", " ")).alias("w"))
+    freq = uni.groupBy("source", "w").agg(F.count(F.lit(1)).alias("c"))
+    win = Window.partitionBy("source").orderBy(F.desc("c"), F.asc("w"))
+    ranked = freq.select(
+        "source",
+        F.log(F.row_number().over(win).cast("double")).alias("x"),
+        F.log("c").alias("y"),
+    )
+    n = F.count(F.lit(1))
+    slope = (n * F.sum(F.col("x") * F.col("y")) - F.sum("x") * F.sum("y")) / (
+        n * F.sum(F.col("x") * F.col("x")) - F.sum("x") * F.sum("x")
+    )
+    return ranked.groupBy("source").agg(F.round(slope, 6).alias("zipf_slope"))
