@@ -175,6 +175,12 @@ HEADLINE = [
     "decontaminate_bloom",
     "bigram_logprob_quality",
     "zipf_slope_by_source",
+    # serving-batch kNN throughput anchor
+    "knn_batch_100",
+    # wave 35 — silhouette quality gate, RFM segments, MAD outliers
+    "cluster_silhouette_simplified",
+    "rfm_segmentation",
+    "mad_outlier_orders",
 ]
 
 KNN_BATCH_N_QUERIES = 5  # matches the knn_batch query definition
@@ -212,15 +218,23 @@ def main() -> None:
     # round's entire perf evidence (r2's BENCH was a stack trace because a
     # single AnalysisException aborted the loop). Errors are recorded and
     # the JSON summary line is ALWAYS printed.
+    # Wall-clock self-budget: the driver's harness timeout is unknown, and
+    # 110+ queries x 3 runs must never run into it — past 60% of budget
+    # drop to 2 runs, past 80% to 1, so the JSON line always lands.
+    budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "480"))
+    t_start = time.time()
+
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name in HEADLINE:
         if name not in q.QUERIES:
             errors[name] = "not_registered"
             continue
+        frac = (time.time() - t_start) / budget
+        n_runs = RUNS_PER_QUERY if frac < 0.6 else (2 if frac < 0.8 else 1)
         runs = []
         try:
-            for _ in range(RUNS_PER_QUERY):
+            for _ in range(n_runs):
                 t0 = time.time()
                 _materialize(q.QUERIES[name](spark, sf_dir))
                 runs.append(time.time() - t0)
@@ -241,6 +255,8 @@ def main() -> None:
     }
     if timings.get("knn_batch"):
         out["knn_batch_qps"] = round(KNN_BATCH_N_QUERIES / timings["knn_batch"], 3)
+    if timings.get("knn_batch_100"):
+        out["knn_batch100_qps"] = round(100 / timings["knn_batch_100"], 3)
     print(json.dumps(out))
     spark.stop()
 

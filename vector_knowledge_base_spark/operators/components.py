@@ -170,9 +170,14 @@ def pagerank(
     mat = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).localCheckpoint(
         eager=True
     )
+    # same size gate as connected_components: a sub-broadcast-budget
+    # graph iterates driver-side in numpy (each distributed round costs
+    # a join + checkpoint + action of pure scheduling overhead at this
+    # size); larger graphs run the checkpointed distributed loop.
+    if mat.count() <= 5_000_000:
+        return _driver_pagerank(mat, iterations, damping)
     bi = mat.unionAll(mat.select(F.col("b").alias("a"), F.col("a").alias("b")))
     deg = bi.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
-    n_nodes = deg.count()
     ranks = deg.select("a", F.lit(1.0).alias("rank"))
     for _ in range(iterations):
         contrib = (
@@ -194,3 +199,30 @@ def pagerank(
             .localCheckpoint(eager=True)
         )
     return ranks.select(F.col("a").alias("id"), "rank")
+
+
+def _driver_pagerank(mat: DataFrame, iterations: int, damping: float) -> DataFrame:
+    """numpy power iteration over a collected edge list — identical
+    semantics to the distributed loop (undirected, degree-normalized,
+    uniform damping mass); float sum order differs only at the ulp
+    level, absorbed by callers' ROUND(…, 6)."""
+    import numpy as np
+
+    pairs = mat.collect()
+    ids = sorted({x for a, b in pairs for x in (a, b)})
+    idx = {v: i for i, v in enumerate(ids)}
+    n = len(ids)
+    src = np.fromiter(
+        (idx[x] for a, b in pairs for x in (a, b)), dtype=np.int64, count=2 * len(pairs)
+    )
+    dst = np.fromiter(
+        (idx[x] for a, b in pairs for x in (b, a)), dtype=np.int64, count=2 * len(pairs)
+    )
+    deg = np.bincount(src, minlength=n).astype(np.float64)
+    ranks = np.ones(n, dtype=np.float64)
+    for _ in range(iterations):
+        contrib = np.zeros(n, dtype=np.float64)
+        np.add.at(contrib, dst, ranks[src] / deg[src])
+        ranks = (1.0 - damping) + damping * contrib
+    rows = [(int(v), float(ranks[idx[v]])) for v in ids]
+    return mat.sparkSession.createDataFrame(rows, schema="id long, rank double")

@@ -6118,3 +6118,204 @@ def q_zipf_slope_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         n * F.sum(F.col("x") * F.col("x")) - F.sum("x") * F.sum("x")
     )
     return ranked.groupBy("source").agg(F.round(slope, 6).alias("zipf_slope"))
+
+
+_KNN_BATCH_100_ORACLE = """
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+           FROM embeddings WHERE vec_id < 100),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         ROUND(list_dot_product(e.embedding::DOUBLE[], q.qv), 6) AS score
+  FROM embeddings e CROSS JOIN q
+)
+SELECT query_id, vec_id, score, rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY score DESC, vec_id) AS rank
+  FROM scored
+) WHERE rank <= 5
+"""
+
+
+@query("knn_batch_100", oracle=_KNN_BATCH_100_ORACLE)
+def q_knn_batch_100(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K2 at serving batch size: 100 query vectors × corpus, top-5 each,
+    still ONE broadcast join + ONE windowed rank — the corpus is scanned
+    once no matter how many queries ride in the batch, which is the
+    throughput regime BASELINE.md's per-query HNSW latencies translate
+    to for a batch engine (bench reports it as knn_batch100_qps)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 100).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return batch_knn(queries, emb, k=5).withColumn(
+        "rank", F.col("rank").cast("int")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Wave 35 — ML-quality and warehouse-analytics depth: simplified
+# silhouette over the labeled embedding space (fully SQL-oracled — no
+# iterative fit anywhere), RFM customer segmentation, MAD robust outlier
+# counts.
+# ---------------------------------------------------------------------------
+
+_SILHOUETTE_ORACLE = """
+WITH dims AS (
+  SELECT vec_id, label,
+         UNNEST([{'d': i, 'v': (embedding::DOUBLE[])[i]}
+                 for i in range(1, len(embedding) + 1)],
+                recursive := true)
+  FROM embeddings
+),
+cent AS (SELECT label AS clabel, d, AVG(v) AS c FROM dims GROUP BY 1, 2),
+dist AS (
+  SELECT dims.vec_id, dims.label, cent.clabel,
+         SQRT(SUM((dims.v - cent.c) * (dims.v - cent.c))) AS dist
+  FROM dims JOIN cent ON cent.d = dims.d
+  GROUP BY 1, 2, 3
+),
+ab AS (
+  SELECT vec_id, label,
+         MIN(CASE WHEN clabel = label THEN dist END) AS a,
+         MIN(CASE WHEN clabel != label THEN dist END) AS b
+  FROM dist GROUP BY 1, 2
+)
+SELECT label AS cluster, COUNT(*)::BIGINT AS n_points,
+       ROUND(AVG((b - a) / GREATEST(a, b)), 6) AS mean_silhouette
+FROM ab GROUP BY label
+"""
+
+
+@query("cluster_silhouette_simplified", oracle=_SILHOUETTE_ORACLE)
+def q_cluster_silhouette_simplified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simplified (centroid-based) silhouette per cluster over the
+    labeled embedding space — the clustering-quality report the
+    reference never computes. 'Simplified' means point-to-CENTROID
+    distances (Hamerly's variant), which drops the O(n²) pairwise term:
+    centroids are one hash aggregate over exploded dimensions, every
+    point then scores against the broadcast (label × dim) centroid
+    table, so cost is O(n · k · d) scan-side and fully SQL-expressible
+    — this is the variant a 100 TB quality gate can actually afford."""
+    emb = _t(spark, sf_dir, "embeddings")
+    dims = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("p", "v"),
+    ).withColumn("d", F.col("p") + 1)
+    cent = dims.groupBy(F.col("label").alias("clabel"), "d").agg(
+        F.avg("v").alias("c")
+    )
+    dist = (
+        dims.join(F.broadcast(cent), "d")
+        .groupBy("vec_id", "label", "clabel")
+        .agg(F.sqrt(F.sum((F.col("v") - F.col("c")) * (F.col("v") - F.col("c")))).alias("dist"))
+    )
+    ab = dist.groupBy("vec_id", "label").agg(
+        F.min(F.when(F.col("clabel") == F.col("label"), F.col("dist"))).alias("a"),
+        F.min(F.when(F.col("clabel") != F.col("label"), F.col("dist"))).alias("b"),
+    )
+    sil = (F.col("b") - F.col("a")) / F.greatest("a", "b")
+    return ab.groupBy(F.col("label").alias("cluster")).agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.round(F.avg(sil), 6).alias("mean_silhouette"),
+    )
+
+
+_RFM_ORACLE = """
+WITH rfm AS (
+  SELECT o_custkey,
+         MAX(o_orderdate) AS last_order,
+         COUNT(*) AS freq,
+         SUM(o_totalprice) AS monetary
+  FROM orders GROUP BY 1
+),
+scored AS (
+  SELECT o_custkey,
+         NTILE(4) OVER (ORDER BY last_order DESC, o_custkey) AS r_quartile,
+         NTILE(4) OVER (ORDER BY freq DESC, o_custkey) AS f_quartile,
+         NTILE(4) OVER (ORDER BY monetary DESC, o_custkey) AS m_quartile
+  FROM rfm
+)
+SELECT r_quartile, f_quartile, m_quartile, COUNT(*)::BIGINT AS n_customers
+FROM scored GROUP BY 1, 2, 3
+"""
+
+
+@query("rfm_segmentation", oracle=_RFM_ORACLE)
+def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: recency/frequency/monetary quartiles
+    (NTILE over the per-customer rollup, deterministic custkey
+    tie-breaks) cross-tabulated into segment counts. The windows sort
+    the CUSTOMER table (one row per customer, already collapsed by the
+    rollup), not orders; at 100 TB swap NTILE for approx_percentile
+    cutpoints to avoid the global sort entirely — noted here because
+    this query IS the small-dimension case where the exact sort is
+    fine."""
+    orders = _t(spark, sf_dir, "orders")
+    rfm = orders.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("freq"),
+        F.sum("o_totalprice").alias("monetary"),
+    )
+    scored = rfm.select(
+        "o_custkey",
+        F.ntile(4)
+        .over(Window.orderBy(F.desc("last_order"), F.asc("o_custkey")))
+        .alias("r_quartile"),
+        F.ntile(4)
+        .over(Window.orderBy(F.desc("freq"), F.asc("o_custkey")))
+        .alias("f_quartile"),
+        F.ntile(4)
+        .over(Window.orderBy(F.desc("monetary"), F.asc("o_custkey")))
+        .alias("m_quartile"),
+    )
+    return scored.groupBy("r_quartile", "f_quartile", "m_quartile").agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
+
+
+_MAD_ORACLE = """
+WITH med AS (
+  SELECT o_orderpriority AS grp,
+         percentile_cont(0.5) WITHIN GROUP (ORDER BY o_totalprice) AS med
+  FROM orders GROUP BY 1
+),
+dev AS (
+  SELECT o.o_orderpriority AS grp,
+         ABS(o.o_totalprice - med.med) AS ad,
+         o.o_totalprice, med.med
+  FROM orders o JOIN med ON med.grp = o.o_orderpriority
+),
+mad AS (
+  SELECT grp, percentile_cont(0.5) WITHIN GROUP (ORDER BY ad) AS mad
+  FROM dev GROUP BY 1
+)
+SELECT grp AS o_orderpriority, COUNT(*)::BIGINT AS n_outliers
+FROM dev JOIN mad USING (grp)
+WHERE ad > 3 * 1.4826 * mad.mad
+GROUP BY 1
+"""
+
+
+@query("mad_outlier_orders", oracle=_MAD_ORACLE)
+def q_mad_outlier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier counts per order priority: |x − median| > 3·MAD
+    (scaled by the 1.4826 normal-consistency constant) — the
+    data-quality screen that, unlike z-scores, outliers can't poison.
+    Two exact-percentile hash aggregates and a broadcast join back; at
+    100 TB both medians swap to approx_percentile (t-digest) with the
+    same plan shape."""
+    orders = _t(spark, sf_dir, "orders")
+    med = orders.groupBy(F.col("o_orderpriority").alias("grp")).agg(
+        F.percentile("o_totalprice", F.lit(0.5)).alias("med")
+    )
+    dev = orders.join(
+        F.broadcast(med), orders.o_orderpriority == F.col("grp")
+    ).select("grp", F.abs(F.col("o_totalprice") - F.col("med")).alias("ad"))
+    mad = dev.groupBy("grp").agg(F.percentile("ad", F.lit(0.5)).alias("mad"))
+    return (
+        dev.join(F.broadcast(mad), "grp")
+        .where(F.col("ad") > 3 * 1.4826 * F.col("mad"))
+        .groupBy(F.col("grp").alias("o_orderpriority"))
+        .agg(F.count(F.lit(1)).alias("n_outliers"))
+    )
