@@ -181,6 +181,10 @@ HEADLINE = [
     "cluster_silhouette_simplified",
     "rfm_segmentation",
     "mad_outlier_orders",
+    # wave 36 — rolling z-score anomalies, corr, lang-ID confusion
+    "events_anomaly_zscore_rolling",
+    "discount_quantity_corr",
+    "langid_confusion_matrix",
 ]
 
 KNN_BATCH_N_QUERIES = 5  # matches the knn_batch query definition

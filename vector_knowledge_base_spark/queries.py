@@ -6319,3 +6319,115 @@ def q_mad_outlier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("grp").alias("o_orderpriority"))
         .agg(F.count(F.lit(1)).alias("n_outliers"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Wave 36 — ops-monitoring depth: rolling z-score anomaly counts,
+# discount→quantity correlation, and the language-ID confusion matrix
+# (classifier-eval shape: heuristic prediction vs labeled ground truth).
+# ---------------------------------------------------------------------------
+
+_ROLLING_ZSCORE_ORACLE = """
+WITH stats AS (
+  SELECT event_id, user_id, value,
+         AVG(value) OVER w AS mu,
+         STDDEV_SAMP(value) OVER w AS sigma,
+         COUNT(*) OVER w AS n_win
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+               RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+)
+SELECT user_id, COUNT(*)::BIGINT AS n_anomalies
+FROM stats
+WHERE n_win >= 5 AND sigma > 0 AND ABS(value - mu) > 3 * sigma
+GROUP BY user_id
+"""
+
+
+@query("events_anomaly_zscore_rolling", oracle=_ROLLING_ZSCORE_ORACLE)
+def q_events_anomaly_zscore_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user anomaly counts: |value − μ| > 3σ against a trailing-1h
+    RANGE window (event-time seconds, so sparse/bursty streams window
+    correctly — ROWS windows don't). Minimum 5 in-window points before a
+    flag can fire (cold-start guard). One window pass + one hash agg;
+    the window partitions by user, so no global sort."""
+    ev = _t(spark, sf_dir, "events")
+    # event-time in MICROSECONDS on both engines: every fixture event has
+    # a sub-second component, so second-truncated unix_timestamp would
+    # put boundary rows in different windows than the oracle's epoch_us.
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    stats = ev.select(
+        "user_id",
+        "value",
+        F.avg("value").over(w).alias("mu"),
+        F.stddev_samp("value").over(w).alias("sigma"),
+        F.count(F.lit(1)).over(w).alias("n_win"),
+    )
+    return (
+        stats.where(
+            (F.col("n_win") >= 5)
+            & (F.col("sigma") > 0)
+            & (F.abs(F.col("value") - F.col("mu")) > 3 * F.col("sigma"))
+        )
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_anomalies"))
+    )
+
+
+@query("discount_quantity_corr", oracle="""
+SELECT l_returnflag,
+       ROUND(CORR(l_discount, l_quantity), 6) AS corr_discount_qty,
+       COUNT(*)::BIGINT AS n_lines
+FROM lineitem
+GROUP BY l_returnflag
+""")
+def q_discount_quantity_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation of discount vs quantity per return flag — the
+    pricing-effectiveness probe. CORR is a single algebraic aggregate
+    (five running sums), map-side combinable, mergeable across 100 TB
+    partitions like every other moment statistic here."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_discount", "l_quantity"), 6).alias("corr_discount_qty"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+_LANGID_CONFUSION_ORACLE = f"""
+WITH scored AS (SELECT doc_id, lang, {_LANGID_SCORES_SQL} FROM documents),
+pred AS (
+  SELECT doc_id, lang,
+         CASE
+           WHEN GREATEST(sc_en, sc_de, sc_es, sc_fr) = 0 THEN 'unknown'
+           WHEN sc_en >= GREATEST(sc_de, sc_es, sc_fr) THEN 'en'
+           WHEN sc_de >= GREATEST(sc_es, sc_fr) THEN 'de'
+           WHEN sc_es >= sc_fr THEN 'es'
+           ELSE 'fr'
+         END AS predicted_lang
+  FROM scored
+)
+SELECT lang AS true_lang, predicted_lang, COUNT(*)::BIGINT AS n_docs
+FROM pred
+GROUP BY 1, 2
+"""
+
+
+@query("langid_confusion_matrix", oracle=_LANGID_CONFUSION_ORACLE)
+def q_langid_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier-eval shape: the language-ID heuristic's predictions
+    cross-tabulated against the labeled ``lang`` column — the confusion
+    matrix that decides whether a cheap in-plan classifier is good
+    enough to gate a 100 TB corpus, computed in the same scan that
+    would apply it."""
+    docs = _t(spark, sf_dir, "documents")
+    pred = QUERIES["language_id_heuristic"](spark, sf_dir)
+    return (
+        docs.select("doc_id", F.col("lang").alias("true_lang"))
+        .join(pred, "doc_id")
+        .groupBy("true_lang", "predicted_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
