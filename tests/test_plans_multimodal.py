@@ -315,6 +315,54 @@ def test_hybrid_rrf_prunes_before_ranking(spark):
     assert plan.count("TakeOrderedAndProject") >= 3, plan
 
 
+def test_bm25_single_scan_broadcast_stats(spark):
+    """bm25_keyword_search's claim: corpus stats reduce to ONE broadcast
+    row joined back — the plan shows a broadcast join and a top-20
+    TakeOrderedAndProject, and the documents scan reads only the two
+    needed columns."""
+    from vector_knowledge_base_spark import queries as q
+
+    df = q.QUERIES["bm25_keyword_search"](spark, SF)
+    plan = explain_str(df)
+    # keyless 1-row stats join compiles to BroadcastNestedLoopJoin (the
+    # right operator for a single-row build side), not BroadcastHashJoin
+    assert "BroadcastExchange" in plan, plan
+    assert "TakeOrderedAndProject" in plan
+    schemas = scan_read_schema(df)
+    assert all(s.count(":") <= 2 for s in schemas), schemas
+
+
+def test_bloom_decontamination_broadcasts_filter(spark):
+    """decontaminate_bloom probes a BROADCAST word-bitmap table — the
+    whole point vs broadcasting raw shingles — and never a cartesian."""
+    from vector_knowledge_base_spark import queries as q
+    from vector_knowledge_base_spark.plans.inspect import assert_no_cartesian
+
+    df = q.QUERIES["decontaminate_bloom"](spark, SF)
+    assert has_broadcast_join(df)
+    assert_no_cartesian(df)
+
+
+def test_silhouette_broadcasts_centroids(spark):
+    """cluster_silhouette_simplified scores points against the BROADCAST
+    (label x dim) centroid table — O(n*k*d) scan-side, no shuffle of the
+    exploded dimension stream beyond its two hash aggregates."""
+    from vector_knowledge_base_spark import queries as q
+
+    df = q.QUERIES["cluster_silhouette_simplified"](spark, SF)
+    assert has_broadcast_join(df)
+
+
+def test_rerank_pipeline_prunes_before_rerank(spark):
+    """rerank_pipeline_topk's two stages both compile to
+    TakeOrderedAndProject (candidate prune + final top-10): the reranker
+    input is never corpus-sized."""
+    from vector_knowledge_base_spark import queries as q
+
+    plan = explain_str(q.QUERIES["rerank_pipeline_topk"](spark, SF))
+    assert plan.count("TakeOrderedAndProject") >= 2, plan
+
+
 def test_triangle_join_broadcasts_edges(spark):
     """Triangle enumeration probes broadcast copies of the (small,
     support-thresholded) edge list — no sort-merge join, no cartesian."""
