@@ -185,6 +185,10 @@ HEADLINE = [
     "events_anomaly_zscore_rolling",
     "discount_quantity_corr",
     "langid_confusion_matrix",
+    # wave 37 — PSI drift, dedup yield histogram, df skew profile
+    "source_drift_psi",
+    "neardup_cluster_histogram",
+    "shingle_df_skew_profile",
 ]
 
 KNN_BATCH_N_QUERIES = 5  # matches the knn_batch query definition

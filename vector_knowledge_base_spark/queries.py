@@ -6431,3 +6431,175 @@ def q_langid_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("true_lang", "predicted_lang")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Wave 37 — pipeline-governance depth: PSI distribution drift per
+# source, near-dup cluster-size histogram (the dedup yield report), and
+# the shingle document-frequency skew profile that tunes max_df before
+# a 100 TB similarity join is launched.
+# ---------------------------------------------------------------------------
+
+_PSI_ORACLE = """
+WITH b AS (
+  SELECT source,
+         CASE WHEN n_chars < 130 THEN 0
+              WHEN n_chars < 150 THEN 1
+              WHEN n_chars < 170 THEN 2
+              ELSE 3 END AS bin
+  FROM documents
+),
+p AS (
+  SELECT source, bin,
+         COUNT(*) * 1.0 / SUM(COUNT(*)) OVER (PARTITION BY source) AS frac
+  FROM b GROUP BY 1, 2
+)
+SELECT cur.source,
+       ROUND(SUM((cur.frac - base.frac) * LN(cur.frac / base.frac)), 6) AS psi
+FROM p cur JOIN p base ON base.bin = cur.bin AND base.source = 'src0'
+WHERE cur.source != 'src0'
+GROUP BY 1
+"""
+
+
+@query("source_drift_psi", oracle=_PSI_ORACLE)
+def q_source_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-stability index of each source's length distribution
+    against the 'src0' baseline — the standard drift gate (PSI > 0.2 =
+    investigate) run where the data lives instead of in a monitoring
+    sidecar. Fixed bin edges make it one scan + one per-source window
+    over the 4-row bin table + a broadcast-sized join of per-source
+    fractions."""
+    docs = _t(spark, sf_dir, "documents")
+    bin_ = (
+        F.when(F.col("n_chars") < 130, 0)
+        .when(F.col("n_chars") < 150, 1)
+        .when(F.col("n_chars") < 170, 2)
+        .otherwise(3)
+    )
+    b = docs.select("source", bin_.alias("bin"))
+    counts = b.groupBy("source", "bin").agg(F.count(F.lit(1)).alias("n"))
+    frac = counts.withColumn(
+        "frac", F.col("n") / F.sum("n").over(Window.partitionBy("source"))
+    )
+    base = frac.where(F.col("source") == "src0").select(
+        "bin", F.col("frac").alias("base_frac")
+    )
+    cur = frac.where(F.col("source") != "src0")
+    psi = F.sum(
+        (F.col("frac") - F.col("base_frac"))
+        * F.log(F.col("frac") / F.col("base_frac"))
+    )
+    return (
+        cur.join(F.broadcast(base), "bin")
+        .groupBy("source")
+        .agg(F.round(psi, 6).alias("psi"))
+    )
+
+
+_NEARDUP_HISTOGRAM_ORACLE = (
+    "WITH RECURSIVE "
+    + _SHINGLE_CTE
+    + """,
+df_counts AS (SELECT shingle, COUNT(DISTINCT doc_id) AS df FROM sh GROUP BY shingle),
+sh_capped AS (SELECT sh.* FROM sh JOIN df_counts USING (shingle) WHERE df <= 50),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, COUNT(*) AS n_inter
+  FROM sh_capped a JOIN sh_capped b
+    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT doc_id_a, doc_id_b FROM inter
+  JOIN sizes sa ON sa.doc_id = doc_id_a
+  JOIN sizes sb ON sb.doc_id = doc_id_b
+  WHERE n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter) >= 0.05
+),
+bi AS (
+  SELECT doc_id_a AS id, doc_id_b AS nbr FROM pairs
+  UNION ALL
+  SELECT doc_id_b AS id, doc_id_a AS nbr FROM pairs
+),
+reach AS (
+  SELECT id, nbr AS r FROM bi
+  UNION
+  SELECT bi.id, reach.r FROM bi JOIN reach ON bi.nbr = reach.id
+),
+comp AS (SELECT id, LEAST(id, MIN(r)) AS component FROM reach GROUP BY id),
+csize AS (SELECT component, COUNT(*) AS cluster_size FROM comp GROUP BY 1)
+SELECT cluster_size, COUNT(*)::BIGINT AS n_clusters
+FROM csize GROUP BY 1
+"""
+)
+
+
+@query("neardup_cluster_histogram", oracle=_NEARDUP_HISTOGRAM_ORACLE)
+def q_neardup_cluster_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup yield report: size histogram of the near-dup connected
+    components (how much of the corpus collapses, and into how many
+    big-vs-small clusters) — the number a dedup run is judged by before
+    anyone looks at individual pairs. Reuses the capped-Jaccard pair
+    graph and the hybrid components operator; the histogram itself is
+    two hash aggregates over the (tiny) component table."""
+    from vector_knowledge_base_spark.operators.components import connected_components
+    from vector_knowledge_base_spark.operators.text_dedup import ngram_jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.05, max_df=50)
+    comp = connected_components(pairs, src="doc_id_a", dst="doc_id_b")
+    return (
+        comp.groupBy("component")
+        .agg(F.count(F.lit(1)).alias("cluster_size"))
+        .groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+    )
+
+
+_DF_PROFILE_ORACLE = (
+    "WITH "
+    + _SHINGLE_CTE
+    + """,
+df AS (SELECT shingle, COUNT(*) AS c FROM sh GROUP BY 1)
+SELECT CASE WHEN c = 1 THEN 'df=1'
+            WHEN c <= 3 THEN 'df=2-3'
+            WHEN c <= 10 THEN 'df=4-10'
+            WHEN c <= 50 THEN 'df=11-50'
+            ELSE 'df>50' END AS df_band,
+       COUNT(*)::BIGINT AS n_shingles,
+       SUM(c)::BIGINT AS n_postings,
+       SUM((c * (c - 1)) // 2)::BIGINT AS pair_budget
+FROM df GROUP BY 1
+"""
+)
+
+
+@query("shingle_df_skew_profile", oracle=_DF_PROFILE_ORACLE)
+def q_shingle_df_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pre-flight skew report for similarity joins: posting-list
+    length (document frequency) bands with their PAIR BUDGET Σ c(c−1)/2
+    — exactly the number of candidate pairs each band would emit from
+    an inverted-index join. This is what picks max_df before a 100 TB
+    dedup run: the '>50' band's pair budget is the quadratic blow-up a
+    cap removes. One explode + two hash aggregates; shingles shuffle as
+    8-byte hashes."""
+    from vector_knowledge_base_spark.operators.text_dedup import doc_shingles
+
+    docs = _t(spark, sf_dir, "documents")
+    df_ = (
+        doc_shingles(docs)
+        .groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    band = (
+        F.when(F.col("c") == 1, "df=1")
+        .when(F.col("c") <= 3, "df=2-3")
+        .when(F.col("c") <= 10, "df=4-10")
+        .when(F.col("c") <= 50, "df=11-50")
+        .otherwise("df>50")
+    )
+    return df_.groupBy(band.alias("df_band")).agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        F.sum("c").alias("n_postings"),
+        F.sum(F.expr("(c * (c - 1)) div 2")).alias("pair_budget"),
+    )
