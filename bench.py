@@ -189,6 +189,10 @@ HEADLINE = [
     "source_drift_psi",
     "neardup_cluster_histogram",
     "shingle_df_skew_profile",
+    # wave 38 — sweep-line concurrency, Pareto share, re-order cadence
+    "open_orders_sweep",
+    "pareto_revenue_8020",
+    "order_gap_percentiles",
 ]
 
 KNN_BATCH_N_QUERIES = 5  # matches the knn_batch query definition

@@ -6603,3 +6603,156 @@ def q_shingle_df_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("c").alias("n_postings"),
         F.sum(F.expr("(c * (c - 1)) div 2")).alias("pair_budget"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Wave 38 — warehouse sweep patterns: open-interval concurrency via the
+# +1/−1 event sweep (the O(n log n) replacement for an interval
+# self-join), Pareto revenue concentration, and inter-order gap
+# percentiles per segment.
+# ---------------------------------------------------------------------------
+
+_OPEN_ORDERS_ORACLE = """
+WITH bounds AS (
+  SELECT o_orderkey, o_orderdate AS opened,
+         o_orderdate + INTERVAL 30 DAY AS closed
+  FROM orders
+),
+ev AS (
+  SELECT opened AS t, 1 AS delta FROM bounds
+  UNION ALL
+  SELECT closed AS t, -1 AS delta FROM bounds
+),
+sweep AS (
+  SELECT t, SUM(SUM(delta)) OVER (ORDER BY t
+            ROWS UNBOUNDED PRECEDING)::BIGINT AS n_open
+  FROM ev GROUP BY t
+)
+SELECT t, n_open FROM sweep
+ORDER BY n_open DESC, t
+LIMIT 20
+"""
+
+
+@query("open_orders_sweep", oracle=_OPEN_ORDERS_ORACLE)
+def q_open_orders_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrency: how many orders are simultaneously open (30-day
+    lifetime), computed as a +1/−1 boundary-event sweep with a running
+    sum — O(n log n) and ONE pass, where the naive point-in-interval
+    self-join is O(n²). The running sum's global ordering is over the
+    DISTINCT boundary timestamps (already collapsed by the group-by,
+    ~2 per order); at 100 TB shard the sweep by coarse time range and
+    carry per-shard offsets — the plan shape stays identical."""
+    orders = _t(spark, sf_dir, "orders")
+    bounds = orders.select(
+        F.col("o_orderdate").alias("opened"),
+        F.date_add(F.col("o_orderdate"), 30).cast("timestamp").alias("closed"),
+    )
+    ev = bounds.select(F.col("opened").alias("t"), F.lit(1).alias("delta")).unionAll(
+        bounds.select(F.col("closed").alias("t"), F.lit(-1).alias("delta"))
+    )
+    per_t = ev.groupBy("t").agg(F.sum("delta").alias("d"))
+    w = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        per_t.select("t", F.sum("d").over(w).alias("n_open"))
+        .orderBy(F.desc("n_open"), F.asc("t"))
+        .limit(20)
+    )
+
+
+_PARETO_ORACLE = """
+WITH rev AS (
+  SELECT l_partkey, SUM(l_extendedprice * (1 - l_discount)) AS revenue
+  FROM lineitem GROUP BY 1
+),
+ranked AS (
+  SELECT revenue,
+         SUM(revenue) OVER (ORDER BY revenue DESC, l_partkey
+                            ROWS UNBOUNDED PRECEDING) AS cum_rev,
+         ROW_NUMBER() OVER (ORDER BY revenue DESC, l_partkey) AS rnk,
+         COUNT(*) OVER () AS n_parts,
+         SUM(revenue) OVER () AS total_rev
+  FROM rev
+)
+SELECT MIN(rnk)::BIGINT AS parts_for_80pct,
+       ANY_VALUE(n_parts)::BIGINT AS n_parts,
+       ROUND(MIN(rnk) * 100.0 / ANY_VALUE(n_parts), 2) AS pct_of_parts
+FROM ranked
+WHERE cum_rev >= 0.8 * total_rev
+"""
+
+
+@query("pareto_revenue_8020", oracle=_PARETO_ORACLE)
+def q_pareto_revenue_8020(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration: the smallest number of parts covering 80%
+    of total revenue. The cumulative window runs over the PART-level
+    rollup (|parts| rows, not |lineitem|); the answer is one filtered
+    aggregate over the ranked table. At 100 TB the global rank swaps to
+    approx_percentile over the revenue distribution — same report,
+    no global sort."""
+    li = _t(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_partkey").agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
+    )
+    w = Window.orderBy(F.desc("revenue"), F.asc("l_partkey"))
+    wall = Window.partitionBy()
+    ranked = rev.select(
+        F.sum("revenue").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("cum_rev"),
+        F.row_number().over(w).alias("rnk"),
+        F.count(F.lit(1)).over(wall).alias("n_parts"),
+        F.sum("revenue").over(wall).alias("total_rev"),
+    )
+    return ranked.where(F.col("cum_rev") >= 0.8 * F.col("total_rev")).agg(
+        F.min("rnk").alias("parts_for_80pct"),
+        F.any_value("n_parts").alias("n_parts"),
+        F.round(F.min("rnk") * 100.0 / F.any_value("n_parts"), 2).alias(
+            "pct_of_parts"
+        ),
+    )
+
+
+_ORDER_GAP_ORACLE = """
+WITH gaps AS (
+  SELECT o_custkey,
+         date_diff('day',
+                   LAG(o_orderdate) OVER (PARTITION BY o_custkey
+                                          ORDER BY o_orderdate, o_orderkey),
+                   o_orderdate) AS gap_days
+  FROM orders
+)
+SELECT c.c_mktsegment,
+       ROUND(percentile_cont(0.5) WITHIN GROUP (ORDER BY g.gap_days), 2) AS median_gap_days,
+       ROUND(percentile_cont(0.9) WITHIN GROUP (ORDER BY g.gap_days), 2) AS p90_gap_days,
+       COUNT(g.gap_days)::BIGINT AS n_gaps
+FROM gaps g JOIN customer c ON c.c_custkey = g.o_custkey
+WHERE g.gap_days IS NOT NULL
+GROUP BY 1
+"""
+
+
+@query("order_gap_percentiles", oracle=_ORDER_GAP_ORACLE)
+def q_order_gap_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer re-order cadence: inter-order gap (LAG per customer)
+    rolled into exact median/p90 per market segment. The lag window
+    partitions by customer (no global sort); the percentile is one hash
+    aggregate; customer broadcasts into the gap stream. approx_percentile
+    is the stated 100 TB swap-in."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = orders.select(
+        "o_custkey",
+        F.datediff(
+            F.col("o_orderdate"), F.lag("o_orderdate").over(w)
+        ).alias("gap_days"),
+    ).where(F.col("gap_days").isNotNull())
+    return (
+        gaps.join(F.broadcast(cust.select("c_custkey", "c_mktsegment")),
+                  gaps.o_custkey == F.col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.round(F.percentile("gap_days", F.lit(0.5)), 2).alias("median_gap_days"),
+            F.round(F.percentile("gap_days", F.lit(0.9)), 2).alias("p90_gap_days"),
+            F.count("gap_days").alias("n_gaps"),
+        )
+    )
