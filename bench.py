@@ -193,6 +193,9 @@ HEADLINE = [
     "open_orders_sweep",
     "pareto_revenue_8020",
     "order_gap_percentiles",
+    # wave 39 — MinHash calibration audit, time-to-first-purchase
+    "minhash_calibration_audit",
+    "time_to_first_purchase",
 ]
 
 KNN_BATCH_N_QUERIES = 5  # matches the knn_batch query definition

@@ -6756,3 +6756,162 @@ def q_order_gap_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("gap_days").alias("n_gaps"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Wave 39 — estimator calibration and user-journey timing: MinHash
+# estimate vs exact Jaccard error audit (does 8 hashes suffice?), and
+# time-to-first-purchase percentiles.
+# ---------------------------------------------------------------------------
+
+_MINHASH_CALIBRATION_ORACLE = (
+    _MINHASH_SIG_CTE
+    + f""",
+banded AS ({_BAND_UNION}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+  FROM banded a JOIN banded b USING (band_idx, band_key)
+  WHERE a.doc_id < b.doc_id
+),
+est AS (
+  SELECT cand.doc_id_a, cand.doc_id_b,
+         ({" + ".join(f"CASE WHEN sa.mh_{i} = sb.mh_{i} THEN 1 ELSE 0 END" for i in range(8))}) / 8.0 AS j_est
+  FROM cand
+  JOIN sig sa ON sa.doc_id = cand.doc_id_a
+  JOIN sig sb ON sb.doc_id = cand.doc_id_b
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT e.doc_id_a, e.doc_id_b, COUNT(*) AS n_inter
+  FROM est e
+  JOIN sh a ON a.doc_id = e.doc_id_a
+  JOIN sh b ON b.doc_id = e.doc_id_b AND b.shingle = a.shingle
+  GROUP BY 1, 2
+)
+SELECT e.doc_id_a, e.doc_id_b,
+       ROUND(e.j_est, 6) AS j_est,
+       ROUND(COALESCE(i.n_inter, 0) * 1.0
+             / (sa.n_sh + sb.n_sh - COALESCE(i.n_inter, 0)), 6) AS j_exact,
+       ROUND(ABS(e.j_est - COALESCE(i.n_inter, 0) * 1.0
+             / (sa.n_sh + sb.n_sh - COALESCE(i.n_inter, 0))), 6) AS abs_err
+FROM est e
+LEFT JOIN inter i USING (doc_id_a, doc_id_b)
+JOIN sizes sa ON sa.doc_id = e.doc_id_a
+JOIN sizes sb ON sb.doc_id = e.doc_id_b
+ORDER BY abs_err DESC, doc_id_a, doc_id_b
+LIMIT 50
+"""
+)
+
+
+@query("minhash_calibration_audit", oracle=_MINHASH_CALIBRATION_ORACLE)
+def q_minhash_calibration_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Estimator calibration: for every LSH candidate pair, the MinHash
+    Jaccard ESTIMATE (matching signature components / 8) against the
+    exact shingle Jaccard, worst absolute errors first — the report
+    that says whether 8 hashes are enough before a 100 TB run trusts
+    the estimate. Touches candidates only (never all pairs); the exact
+    side reuses the checkpointed shingle relation."""
+    from vector_knowledge_base_spark.operators.text_dedup import (
+        doc_shingles,
+        minhash_lsh_candidates,
+        minhash_signatures,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    sig = minhash_signatures(docs)
+    cand = minhash_lsh_candidates(sig, bands=4, rows_per_band=2)
+    est_expr = sum(
+        F.when(F.col(f"sa.mh_{i}") == F.col(f"sb.mh_{i}"), 1).otherwise(0)
+        for i in range(8)
+    ) / F.lit(8.0)
+    est = (
+        cand.join(sig.alias("sa"), F.col("sa.doc_id") == F.col("doc_id_a"))
+        .join(sig.alias("sb"), F.col("sb.doc_id") == F.col("doc_id_b"))
+        .select("doc_id_a", "doc_id_b", est_expr.alias("j_est"))
+    )
+    sh = doc_shingles(docs).localCheckpoint(eager=True)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    inter = (
+        est.select("doc_id_a", "doc_id_b")
+        .join(sh.select(F.col("doc_id").alias("doc_id_a"), "shingle"), "doc_id_a")
+        .join(
+            sh.select(F.col("doc_id").alias("doc_id_b"), "shingle"),
+            ["doc_id_b", "shingle"],
+        )
+        .groupBy("doc_id_a", "doc_id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    ni = F.coalesce("n_inter", F.lit(0))
+    j_exact = ni * 1.0 / (F.col("na") + F.col("nb") - ni)
+    return (
+        est.join(inter, ["doc_id_a", "doc_id_b"], "left")
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_id_a"), F.col("n_sh").alias("na")),
+            "doc_id_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_id_b"), F.col("n_sh").alias("nb")),
+            "doc_id_b",
+        )
+        .select(
+            "doc_id_a",
+            "doc_id_b",
+            F.round("j_est", 6).alias("j_est"),
+            F.round(j_exact, 6).alias("j_exact"),
+            F.round(F.abs(F.col("j_est") - j_exact), 6).alias("abs_err"),
+        )
+        .orderBy(F.desc("abs_err"), F.asc("doc_id_a"), F.asc("doc_id_b"))
+        .limit(50)
+    )
+
+
+_TTFP_ORACLE = """
+WITH firsts AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'view' THEN ts END) AS first_view,
+         MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase
+  FROM events GROUP BY user_id
+),
+waits AS (
+  SELECT epoch_us(first_purchase - first_view) / 1000000.0 AS wait_s
+  FROM firsts
+  WHERE first_view IS NOT NULL AND first_purchase IS NOT NULL
+    AND first_purchase >= first_view
+)
+SELECT COUNT(*)::BIGINT AS n_users,
+       ROUND(percentile_cont(0.5) WITHIN GROUP (ORDER BY wait_s), 2) AS median_wait_s,
+       ROUND(percentile_cont(0.9) WITHIN GROUP (ORDER BY wait_s), 2) AS p90_wait_s
+FROM waits
+"""
+
+
+@query("time_to_first_purchase", oracle=_TTFP_ORACLE)
+def q_time_to_first_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-journey latency: seconds from first view to first purchase,
+    median and p90 over converting users. ONE conditional-min hash
+    aggregate per user (no window, no self-join — the min-per-type
+    pattern), then one percentile aggregate over the tiny per-user
+    table."""
+    ev = _t(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("first_view"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "first_purchase"
+        ),
+    )
+    waits = firsts.where(
+        F.col("first_view").isNotNull()
+        & F.col("first_purchase").isNotNull()
+        & (F.col("first_purchase") >= F.col("first_view"))
+    ).select(
+        (
+            (F.unix_micros("first_purchase") - F.unix_micros("first_view"))
+            / 1_000_000.0
+        ).alias("wait_s")
+    )
+    return waits.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.round(F.percentile("wait_s", F.lit(0.5)), 2).alias("median_wait_s"),
+        F.round(F.percentile("wait_s", F.lit(0.9)), 2).alias("p90_wait_s"),
+    )
