@@ -6819,7 +6819,9 @@ def q_minhash_calibration_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = _t(spark, sf_dir, "documents")
-    sig = minhash_signatures(docs)
+    # one row per doc: materialize the signature table once — it feeds
+    # the banding AND both sides of the estimate join (3 consumers)
+    sig = minhash_signatures(docs).localCheckpoint(eager=True)
     cand = minhash_lsh_candidates(sig, bands=4, rows_per_band=2)
     est_expr = sum(
         F.when(F.col(f"sa.mh_{i}") == F.col(f"sb.mh_{i}"), 1).otherwise(0)
