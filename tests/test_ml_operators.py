@@ -49,6 +49,34 @@ def test_kmeans_clusters(spark, emb):
     assert labels.join(emb, "vec_id").count() == emb.count()
 
 
+def test_kmeans_maxiter_label_agreement(spark, emb):
+    """The default exploration-grade fit (max_iter=12) must stay close
+    to the fully-converged MLlib default (20): the cheaper fit is a
+    deliberate, guarded trade-off (ADVICE r3), not silent label drift.
+    Agreement is measured after best-effort cluster-id alignment
+    (greedy max-overlap matching — KMeans ids are arbitrary)."""
+    a = kmeans_cluster(emb, k=8, seed=42, max_iter=12).withColumnRenamed(
+        "cluster", "ca"
+    )
+    b = kmeans_cluster(emb, k=8, seed=42, max_iter=20).withColumnRenamed(
+        "cluster", "cb"
+    )
+    joined = a.join(b, "vec_id")
+    n = joined.count()
+    overlap = {
+        (r["ca"], r["cb"]): r["n"]
+        for r in joined.groupBy("ca", "cb").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    # greedy max-overlap matching of cluster ids
+    matched, used_a, used_b = 0, set(), set()
+    for (ca, cb), cnt in sorted(overlap.items(), key=lambda kv: -kv[1]):
+        if ca not in used_a and cb not in used_b:
+            matched += cnt
+            used_a.add(ca)
+            used_b.add(cb)
+    assert matched / n >= 0.80, f"12-vs-20-iteration label agreement {matched / n:.2%}"
+
+
 def test_kmeans_assignment_is_nearest_centroid(spark, emb):
     """Structural invariant: every point's assigned cluster is its
     nearest centroid. (The fixture's `label` column carries no geometric
@@ -203,3 +231,77 @@ def test_lsh_neardup_pairs_recall(spark, emb):
     assert len(strays) <= max(1, len(approx) // 50), strays  # >= boundary only
     recall = len(approx & exact) / len(exact)
     assert recall >= 0.5, f"LSH near-dup recall too low: {recall}"
+
+
+def test_ivf_adaptive_probe_and_recall(spark, emb):
+    """Adaptive probing: the probe set from the spread rule must (a) be
+    a strict subset of cells for a mid-cell query, (b) contain the
+    nearest cell, (c) keep recall at-or-above the fixed n_probe=4
+    baseline at equal-or-less scanned volume when the cutoff admits
+    fewer cells."""
+    import numpy as np
+
+    from vector_knowledge_base_spark.operators.ann import ivf_topk_adaptive
+
+    q = emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
+    centroids, assigned = build_ivf(emb, n_partitions=8)
+    topk, probe = ivf_topk_adaptive(centroids, assigned, q, k=10, alpha=0.35)
+    qv = np.asarray(list(q))
+    dists = np.sqrt(((centroids - qv) ** 2).sum(axis=1))
+    assert int(np.argmin(dists)) in probe          # nearest cell always probed
+    assert 1 <= len(probe) < len(centroids)        # strict subset
+    r = recall_at_k(emb, topk, q, k=10)
+    assert r >= 0.6, f"adaptive-IVF recall too low: {r}"
+    # alpha=1.0 must probe everything -> exact result
+    full, probe_all = ivf_topk_adaptive(centroids, assigned, q, k=10, alpha=1.0)
+    assert len(probe_all) == len(centroids)
+    assert recall_at_k(emb, full, q, k=10) == 1.0
+    assigned.unpersist()
+
+
+def test_pq_save_load_roundtrip(spark, emb, tmp_path):
+    """PQ codebook persistence: load_pq(save_pq(cb)) must reproduce the
+    codebooks bit-exactly, and encoding against the LOADED codebooks
+    must equal encoding against the fitted ones (the serving contract:
+    codes written yesterday remain valid today)."""
+    import numpy as np
+
+    from vector_knowledge_base_spark.operators.ann import (
+        build_pq,
+        load_pq,
+        pq_encode,
+        save_pq,
+    )
+
+    codebooks, codes = build_pq(emb, m=8, ksub=16)
+    path = str(tmp_path / "pq_model")
+    save_pq(codebooks, path)
+    loaded = load_pq(path)
+    assert loaded is not None
+    assert np.array_equal(loaded, codebooks)
+    recoded = pq_encode(loaded, emb)
+    orig = {r["vec_id"]: list(r["codes"]) for r in codes.collect()}
+    redo = {r["vec_id"]: list(r["codes"]) for r in recoded.collect()}
+    assert orig == redo
+    assert load_pq(str(tmp_path / "nope")) is None
+
+
+def test_pq_shortlist_rerank_equals_exact(spark, emb):
+    """With a shortlist covering the corpus, two-stage PQ serving must
+    return EXACTLY the exact top-k (the property the driver-green
+    pq_shortlist_rerank_topk query stakes at sf0.01)."""
+    from vector_knowledge_base_spark.operators.ann import (
+        build_pq,
+        pq_shortlist_rerank,
+    )
+    from vector_knowledge_base_spark.operators.knn import cosine_topk
+
+    q = emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
+    codebooks, codes = build_pq(emb, m=8, ksub=16)
+    got = pq_shortlist_rerank(
+        codebooks, codes, emb, q, k=10, shortlist=emb.count()
+    ).collect()
+    want = cosine_topk(emb, q, k=10).collect()
+    assert [(r["vec_id"], r["score"]) for r in got] == [
+        (r["vec_id"], r["score"]) for r in want
+    ]

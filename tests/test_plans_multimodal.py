@@ -372,3 +372,15 @@ def test_triangle_join_broadcasts_edges(spark):
     df = q.QUERIES["triangle_count_copurchase"](spark, SF)
     assert has_broadcast_join(df)
     assert_no_cartesian(df)
+
+
+def test_pack_sequences_window_is_sharded(spark):
+    """The r3 verdict's one surviving scale-killer: sequence packing must
+    NOT run its cumulative-sum window over a single global partition.
+    The plan must hash-partition on the shard column and contain no
+    SinglePartition exchange."""
+    from vector_knowledge_base_spark import queries as q
+
+    plan = explain_str(q.QUERIES["pack_sequences_greedy"](spark, SF))
+    assert "SinglePartition" not in plan, plan
+    assert "hashpartitioning(shard" in plan, plan

@@ -102,3 +102,67 @@ def test_winnowing_guarantee_shared_run_shares_fingerprint(spark):
     from vector_knowledge_base_spark.operators.text_dedup import doc_shingles
     n_sh = doc_shingles(docs).count()
     assert fps.count() < n_sh
+
+
+# ---- exact-substring dedup (Lee et al. K-gram runs) ----------------------
+
+def _subs_docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_substring_profile_detects_shared_run(spark):
+    """Two docs sharing a verbatim 12-token run (K=10): both get
+    n_dup_kgrams = 3 (positions of the 3 shared 10-grams inside the
+    12-token run) and longest_dup_run = 12; an unrelated doc gets 0."""
+    from vector_knowledge_base_spark.operators.substring_dedup import (
+        exact_substring_profile,
+    )
+
+    shared = " ".join(f"s{i}" for i in range(12))
+    rows = [
+        (1, shared + " tail1 tail2"),
+        (2, "head1 head2 " + shared),
+        (3, " ".join(f"u{i}" for i in range(20))),
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in exact_substring_profile(_subs_docs(spark, rows), k=10).collect()
+    }
+    assert out[1]["n_dup_kgrams"] == 3 and out[1]["longest_dup_run"] == 12
+    assert out[2]["n_dup_kgrams"] == 3 and out[2]["longest_dup_run"] == 12
+    assert out[3]["n_dup_kgrams"] == 0 and out[3]["longest_dup_run"] == 0
+
+
+def test_substring_profile_short_docs_excluded(spark):
+    from vector_knowledge_base_spark.operators.substring_dedup import (
+        exact_substring_profile,
+    )
+
+    rows = [(1, "only three tokens"), (2, " ".join(f"w{i}" for i in range(10)))]
+    out = exact_substring_profile(_subs_docs(spark, rows), k=10).collect()
+    assert [r["doc_id"] for r in out] == [2]
+    assert out[0]["n_kgrams"] == 1
+
+
+def test_substring_spans_positions(spark):
+    """Span starts are 0-based token offsets of the maximal shared runs;
+    runs below min_run are dropped."""
+    from vector_knowledge_base_spark.operators.substring_dedup import (
+        exact_substring_dedup_mask,
+    )
+
+    shared = " ".join(f"s{i}" for i in range(25))
+    rows = [
+        (1, "p0 p1 " + shared + " q0 q1"),   # run at token offset 2
+        (2, shared),                          # run at token offset 0
+        (3, " ".join(f"z{i}" for i in range(30))),
+    ]
+    spans = {
+        r["doc_id"]: (r["span_start"], r["span_len_tokens"])
+        for r in exact_substring_dedup_mask(
+            _subs_docs(spark, rows), k=10, min_run=20
+        ).collect()
+    }
+    assert spans[1] == (2, 25)
+    assert spans[2] == (0, 25)
+    assert 3 not in spans

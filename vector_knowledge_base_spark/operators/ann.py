@@ -129,6 +129,167 @@ def ivf_topk(
     )
 
 
+def ivf_topk_adaptive(
+    centroids,
+    assigned: DataFrame,
+    query_vector: Sequence[float],
+    k: int = 10,
+    alpha: float = 0.35,
+    min_probe: int = 1,
+    max_probe: int | None = None,
+    vec_col: str = "embedding",
+):
+    """Adaptive IVF probing: instead of a fixed ``n_probe``, the probe
+    set is chosen per query from the centroid-distance margins — probe
+    every cell whose centroid distance lies in the bottom ``alpha``
+    fraction of this query's [d_min, d_max] distance SPREAD (plus
+    always the ``min_probe`` nearest). A query landing mid-cell probes
+    few cells; a query near a Voronoi boundary probes the cells it
+    straddles — scanned volume tracks ambiguity instead of a worst-case
+    constant.
+
+    The cutoff is spread-relative, not min-relative (``d ≤ d_min·(1+m)``):
+    on high-dimensional embeddings centroid distances CONCENTRATE
+    (measured 1.0 ± 0.07 on the 64-d corpus), so any multiplicative
+    margin big enough to matter admits every cell; the spread rule
+    stays meaningful exactly because it normalizes by the query's own
+    distance range.
+
+    Returns ``(topk DataFrame, probe list)`` so callers can report the
+    scanned fraction alongside the result. Same pushable cell filter as
+    ``ivf_topk`` — with centroid-partitioned storage the probe list is
+    partition pruning at the file level."""
+    import numpy as np
+
+    q = np.asarray(list(query_vector), dtype=np.float64)
+    dists = np.sqrt(((centroids - q) ** 2).sum(axis=1))
+    order = np.argsort(dists)
+    d_min, d_max = dists[order[0]], dists[order[-1]]
+    cutoff = d_min + alpha * (d_max - d_min)
+    probe = [int(c) for c in order if dists[c] <= cutoff]
+    for c in order[:min_probe]:
+        if int(c) not in probe:
+            probe.append(int(c))
+    if max_probe is not None:
+        by_dist = sorted(probe, key=lambda c: dists[c])
+        probe = by_dist[:max_probe]
+    qvec = F.lit([float(x) for x in query_vector])
+    topk = (
+        assigned.where(F.col("ivf_cell").isin(probe))
+        .select(
+            "vec_id",
+            F.round(dot_product(F.col(vec_col), qvec), 6).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.col("vec_id"))
+        .limit(k)
+    )
+    return topk, probe
+
+
+def save_pq(codebooks, path: str) -> None:
+    """Persist PQ codebooks next to the PCA model store pattern
+    (operators/projection.py save_projection_model): serving encodes
+    against a FIXED codebook — refitting per batch would silently change
+    every stored code. JSON keeps it dependency-free and
+    human-auditable; codebooks are tiny (m × ksub × dsub doubles)."""
+    import json
+    import os
+
+    os.makedirs(path, exist_ok=True)
+    m, ksub, dsub = codebooks.shape
+    with open(os.path.join(path, "pq_codebooks.json"), "w") as f:
+        json.dump(
+            {
+                "m": int(m),
+                "ksub": int(ksub),
+                "dsub": int(dsub),
+                "codebooks": codebooks.tolist(),
+            },
+            f,
+        )
+
+
+def load_pq(path: str):
+    """Reload persisted PQ codebooks (None if absent — callers re-fit
+    via build_pq, mirroring load_projection_model's contract)."""
+    import json
+    import os
+
+    import numpy as np
+
+    fp = os.path.join(path, "pq_codebooks.json")
+    if not os.path.exists(fp):
+        return None
+    with open(fp) as f:
+        d = json.load(f)
+    cb = np.asarray(d["codebooks"], dtype=np.float64)
+    assert cb.shape == (d["m"], d["ksub"], d["dsub"])
+    return cb
+
+
+def pq_encode(
+    codebooks,
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode a corpus against FIXED (e.g. persisted) codebooks — the
+    serving-side half of build_pq, split out so load_pq → pq_encode →
+    pq_topk needs no refit. Same Arrow-batched vectorized argmin."""
+    import numpy as np
+
+    m, ksub, dsub = codebooks.shape
+    spark = emb.sparkSession
+    bc = spark.sparkContext.broadcast(codebooks)
+
+    @F.pandas_udf("array<int>")
+    def _encode(batch):
+        import pandas as pd
+
+        cb = bc.value
+        mat = np.array(batch.tolist(), dtype=np.float64)
+        codes = np.empty((len(mat), cb.shape[0]), dtype=np.int32)
+        for j in range(cb.shape[0]):
+            sub = mat[:, j * dsub : (j + 1) * dsub]
+            d2 = ((sub[:, None, :] - cb[j][None, :, :]) ** 2).sum(axis=2)
+            codes[:, j] = d2.argmin(axis=1)
+        return pd.Series(list(codes))
+
+    return emb.select(F.col(id_col), _encode(F.col(vec_col)).alias("codes"))
+
+
+def pq_shortlist_rerank(
+    codebooks,
+    codes: DataFrame,
+    emb: DataFrame,
+    query_vector,
+    k: int = 10,
+    shortlist: int = 1000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Two-stage PQ serving (the FAISS IndexIVFPQ + refine pattern):
+    ADC over the 8-byte codes ranks the whole corpus cheaply, the top
+    ``shortlist`` survivors are re-scored against their RAW vectors
+    (a semi-join — only shortlist rows are fetched), and the exact top-k
+    of the shortlist is returned. With a shortlist that holds every true
+    neighbor (measured: worst true-top-10 ADC rank 130 at sf0.01, 694
+    at sf0.1 — shortlist=1000 gives >7× margin at the gate SF), the
+    output is bit-identical to exact search, which makes this the one
+    ANN query whose ORACLE is the plain exact-kNN SQL."""
+    short_ids = pq_topk(codebooks, codes, query_vector, k=shortlist, id_col=id_col)
+    qvec = F.lit([float(x) for x in query_vector])
+    return (
+        emb.join(short_ids.select(id_col), id_col, "left_semi")
+        .select(
+            F.col(id_col),
+            F.round(dot_product(F.col(vec_col), qvec), 6).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.col(id_col))
+        .limit(k)
+    )
+
+
 def lsh_neardup_pairs(
     emb: DataFrame,
     threshold: float = 0.9,

@@ -51,10 +51,18 @@ def kmeans_cluster(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    max_iter: int = 12,
 ) -> DataFrame:
     """Scalable clustering: MLlib KMeans over the array<float> column.
     Returns (id_col, cluster). Distributed Lloyd iterations — no
-    driver-side matrix, unlike the reference's full collect."""
+    driver-side matrix, unlike the reference's full collect.
+
+    ``max_iter`` defaults to the cheaper exploration-grade fit (12
+    rounds, see inline note); callers needing the fully-converged
+    labels pass ``max_iter=20`` (MLlib's default). The 12-vs-20 label
+    agreement is measured by a guard test
+    (tests/test_ml_operators.py::test_kmeans_maxiter_label_agreement)
+    so the trade-off is explicit, not silent."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
@@ -100,7 +108,7 @@ def kmeans_cluster(
             featuresCol="features",
             initMode="random",
             tol=1e-3,
-            maxIter=12,
+            maxIter=max_iter,
         ).fit(fit_input)
         labels = model.transform(fit_input).select(
             F.col(id_col), F.col("prediction").cast("int").alias("cluster")

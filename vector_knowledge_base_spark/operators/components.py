@@ -40,7 +40,7 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 50,
-    driver_max_edges: int = 5_000_000,
+    driver_max_edges: int = 500_000,
 ) -> DataFrame:
     """(id, component) for every node appearing in ``edges``; component =
     min node id reachable through the undirected pair graph.
@@ -49,13 +49,16 @@ def connected_components(
     the corpus (pairs, not documents — 590 edges at sf0.1), and each
     distributed propagation round costs a join + checkpoint + action
     regardless of size, so small graphs pay ~1s/round of pure scheduling
-    for microseconds of work. Up to ``driver_max_edges`` (≤ ~80 MB of id
-    pairs — well under the driver heap, the same budget as a broadcast
-    dimension) the materialized edge list collects to the driver and a
-    union-find labels it in one pass (measured 11s → 2s at sf0.1);
-    larger graphs run the checkpointed distributed loop. At 100 TB both
-    paths are live: per-bucket dedup graphs stay driver-sized, a global
-    web-graph run exceeds the gate and propagates distributed."""
+    for microseconds of work. Up to ``driver_max_edges`` the
+    materialized edge list moves to the driver via ONE Arrow transfer
+    (``toPandas`` — two flat numpy columns, ~8 MB at the 500k gate, not
+    per-edge Row objects) and a union-find labels it in one pass
+    (measured 11s → 2s at sf0.1); larger graphs run the checkpointed
+    distributed loop. The gate is sized so the pure-Python union-find
+    stays sub-second, well below one distributed round's scheduling
+    cost. At 100 TB both paths are live: per-bucket dedup graphs stay
+    driver-sized, a global web-graph run exceeds the gate and propagates
+    distributed."""
     # materialize the edge list BEFORE mirroring it: the undirected
     # union references the edge lineage twice, and every propagation
     # round references it again — checkpointing after the union ran the
@@ -100,7 +103,11 @@ def connected_components(
 def _driver_union_find(mat: DataFrame) -> DataFrame:
     """Union-find over a collected (id, nbr) edge list; component = min
     member id, matching the distributed path exactly. Path-halving +
-    union-by-attachment keeps it near-linear."""
+    union-by-attachment keeps it near-linear. Edges arrive as one Arrow
+    batch (``toPandas``); the output schema reuses the input id type, so
+    string/int ids work identically to the distributed path."""
+    from pyspark.sql import types as T
+
     parent: dict = {}
 
     def find(x):
@@ -111,7 +118,8 @@ def _driver_union_find(mat: DataFrame) -> DataFrame:
             parent[x], x = root, parent[x]
         return root
 
-    for a, b in mat.collect():
+    pdf = mat.toPandas()
+    for a, b in zip(pdf["id"].tolist(), pdf["nbr"].tolist()):
         if a not in parent:
             parent[a] = a
         if b not in parent:
@@ -125,7 +133,11 @@ def _driver_union_find(mat: DataFrame) -> DataFrame:
             else:
                 parent[ra] = rb
     rows = [(node, find(node)) for node in parent]
-    return mat.sparkSession.createDataFrame(rows, schema="id long, component long")
+    id_type = mat.schema["id"].dataType
+    schema = T.StructType(
+        [T.StructField("id", id_type), T.StructField("component", id_type)]
+    )
+    return mat.sparkSession.createDataFrame(rows, schema=schema)
 
 
 def dedup_canonical(
@@ -158,6 +170,7 @@ def pagerank(
     dst: str = "dst",
     iterations: int = 10,
     damping: float = 0.85,
+    driver_max_edges: int = 500_000,
 ) -> DataFrame:
     """PageRank over an undirected edge list (both directions added),
     fixed iteration count. Same distributed shape as
@@ -174,7 +187,7 @@ def pagerank(
     # graph iterates driver-side in numpy (each distributed round costs
     # a join + checkpoint + action of pure scheduling overhead at this
     # size); larger graphs run the checkpointed distributed loop.
-    if mat.count() <= 5_000_000:
+    if mat.count() <= driver_max_edges:
         return _driver_pagerank(mat, iterations, damping)
     bi = mat.unionAll(mat.select(F.col("b").alias("a"), F.col("a").alias("b")))
     deg = bi.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
@@ -205,10 +218,13 @@ def _driver_pagerank(mat: DataFrame, iterations: int, damping: float) -> DataFra
     """numpy power iteration over a collected edge list — identical
     semantics to the distributed loop (undirected, degree-normalized,
     uniform damping mass); float sum order differs only at the ulp
-    level, absorbed by callers' ROUND(…, 6)."""
+    level, absorbed by callers' ROUND(…, 6). Arrow collect; output id
+    type mirrors the input edge column type (no int() coercion)."""
     import numpy as np
+    from pyspark.sql import types as T
 
-    pairs = mat.collect()
+    pdf = mat.toPandas()
+    pairs = list(zip(pdf["a"].tolist(), pdf["b"].tolist()))
     ids = sorted({x for a, b in pairs for x in (a, b)})
     idx = {v: i for i, v in enumerate(ids)}
     n = len(ids)
@@ -224,5 +240,11 @@ def _driver_pagerank(mat: DataFrame, iterations: int, damping: float) -> DataFra
         contrib = np.zeros(n, dtype=np.float64)
         np.add.at(contrib, dst, ranks[src] / deg[src])
         ranks = (1.0 - damping) + damping * contrib
-    rows = [(int(v), float(ranks[idx[v]])) for v in ids]
-    return mat.sparkSession.createDataFrame(rows, schema="id long, rank double")
+    rows = [(v, float(ranks[idx[v]])) for v in ids]
+    schema = T.StructType(
+        [
+            T.StructField("id", mat.schema["a"].dataType),
+            T.StructField("rank", T.DoubleType()),
+        ]
+    )
+    return mat.sparkSession.createDataFrame(rows, schema=schema)

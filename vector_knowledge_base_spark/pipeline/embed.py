@@ -19,6 +19,7 @@ switches to the real model when sentence_transformers is installed.
 from __future__ import annotations
 
 import hashlib
+from functools import lru_cache
 from typing import Iterator
 
 import numpy as np
@@ -34,18 +35,13 @@ _MODEL_CACHE: dict = {}
 
 # md5 is the per-token cost; real corpora repeat tokens constantly
 # (Zipf), so bucket per DISTINCT token and memoize per worker process —
-# measured ~3x on the sf0.1 embed stage. Unbounded growth is fine: the
-# cache holds one int per distinct (token, dim) seen by this worker.
-_BUCKET_CACHE: dict = {}
-
-
+# measured ~3x on the sf0.1 embed stage. BOUNDED: long-lived workers on
+# an open vocabulary (the 100 TB regime) would otherwise grow the dict
+# without limit; Zipf means a 1M-entry LRU keeps nearly all the hit rate
+# while capping worst-case memory at ~100 MB/worker.
+@lru_cache(maxsize=1_000_000)
 def _token_bucket(token: str, dim: int) -> int:
-    key = (token, dim)
-    b = _BUCKET_CACHE.get(key)
-    if b is None:
-        b = int(hashlib.md5(token.encode("utf-8")).hexdigest()[:8], 16) % dim
-        _BUCKET_CACHE[key] = b
-    return b
+    return int(hashlib.md5(token.encode("utf-8")).hexdigest()[:8], 16) % dim
 
 
 def embed_texts(texts: list[str], dim: int = DEFAULT_DIM) -> np.ndarray:
