@@ -206,6 +206,10 @@ HEADLINE = [
     # wave 41 (r4) — exact-substring dedup (Lee et al.)
     "exact_substring_profile",
     "exact_substring_spans",
+    # wave 42 (r4) — Z-order layout, sketch audit, tokenizer fertility
+    "zorder_layout_stats",
+    "quantile_sketch_audit",
+    "tokenizer_fertility_by_source",
 ]
 
 KNN_BATCH_N_QUERIES = 5  # matches the knn_batch query definition

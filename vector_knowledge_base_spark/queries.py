@@ -766,6 +766,9 @@ _WINDOW_PROMOTE = [
     "ann_ivf_adaptive",            # adaptive probe: recall + scan bounds
     "hll_vs_exact_by_source",      # sketch accuracy vs exact distinct
     "exact_substring_profile",     # Lee-et-al exact-substring dedup
+    # r4 wave 42 — layout + sketch-audit families
+    "zorder_layout_stats",         # Z-order pruning effectiveness
+    "quantile_sketch_audit",       # approx-quantile vs exact percentiles
 ]
 _WINDOW_DEMOTE = [
     # rows-only registrations (no SQL oracle possible for raw outputs)
@@ -783,6 +786,8 @@ _WINDOW_DEMOTE = [
     "score_normalize_clamp",            # twin: scalar_function_chain
     "events_value_delta",               # twin: order_first_line (window fam)
     "cluster_members_sorted",           # twin: cluster_stats/_noise
+    "percentiles_by_flag",              # twin: quantile_sketch_audit (superset)
+    "json_props_extract",               # twin: scalar_function_chain (C-family)
 ]
 
 
@@ -7084,10 +7089,14 @@ def q_pca_variance_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle-able (eigenvector sign/rotation freedom); these are:
 
     - ``eig_trace``: the sum of ALL covariance eigenvalues — computed
-      HERE from the distributed covariance matrix (one RowMatrix pass +
+      HERE from the distributed covariance matrix (one Arrow-batched
+      partial-Gram pass, operators/projection.py covariance_matrix, +
       a 64×64 driver eigendecomposition) — must equal the total
-      per-dimension sample variance DuckDB computes directly
-      (trace invariance under eigendecomposition, to 6 decimals);
+      per-dimension sample variance DuckDB computes directly with
+      VAR_SAMP (cross-engine check of the whole covariance pipeline,
+      to 6 decimals; ``var_total`` is the covariance diagonal, equal to
+      the trace by construction — the CHECK is DuckDB's independent
+      recomputation);
     - PSD-ness and top-3 ≤ total as booleans;
     - ``proj_dist_contracts``: the ACTUAL project_3d output (mean-
       centered fit + transform) never increases pairwise distance
@@ -7095,26 +7104,19 @@ def q_pca_variance_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
       the two lowest-id corpus points; a mis-centered transform (the r2
       bug this family had) shifts coords and can violate it."""
     import numpy as np
-    from pyspark.mllib.linalg import Vectors as MLLibVectors
-    from pyspark.mllib.linalg.distributed import RowMatrix
 
-    from vector_knowledge_base_spark.operators.projection import project_3d
+    from vector_knowledge_base_spark.operators.projection import (
+        covariance_matrix,
+        project_3d,
+    )
 
     emb = _t(spark, sf_dir, "embeddings").cache()
-    rows = emb.select("embedding").rdd.map(lambda r: MLLibVectors.dense(r[0]))
-    cov = RowMatrix(rows).computeCovariance().toArray()
+    cov, _n = covariance_matrix(emb)
     eig = np.linalg.eigvalsh(cov)
     eig_trace = float(eig.sum())
     eig_nonneg = bool((eig > -1e-9).all())
     top3_le_total = bool(np.sort(eig)[-3:].sum() <= eig_trace + 1e-9)
-
-    # per-dim sample variance, summed — the same scan DuckDB runs
-    per_dim = (
-        emb.select(F.posexplode(F.col("embedding").cast("array<double>")))
-        .groupBy("pos")
-        .agg(F.var_samp("col").alias("var_d"))
-    )
-    var_total = per_dim.agg(F.sum("var_d")).first()[0]
+    var_total = float(np.trace(cov))
 
     coords, _model = project_3d(emb)
     two = (
@@ -7375,4 +7377,186 @@ def q_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.col("span_start").cast("long").alias("span_start"),
         F.col("span_len_tokens").cast("long").alias("span_len_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Wave 42 (round 4) — data-layout and sketch-audit operators:
+# multi-dimensional (Z-order) file layout with measured pruning
+# effectiveness, approximate-quantile sketch audit, tokenizer fertility
+# diagnostics for pretraining mixes.
+# ---------------------------------------------------------------------------
+
+_ZORDER_ORACLE = """
+WITH bounds AS (
+  SELECT MIN(o_custkey) AS ck_min, MAX(o_custkey) AS ck_max,
+         MIN(o_orderdate) AS d_min, MAX(o_orderdate) AS d_max
+  FROM orders
+),
+b AS (
+  SELECT o_orderkey,
+         LEAST(15, CAST(FLOOR(16.0 * (o_custkey - ck_min)
+                        / (ck_max - ck_min + 1)) AS BIGINT)) AS bx,
+         LEAST(15, CAST(FLOOR(16.0 * date_diff('day', d_min, o_orderdate)
+                        / (date_diff('day', d_min, d_max) + 1)) AS BIGINT)) AS by
+  FROM orders, bounds
+),
+z AS (
+  SELECT o_orderkey, bx, by,
+         ( (bx % 2) * 1 + (by % 2) * 2
+         + ((bx // 2) % 2) * 4 + ((by // 2) % 2) * 8
+         + ((bx // 4) % 2) * 16 + ((by // 4) % 2) * 32
+         + ((bx // 8) % 2) * 64 + ((by // 8) % 2) * 128) AS zval
+  FROM b
+),
+f AS (SELECT *, zval // 16 AS file_z FROM z)
+SELECT by AS date_bucket,
+       CAST(COUNT(DISTINCT file_z) AS BIGINT) AS n_files_zorder,
+       CAST(COUNT(DISTINCT bx) AS BIGINT) AS n_files_custkey_layout
+FROM f GROUP BY by
+"""
+
+
+@query("zorder_layout_stats", oracle=_ZORDER_ORACLE)
+def q_zorder_layout_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-dimensional data layout (the Delta/Iceberg OPTIMIZE ZORDER
+    primitive, built from plain expressions): bucket orders on
+    (custkey, orderdate) into a 16×16 grid, interleave the bucket bits
+    into a Z-value, and assign rows to 16 'files' by the Z-value's TOP
+    BITS — no global sort, the assignment is pure arithmetic, so the
+    layout job is one narrow projection at any scale.
+
+    The output is the layout's measured pruning effectiveness: for each
+    date bucket (a min-max-prunable range predicate on the NON-leading
+    dimension), how many of the 16 files hold matching rows under the
+    Z-layout (≈√16 = 4 — the classic Z-order bound) vs under a
+    custkey-partitioned layout (all 16). At 100 TB this is the
+    difference between reading 25% and 100% of a petabyte for a date
+    slice when the table is organized for customer queries."""
+    ords = _t(spark, sf_dir, "orders")
+    bounds = ords.agg(
+        F.min("o_custkey").alias("ck_min"),
+        F.max("o_custkey").alias("ck_max"),
+        F.min("o_orderdate").alias("d_min"),
+        F.max("o_orderdate").alias("d_max"),
+    )
+    b = ords.crossJoin(F.broadcast(bounds)).select(
+        "o_orderkey",
+        F.least(
+            F.lit(15),
+            F.floor(
+                16.0
+                * (F.col("o_custkey") - F.col("ck_min"))
+                / (F.col("ck_max") - F.col("ck_min") + 1)
+            ),
+        )
+        .cast("long")
+        .alias("bx"),
+        F.least(
+            F.lit(15),
+            F.floor(
+                16.0
+                * F.datediff("o_orderdate", "d_min")
+                / (F.datediff("d_max", "d_min") + 1)
+            ),
+        )
+        .cast("long")
+        .alias("by"),
+    )
+    bit = lambda c, i: F.shiftright(F.col(c), i).bitwiseAND(F.lit(1))  # noqa: E731
+    zval = (
+        bit("bx", 0) * 1
+        + bit("by", 0) * 2
+        + bit("bx", 1) * 4
+        + bit("by", 1) * 8
+        + bit("bx", 2) * 16
+        + bit("by", 2) * 32
+        + bit("bx", 3) * 64
+        + bit("by", 3) * 128
+    )
+    f = b.withColumn("file_z", F.shiftright(zval, 4))
+    return f.groupBy(F.col("by").alias("date_bucket")).agg(
+        F.countDistinct("file_z").alias("n_files_zorder"),
+        F.countDistinct("bx").alias("n_files_custkey_layout"),
+    )
+
+
+_QUANTILE_SKETCH_ORACLE = """
+SELECT l_returnflag,
+       ROUND(percentile_cont(0.5) WITHIN GROUP (ORDER BY l_extendedprice), 2)
+         AS exact_p50,
+       ROUND(percentile_cont(0.9) WITHIN GROUP (ORDER BY l_extendedprice), 2)
+         AS exact_p90,
+       TRUE AS sketch_within_1pct
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+@query("quantile_sketch_audit", oracle=_QUANTILE_SKETCH_ORACLE)
+def q_quantile_sketch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate-quantile sketch audit (same pattern as
+    hll_vs_exact_by_source): exact p50/p90 per return flag are the
+    SQL-checkable side; the boolean asserts the MERGEABLE approx
+    sketch (percentile_approx — the only quantile that exists at
+    100 TB, where exact percentiles need a full sort) lands within ±1%
+    of exact, computed in the same aggregate."""
+    li = _t(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_returnflag").agg(
+        F.percentile("l_extendedprice", F.lit(0.5)).alias("ep50"),
+        F.percentile("l_extendedprice", F.lit(0.9)).alias("ep90"),
+        F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(10000)).alias(
+            "ap50"
+        ),
+        F.percentile_approx("l_extendedprice", F.lit(0.9), F.lit(10000)).alias(
+            "ap90"
+        ),
+    )
+    return agg.select(
+        "l_returnflag",
+        F.round("ep50", 2).alias("exact_p50"),
+        F.round("ep90", 2).alias("exact_p90"),
+        (
+            (F.abs(F.col("ap50") - F.col("ep50")) <= 0.01 * F.col("ep50"))
+            & (F.abs(F.col("ap90") - F.col("ep90")) <= 0.01 * F.col("ep90"))
+        ).alias("sketch_within_1pct"),
+    )
+
+
+_FERTILITY_ORACLE = r"""
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       ROUND(SUM(LEN(regexp_extract_all(text, '\w+|[^\w\s]')))::DOUBLE
+             / SUM(LEN(string_split(text, ' '))), 6) AS fertility,
+       ROUND(SUM(LEN(string_split(text, ' ')))::DOUBLE
+             / SUM(LENGTH(text)), 6) AS tokens_per_char
+FROM documents GROUP BY source
+"""
+
+
+@query("tokenizer_fertility_by_source", oracle=_FERTILITY_ORACLE)
+def q_tokenizer_fertility_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility diagnostics per source — the pretraining-mix
+    numbers that decide token budgets: BPE-ish tokens per whitespace
+    word (fertility — high values flag sources that will eat budget on
+    punctuation/fragmentation) and whitespace tokens per character.
+    One hash aggregate; both tokenizations are the registry's existing
+    regex/whitespace counters, so the mix math stays consistent with
+    token_count_regex and token_budget_mixture."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(
+                F.size(F.regexp_extract_all("text", F.lit(r"\w+|[^\w\s]"), F.lit(0)))
+            ).alias("bpe"),
+            F.sum(F.size(F.split("text", " "))).alias("ws"),
+            F.sum(F.length("text")).alias("chars"),
+        )
+        .select(
+            "source",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.round(F.col("bpe") / F.col("ws"), 6).alias("fertility"),
+            F.round(F.col("ws") / F.col("chars"), 6).alias("tokens_per_char"),
+        )
     )
