@@ -7560,3 +7560,435 @@ def q_tokenizer_fertility_by_source(spark: SparkSession, sf_dir: str) -> DataFra
             F.round(F.col("ws") / F.col("chars"), 6).alias("tokens_per_char"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Wave 43 — C4/RefinedWeb-style corpus curation (beyond-reference LLM
+# pipeline family; C4: Raffel et al. 2020 line-dedup rule, RefinedWeb:
+# Penedo et al. 2023 per-domain caps, CCNet/LLaMA fastText-style quality
+# classifier re-expressed on pyspark.ml)
+# ---------------------------------------------------------------------------
+
+_BOILERPLATE_ORACLE = """
+WITH w AS (
+  SELECT doc_id, source, u.word AS word, u.pos AS pos
+  FROM documents,
+  LATERAL (SELECT unnest(string_split(text, ' ')) AS word,
+                  generate_subscripts(string_split(text, ' '), 1) AS pos) u
+), seg AS (
+  SELECT doc_id, source, (pos - 1) // 5 AS seg_id,
+         string_agg(word, ' ' ORDER BY pos) AS segment
+  FROM w GROUP BY 1, 2, 3
+), df AS (
+  SELECT segment, COUNT(DISTINCT doc_id) AS df
+  FROM seg GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= 3
+)
+SELECT seg.source,
+       CAST(COUNT(DISTINCT seg.doc_id) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_segments,
+       CAST(COUNT(df.segment) AS BIGINT) AS n_boiler_occurrences,
+       CAST(COALESCE(SUM(LENGTH(seg.segment)) FILTER (df.segment IS NOT NULL), 0)
+            AS BIGINT) AS chars_removed,
+       ROUND(COALESCE(SUM(LENGTH(seg.segment)) FILTER (df.segment IS NOT NULL), 0)::DOUBLE
+             / SUM(LENGTH(seg.segment)), 6) AS pct_chars_removed
+FROM seg LEFT JOIN df ON seg.segment = df.segment
+GROUP BY 1
+"""
+
+
+@query("boilerplate_segment_removal", oracle=_BOILERPLATE_ORACLE)
+def q_boilerplate_segment_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style boilerplate removal (Raffel et al. 2020 §2.2: drop any
+    line occurring more than once in the corpus; RefinedWeb keeps the
+    same rule at a df threshold). The synthetic corpus has no newlines,
+    so the "line" unit is a non-overlapping 5-word segment; a segment
+    appearing in >= 3 distinct docs is boilerplate, and the query
+    reports the per-source removal yield a curation run would apply.
+
+    Scale shape: segment explode is a narrow codegen projection
+    (transform+slice builds segments array-side, no per-word shuffle);
+    the df table is one hash aggregate on segment text, filtered to the
+    tiny boilerplate set and BROADCAST back against the occurrence
+    stream — the corpus text itself shuffles only segment-hash + source,
+    never full documents. At 100 TB swap the segment string for its
+    md5 in the groupBy/join key; kept as text here so the oracle is
+    byte-identical.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    n_segs = F.ceil(F.size(words) / F.lit(5)).cast("int")
+    segments = F.transform(
+        F.sequence(F.lit(0), n_segs - F.lit(1)),
+        lambda i: F.array_join(F.slice(words, i * F.lit(5) + F.lit(1), 5), " "),
+    )
+    seg = docs.select(
+        "doc_id", "source", F.explode(segments).alias("segment")
+    )
+    boiler = (
+        seg.groupBy("segment")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") >= 3)
+    )
+    joined = seg.join(F.broadcast(boiler), "segment", "left")
+    return (
+        joined.groupBy("source")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_segments"),
+            F.count("df").alias("n_boiler_occurrences"),
+            F.coalesce(
+                F.sum(F.when(F.col("df").isNotNull(), F.length("segment"))),
+                F.lit(0),
+            ).alias("chars_removed"),
+            F.sum(F.length("segment")).alias("total_chars"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_segments",
+            "n_boiler_occurrences",
+            F.col("chars_removed").cast("long").alias("chars_removed"),
+            F.round(F.col("chars_removed") / F.col("total_chars"), 6).alias(
+                "pct_chars_removed"
+            ),
+        )
+    )
+
+
+_DOMAIN_QUOTA_ORACLE = """
+WITH scored AS (
+  SELECT source, doc_id,
+         len(list_distinct(string_split(text, ' ')))::DOUBLE
+           / len(string_split(text, ' ')) AS score
+  FROM documents
+), ranked AS (
+  SELECT source, doc_id, score,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY score DESC, doc_id) AS rn
+  FROM scored
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_total,
+       CAST(COUNT(*) FILTER (rn <= 10) AS BIGINT) AS n_kept,
+       CAST(COUNT(*) FILTER (rn > 10) AS BIGINT) AS n_dropped,
+       ROUND(MIN(score) FILTER (rn <= 10), 6) AS min_kept_score,
+       ROUND(AVG(score) FILTER (rn <= 10), 6) AS avg_kept_score
+FROM ranked GROUP BY 1
+"""
+
+
+@query("domain_quality_quota", oracle=_DOMAIN_QUOTA_ORACLE)
+def q_domain_quality_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RefinedWeb-style per-domain quota (Penedo et al. 2023: cap any
+    single domain's contribution, keeping its best documents) — here
+    `source` plays the domain, quality = unique-word ratio (the
+    type-token diversity score the registry already uses), quota = top
+    10 per source ranked (score DESC, doc_id).
+
+    Scale shape: one window partitioned BY DOMAIN — the partition key
+    is exactly the quota unit so the sort never exceeds a domain's own
+    docs, and a skewed mega-domain is the case the quota exists to cut.
+    The ranked rows reduce immediately to one row per domain.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    scored = docs.select(
+        "source",
+        "doc_id",
+        (F.size(F.array_distinct(words)) / F.size(words)).alias("score"),
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("score"), F.asc("doc_id"))
+    ranked = scored.withColumn("rn", F.row_number().over(w))
+    kept = F.col("rn") <= 10
+    return ranked.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(kept.cast("long")).alias("n_kept"),
+        F.sum((~kept).cast("long")).alias("n_dropped"),
+        F.round(F.min(F.when(kept, F.col("score"))), 6).alias("min_kept_score"),
+        F.round(F.avg(F.when(kept, F.col("score"))), 6).alias("avg_kept_score"),
+    )
+
+
+_QUALITY_CLASSIFIER_ORACLE = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) FILTER (
+         len(list_distinct(string_split(text, ' ')))::DOUBLE
+           / len(string_split(text, ' ')) > 0.5
+       ) AS BIGINT) AS n_pos_weak,
+       TRUE AS agreement_ge_080,
+       TRUE AS auc_ge_085
+FROM documents
+"""
+
+
+@query("quality_classifier_invariants", oracle=_QUALITY_CLASSIFIER_ORACLE)
+def q_quality_classifier_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet/LLaMA-style trained quality filter, projected onto
+    driver-checkable invariants (the wave-40 ML-invariant pattern):
+    the weak-label counts are exact SQL; the fitted HashingTF+LR
+    model's train agreement and AUC are asserted as threshold booleans
+    computed from the distributed scores. A regression in feature
+    hashing, the LBFGS fit, or scoring flips a boolean red.
+
+    Scale shape: hashing is a narrow projection, the fit is
+    treeAggregate (map-side partial gradients), scoring broadcasts one
+    coefficient vector — nothing here grows with corpus size except
+    the embarrassingly-parallel scan. AUC uses the histogram
+    formulation (scores binned to 1000 buckets, one hash-agg, then a
+    window over the 1000-row bucket table) — a global per-row rank
+    window would be the single-partition-sort anti-pattern at 100 TB.
+    """
+    from vector_knowledge_base_spark.operators.quality_model import (
+        quality_scores,
+        train_quality_model,
+        weak_labels,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    labeled = weak_labels(docs)
+    model, feats = train_quality_model(labeled)
+    scores = quality_scores(model, feats)
+    base = scores.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("label").cast("long")).alias("n_pos_weak"),
+        F.avg(
+            (F.col("prediction") == F.col("label")).cast("double")
+        ).alias("agreement"),
+    )
+    # Histogram AUC: P(score_pos > score_neg) + 0.5*P(tie), computed
+    # from per-bucket pos/neg counts — mergeable, no per-row window.
+    buckets = (
+        scores.groupBy(
+            F.floor(F.col("quality_prob") * 1000).alias("b")
+        )
+        .agg(
+            F.sum(F.col("label")).alias("pos"),
+            F.sum(F.lit(1.0) - F.col("label")).alias("neg"),
+        )
+    )
+    wb = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
+    auc_df = buckets.select(
+        "pos",
+        "neg",
+        F.coalesce(F.sum("neg").over(wb), F.lit(0.0)).alias("neg_below"),
+    ).agg(
+        (
+            F.sum(F.col("pos") * (F.col("neg_below") + F.col("neg") / 2))
+            / (F.sum("pos") * F.sum("neg"))
+        ).alias("auc")
+    )
+    agg = base.crossJoin(auc_df)  # two 1-row frames
+    return agg.select(
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("n_pos_weak").cast("long").alias("n_pos_weak"),
+        (F.col("agreement") >= 0.80).alias("agreement_ge_080"),
+        (F.col("auc") >= 0.85).alias("auc_ge_085"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Wave 44 — entity resolution / record linkage (blocking + bounded pairwise
+# edit-distance matching; Fellegi-Sunter-style pipeline shape). Beyond the
+# reference; the standard warehouse dedup-people/dedup-merchants operator.
+# ---------------------------------------------------------------------------
+
+_ENTITY_RESOLUTION_ORACLE = """
+WITH c AS (
+  SELECT c_custkey, c_name, c_nationkey,
+         substr(c_name, 1, 16) AS blk
+  FROM customer
+), pairs AS (
+  SELECT a.c_nationkey AS nk,
+         levenshtein(a.c_name, b.c_name) AS lev
+  FROM c a JOIN c b
+    ON a.blk = b.blk AND a.c_nationkey = b.c_nationkey
+   AND a.c_custkey < b.c_custkey
+), pair_stats AS (
+  SELECT nk, CAST(COUNT(*) AS BIGINT) AS n_pairs_compared,
+         CAST(COUNT(*) FILTER (lev <= 1) AS BIGINT) AS n_matched_pairs
+  FROM pairs GROUP BY 1
+)
+SELECT c.c_nationkey,
+       CAST(COUNT(DISTINCT c.c_custkey) AS BIGINT) AS n_customers,
+       CAST(COUNT(DISTINCT c.blk) AS BIGINT) AS n_blocks,
+       COALESCE(MAX(p.n_pairs_compared), 0) AS n_pairs_compared,
+       COALESCE(MAX(p.n_matched_pairs), 0) AS n_matched_pairs
+FROM c LEFT JOIN pair_stats p ON c.c_nationkey = p.nk
+GROUP BY 1
+"""
+
+
+@query("entity_resolution_blocked", oracle=_ENTITY_RESOLUTION_ORACLE)
+def q_entity_resolution_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution with prefix blocking: candidate pairs are
+    generated only within (nation, name-prefix) blocks, then scored
+    with edit distance; pairs at levenshtein <= 1 are duplicate
+    candidates. Reports the per-nation blocking telemetry a linkage
+    run is tuned on: customers, blocks, pairs compared (the quadratic
+    cost actually paid) and matches found.
+
+    Scale shape: blocking is THE device that makes record linkage
+    feasible at 100 TB — the self-join key is the block, so the
+    quadratic blow-up is bounded by the largest block (here <= ~10
+    rows) instead of the table; the equi-join shuffles on the block
+    key and Catalyst keeps levenshtein post-join (codegen, JVM-side).
+    An unblocked cross-join comparison would be O(n^2) rows — this
+    plan never materializes it.
+    """
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        F.substring("c_name", 1, 16).alias("blk"),
+    )
+    a, b = cust.alias("a"), cust.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.blk") == F.col("b.blk"))
+        & (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
+        & (F.col("a.c_custkey") < F.col("b.c_custkey")),
+    ).select(
+        F.col("a.c_nationkey").alias("nk"),
+        F.levenshtein(F.col("a.c_name"), F.col("b.c_name")).alias("lev"),
+    )
+    pair_stats = pairs.groupBy("nk").agg(
+        F.count(F.lit(1)).alias("n_pairs_compared"),
+        F.sum((F.col("lev") <= 1).cast("long")).alias("n_matched_pairs"),
+    )
+    base = cust.groupBy("c_nationkey").agg(
+        F.countDistinct("c_custkey").alias("n_customers"),
+        F.countDistinct("blk").alias("n_blocks"),
+    )
+    return base.join(
+        pair_stats, base.c_nationkey == pair_stats.nk, "left"
+    ).select(
+        "c_nationkey",
+        "n_customers",
+        "n_blocks",
+        F.coalesce("n_pairs_compared", F.lit(0)).alias("n_pairs_compared"),
+        F.coalesce("n_matched_pairs", F.lit(0)).alias("n_matched_pairs"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Wave 45 — warehouse mutation operators: SCD2 history construction from an
+# event log, and MERGE-INTO row classification (how Delta/Iceberg execute
+# MERGE: full-outer join + per-row action tagging). Beyond the reference.
+# ---------------------------------------------------------------------------
+
+_SCD2_ORACLE = """
+WITH ordered AS (
+  SELECT o_custkey, o_orderpriority, o_orderdate,
+         LAG(o_orderpriority) OVER w AS prev_prio
+  FROM orders
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+), changes AS (
+  SELECT o_custkey, o_orderpriority, o_orderdate AS eff_from
+  FROM ordered
+  WHERE prev_prio IS NULL OR prev_prio <> o_orderpriority
+)
+SELECT o_custkey, o_orderpriority AS priority, eff_from,
+       LEAD(eff_from) OVER (PARTITION BY o_custkey ORDER BY eff_from)
+         AS eff_to,
+       (LEAD(eff_from) OVER (PARTITION BY o_custkey ORDER BY eff_from)
+         IS NULL) AS is_current
+FROM changes
+"""
+
+
+@query("scd2_from_event_log", oracle=_SCD2_ORACLE)
+def q_scd2_from_event_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type 2 built from an append-only event
+    log: each customer's order-priority stream is collapsed to change
+    rows (value differs from the previous observation), then framed
+    into [eff_from, eff_to) validity intervals with an is_current
+    flag — the standard dimension-history construction a warehouse
+    runs after CDC ingest.
+
+    Scale shape: two windows, both partitioned by the natural entity
+    key (customer) — partitions are bounded by one entity's history,
+    never global; the change-collapse drops most rows before the
+    second window. No joins, no driver state.
+    """
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    changes = (
+        orders.withColumn("prev_prio", F.lag("o_orderpriority").over(w))
+        .filter(
+            F.col("prev_prio").isNull()
+            | (F.col("prev_prio") != F.col("o_orderpriority"))
+        )
+        .select(
+            "o_custkey",
+            F.col("o_orderpriority").alias("priority"),
+            F.col("o_orderdate").alias("eff_from"),
+        )
+    )
+    w2 = Window.partitionBy("o_custkey").orderBy("eff_from")
+    return changes.select(
+        "o_custkey",
+        "priority",
+        "eff_from",
+        F.lead("eff_from").over(w2).alias("eff_to"),
+        F.lead("eff_from").over(w2).isNull().alias("is_current"),
+    )
+
+
+_MERGE_UPSERT_ORACLE = """
+WITH target AS (
+  SELECT c_custkey, c_acctbal FROM customer WHERE c_acctbal > 0
+), source AS (
+  SELECT o_custkey, SUM(o_totalprice) AS spend
+  FROM orders GROUP BY 1
+), classified AS (
+  SELECT CASE
+           WHEN t.c_custkey IS NULL THEN 'insert'
+           WHEN s.o_custkey IS NULL THEN 'not_matched_by_source'
+           WHEN s.spend > t.c_acctbal THEN 'update'
+           ELSE 'unchanged'
+         END AS action
+  FROM target t FULL OUTER JOIN source s ON t.c_custkey = s.o_custkey
+)
+SELECT action, CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM classified GROUP BY 1
+"""
+
+
+@query("merge_upsert_classify", oracle=_MERGE_UPSERT_ORACLE)
+def q_merge_upsert_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO row classification — the exact physical shape Delta
+    Lake and Iceberg use to execute MERGE: full-outer join target
+    against the source batch on the merge key, tag every row with its
+    action (insert / update / unchanged / not-matched-by-source), then
+    apply per-action writes. Here the classification itself is the
+    result: target = positive-balance customers, source = per-customer
+    order spend, update rule = spend exceeds booked balance.
+
+    Scale shape: one shuffle on the merge key for each side (the
+    source side is pre-aggregated map-side first), then a codegen
+    CASE projection and a tiny hash-agg. At 100 TB the join benefits
+    from target-side partition pruning on the touched-file set — the
+    classification identifies untouched rows without rewriting them.
+    """
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    target = cust.filter(F.col("c_acctbal") > 0).select(
+        "c_custkey", "c_acctbal"
+    )
+    source = orders.groupBy("o_custkey").agg(
+        F.sum("o_totalprice").alias("spend")
+    )
+    joined = target.join(
+        source, target.c_custkey == source.o_custkey, "full_outer"
+    )
+    action = (
+        F.when(F.col("c_custkey").isNull(), F.lit("insert"))
+        .when(F.col("o_custkey").isNull(), F.lit("not_matched_by_source"))
+        .when(F.col("spend") > F.col("c_acctbal"), F.lit("update"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return (
+        joined.select(action.alias("action"))
+        .groupBy("action")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
