@@ -7876,7 +7876,7 @@ def q_entity_resolution_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
 # MERGE: full-outer join + per-row action tagging). Beyond the reference.
 # ---------------------------------------------------------------------------
 
-_SCD2_ORACLE = """
+_SCD2_LOG_ORACLE = """
 WITH ordered AS (
   SELECT o_custkey, o_orderpriority, o_orderdate,
          LAG(o_orderpriority) OVER w AS prev_prio
@@ -7896,7 +7896,7 @@ FROM changes
 """
 
 
-@query("scd2_from_event_log", oracle=_SCD2_ORACLE)
+@query("scd2_from_event_log", oracle=_SCD2_LOG_ORACLE)
 def q_scd2_from_event_log(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Slowly-changing-dimension type 2 built from an append-only event
     log: each customer's order-priority stream is collapsed to change
@@ -7991,4 +7991,624 @@ def q_merge_upsert_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         joined.select(action.alias("action"))
         .groupBy("action")
         .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Wave 46 — time-series regularization: gap-fill/forward-fill onto a fixed
+# grid and OHLC bar resampling. The standard "events → features at fixed
+# cadence" operators a training pipeline runs before windowed models.
+# ---------------------------------------------------------------------------
+
+_FFILL_GAPFILL_ORACLE = """
+WITH obs AS (
+  SELECT user_id, date_trunc('hour', ts) AS h,
+         arg_max(value, ts) AS v
+  FROM events WHERE user_id < 30 GROUP BY 1, 2
+), bounds AS (
+  SELECT user_id, date_trunc('hour', MIN(ts)) AS h0,
+         date_trunc('hour', MAX(ts)) AS h1
+  FROM events WHERE user_id < 30 GROUP BY 1
+), grid AS (
+  SELECT b.user_id, g.h
+  FROM bounds b,
+  LATERAL (SELECT unnest(generate_series(b.h0, b.h1, INTERVAL 1 HOUR)) AS h) g
+)
+SELECT grid.user_id, grid.h AS hour_ts,
+       ROUND(last_value(obs.v IGNORE NULLS)
+             OVER (PARTITION BY grid.user_id ORDER BY grid.h), 6)
+         AS value_ffill,
+       (obs.v IS NOT NULL) AS observed
+FROM grid LEFT JOIN obs
+  ON grid.user_id = obs.user_id AND grid.h = obs.h
+"""
+
+
+@query("events_gapfill_ffill", oracle=_FFILL_GAPFILL_ORACLE)
+def q_events_gapfill_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-fill onto an hourly grid with forward-fill: each user's
+    event stream is regularized to one row per hour between their
+    first and last event; hours with no events carry the last observed
+    value forward (NULL before the first observation). The shape every
+    feature-store materialization and downsampling job needs.
+
+    Scale shape: the grid is generated per entity with `sequence()`
+    (a codegen explode — no driver loop, no cross join against a
+    calendar table), the observation reduction is one hash-agg, and
+    the forward-fill window is partitioned by the entity key with a
+    running frame — bounded by one entity's own grid.
+    """
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 30)
+    obs = ev.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.max_by("value", "ts").alias("v"))
+    grid = (
+        ev.groupBy("user_id")
+        .agg(
+            F.date_trunc("hour", F.min("ts")).alias("h0"),
+            F.date_trunc("hour", F.max("ts")).alias("h1"),
+        )
+        .select(
+            "user_id",
+            F.explode(F.expr("sequence(h0, h1, interval 1 hour)")).alias("h"),
+        )
+    )
+    joined = grid.join(obs, ["user_id", "h"], "left")
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return joined.select(
+        "user_id",
+        F.col("h").alias("hour_ts"),
+        F.round(F.last("v", ignorenulls=True).over(wf), 6).alias("value_ffill"),
+        F.col("v").isNotNull().alias("observed"),
+    )
+
+
+_OHLC_ORACLE = """
+SELECT user_id, date_trunc('hour', ts) AS hour_ts,
+       ROUND(arg_min(value, ts), 6) AS open,
+       ROUND(MAX(value), 6) AS high,
+       ROUND(MIN(value), 6) AS low,
+       ROUND(arg_max(value, ts), 6) AS close,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events GROUP BY 1, 2
+"""
+
+
+@query("events_ohlc_hourly", oracle=_OHLC_ORACLE)
+def q_events_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC bar resampling: per user and hour, the first (open), max
+    (high), min (low) and last (close) event value plus the bar's
+    event count — the canonical downsample for tick-style streams.
+    (user_id, ts) pairs are unique in this dataset, so min_by/max_by
+    on ts is deterministic; a real feed would tie-break on event_id.
+
+    Scale shape: a single hash aggregate — min_by/max_by carry one
+    (value, ts) pair of partial state per group, so the whole bar
+    computation is map-side combinable with no window and no sort.
+    """
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("hour_ts")
+    ).agg(
+        F.round(F.min_by("value", "ts"), 6).alias("open"),
+        F.round(F.max("value"), 6).alias("high"),
+        F.round(F.min("value"), 6).alias("low"),
+        F.round(F.max_by("value", "ts"), 6).alias("close"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Wave 47 — table-maintenance planning: small-file compaction bin packing
+# (the OPTIMIZE planning step) on the documents inventory.
+# ---------------------------------------------------------------------------
+
+_COMPACTION_ORACLE = """
+WITH sized AS (
+  SELECT source, doc_id, n_chars,
+         SUM(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+                            ROWS UNBOUNDED PRECEDING) - n_chars AS before_me
+  FROM documents
+), binned AS (
+  SELECT source, doc_id, n_chars, before_me // 2000 AS bin_id
+  FROM sized
+), bins AS (
+  SELECT source, bin_id, COUNT(*) AS n_files, SUM(n_chars) AS bin_bytes
+  FROM binned GROUP BY 1, 2
+)
+SELECT source,
+       CAST(SUM(n_files) AS BIGINT) AS n_files_before,
+       CAST(COUNT(*) AS BIGINT) AS n_bins_after,
+       CAST(SUM(bin_bytes) AS BIGINT) AS total_bytes,
+       CAST(MAX(bin_bytes) AS BIGINT) AS max_bin_bytes,
+       ROUND(SUM(bin_bytes)::DOUBLE / COUNT(*), 2) AS avg_bin_bytes
+FROM bins GROUP BY 1
+"""
+
+
+@query("compaction_bin_packing", oracle=_COMPACTION_ORACLE)
+def q_compaction_bin_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planner (the planning half of
+    OPTIMIZE/rewrite_data_files): documents stand in for the file
+    inventory (doc_id=file, n_chars=bytes); within each source
+    partition, files are packed into target-sized bins by running-sum
+    assignment (bin = cumulative-bytes-before // target), and the
+    query reports the before/after layout a compaction run would
+    produce.
+
+    Scale shape: the running-sum window is partitioned by the table
+    partition (source) — the same per-shard packing rule
+    pack_sequences_greedy uses, never a global sort. A real OPTIMIZE
+    plans exactly this way: per-partition greedy packing is
+    embarrassingly parallel and within one file of optimal bin count.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    binned = docs.select(
+        "source",
+        "n_chars",
+        F.floor(
+            (F.sum("n_chars").over(w) - F.col("n_chars")) / F.lit(2000)
+        ).alias("bin_id"),
+    )
+    bins = binned.groupBy("source", "bin_id").agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.sum("n_chars").alias("bin_bytes"),
+    )
+    return bins.groupBy("source").agg(
+        F.sum("n_files").alias("n_files_before"),
+        F.count(F.lit(1)).alias("n_bins_after"),
+        F.sum("bin_bytes").alias("total_bytes"),
+        F.max("bin_bytes").alias("max_bin_bytes"),
+        F.round(F.sum("bin_bytes") / F.count(F.lit(1)), 2).alias(
+            "avg_bin_bytes"
+        ),
+    )
+
+
+@query("mmr_diversified_topk")  # rows-only: greedy argmax is sequential
+def q_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR-diversified top-10 (Carbonell & Goldstein 1998): the
+    distributed stage scores the full corpus and keeps a 50-row
+    shortlist (one TakeOrderedAndProject job — the same single-job
+    broadcast-query shape as knn_topk_cosine); the greedy
+    relevance-vs-redundancy argmax then runs on the bounded shortlist
+    (operators/rerank.py). No SQL oracle — greedy MMR is sequential in
+    k; correctness is pytest-checked (top-1 equals exact argmax,
+    diversity strictly improves over plain top-k, deterministic
+    output)."""
+    from vector_knowledge_base_spark.operators.rerank import mmr_rerank
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qv")
+    )
+    shortlist = (
+        emb.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(qv))
+        .select(
+            "vec_id",
+            "embedding",
+            dot_product("embedding", "qv").alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("vec_id"))
+        .limit(50)
+    )
+    return mmr_rerank(spark, shortlist, k=10, lam=0.5)
+
+
+# ---------------------------------------------------------------------------
+# Wave 48 — sketch audit for heavy hitters, feature-engineering binning
+# (WOE/IV), and link-prediction node similarity on the co-purchase graph.
+# ---------------------------------------------------------------------------
+
+_HEAVY_HITTERS_ORACLE = """
+WITH words AS (
+  SELECT u.word AS w
+  FROM documents, LATERAL (SELECT unnest(string_split(text, ' ')) AS word) u
+), tot AS (SELECT COUNT(*) AS n FROM words)
+SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt,
+       ROUND(COUNT(*)::DOUBLE / (SELECT n FROM tot), 6) AS share,
+       TRUE AS in_sketch
+FROM words GROUP BY w
+HAVING COUNT(*)::DOUBLE / (SELECT n FROM tot) > 0.025
+"""
+
+
+@query("heavy_hitters_sketch_audit", oracle=_HEAVY_HITTERS_ORACLE)
+def q_heavy_hitters_sketch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitters sketch audit (the hll/quantile audit pattern):
+    DataFrame.freqItems — Spark's single-pass Karp/Misra-Gries-style
+    frequent-items sketch — must contain every token whose true share
+    exceeds the support threshold (the sketch's formal guarantee is a
+    superset of items with freq > s*n; the exact side uses a 0.025 >
+    0.02 margin). Exact counts/shares are the SQL-checkable columns;
+    sketch membership is the audited boolean.
+
+    Scale shape: the exact side is one hash-agg over exploded tokens;
+    the sketch side is one pass with constant memory (1/s counters) —
+    the only frequent-items shape viable when the vocabulary doesn't
+    fit anywhere. The 1-row sketch result is broadcast for the
+    membership probe.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    words = docs.select(F.explode(F.split("text", " ")).alias("w"))
+    sketch = words.freqItems(["w"], support=0.02)
+    total = words.count()
+    exact = (
+        words.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") / F.lit(total) > 0.025)
+    )
+    return exact.crossJoin(F.broadcast(sketch)).select(
+        "w",
+        "cnt",
+        F.round(F.col("cnt") / F.lit(total), 6).alias("share"),
+        F.array_contains(F.col("w_freqItems"), F.col("w")).alias("in_sketch"),
+    )
+
+
+_WOE_IV_ORACLE = """
+WITH bounds AS (
+  SELECT MIN(o_totalprice) AS lo,
+         (MAX(o_totalprice) - MIN(o_totalprice)) / 10.0 AS width
+  FROM orders
+), binned AS (
+  SELECT LEAST(CAST(FLOOR((o_totalprice - (SELECT lo FROM bounds))
+                          / (SELECT width FROM bounds)) AS BIGINT), 9) AS bin,
+         (o_orderstatus = 'F')::INT AS pos
+  FROM orders
+), stats AS (
+  SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(pos) AS BIGINT) AS n_pos
+  FROM binned GROUP BY bin
+), tot AS (
+  SELECT SUM(n_pos)::DOUBLE AS p, SUM(n - n_pos)::DOUBLE AS q FROM stats
+)
+SELECT bin, n, n_pos,
+       ROUND(LN(((n_pos + 0.5) / (t.p + 5)) /
+                ((n - n_pos + 0.5) / (t.q + 5))), 6) AS woe,
+       ROUND(((n_pos + 0.5) / (t.p + 5) - (n - n_pos + 0.5) / (t.q + 5))
+             * LN(((n_pos + 0.5) / (t.p + 5)) /
+                  ((n - n_pos + 0.5) / (t.q + 5))), 6) AS iv_term
+FROM stats, tot t
+"""
+
+
+@query("woe_iv_binning", oracle=_WOE_IV_ORACLE)
+def q_woe_iv_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-evidence / information-value feature binning — the
+    standard credit-scoring/feature-selection transform: bin a
+    continuous feature (order price, 10 fixed-width bins), compute
+    each bin's log-odds against a binary label (order fulfilled) with
+    Laplace smoothing, and the per-bin IV contribution whose sum
+    ranks the feature.
+
+    Scale shape: fixed-width binning needs only a broadcast 1-row
+    bounds frame (no global ntile sort — equi-POPULATION binning at
+    scale would reuse the percentile_approx sketch); then two tiny
+    hash-aggs and a broadcast of the 1-row class totals.
+    """
+    orders = _t(spark, sf_dir, "orders")
+    bounds = orders.agg(
+        F.min("o_totalprice").alias("lo"),
+        ((F.max("o_totalprice") - F.min("o_totalprice")) / 10.0).alias("width"),
+    )
+    binned = orders.crossJoin(F.broadcast(bounds)).select(
+        F.least(
+            F.floor((F.col("o_totalprice") - F.col("lo")) / F.col("width")),
+            F.lit(9),
+        )
+        .cast("long")
+        .alias("bin"),
+        (F.col("o_orderstatus") == "F").cast("int").alias("pos"),
+    )
+    stats = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("pos").cast("long").alias("n_pos")
+    )
+    tot = stats.agg(
+        F.sum("n_pos").cast("double").alias("p"),
+        F.sum(F.col("n") - F.col("n_pos")).cast("double").alias("q"),
+    )
+    pos_share = (F.col("n_pos") + 0.5) / (F.col("p") + 5)
+    neg_share = (F.col("n") - F.col("n_pos") + 0.5) / (F.col("q") + 5)
+    woe = F.log(pos_share / neg_share)
+    return stats.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        "n",
+        "n_pos",
+        F.round(woe, 6).alias("woe"),
+        F.round((pos_share - neg_share) * woe, 6).alias("iv_term"),
+    )
+
+
+_JACCARD_SIMILARITY_ORACLE = """
+WITH deg AS (
+  SELECT l_partkey AS p, COUNT(DISTINCT l_orderkey) AS d
+  FROM lineitem GROUP BY 1
+), common AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb,
+         COUNT(DISTINCT a.l_orderkey) AS c
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING COUNT(DISTINCT a.l_orderkey) >= 3
+)
+SELECT pa, pb, CAST(c.c AS BIGINT) AS n_common,
+       ROUND(c.c::DOUBLE / (da.d + db.d - c.c), 6) AS jaccard
+FROM common c
+JOIN deg da ON c.pa = da.p
+JOIN deg db ON c.pb = db.p
+ORDER BY jaccard DESC, pa, pb LIMIT 100
+"""
+
+
+@query("jaccard_part_similarity", oracle=_JACCARD_SIMILARITY_ORACLE)
+def q_jaccard_part_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-prediction node similarity on the co-purchase graph:
+    Jaccard overlap of two parts' order sets (common-neighbors
+    normalized by the union) — the classic "customers also bought"
+    scorer. Pairs must share >= 3 orders before scoring, which is the
+    df-cap that keeps the candidate set sparse.
+
+    Scale shape: the pair generation joins on ORDER (the bounded-
+    multiplicity key — an order has a handful of lines), never
+    part-to-part; degrees are one hash-agg joined back only onto the
+    surviving capped pairs; final top-100 is TakeOrderedAndProject.
+    """
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    deg = li.groupBy(F.col("l_partkey").alias("p")).agg(
+        F.countDistinct("l_orderkey").alias("d")
+    )
+    a, b = li.alias("a"), li.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
+        )
+        .agg(F.countDistinct("a.l_orderkey").alias("c"))
+        .filter(F.col("c") >= 3)
+    )
+    da, db = deg.alias("da"), deg.alias("db")
+    return (
+        common.join(da, F.col("pa") == F.col("da.p"))
+        .join(db, F.col("pb") == F.col("db.p"))
+        .select(
+            "pa",
+            "pb",
+            F.col("c").alias("n_common"),
+            F.round(
+                F.col("c") / (F.col("da.d") + F.col("db.d") - F.col("c")), 6
+            ).alias("jaccard"),
+        )
+        .orderBy(F.desc("jaccard"), "pa", "pb")
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Wave 49 — contrastive-training support: hard-negative mining, an
+# embedding-space class-margin report (closed-form via centroids), and a
+# train/val/test split leakage audit against the near-dup pair graph.
+# ---------------------------------------------------------------------------
+
+_HARD_NEGATIVES_ORACLE = """
+WITH q AS (
+  SELECT vec_id AS qid, embedding::DOUBLE[] AS qv, label AS qlabel
+  FROM embeddings WHERE vec_id < 5
+)
+SELECT qid, vec_id,
+       ROUND(list_dot_product(embedding::DOUBLE[], qv), 6) AS score,
+       label
+FROM embeddings, q
+WHERE label <> qlabel
+QUALIFY ROW_NUMBER() OVER (
+  PARTITION BY qid
+  ORDER BY list_dot_product(embedding::DOUBLE[], qv) DESC, vec_id
+) <= 5
+"""
+
+
+@query("hard_negative_mining", oracle=_HARD_NEGATIVES_ORACLE)
+def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive embedding training: for
+    each anchor (vec_ids 0-4), the 5 nearest vectors carrying a
+    DIFFERENT label — the near-misses whose gradients actually teach
+    the margin (in-batch random negatives are mostly trivial).
+
+    Scale shape: identical to batch kNN (anchors broadcast, corpus
+    scanned once, one per-anchor rank shuffle) — the label predicate
+    is pushed into the scored stream before ranking, so mining
+    negatives costs the same as plain retrieval.
+    """
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qv"),
+        F.col("label").alias("qlabel"),
+    )
+    scored = (
+        emb.join(F.broadcast(q))
+        .filter(F.col("label") != F.col("qlabel"))
+        .select(
+            "qid",
+            "vec_id",
+            F.round(dot_product("embedding", "qv"), 6).alias("score"),
+            "label",
+            dot_product("embedding", "qv").alias("_raw"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("_raw"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("qid", "vec_id", "score", "label")
+    )
+
+
+_CLASS_MARGIN_ORACLE = """
+WITH ex AS (
+  SELECT label, u.dim AS dim, u.v AS v
+  FROM embeddings,
+  LATERAL (SELECT unnest(embedding::DOUBLE[]) AS v,
+                  generate_subscripts(embedding, 1) AS dim) u
+), cent AS (SELECT label, dim, AVG(v) AS c FROM ex GROUP BY 1, 2),
+gcent AS (SELECT dim, AVG(v) AS g FROM ex GROUP BY 1),
+gn AS (SELECT SQRT(SUM(g * g)) AS gnorm FROM gcent),
+per AS (
+  SELECT label, SQRT(SUM(c * c)) AS cnorm, SUM(c * g) AS cg
+  FROM cent JOIN gcent USING (dim) GROUP BY label
+), n AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n_members
+         FROM embeddings GROUP BY 1)
+SELECT per.label, n.n_members,
+       ROUND(per.cnorm, 6) AS intra_coherence,
+       ROUND(per.cg / gn.gnorm, 6) AS global_alignment,
+       ROUND(per.cnorm - per.cg / gn.gnorm, 6) AS separation
+FROM per JOIN n USING (label), gn
+"""
+
+
+@query("embedding_class_margin", oracle=_CLASS_MARGIN_ORACLE)
+def q_embedding_class_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space class-quality report via the centroid closed
+    form: for unit-norm members, the mean cosine of a class to its own
+    centroid equals the CENTROID'S NORM (avg_x cos(x,c) = c.(sum x)/
+    (n|c|) = |c|), and the mean cosine to the global centroid g is
+    c.g/|g| — so per-class coherence and cross-class alignment need
+    only the centroids, never a per-pair or per-member second pass.
+    `separation` (coherence minus alignment) is the margin a
+    contrastive fine-tune would try to widen.
+
+    Scale shape: one posexplode (narrow, 64 rows per vector) and two
+    hash-aggs over (label, dim) / (dim); everything after operates on
+    n_labels x dim rows. The naive formulation — per-member cosine to
+    both centroids — would rescan the corpus; the closed form makes
+    the report a pure aggregate.
+    """
+    emb = _t(spark, sf_dir, "embeddings")
+    ex = emb.select("label", F.posexplode("embedding").alias("dim", "v"))
+    cent = ex.groupBy("label", "dim").agg(F.avg("v").alias("c"))
+    glob = ex.groupBy("dim").agg(F.avg("v").alias("g"))
+    per = (
+        cent.join(glob, "dim")
+        .groupBy("label")
+        .agg(
+            F.sqrt(F.sum(F.col("c") * F.col("c"))).alias("cnorm"),
+            F.sum(F.col("c") * F.col("g")).alias("cg"),
+        )
+    )
+    gn = glob.agg(F.sqrt(F.sum(F.col("g") * F.col("g"))).alias("gnorm"))
+    n = emb.groupBy("label").agg(F.count(F.lit(1)).alias("n_members"))
+    return (
+        per.join(n, "label")
+        .crossJoin(F.broadcast(gn))
+        .select(
+            "label",
+            "n_members",
+            F.round("cnorm", 6).alias("intra_coherence"),
+            F.round(F.col("cg") / F.col("gnorm"), 6).alias("global_alignment"),
+            F.round(
+                F.col("cnorm") - F.col("cg") / F.col("gnorm"), 6
+            ).alias("separation"),
+        )
+    )
+
+
+_SPLIT_LEAKAGE_ORACLE = (
+    "WITH "
+    + _SHINGLE_CTE
+    + """,
+df_counts AS (SELECT shingle, COUNT(DISTINCT doc_id) AS df FROM sh GROUP BY shingle),
+sh_capped AS (SELECT sh.* FROM sh JOIN df_counts USING (shingle) WHERE df <= 50),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, COUNT(*) AS n_inter
+  FROM sh_capped a JOIN sh_capped b
+    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT doc_id_a, doc_id_b
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = doc_id_a
+  JOIN sizes sb ON sb.doc_id = doc_id_b
+  WHERE n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter) >= 0.05
+), split AS (
+  SELECT doc_id, CASE
+    WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 80
+      THEN 'train'
+    WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 90
+      THEN 'val'
+    ELSE 'test' END AS split
+  FROM documents
+)
+SELECT LEAST(sa.split, sb.split) || '|' || GREATEST(sa.split, sb.split)
+         AS split_pair,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       (LEAST(sa.split, sb.split) <> GREATEST(sa.split, sb.split))
+         AS is_leak
+FROM pairs
+JOIN split sa ON sa.doc_id = pairs.doc_id_a
+JOIN split sb ON sb.doc_id = pairs.doc_id_b
+GROUP BY 1, 3
+"""
+)
+
+
+@query("split_leakage_audit", oracle=_SPLIT_LEAKAGE_ORACLE)
+def q_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test leakage audit: a random per-document split
+    (md5-bucket 80/10/10 — the registry's replayable sampling rule)
+    is checked against the near-dup pair graph (df-capped n-gram
+    Jaccard >= 0.05); every pair whose endpoints land in different
+    splits is evaluation contamination — the reason LLM pipelines
+    split by GROUP (dedup component / domain), never by document.
+    Reports pair counts per split combination with a leak flag.
+
+    Scale shape: reuses the capped posting-list pair join (bounded by
+    the df cap), then two broadcast-size hash joins against the split
+    assignment and one tiny agg. The audit costs one pass over the
+    pair table a dedup run already produced.
+    """
+    pairs = QUERIES["ngram_jaccard_df_capped"](spark, sf_dir).select(
+        "doc_id_a", "doc_id_b"
+    )
+    docs = _t(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    split = docs.select(
+        "doc_id",
+        F.when(bucket < 80, "train")
+        .when(bucket < 90, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+    sa = split.withColumnsRenamed({"doc_id": "doc_id_a", "split": "split_a"})
+    sb = split.withColumnsRenamed({"doc_id": "doc_id_b", "split": "split_b"})
+    tagged = pairs.join(sa, "doc_id_a").join(sb, "doc_id_b")
+    lo = F.least("split_a", "split_b")
+    hi = F.greatest("split_a", "split_b")
+    return tagged.groupBy(
+        F.concat_ws("|", lo, hi).alias("split_pair"),
+        (lo != hi).alias("is_leak"),
+    ).agg(F.count(F.lit(1)).alias("n_pairs")).select(
+        "split_pair", "n_pairs", "is_leak"
     )
