@@ -210,6 +210,28 @@ HEADLINE = [
     "zorder_layout_stats",
     "quantile_sketch_audit",
     "tokenizer_fertility_by_source",
+    # waves 43-49 (r4) — curation, entity resolution, warehouse mutations,
+    # time-series regularization, contrastive-training support
+    "boilerplate_segment_removal",
+    "domain_quality_quota",
+    "quality_classifier_invariants",
+    "entity_resolution_blocked",
+    "scd2_from_event_log",
+    "merge_upsert_classify",
+    "events_gapfill_ffill",
+    "events_ohlc_hourly",
+    "compaction_bin_packing",
+    "mmr_diversified_topk",
+    "heavy_hitters_sketch_audit",
+    "woe_iv_binning",
+    "jaccard_part_similarity",
+    "hard_negative_mining",
+    "embedding_class_margin",
+    "split_leakage_audit",
+    # wave 50 (r4) — batch-efficiency + corpus-diversity metrics
+    "padding_waste_by_bucket",
+    "ngram_novelty_by_source",
+    "vocab_coverage_quantile",
 ]
 
 KNN_BATCH_N_QUERIES = 5  # matches the knn_batch query definition
@@ -221,6 +243,46 @@ def _materialize(df) -> None:
     """Execute the full plan: every output column is computed and shipped
     to the noop sink (nothing pruned, nothing collected to the driver)."""
     df.write.format("noop").mode("overwrite").save()
+
+
+def _scale_anchor(spark, sf_dir, extra, errors) -> None:
+    """Scale-up anchor (r3 verdict #6): batch-100 kNN against a 10×
+    self-replicated corpus (lazy union of 10 offset-id scans — real
+    10× scan volume, no pre-materialization). Near-flat qps between
+    knn_batch100_qps and this number is the EMPIRICAL form of the
+    "corpus scanned once, queries broadcast" scale claim — the
+    reference's own 100k-vector capacity ceiling sits at 1× here."""
+    try:
+        from pyspark.sql import functions as SF
+
+        from vector_knowledge_base_spark.operators.knn import batch_knn
+        from vector_knowledge_base_spark.sources.tables import load_table
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        queries100 = emb.where(SF.col("vec_id") < 100).select(
+            SF.col("vec_id").alias("query_id"),
+            SF.col("embedding").alias("query_vec"),
+        )
+        big = emb.select("vec_id", "embedding")
+        for i in range(1, 10):
+            big = big.unionAll(
+                emb.select(
+                    (SF.col("vec_id") + SF.lit(i * 100_000_000)).alias("vec_id"),
+                    "embedding",
+                )
+            )
+        runs10 = []
+        for _ in range(2):
+            t0 = time.time()
+            _materialize(batch_knn(queries100, big, k=5))
+            runs10.append(time.time() - t0)
+        t10 = statistics.median(runs10)
+        extra["knn_batch100_qps_10x_corpus"] = round(100 / t10, 3)
+        extra["knn_batch100_10x_corpus_sec"] = round(t10, 3)
+    except Exception as e:  # noqa: BLE001
+        errors["knn_batch100_10x_corpus"] = (
+            f"{type(e).__name__}: {str(e).splitlines()[0][:200]}"
+        )
 
 
 def main() -> None:
@@ -255,6 +317,14 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
+    extra: dict[str, float] = {}
+
+    # Scale-up anchor FIRST (r4: with 162 headline queries the old
+    # end-of-run placement fell past the 80% budget cut and the anchor
+    # silently vanished from BENCH_r; it is the round's key empirical
+    # scale claim, so it now spends its ~10 s before the loop).
+    _scale_anchor(spark, sf_dir, extra, errors)
+
     for name in HEADLINE:
         if name not in q.QUERIES:
             errors[name] = "not_registered"
@@ -286,45 +356,7 @@ def main() -> None:
         out["knn_batch_qps"] = round(KNN_BATCH_N_QUERIES / timings["knn_batch"], 3)
     if timings.get("knn_batch_100"):
         out["knn_batch100_qps"] = round(100 / timings["knn_batch_100"], 3)
-
-    # Scale-up anchor (r3 verdict #6): batch-100 kNN against a 10×
-    # self-replicated corpus (lazy union of 10 offset-id scans — real
-    # 10× scan volume, no pre-materialization). Near-flat qps between
-    # knn_batch100_qps and this number is the EMPIRICAL form of the
-    # "corpus scanned once, queries broadcast" scale claim — the
-    # reference's own 100k-vector capacity ceiling sits at 1× here.
-    if (time.time() - t_start) / budget < 0.8:
-        try:
-            from pyspark.sql import functions as SF
-
-            from vector_knowledge_base_spark.operators.knn import batch_knn
-            from vector_knowledge_base_spark.sources.tables import load_table
-
-            emb = load_table(spark, sf_dir, "embeddings")
-            queries100 = emb.where(SF.col("vec_id") < 100).select(
-                SF.col("vec_id").alias("query_id"),
-                SF.col("embedding").alias("query_vec"),
-            )
-            big = emb.select("vec_id", "embedding")
-            for i in range(1, 10):
-                big = big.unionAll(
-                    emb.select(
-                        (SF.col("vec_id") + SF.lit(i * 100_000_000)).alias("vec_id"),
-                        "embedding",
-                    )
-                )
-            runs10 = []
-            for _ in range(2):
-                t0 = time.time()
-                _materialize(batch_knn(queries100, big, k=5))
-                runs10.append(time.time() - t0)
-            t10 = statistics.median(runs10)
-            out["knn_batch100_qps_10x_corpus"] = round(100 / t10, 3)
-            out["knn_batch100_10x_corpus_sec"] = round(t10, 3)
-        except Exception as e:  # noqa: BLE001
-            errors["knn_batch100_10x_corpus"] = (
-                f"{type(e).__name__}: {str(e).splitlines()[0][:200]}"
-            )
+    out.update(extra)
 
     # Serving-latency anchor (r3 weak #2 — single-query latency): two
     # numbers that MEASURE where the latency goes. (a) full-scan exact

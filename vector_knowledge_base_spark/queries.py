@@ -8612,3 +8612,179 @@ def q_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.count(F.lit(1)).alias("n_pairs")).select(
         "split_pair", "n_pairs", "is_leak"
     )
+
+
+# ---------------------------------------------------------------------------
+# Wave 50 — training-batch efficiency + corpus-diversity metrics (beyond
+# the reference; the planning reports a tokenization/packing run consults
+# before committing cluster-days at 100 TB).
+# ---------------------------------------------------------------------------
+
+_PADDING_WASTE_ORACLE = """
+WITH t AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS n_tok FROM documents
+), b AS (
+  SELECT doc_id, n_tok,
+         CAST(CEIL(n_tok / 64.0) * 64 AS BIGINT) AS bucket_cap
+  FROM t
+)
+SELECT bucket_cap,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS sum_tokens,
+       CAST(SUM(bucket_cap - n_tok) AS BIGINT) AS pad_tokens,
+       ROUND(SUM(bucket_cap - n_tok) * 1.0 / (COUNT(*) * bucket_cap), 4)
+         AS waste_frac
+FROM b GROUP BY bucket_cap
+"""
+
+
+@query("padding_waste_by_bucket", oracle=_PADDING_WASTE_ORACLE)
+def q_padding_waste_by_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batching audit: assign every document to a
+    64-token-multiple length bucket and report the padding waste a
+    bucketed batcher would pay (pad-to-bucket-cap vs actual tokens).
+    The standard pre-tokenization report that decides between bucketed
+    batching and sequence packing for a training run.
+
+    Scale shape: a narrow scan projection (token count from the split
+    array, bucket = ceil/64*64 — all codegen) into one hash-agg keyed
+    by ~16 buckets: map-side partials reduce each partition to a
+    handful of rows, the shuffle is O(buckets), not O(docs).
+    """
+    docs = _t(spark, sf_dir, "documents")
+    n_tok = F.size(F.split("text", " "))
+    b = docs.select(
+        n_tok.alias("n_tok"),
+        (F.ceil(n_tok / F.lit(64.0)) * 64).cast("long").alias("bucket_cap"),
+    )
+    return b.groupBy("bucket_cap").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("sum_tokens"),
+        F.sum(F.col("bucket_cap") - F.col("n_tok"))
+        .cast("long")
+        .alias("pad_tokens"),
+        F.round(
+            F.sum(F.col("bucket_cap") - F.col("n_tok"))
+            * 1.0
+            / (F.count(F.lit(1)) * F.first("bucket_cap")),
+            4,
+        ).alias("waste_frac"),
+    )
+
+
+_NGRAM_NOVELTY_ORACLE = (
+    "WITH "
+    + _SHINGLE_CTE
+    + """,
+df AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY shingle),
+d AS (SELECT doc_id, source FROM documents)
+SELECT d.source,
+       CAST(COUNT(*) AS BIGINT) AS n_grams,
+       CAST(SUM(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+       ROUND(SUM(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 4)
+         AS novelty_frac
+FROM sh JOIN df USING (shingle) JOIN d USING (doc_id)
+GROUP BY 1
+"""
+)
+
+
+@query("ngram_novelty_by_source", oracle=_NGRAM_NOVELTY_ORACLE)
+def q_ngram_novelty_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-diversity report: per source, the fraction of its distinct
+    word-3-grams that appear in NO other document (corpus df = 1) — high
+    novelty marks sources contributing genuinely new text; low novelty
+    marks template/boilerplate farms that survive document-level dedup.
+    Complements [dedup]: this measures what dedup can't remove.
+
+    Scale shape: the same posting-list base relation as the Jaccard
+    dedup family (distinct doc×gram pairs), one hash-agg for df (the
+    vocabulary of shingles), a shuffle join back on the gram key (both
+    sides already partitioned by it from the agg), then a tiny
+    per-source agg. No pair join at all — this is strictly cheaper
+    than the dedup pass that shares its scan.
+    """
+    from vector_knowledge_base_spark.operators.text_dedup import doc_shingles
+
+    docs = _t(spark, sf_dir, "documents")
+    sh = doc_shingles(docs, n=3)
+    df_tab = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    src = docs.select("doc_id", "source")
+    novel = (F.col("df") == 1).cast("long")
+    return (
+        sh.join(df_tab, "shingle")
+        .join(src, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(novel).alias("n_novel"),
+            F.round(F.sum(novel) * 1.0 / F.count(F.lit(1)), 4).alias(
+                "novelty_frac"
+            ),
+        )
+    )
+
+
+_VOCAB_COVERAGE_ORACLE = """
+WITH tok AS (
+  SELECT UNNEST(string_split(text, ' ')) AS term FROM documents
+), freq AS (
+  SELECT term, COUNT(*) AS f FROM tok GROUP BY term
+), ranked AS (
+  SELECT f,
+         ROW_NUMBER() OVER (ORDER BY f DESC, term) AS rk,
+         SUM(f) OVER (ORDER BY f DESC, term ROWS UNBOUNDED PRECEDING) AS cum
+  FROM freq
+), tot AS (SELECT SUM(f) AS total FROM freq)
+SELECT CAST(p AS DOUBLE) AS coverage_p,
+       CAST(MIN(rk) AS BIGINT) AS vocab_size,
+       CAST(MAX(tot.total) AS BIGINT) AS total_tokens
+FROM ranked, tot, (VALUES (0.50), (0.90), (0.95), (0.99)) v(p)
+WHERE cum >= p * total
+GROUP BY 1
+"""
+
+
+@query("vocab_coverage_quantile", oracle=_VOCAB_COVERAGE_ORACLE)
+def q_vocab_coverage_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-sizing report: the smallest vocabulary (most-frequent
+    terms first, ties broken lexically) covering 50/90/95/99% of all
+    token occurrences — the Zipf-curve quantile a BPE vocab-size
+    decision reads off. Answers "how big must the vocab be before
+    <unk> rate drops below 1%".
+
+    Scale shape: the corpus reduces to the vocabulary via one hash-agg
+    with map-side partials (shuffle = distinct terms per partition);
+    the running-sum window and ranking run on the AGGREGATED vocab
+    table — orders of magnitude smaller than the corpus, the same
+    justified-global-window shape as vocab_top_terms. The four
+    coverage levels join as a broadcast literal frame.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    freq = (
+        docs.select(F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    w = Window.orderBy(F.desc("f"), F.asc("term"))
+    ranked = freq.select(
+        "f",
+        F.row_number().over(w).alias("rk"),
+        F.sum("f")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("cum"),
+    )
+    tot = freq.agg(F.sum("f").alias("total"))
+    ps = docs.sparkSession.createDataFrame(
+        [(0.50,), (0.90,), (0.95,), (0.99,)], "coverage_p double"
+    )
+    return (
+        ranked.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(ps))
+        .where(F.col("cum") >= F.col("coverage_p") * F.col("total"))
+        .groupBy("coverage_p")
+        .agg(
+            F.min("rk").cast("long").alias("vocab_size"),
+            F.max("total").cast("long").alias("total_tokens"),
+        )
+    )
