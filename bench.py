@@ -232,6 +232,10 @@ HEADLINE = [
     "padding_waste_by_bucket",
     "ngram_novelty_by_source",
     "vocab_coverage_quantile",
+    # wave 51 (r4) — warehouse CDC + event-sequence analytics
+    "snapshot_diff_orders",
+    "event_type_transitions",
+    "events_hourly_autocorr",
 ]
 
 KNN_BATCH_N_QUERIES = 5  # matches the knn_batch query definition

@@ -305,3 +305,59 @@ def test_pq_shortlist_rerank_equals_exact(spark, emb):
     assert [(r["vec_id"], r["score"]) for r in got] == [
         (r["vec_id"], r["score"]) for r in want
     ]
+
+
+def test_quality_scores_after_observation(spark):
+    """Regression: scoring must survive a session on which an
+    Observation has been registered. model.transform's UDF closure
+    captures the training-summary DataFrame -> SparkSession ->
+    ObservationManager (not serializable once an observation exists),
+    which made the quality-classifier query fail ONLY when the
+    Observation test had run first in the same session. The native
+    broadcast-coefficient scorer has no session reference in any task
+    closure — this test pins that property."""
+    from pyspark.sql import Observation
+
+    from vector_knowledge_base_spark.operators.quality_model import (
+        quality_scores,
+        train_quality_model,
+        weak_labels,
+    )
+
+    obs = Observation("qm_regression_obs")
+    observed = spark.range(10).observe(obs, F.count(F.lit(1)).alias("n"))
+    assert observed.count() == 10
+    assert obs.get["n"] == 10  # observation is now registered on the session
+
+    docs = load_table(spark, SF, "documents")
+    labeled = weak_labels(docs)
+    model, buckets = train_quality_model(labeled)
+    scores = quality_scores(model, buckets)
+    row = scores.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg((F.col("prediction") == F.col("label")).cast("double")).alias("agr"),
+        F.min("quality_prob").alias("lo"),
+        F.max("quality_prob").alias("hi"),
+    ).first()
+    assert row["n"] == docs.count()
+    assert row["agr"] >= 0.8  # the separable weak rule is learnable
+    assert 0.0 <= row["lo"] <= row["hi"] <= 1.0
+
+
+def test_quality_scorer_plan_is_native(spark):
+    """The scoring plan must contain no Python/Scala UDF and no
+    model.transform artifacts: scan -> broadcast coef join -> hash
+    aggregate, fully codegen (the 100 TB scoring shape)."""
+    from vector_knowledge_base_spark.operators.quality_model import (
+        quality_scores,
+        train_quality_model,
+        weak_labels,
+    )
+    from vector_knowledge_base_spark.plans.inspect import explain_str
+
+    docs = load_table(spark, SF, "documents")
+    model, buckets = train_quality_model(weak_labels(docs))
+    plan = explain_str(quality_scores(model, buckets))
+    assert "BatchEvalPython" not in plan, plan
+    assert "UDF(" not in plan, plan
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan

@@ -8788,3 +8788,221 @@ def q_vocab_coverage_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("total").cast("long").alias("total_tokens"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Wave 51 — warehouse CDC + event-sequence analytics (beyond the reference):
+# snapshot diffing (the table-format change-feed shape), Markov transition
+# matrices over event streams, and autocorrelation of the event rate.
+# ---------------------------------------------------------------------------
+
+_SNAPSHOT_DIFF_ORACLE = """
+WITH old AS (
+  SELECT o_orderkey, o_orderstatus,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+), new AS (
+  SELECT o_orderkey, o_orderstatus,
+         CASE WHEN o_orderkey % 13 = 0 THEN (cents * 11) // 10
+              ELSE cents END AS cents
+  FROM old WHERE o_orderkey % 97 <> 0
+  UNION ALL
+  SELECT o_orderkey + 2000000000, o_orderstatus, cents
+  FROM old WHERE o_orderkey % 89 = 0
+)
+SELECT CASE WHEN old.o_orderkey IS NULL THEN 'added'
+            WHEN new.o_orderkey IS NULL THEN 'removed'
+            WHEN old.cents <> new.cents
+              OR old.o_orderstatus <> new.o_orderstatus THEN 'changed'
+            ELSE 'unchanged' END AS change_type,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       ROUND(CAST(SUM(COALESCE(new.cents, 0) - COALESCE(old.cents, 0))
+                  AS DOUBLE) / 100, 2) AS price_delta
+FROM old FULL OUTER JOIN new USING (o_orderkey)
+GROUP BY 1
+"""
+
+
+@query("snapshot_diff_orders", oracle=_SNAPSHOT_DIFF_ORACLE)
+def q_snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table-snapshot diff (the CDC / change-data-feed report a
+    transactional table format derives from its log, computed here
+    from the data itself): old = the orders table, new = a
+    deterministically mutated twin (keys %97 deleted, %13 price
+    bumped 10%, %89 re-inserted under offset keys), classified
+    added/removed/changed/unchanged by a key-matched full outer join
+    with null-safe column compare, plus the net price drift per class.
+
+    Scale shape: ONE shuffle join keyed on the primary key — both
+    snapshots hash-partition on o_orderkey, so the diff co-locates
+    row pairs; with bucketed/storage-partitioned snapshots (see
+    test_bucketed_join_avoids_shuffle) even that shuffle disappears.
+    The per-class aggregate is map-side-combinable into 4 rows. This
+    is the scalable form of "what changed between yesterday's and
+    today's 100 TB snapshot" — never a row-by-row driver loop.
+    """
+    # All money math in INTEGER CENTS: the 10% bump and the delta sum are
+    # exact and order-independent in both engines (a double `price * 1.1`
+    # lands on half-cent knife edges whose rounding direction depends on
+    # the engine's intermediate double).
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    key = F.col("o_orderkey")
+    new = o.where(key % 97 != 0).select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.when(key % 13 == 0, F.expr("(cents * 11) div 10"))
+        .otherwise(F.col("cents"))
+        .alias("cents"),
+    )
+    added = o.where(key % 89 == 0).select(
+        (key + 2000000000).alias("o_orderkey"), "o_orderstatus", "cents"
+    )
+    new = new.unionAll(added)
+    a, b = o.alias("a"), new.alias("b")
+    j = a.join(b, F.col("a.o_orderkey") == F.col("b.o_orderkey"), "full_outer")
+    change = (
+        F.when(F.col("a.o_orderkey").isNull(), "added")
+        .when(F.col("b.o_orderkey").isNull(), "removed")
+        .when(
+            (F.col("a.cents") != F.col("b.cents"))
+            | (F.col("a.o_orderstatus") != F.col("b.o_orderstatus")),
+            "changed",
+        )
+        .otherwise("unchanged")
+    )
+    return j.groupBy(change.alias("change_type")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(
+            F.sum(
+                F.coalesce(F.col("b.cents"), F.lit(0))
+                - F.coalesce(F.col("a.cents"), F.lit(0))
+            ).cast("double")
+            / 100,
+            2,
+        ).alias("price_delta"),
+    )
+
+
+_EVENT_TRANSITIONS_ORACLE = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         LAG(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type
+  FROM events
+), trans AS (
+  SELECT prev_type, event_type AS next_type,
+         CAST(COUNT(*) AS BIGINT) AS n_transitions
+  FROM seq WHERE prev_type IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT prev_type, next_type, n_transitions,
+       ROUND(n_transitions * 1.0
+             / SUM(n_transitions) OVER (PARTITION BY prev_type), 6) AS p_next
+FROM trans
+"""
+
+
+@query("event_type_transitions", oracle=_EVENT_TRANSITIONS_ORACLE)
+def q_event_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: LAG within (user, time) order produces (prev, next)
+    bigrams; counts normalize to row-stochastic transition
+    probabilities. The session-path analytics behind "what do users do
+    after an error" — and the sequence-model sanity report for
+    behavioral training data.
+
+    Scale shape: the only per-row window is PARTITIONED BY USER (state
+    = one previous event, sort bounded by a user's own history); the
+    bigram aggregate collapses the stream to |types|^2 rows map-side,
+    and the row-normalizing second window runs on that tiny matrix,
+    not the corpus.
+    """
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).where(F.col("prev_type").isNotNull())
+    trans = seq.groupBy(
+        "prev_type", F.col("event_type").alias("next_type")
+    ).agg(F.count(F.lit(1)).alias("n_transitions"))
+    wrow = Window.partitionBy("prev_type")
+    return trans.select(
+        "prev_type",
+        "next_type",
+        "n_transitions",
+        F.round(
+            F.col("n_transitions") * 1.0 / F.sum("n_transitions").over(wrow), 6
+        ).alias("p_next"),
+    )
+
+
+_HOURLY_AUTOCORR_ORACLE = """
+WITH agg AS (
+  SELECT date_trunc('hour', ts) AS h, CAST(COUNT(*) AS DOUBLE) AS c
+  FROM events GROUP BY 1
+), bounds AS (
+  SELECT date_trunc('hour', MIN(ts)) AS lo, date_trunc('hour', MAX(ts)) AS hi
+  FROM events
+), grid AS (
+  SELECT epoch(UNNEST(generate_series(bounds.lo, bounds.hi,
+                                      INTERVAL 1 HOUR)))::BIGINT AS he
+  FROM bounds
+), dense AS (
+  SELECT grid.he, COALESCE(agg2.c, 0) AS c
+  FROM grid LEFT JOIN (SELECT epoch(h)::BIGINT AS he, c FROM agg) agg2
+    USING (he)
+), lags AS (SELECT UNNEST([1,2,3,6,12,24]) AS lag_h)
+SELECT lag_h,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       ROUND(corr(d1.c, d2.c), 6) AS acf
+FROM lags, dense d1 JOIN dense d2 ON d2.he = d1.he + lag_h * 3600
+GROUP BY lag_h
+"""
+
+
+@query("events_hourly_autocorr", oracle=_HOURLY_AUTOCORR_ORACLE)
+def q_events_hourly_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function of the event rate: hourly counts on a
+    DENSE grid (silent hours count as 0 — skipping them would shift
+    every lag), then Pearson r between the series and itself at lags
+    {1,2,3,6,12,24} hours. The periodicity detector behind capacity
+    planning and seasonality-aware anomaly thresholds: a daily cycle
+    shows up as acf(24) >> acf(12).
+
+    Scale shape: the corpus reduces to one row per hour via a
+    map-side-combinable count; the grid join and the 6-lag self-join
+    run on the AGGREGATED series (epoch-hour equijoin — no range
+    scan), orders of magnitude smaller than the raw stream. corr() is
+    a mergeable co-moment aggregate, one pass per lag partition.
+    """
+    ev = _t(spark, sf_dir, "events")
+    agg = ev.groupBy(F.date_trunc("hour", "ts").alias("h")).agg(
+        F.count(F.lit(1)).cast("double").alias("c")
+    )
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    grid = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("h")
+    ).select(F.unix_timestamp("h").alias("he"))
+    dense = (
+        grid.join(
+            agg.select(F.unix_timestamp("h").alias("he"), "c"), "he", "left"
+        )
+        .select("he", F.coalesce("c", F.lit(0.0)).alias("c"))
+    )
+    lags = spark.createDataFrame([(1,), (2,), (3,), (6,), (12,), (24,)], "lag_h int")
+    d2 = dense.select(F.col("he").alias("he2"), F.col("c").alias("c2"))
+    pairs = (
+        dense.crossJoin(F.broadcast(lags))
+        .join(d2, F.col("he2") == F.col("he") + F.col("lag_h") * 3600)
+    )
+    return pairs.groupBy("lag_h").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.round(F.corr("c", "c2"), 6).alias("acf"),
+    )
