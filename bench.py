@@ -236,6 +236,18 @@ HEADLINE = [
     "snapshot_diff_orders",
     "event_type_transitions",
     "events_hourly_autocorr",
+    # wave 52 (r4) — reciprocal-NN dedup confidence + mixture planning
+    "mutual_knn_pairs",
+    "curriculum_quality_bands",
+    "domain_mixture_reweight",
+    # wave 53 (r4) — threshold sweep, seasonal profile, mutual information
+    "minhash_threshold_sweep",
+    "seasonal_hour_profile",
+    "mi_lang_source",
+    # wave 54 (r4) — embedding/retrieval eval + growth decomposition
+    "knn_loo_label_accuracy",
+    "retrieval_eval_mrr",
+    "users_new_vs_returning",
 ]
 
 KNN_BATCH_N_QUERIES = 5  # matches the knn_batch query definition

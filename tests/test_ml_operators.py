@@ -361,3 +361,32 @@ def test_quality_scorer_plan_is_native(spark):
     assert "BatchEvalPython" not in plan, plan
     assert "UDF(" not in plan, plan
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
+
+
+def test_exact_nn_blocked_matches_single_pass(spark):
+    """Block decomposition must be invisible: per-cell winners merged
+    across cells equal a single-pass exact NN ranking (score desc,
+    id asc tie-break), regardless of block boundaries."""
+    import numpy as np
+
+    from vector_knowledge_base_spark.operators.dedup import exact_nn_blocked
+
+    emb = load_table(spark, SF, "embeddings")
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    order = np.argsort(ids)
+    ids, mat = ids[order], mat[order]
+    scores = np.round(mat @ mat.T, 6)
+    np.fill_diagonal(scores, -np.inf)
+    j = np.argmax(scores, axis=1)  # ids sorted asc -> argmax = smallest-id tie
+    want = {
+        int(ids[i]): (int(ids[j[i]]), float(scores[i, j[i]]))
+        for i in range(len(ids))
+    }
+    for bs in (7, 50, 10_000):  # awkward, small, single-block
+        got = {
+            r["vec_id"]: (r["nn_id"], r["score"])
+            for r in exact_nn_blocked(emb, block_size=bs).collect()
+        }
+        assert got == want, f"block_size={bs}"

@@ -10,21 +10,22 @@ n-gram linear model — hashed term counts + logistic regression.
 Design split (and why):
 
 - FEATURIZATION is native SQL: bucket = ``pmod(hash(term), 256)``
-  (Spark's ``hash`` = murmur3 seed 42 — the same hash family ml's
-  HashingTF uses, evaluated in whole-stage codegen with no Python or
-  UDF crossing). Per-doc dense vectors for the fit are assembled with
-  ``map_from_entries`` + ``transform(sequence(...))`` — still codegen —
-  and only bridged to VectorUDT at the very end via ``array_to_vector``
-  (a stateless column function).
-- The FIT is pyspark.ml LogisticRegression (distributed LBFGS via
-  treeAggregate — map-side partial gradients).
-- SCORING does NOT use ``model.transform``: the fitted model is one
-  256-float coefficient row, extracted and joined back as a broadcast
-  (bucket, coef) table; margin/sigmoid/prediction are plain SQL
-  aggregates. Two reasons: (a) scoring stays whole-stage-codegen with a
-  broadcast join — the 100 TB-corpus shape (model.transform would put
-  a row-at-a-time ScalaUDF in the hot path); (b) the transform UDF's
-  closure drags the model's training-summary DataFrame — and through
+  (Spark's ``hash`` = murmur3 seed 42, evaluated in whole-stage
+  codegen with no Python or UDF crossing). The sparse (doc, bucket,
+  cnt) table is the only feature representation — no VectorUDT.
+- The FIT is driver-side exact Newton (IRLS) on a BOUNDED
+  deterministic sample: CCNet/LLaMA-class quality filters train on a
+  small fixed reference set and score the petabytes, so the fit is
+  never the scale problem — the featurize+score pass is, and that
+  pass stays fully distributed. Same justified bounded-collect
+  pattern as the PQ codebook trainer (operators/ann.py).
+- SCORING never touches pyspark.ml: the fitted model is one 256-float
+  coefficient row, joined back as a broadcast (bucket, coef) table;
+  margin/sigmoid/prediction are plain SQL aggregates. Two reasons:
+  (a) scoring stays whole-stage-codegen with a broadcast join — the
+  100 TB-corpus shape (an ml ``model.transform`` would put a
+  row-at-a-time ScalaUDF in the hot path); (b) ml transform UDF
+  closures drag the model's training-summary DataFrame — and through
   it the live SparkSession — into task serialization, which breaks
   (``NotSerializableException: ObservationManager``) as soon as any
   Observation has been registered on the session. Broadcast-join
@@ -84,48 +85,72 @@ def hashed_buckets(labeled: DataFrame) -> DataFrame:
     )
 
 
-def _dense_vectors(buckets: DataFrame) -> DataFrame:
-    """Assemble per-doc dense feature vectors natively: bucket→count
-    map, read out over a 0..N-1 index sequence, bridged to VectorUDT
-    only at the boundary the ml fit requires."""
-    from pyspark.ml.functions import array_to_vector
+class QualityModel:
+    """Fitted linear quality filter: 256 hashed-bucket coefficients +
+    intercept. Deliberately tiny — the whole model broadcasts as one
+    row-set, the way a fastText quality filter ships to a cluster."""
 
-    m = F.map_from_entries(
-        F.collect_list(F.struct(F.col("bucket"), F.col("cnt")))
-    )
-    dense = (
-        buckets.groupBy("doc_id", "label")
-        .agg(m.alias("m"))
-        .select(
-            "doc_id",
-            "label",
-            F.transform(
-                F.sequence(F.lit(0), F.lit(NUM_FEATURES - 1)),
-                lambda i: F.coalesce(F.element_at("m", i), F.lit(0.0)),
-            ).alias("arr"),
-        )
-    )
-    return dense.select(
-        "doc_id", "label", array_to_vector("arr").alias("features")
-    )
+    def __init__(self, coefficients, intercept: float):
+        self.coefficients = [float(c) for c in coefficients]
+        self.intercept = float(intercept)
 
 
-def train_quality_model(labeled: DataFrame):
-    """Fit LogisticRegression on natively-hashed features; returns
-    (model, buckets) where buckets is the sparse feature table the
-    native scorer consumes.
+def _fit_logreg_irls(X, y, reg: float, iters: int = 25):
+    """L2-regularized logistic regression via IRLS (Newton): exact
+    deterministic convergence in a handful of 256×256 solves — no
+    learning-rate knobs, no iteration-order float drift."""
+    import numpy as np
 
-    Deterministic: murmur3 feature hashing, fixed seed, and an LBFGS
-    fit whose treeAggregate order is fixed by the input partitioning.
+    n, d = X.shape
+    Xb = np.hstack([np.ones((n, 1)), X])
+    w = np.zeros(d + 1)
+    lam = reg * n  # objective = Σ logloss + (reg·n)·||w||²/2, no reg on bias
+    reg_diag = np.full(d + 1, lam)
+    reg_diag[0] = 0.0
+    for _ in range(iters):
+        p = 1.0 / (1.0 + np.exp(-(Xb @ w)))
+        g = Xb.T @ (p - y) + reg_diag * w
+        wdiag = np.clip(p * (1 - p), 1e-9, None)
+        H = (Xb * wdiag[:, None]).T @ Xb + np.diag(reg_diag)
+        step = np.linalg.solve(H, g)
+        w = w - step
+        if float(np.abs(step).max()) < 1e-10:
+            break
+    return w[1:], w[0]
+
+
+def train_quality_model(labeled: DataFrame, sample_mod: int = 5):
+    """Fit the quality classifier on a bounded deterministic sample
+    (``doc_id % sample_mod == 0``); returns (model, buckets) where
+    buckets is the full-corpus sparse feature table the native scorer
+    consumes.
+
+    Why a driver-side fit: CCNet/LLaMA-class quality filters train on
+    a SMALL fixed reference set and score the petabytes — the fit is
+    never the scale problem, the featurize+score pass is, and that
+    pass stays fully distributed (codegen hash-agg + broadcast join).
+    The bounded-sample collect is the same justified pattern as the
+    PQ codebook trainer (operators/ann.py); `sample_mod` picks the
+    deterministic, replayable sample density for the corpus at hand.
+    The IRLS fit is exact Newton — no seed, no float-order
+    sensitivity, immune to session/partitioning state.
     """
-    from pyspark.ml.classification import LogisticRegression
+    import numpy as np
 
     buckets = hashed_buckets(labeled)
-    feats = _dense_vectors(buckets)
-    lr = LogisticRegression(
-        maxIter=25, regParam=0.01, featuresCol="features", labelCol="label"
+    sample = (
+        buckets.where(F.col("doc_id") % sample_mod == 0)
+        .toPandas()  # Arrow-backed bounded collect
     )
-    return lr.fit(feats), buckets
+    ids = sample["doc_id"].to_numpy()
+    uniq, inv = np.unique(ids, return_inverse=True)
+    X = np.zeros((len(uniq), NUM_FEATURES))
+    X[inv, sample["bucket"].to_numpy()] = sample["cnt"].to_numpy()
+    first_idx = np.zeros(len(uniq), dtype=int)
+    first_idx[inv] = np.arange(len(ids))
+    y = sample["label"].to_numpy()[first_idx]
+    coef, intercept = _fit_logreg_irls(X, y, reg=0.01)
+    return QualityModel(coef, intercept), buckets
 
 
 def quality_scores(model, buckets: DataFrame) -> DataFrame:
@@ -135,7 +160,7 @@ def quality_scores(model, buckets: DataFrame) -> DataFrame:
     prediction = sign of the margin. No UDF, no model.transform — the
     scoring plan is scan → broadcast join → aggregate, all codegen."""
     spark = buckets.sparkSession
-    coefs = [float(c) for c in model.coefficients.toArray()]
+    coefs = [float(c) for c in model.coefficients]
     coef_df = spark.createDataFrame(
         list(enumerate(coefs)), "bucket int, coef double"
     )

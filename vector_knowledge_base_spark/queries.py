@@ -7725,18 +7725,20 @@ FROM documents
 def q_quality_classifier_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet/LLaMA-style trained quality filter, projected onto
     driver-checkable invariants (the wave-40 ML-invariant pattern):
-    the weak-label counts are exact SQL; the fitted HashingTF+LR
+    the weak-label counts are exact SQL; the fitted hashed-linear
     model's train agreement and AUC are asserted as threshold booleans
     computed from the distributed scores. A regression in feature
-    hashing, the LBFGS fit, or scoring flips a boolean red.
+    hashing, the IRLS fit, or scoring flips a boolean red.
 
-    Scale shape: hashing is a narrow projection, the fit is
-    treeAggregate (map-side partial gradients), scoring broadcasts one
-    coefficient vector — nothing here grows with corpus size except
-    the embarrassingly-parallel scan. AUC uses the histogram
-    formulation (scores binned to 1000 buckets, one hash-agg, then a
-    window over the 1000-row bucket table) — a global per-row rank
-    window would be the single-partition-sort anti-pattern at 100 TB.
+    Scale shape: hashing is a codegen projection; the fit runs
+    driver-side on a BOUNDED deterministic sample (quality filters
+    train on a small reference set and score the petabytes — see
+    operators/quality_model.py); scoring broadcasts one coefficient
+    table — nothing here grows with corpus size except the
+    embarrassingly-parallel scan. AUC uses the histogram formulation
+    (scores binned to 1000 buckets, one hash-agg, then a window over
+    the 1000-row bucket table) — a global per-row rank window would
+    be the single-partition-sort anti-pattern at 100 TB.
     """
     from vector_knowledge_base_spark.operators.quality_model import (
         quality_scores,
@@ -9005,4 +9007,729 @@ def q_events_hourly_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.groupBy("lag_h").agg(
         F.count(F.lit(1)).alias("n_pairs"),
         F.round(F.corr("c", "c2"), 6).alias("acf"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Wave 52 — dedup confidence + training-mixture planning: reciprocal-NN
+# pairs (the high-precision embedding-dup signal), curriculum quality
+# staging, and DoReMi-style domain reweighting.
+# ---------------------------------------------------------------------------
+
+_MUTUAL_KNN_ORACLE = """
+WITH s AS (
+  SELECT a.vec_id AS ia, b.vec_id AS ib,
+         ROUND(list_dot_product(a.embedding::DOUBLE[],
+                                b.embedding::DOUBLE[]), 6) AS sc
+  FROM embeddings a, embeddings b
+  WHERE a.vec_id <> b.vec_id
+), nn AS (
+  SELECT ia, ib, sc,
+         ROW_NUMBER() OVER (PARTITION BY ia ORDER BY sc DESC, ib) AS rn
+  FROM s
+), t AS (SELECT ia, ib, sc FROM nn WHERE rn = 1)
+SELECT x.ia AS vec_id_a, x.ib AS vec_id_b, x.sc AS score
+FROM t x JOIN t y ON x.ib = y.ia AND y.ib = x.ia AND x.ia < y.ia
+"""
+
+
+@query("mutual_knn_pairs", oracle=_MUTUAL_KNN_ORACLE)
+def q_mutual_knn_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-nearest-neighbor pairs: (a, b) where each is the
+    other's exact top-1 neighbor. The high-precision near-dup signal
+    embedding dedup uses to auto-merge without a human threshold — a
+    one-sided NN can be an asymmetric hub artifact, a mutual NN almost
+    never is (the standard RNN criterion from image-dedup practice).
+
+    Scale shape: per-vector exact NN via the blocked-matmul grid
+    (BLAS per cell, per-cell winners merged by one hash-agg — see
+    exact_nn_blocked), then one self-equijoin of the tiny (id, nn)
+    table for reciprocity. The exact pass is O(n²) BY DESIGN as the
+    audit/oracle twin of the LSH path (embedding_neardup_lsh) — at
+    100 TB the same reciprocity join runs on LSH/IVF candidate top-1s
+    instead.
+    """
+    from vector_knowledge_base_spark.operators.dedup import exact_nn_blocked
+
+    emb = _t(spark, sf_dir, "embeddings")
+    nn = exact_nn_blocked(emb)
+    x = nn.select(
+        F.col("vec_id").alias("vec_id_a"),
+        F.col("nn_id").alias("nn_a"),
+        F.col("score").alias("score"),
+    )
+    y = nn.select(
+        F.col("vec_id").alias("vec_id_b"), F.col("nn_id").alias("nn_b")
+    )
+    return (
+        x.join(
+            y,
+            (F.col("nn_a") == F.col("vec_id_b"))
+            & (F.col("nn_b") == F.col("vec_id_a"))
+            & (F.col("vec_id_a") < F.col("vec_id_b")),
+        )
+        .select("vec_id_a", "vec_id_b", "score")
+    )
+
+
+_CURRICULUM_BANDS_ORACLE = """
+WITH scored AS (
+  SELECT doc_id,
+         len(list_distinct(string_split(text, ' ')))::DOUBLE
+           / len(string_split(text, ' ')) AS score,
+         len(string_split(text, ' ')) AS n_tok
+  FROM documents
+), q AS (
+  SELECT quantile_cont(score, 0.25) AS q1,
+         quantile_cont(score, 0.50) AS q2,
+         quantile_cont(score, 0.75) AS q3
+  FROM scored
+), banded AS (
+  SELECT CASE WHEN score <= q1 THEN 1 WHEN score <= q2 THEN 2
+              WHEN score <= q3 THEN 3 ELSE 4 END AS band,
+         score, n_tok
+  FROM scored, q
+), agg AS (
+  SELECT band, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         ROUND(AVG(score), 6) AS avg_score,
+         CAST(SUM(n_tok) AS BIGINT) AS sum_tokens
+  FROM banded GROUP BY band
+)
+SELECT band, n_docs, avg_score, sum_tokens,
+       CAST(SUM(sum_tokens) OVER (ORDER BY band
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+FROM agg
+"""
+
+
+@query("curriculum_quality_bands", oracle=_CURRICULUM_BANDS_ORACLE)
+def q_curriculum_quality_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum staging plan: documents split into quality quartiles
+    (type-token diversity score), reported as ordered training stages
+    with per-stage and cumulative token budgets — the schedule a
+    quality-curriculum run (low-diversity first, cleanest last, or the
+    reverse) feeds its data loader.
+
+    Scale shape: band assignment uses exact percentile BOUNDS computed
+    once and broadcast (a 1-row frame), NOT a global NTILE — an
+    unpartitioned rank window over the corpus would be the
+    single-partition sort anti-pattern; comparing against broadcast
+    bounds is a codegen scan. The cumulative window runs on the 4-row
+    aggregate only. At 100 TB swap percentile for approx_percentile
+    (quantile_sketch_audit measures that corridor).
+    """
+    docs = _t(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    scored = docs.select(
+        (F.size(F.array_distinct(words)) / F.size(words)).alias("score"),
+        F.size(words).alias("n_tok"),
+    )
+    bounds = scored.agg(
+        F.percentile("score", F.lit(0.25)).alias("q1"),
+        F.percentile("score", F.lit(0.50)).alias("q2"),
+        F.percentile("score", F.lit(0.75)).alias("q3"),
+    )
+    banded = scored.crossJoin(F.broadcast(bounds)).select(
+        F.when(F.col("score") <= F.col("q1"), 1)
+        .when(F.col("score") <= F.col("q2"), 2)
+        .when(F.col("score") <= F.col("q3"), 3)
+        .otherwise(4)
+        .alias("band"),
+        "score",
+        "n_tok",
+    )
+    agg = banded.groupBy("band").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("score"), 6).alias("avg_score"),
+        F.sum("n_tok").cast("long").alias("sum_tokens"),
+    )
+    w = Window.orderBy("band").rowsBetween(Window.unboundedPreceding, 0)
+    return agg.select(
+        "band",
+        "n_docs",
+        "avg_score",
+        "sum_tokens",
+        F.sum("sum_tokens").over(w).cast("long").alias("cum_tokens"),
+    )
+
+
+_DOMAIN_REWEIGHT_ORACLE = """
+WITH scored AS (
+  SELECT source,
+         1.0 - len(list_distinct(string_split(text, ' ')))::DOUBLE
+               / len(string_split(text, ' ')) AS loss,
+         len(string_split(text, ' ')) AS n_tok
+  FROM documents
+), dom AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         AVG(loss) AS avg_loss, SUM(n_tok) AS dom_tokens
+  FROM scored GROUP BY source
+), tot AS (
+  SELECT SUM(EXP(avg_loss / 0.02)) AS z, SUM(dom_tokens) AS total_tokens
+  FROM dom
+)
+SELECT source, n_docs, ROUND(avg_loss, 6) AS avg_loss,
+       ROUND(EXP(avg_loss / 0.02) / z, 6) AS weight,
+       ROUND(EXP(avg_loss / 0.02) / z * total_tokens, 2) AS alloc_tokens
+FROM dom, tot
+"""
+
+
+@query("domain_mixture_reweight", oracle=_DOMAIN_REWEIGHT_ORACLE)
+def q_domain_mixture_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DoReMi-style domain reweighting (Xie et al. 2023, re-expressed
+    closed-form): per-domain excess-loss proxy (here the redundancy
+    score 1 − type-token ratio — the domain a proxy model finds
+    "harder" gets more weight), exponentiated-gradient-style softmax
+    over domains at temperature 0.02, and the token allocation the
+    reweighted mixture grants each domain per epoch.
+
+    Scale shape: the corpus collapses to one row per domain via a
+    map-side-combinable aggregate; the softmax normalizer is a 1-row
+    broadcast over the tiny domain table. Nothing downstream of the
+    first hash-agg scales with corpus size.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    scored = docs.select(
+        "source",
+        (
+            F.lit(1.0) - F.size(F.array_distinct(words)) / F.size(words)
+        ).alias("loss"),
+        F.size(words).alias("n_tok"),
+    )
+    dom = scored.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg("loss").alias("avg_loss"),
+        F.sum("n_tok").alias("dom_tokens"),
+    )
+    tot = dom.agg(
+        F.sum(F.exp(F.col("avg_loss") / 0.02)).alias("z"),
+        F.sum("dom_tokens").alias("total_tokens"),
+    )
+    return dom.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        F.round("avg_loss", 6).alias("avg_loss"),
+        F.round(F.exp(F.col("avg_loss") / 0.02) / F.col("z"), 6).alias(
+            "weight"
+        ),
+        F.round(
+            F.exp(F.col("avg_loss") / 0.02)
+            / F.col("z")
+            * F.col("total_tokens"),
+            2,
+        ).alias("alloc_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Wave 53 — tuning-curve + distribution audits: MinHash threshold sweep
+# (precision/recall per cut), hour-of-week seasonal anomaly profile,
+# mutual information between corpus dimensions.
+# ---------------------------------------------------------------------------
+
+_MINHASH_SWEEP_ORACLE = (
+    _MINHASH_SIG_CTE
+    + f""",
+banded AS ({_BAND_UNION}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+  FROM banded a JOIN banded b USING (band_idx, band_key)
+  WHERE a.doc_id < b.doc_id
+),
+est AS (
+  SELECT cand.doc_id_a, cand.doc_id_b,
+         ({" + ".join(f"CASE WHEN sa.mh_{i} = sb.mh_{i} THEN 1 ELSE 0 END" for i in range(8))}) / 8.0 AS j_est
+  FROM cand
+  JOIN sig sa ON sa.doc_id = cand.doc_id_a
+  JOIN sig sb ON sb.doc_id = cand.doc_id_b
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT e.doc_id_a, e.doc_id_b, COUNT(*) AS n_inter
+  FROM est e
+  JOIN sh a ON a.doc_id = e.doc_id_a
+  JOIN sh b ON b.doc_id = e.doc_id_b AND b.shingle = a.shingle
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT e.doc_id_a, e.j_est,
+         COALESCE(i.n_inter, 0) * 1.0
+           / (sa.n_sh + sb.n_sh - COALESCE(i.n_inter, 0)) AS j_exact
+  FROM est e
+  LEFT JOIN inter i USING (doc_id_a, doc_id_b)
+  JOIN sizes sa ON sa.doc_id = e.doc_id_a
+  JOIN sizes sb ON sb.doc_id = e.doc_id_b
+)
+SELECT t.threshold,
+       CAST(COUNT(*) FILTER (j_est >= t.threshold) AS BIGINT) AS n_est_pass,
+       CAST(COUNT(*) FILTER (j_exact >= t.threshold) AS BIGINT) AS n_exact_pass,
+       CAST(COUNT(*) FILTER (j_est >= t.threshold AND j_exact >= t.threshold)
+            AS BIGINT) AS n_both
+FROM scored, (VALUES (0.3), (0.4), (0.5), (0.6), (0.7), (0.8), (0.9))
+     t(threshold)
+GROUP BY 1
+"""
+)
+
+
+@query("minhash_threshold_sweep", oracle=_MINHASH_SWEEP_ORACLE)
+def q_minhash_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-threshold tuning curve: over the LSH candidate pairs, how
+    many pass each Jaccard cut by the 8-hash MinHash ESTIMATE vs by the
+    EXACT shingle Jaccard, and their intersection — the integer
+    precision/recall table that picks the production threshold before
+    a 100 TB dedup commits to one (the calibration audit shows worst
+    single pairs; this shows the operating curve).
+
+    Scale shape: everything joins candidates only (LSH output, never
+    all pairs); the 7 thresholds fan out via one broadcast literal
+    frame over the tiny scored-candidate table; counts are
+    hash-checkable integers (the wave-40 invariant pattern).
+    """
+    from vector_knowledge_base_spark.operators.text_dedup import (
+        doc_shingles,
+        minhash_lsh_candidates,
+        minhash_signatures,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    sig = minhash_signatures(docs).localCheckpoint(eager=True)
+    cand = minhash_lsh_candidates(sig, bands=4, rows_per_band=2)
+    est_expr = sum(
+        F.when(F.col(f"sa.mh_{i}") == F.col(f"sb.mh_{i}"), 1).otherwise(0)
+        for i in range(8)
+    ) / F.lit(8.0)
+    est = (
+        cand.join(sig.alias("sa"), F.col("sa.doc_id") == F.col("doc_id_a"))
+        .join(sig.alias("sb"), F.col("sb.doc_id") == F.col("doc_id_b"))
+        .select("doc_id_a", "doc_id_b", est_expr.alias("j_est"))
+    )
+    sh = doc_shingles(docs).localCheckpoint(eager=True)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    inter = (
+        est.select("doc_id_a", "doc_id_b")
+        .join(sh.select(F.col("doc_id").alias("doc_id_a"), "shingle"), "doc_id_a")
+        .join(
+            sh.select(F.col("doc_id").alias("doc_id_b"), "shingle"),
+            ["doc_id_b", "shingle"],
+        )
+        .groupBy("doc_id_a", "doc_id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    ni = F.coalesce("n_inter", F.lit(0))
+    scored = (
+        est.join(inter, ["doc_id_a", "doc_id_b"], "left")
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_id_a"), F.col("n_sh").alias("na")),
+            "doc_id_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_id_b"), F.col("n_sh").alias("nb")),
+            "doc_id_b",
+        )
+        .select(
+            "j_est",
+            (ni * 1.0 / (F.col("na") + F.col("nb") - ni)).alias("j_exact"),
+        )
+    )
+    ts = spark.createDataFrame(
+        [(t,) for t in (0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9)],
+        "threshold double",
+    )
+    est_pass = (F.col("j_est") >= F.col("threshold")).cast("long")
+    exact_pass = (F.col("j_exact") >= F.col("threshold")).cast("long")
+    return (
+        scored.crossJoin(F.broadcast(ts))
+        .groupBy("threshold")
+        .agg(
+            F.sum(est_pass).alias("n_est_pass"),
+            F.sum(exact_pass).alias("n_exact_pass"),
+            F.sum(est_pass * exact_pass).alias("n_both"),
+        )
+    )
+
+
+_SEASONAL_PROFILE_ORACLE = """
+WITH cells AS (
+  SELECT CAST(ts AS DATE) AS d,
+         dayofweek(ts) AS dow, hour(ts) AS hr,
+         CAST(COUNT(*) AS DOUBLE) AS c
+  FROM events GROUP BY 1, 2, 3
+), prof AS (
+  SELECT dow, hr,
+         CAST(COUNT(*) AS BIGINT) AS n_days,
+         AVG(c) AS mean_c, STDDEV_SAMP(c) AS sd_c
+  FROM cells GROUP BY 1, 2
+)
+SELECT prof.dow, prof.hr, prof.n_days,
+       ROUND(prof.mean_c, 4) AS mean_events,
+       ROUND(prof.sd_c, 4) AS sd_events,
+       CAST(COUNT(*) FILTER (
+         prof.sd_c > 0 AND ROUND(ABS(cells.c - prof.mean_c)
+                                 / prof.sd_c, 4) > 2
+       ) AS BIGINT) AS n_anomalous
+FROM prof JOIN cells USING (dow, hr)
+GROUP BY 1, 2, 3, 4, 5
+"""
+
+
+@query("seasonal_hour_profile", oracle=_SEASONAL_PROFILE_ORACLE)
+def q_seasonal_hour_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-week seasonal baseline + anomaly counts: each (weekday,
+    hour) cell's mean/stddev event rate across the observed weeks, and
+    how many concrete (date, hour) cells deviate > 2σ from their own
+    seasonal slot — the seasonality-aware twin of the rolling z-score
+    detector (a Monday-9am spike is normal FOR Monday 9am).
+
+    Scale shape: the stream reduces to one row per (date, hour) cell
+    map-side; the profile and the anomaly count are two hash-aggs over
+    that tiny cell table (≤ 168 profile rows). The z comparison uses a
+    ROUNDED ratio so the >2 cut is engine-stable.
+    """
+    ev = _t(spark, sf_dir, "events")
+    # dayofweek: Spark is 1-based (Sun=1), DuckDB 0-based (Sun=0) — align
+    cells = ev.groupBy(
+        F.to_date("ts").alias("d"),
+        (F.dayofweek("ts") - 1).cast("long").alias("dow"),
+        F.hour("ts").cast("long").alias("hr"),
+    ).agg(F.count(F.lit(1)).cast("double").alias("c"))
+    prof = cells.groupBy("dow", "hr").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.avg("c").alias("mean_c"),
+        F.stddev_samp("c").alias("sd_c"),
+    )
+    j = prof.join(cells, ["dow", "hr"])
+    anom = (
+        (F.col("sd_c") > 0)
+        & (F.round(F.abs(F.col("c") - F.col("mean_c")) / F.col("sd_c"), 4) > 2)
+    ).cast("long")
+    return j.groupBy(
+        "dow",
+        "hr",
+        "n_days",
+        F.round("mean_c", 4).alias("mean_events"),
+        F.round("sd_c", 4).alias("sd_events"),
+    ).agg(F.sum(anom).alias("n_anomalous"))
+
+
+_MI_LANG_SOURCE_ORACLE = """
+WITH joint AS (
+  SELECT lang, source, CAST(COUNT(*) AS DOUBLE) AS n
+  FROM documents GROUP BY 1, 2
+), tot AS (SELECT SUM(n) AS N FROM joint),
+ml AS (SELECT lang, SUM(n) AS nl FROM joint GROUP BY lang),
+ms AS (SELECT source, SUM(n) AS ns FROM joint GROUP BY source),
+terms AS (
+  SELECT joint.n / tot.N * LN(joint.n * tot.N / (ml.nl * ms.ns)) AS mi_term
+  FROM joint
+  JOIN ml USING (lang) JOIN ms USING (source)
+  CROSS JOIN tot
+),
+hl AS (SELECT -SUM(nl / N * LN(nl / N)) AS h FROM ml, tot),
+hs AS (SELECT -SUM(ns / N * LN(ns / N)) AS h FROM ms, tot)
+SELECT ROUND(SUM(terms.mi_term), 6) AS mi_nats,
+       ROUND(MAX(hl.h), 6) AS h_lang,
+       ROUND(MAX(hs.h), 6) AS h_source,
+       ROUND(SUM(terms.mi_term) / LEAST(MAX(hl.h), MAX(hs.h)), 6) AS nmi
+FROM terms, hl, hs
+"""
+
+
+@query("mi_lang_source", oracle=_MI_LANG_SOURCE_ORACLE)
+def q_mi_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between corpus dimensions (lang × source),
+    with marginal entropies and normalized MI — the information-
+    theoretic complement of the chi-square audit: chi² says WHETHER the
+    dimensions are dependent, MI says HOW MANY NATS one reveals about
+    the other (near-0 nmi = sources are language-balanced; near-1 =
+    source determines language, so a source-stratified split silently
+    stratifies language too).
+
+    Scale shape: one contingency hash-agg (|lang|×|source| rows
+    map-side), marginals re-aggregated from it (never a second corpus
+    scan), broadcast 1-row total. Every term after the first agg
+    operates on a ~25-row table.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    joint = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("double").alias("n")
+    )
+    joint = joint.localCheckpoint(eager=True)  # 3 consumers, one scan
+    tot = joint.agg(F.sum("n").alias("n_total"))
+    ml = joint.groupBy("lang").agg(F.sum("n").alias("nl"))
+    ms = joint.groupBy("source").agg(F.sum("n").alias("ns"))
+    terms = (
+        joint.alias("j")
+        .crossJoin(F.broadcast(tot))
+        .join(F.broadcast(ml.alias("ml")), "lang")
+        .join(F.broadcast(ms.alias("ms")), "source")
+        .select(
+            (
+                F.col("j.n")
+                / F.col("n_total")
+                * F.log(
+                    F.col("j.n") * F.col("n_total") / (F.col("ml.nl") * F.col("ms.ns"))
+                )
+            ).alias("mi_term")
+        )
+        .agg(F.sum("mi_term").alias("mi"))
+    )
+    hl = ml.crossJoin(F.broadcast(tot)).agg(
+        (-F.sum(F.col("nl") / F.col("n_total") * F.log(F.col("nl") / F.col("n_total")))).alias("h_lang")
+    )
+    hs = ms.crossJoin(F.broadcast(tot)).agg(
+        (-F.sum(F.col("ns") / F.col("n_total") * F.log(F.col("ns") / F.col("n_total")))).alias("h_source")
+    )
+    return (
+        terms.crossJoin(F.broadcast(hl))
+        .crossJoin(F.broadcast(hs))
+        .select(
+            F.round("mi", 6).alias("mi_nats"),
+            F.round("h_lang", 6).alias("h_lang"),
+            F.round("h_source", 6).alias("h_source"),
+            F.round(
+                F.col("mi") / F.least(F.col("h_lang"), F.col("h_source")), 6
+            ).alias("nmi"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Wave 54 — embedding/retrieval evaluation + growth analytics: the probes
+# that judge whether a trained embedding space and its retrieval stack are
+# any good, and the user-growth decomposition every event warehouse ships.
+# ---------------------------------------------------------------------------
+
+_KNN_LOO_ORACLE = """
+WITH s AS (
+  SELECT a.vec_id AS ia, b.vec_id AS ib,
+         ROUND(list_dot_product(a.embedding::DOUBLE[],
+                                b.embedding::DOUBLE[]), 6) AS sc
+  FROM embeddings a, embeddings b
+  WHERE a.vec_id <> b.vec_id
+), nn AS (
+  SELECT ia, ib,
+         ROW_NUMBER() OVER (PARTITION BY ia ORDER BY sc DESC, ib) AS rn
+  FROM s
+), t AS (SELECT ia, ib FROM nn WHERE rn = 1)
+SELECT ea.label,
+       CAST(COUNT(*) AS BIGINT) AS n_vectors,
+       CAST(SUM(CASE WHEN ea.label = eb.label THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_correct,
+       ROUND(SUM(CASE WHEN ea.label = eb.label THEN 1 ELSE 0 END) * 1.0
+             / COUNT(*), 4) AS loo_accuracy
+FROM t
+JOIN embeddings ea ON ea.vec_id = t.ia
+JOIN embeddings eb ON eb.vec_id = t.ib
+GROUP BY ea.label
+"""
+
+
+@query("knn_loo_label_accuracy", oracle=_KNN_LOO_ORACLE)
+def q_knn_loo_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out 1-NN label accuracy per class — the standard
+    embedding-space probe (kNN probe): if a vector's nearest neighbor
+    usually shares its label, the space linearly separates the classes
+    well enough for retrieval/clustering to trust it. Per-label rows
+    localize WHICH classes bleed into each other.
+
+    Scale shape: reuses exact_nn_blocked (per-cell BLAS argmax, one
+    merging hash-agg — O(n²) by design as the exact audit twin of the
+    LSH/IVF paths), then two broadcast-size label joins and one tiny
+    aggregate. At 100 TB the identical report runs on ANN top-1s.
+    """
+    from vector_knowledge_base_spark.operators.dedup import exact_nn_blocked
+
+    emb = _t(spark, sf_dir, "embeddings")
+    nn = exact_nn_blocked(emb)
+    la = emb.select(F.col("vec_id"), F.col("label"))
+    lb = emb.select(
+        F.col("vec_id").alias("nn_id"), F.col("label").alias("nn_label")
+    )
+    correct = (F.col("label") == F.col("nn_label")).cast("long")
+    return (
+        nn.join(la, "vec_id")
+        .join(lb, "nn_id")
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.sum(correct).alias("n_correct"),
+            F.round(F.sum(correct) * 1.0 / F.count(F.lit(1)), 4).alias(
+                "loo_accuracy"
+            ),
+        )
+    )
+
+
+_RETRIEVAL_EVAL_ORACLE = """
+WITH q AS (
+  SELECT vec_id AS qid, embedding::DOUBLE[] AS qv, label AS qlabel
+  FROM embeddings WHERE vec_id < 50
+), ranked AS (
+  SELECT q.qid, q.qlabel, e.label,
+         ROW_NUMBER() OVER (
+           PARTITION BY q.qid
+           ORDER BY ROUND(list_dot_product(e.embedding::DOUBLE[], q.qv), 6)
+                      DESC, e.vec_id
+         ) AS rn
+  FROM q JOIN embeddings e ON e.vec_id <> q.qid
+), top10 AS (SELECT * FROM ranked WHERE rn <= 10),
+rel_total AS (
+  SELECT q.qid, LEAST(CAST(COUNT(*) AS BIGINT), 10) AS n_ideal
+  FROM q JOIN embeddings e
+    ON e.label = q.qlabel AND e.vec_id <> q.qid
+  GROUP BY q.qid
+), per_q AS (
+  SELECT t.qid,
+         COALESCE(1.0 / MIN(t.rn) FILTER (t.label = t.qlabel), 0) AS rr,
+         COUNT(*) FILTER (t.label = t.qlabel) / 10.0 AS p10,
+         COALESCE(SUM(1.0 / LOG2(t.rn + 1)) FILTER (t.label = t.qlabel), 0)
+           AS dcg
+  FROM top10 t GROUP BY t.qid
+), ideal AS (
+  SELECT qid, SUM(1.0 / LOG2(s.i + 1)) AS idcg
+  FROM rel_total
+  JOIN (SELECT UNNEST(generate_series(1, 10)) AS i) s
+    ON s.i <= rel_total.n_ideal
+  GROUP BY qid
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+       ROUND(AVG(per_q.rr), 6) AS mrr,
+       ROUND(AVG(per_q.p10), 6) AS p_at_10,
+       ROUND(AVG(per_q.dcg / ideal.idcg), 6) AS ndcg_at_10
+FROM per_q JOIN ideal USING (qid)
+"""
+
+
+@query("retrieval_eval_mrr", oracle=_RETRIEVAL_EVAL_ORACLE)
+def q_retrieval_eval_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality evaluation (MRR / Precision@10 / NDCG@10) of
+    the exact kNN stack against label relevance: 50 held-out query
+    vectors, relevant = same label, ranked by the SAME batch-kNN
+    operator production serves. The IR eval harness every retrieval
+    change must pass before shipping — reported as corpus-level means.
+
+    Scale shape: one batch_knn pass (corpus scanned once, queries
+    broadcast, per-query rank window), per-label relevant totals from
+    one hash-agg joined broadcast-size, and the NDCG ideal from a
+    sequence() over ≤10 — no per-document state beyond the kNN pass
+    itself. Eval cost ≡ one production batch query.
+    """
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+        F.col("label").alias("qlabel"),
+    )
+    ranked = batch_knn(
+        q.select("query_id", "query_vec"),
+        emb,
+        k=10,
+        include_self=False,
+    )
+    lab = emb.select(F.col("vec_id"), F.col("label"))
+    t = (
+        ranked.join(lab, "vec_id")
+        .join(F.broadcast(q.select("query_id", "qlabel")), "query_id")
+    )
+    rel = F.col("label") == F.col("qlabel")
+    per_q = t.groupBy("query_id").agg(
+        F.coalesce(
+            F.lit(1.0) / F.min(F.when(rel, F.col("rank"))), F.lit(0.0)
+        ).alias("rr"),
+        (F.sum(rel.cast("int")) / F.lit(10.0)).alias("p10"),
+        F.coalesce(
+            F.sum(F.when(rel, F.lit(1.0) / F.log2(F.col("rank") + 1))),
+            F.lit(0.0),
+        ).alias("dcg"),
+    )
+    # ideal DCG: relevant docs available per label (minus self), capped 10
+    label_counts = emb.groupBy("label").agg(F.count(F.lit(1)).alias("n_lab"))
+    ideal = (
+        q.join(F.broadcast(label_counts), q["qlabel"] == label_counts["label"])
+        .select(
+            "query_id",
+            F.least(F.col("n_lab") - 1, F.lit(10)).alias("n_ideal"),
+        )
+        .select(
+            "query_id",
+            F.aggregate(
+                F.sequence(F.lit(1), F.col("n_ideal")),
+                F.lit(0.0),
+                lambda acc, i: acc + F.lit(1.0) / F.log2(i.cast("double") + 1),
+            ).alias("idcg"),
+        )
+    )
+    return (
+        per_q.join(F.broadcast(ideal), "query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_queries"),
+            F.round(F.avg("rr"), 6).alias("mrr"),
+            F.round(F.avg("p10"), 6).alias("p_at_10"),
+            F.round(F.avg(F.col("dcg") / F.col("idcg")), 6).alias(
+                "ndcg_at_10"
+            ),
+        )
+    )
+
+
+_NEW_VS_RETURNING_ORACLE = """
+WITH first_seen AS (
+  SELECT user_id, MIN(date_trunc('day', ts)) AS first_d FROM events GROUP BY 1
+), daily AS (
+  SELECT date_trunc('day', ts) AS d,
+         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS active_users
+  FROM events GROUP BY 1
+), news AS (
+  SELECT first_d AS d, CAST(COUNT(*) AS BIGINT) AS new_users
+  FROM first_seen GROUP BY 1
+)
+SELECT daily.d, daily.active_users,
+       COALESCE(news.new_users, 0) AS new_users,
+       daily.active_users - COALESCE(news.new_users, 0) AS returning_users,
+       CAST(SUM(COALESCE(news.new_users, 0)) OVER (ORDER BY daily.d
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumulative_users
+FROM daily LEFT JOIN news USING (d)
+"""
+
+
+@query("users_new_vs_returning", oracle=_NEW_VS_RETURNING_ORACLE)
+def q_users_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily growth decomposition: active users split into first-ever-
+    seen (new) vs returning, plus the cumulative user count — the
+    top-line growth report of every event warehouse, and the
+    denominator feed for the retention-cohort query family.
+
+    Scale shape: two hash-aggs over the stream (per-user first-seen,
+    per-day distinct actives — both map-side combinable) joined on the
+    tiny date dimension; the cumulative window runs on the per-day
+    aggregate (≤ calendar days), never the raw stream.
+    """
+    ev = _t(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.min(F.date_trunc("day", "ts")).alias("first_d")
+    )
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("d")).agg(
+        F.countDistinct("user_id").alias("active_users")
+    )
+    news = first_seen.groupBy(F.col("first_d").alias("d")).agg(
+        F.count(F.lit(1)).alias("new_users")
+    )
+    j = daily.join(news, "d", "left").select(
+        "d",
+        "active_users",
+        F.coalesce("new_users", F.lit(0)).alias("new_users"),
+        (F.col("active_users") - F.coalesce("new_users", F.lit(0))).alias(
+            "returning_users"
+        ),
+    )
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    return j.select(
+        "d",
+        "active_users",
+        "new_users",
+        "returning_users",
+        F.sum("new_users").over(w).cast("long").alias("cumulative_users"),
     )
