@@ -248,6 +248,9 @@ HEADLINE = [
     "knn_loo_label_accuracy",
     "retrieval_eval_mrr",
     "users_new_vs_returning",
+    # wave 55 (r4) — containment dedup + SimHash hamming-radius candidates
+    "shingle_containment_pairs",
+    "simhash_hamming_candidates",
 ]
 
 KNN_BATCH_N_QUERIES = 5  # matches the knn_batch query definition

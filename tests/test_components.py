@@ -107,3 +107,47 @@ def test_python_datasource_synthetic_docs(spark):
     # the source composes with ordinary plans (filter + agg downstream)
     n_spark_docs = df.where(F.col("text").contains("spark")).count()
     assert n_spark_docs == sum(1 for t in rows.values() if "spark" in t)
+
+
+def test_python_datasource_streaming(spark, tmp_path):
+    """Spark-4 SimpleDataSourceStreamReader end-to-end: offsets advance
+    batch_size at a time, the memory sink accumulates exactly n_total
+    deterministic rows, and content matches the local generator (the
+    exactly-once replay contract a real queue/CDC connector honors)."""
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from vector_knowledge_base_spark.sources.pyds import (
+        SyntheticDocsStreamDataSource,
+        synthetic_text,
+    )
+
+    spark.dataSource.register(SyntheticDocsStreamDataSource)
+    stream = (
+        spark.readStream.format("synthetic_docs_stream")
+        .option("n_total", 60)
+        .option("batch_size", 25)  # uneven: batches of 25, 25, 10
+        .load()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("pyds_stream")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        deadline = _time.time() + 120
+        while _time.time() < deadline:
+            if spark.table("pyds_stream").count() >= 60:
+                break
+            _time.sleep(0.5)
+        rows = {
+            r["doc_id"]: r["text"]
+            for r in spark.table("pyds_stream").collect()
+        }
+    finally:
+        q.stop()
+    assert len(rows) == 60
+    assert rows == {i: synthetic_text(i) for i in range(60)}

@@ -416,3 +416,174 @@ def lsh_candidates_between(
         .select("new_id", "corpus_id")
         .distinct()
     )
+
+
+def shingle_containment_pairs(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    shingle_n: int = 3,
+    max_df: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Asymmetric CONTAINMENT near-dup pairs: containment = |A∩B| /
+    min(|A|,|B|) — the quote-inclusion detector. Jaccard misses a short
+    document fully embedded in a long one (union dominated by the long
+    side); containment flags it at 1.0. Output is oriented:
+    (contained_id, container_id) with the smaller shingle set first
+    (ties by id).
+
+    Same single-lineage posting-list formulation as
+    ``ngram_jaccard_pairs`` (sizes ride through the inverted index as
+    struct posting entries; one scan, two shuffles, zero joins;
+    ``max_df`` caps stop-shingle blowup at scale).
+    """
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    postings = (
+        docs.select(F.col(id_col), F.split(F.col(text_col), " ").alias("toks"))
+        .repartition(par)
+        .select(
+            F.col(id_col),
+            F.array_distinct(shingle_structs("toks", shingle_n)).alias("sh"),
+        )
+        .select(
+            F.struct(F.col(id_col).alias("id"), F.size("sh").alias("n")).alias(
+                "doc"
+            ),
+            F.explode("sh").alias("s"),
+        )
+        .select(
+            "doc",
+            F.xxhash64(*[F.col(f"s.{i}") for i in range(shingle_n)]).alias(
+                "shingle"
+            ),
+        )
+        .groupBy("shingle")
+        .agg(F.sort_array(F.collect_list("doc")).alias("ids"))
+    )
+    keep = F.size("ids") >= 2
+    if max_df is not None:
+        keep = keep & (F.size("ids") <= max_df)
+    pairs = (
+        postings.where(keep)
+        .select(F.explode(_pairs_from_sorted_ids("ids")).alias("p"))
+        .groupBy(
+            F.col("p.doc_id_a.id").alias("doc_id_a"),
+            F.col("p.doc_id_a.n").alias("n_a"),
+            F.col("p.doc_id_b.id").alias("doc_id_b"),
+            F.col("p.doc_id_b.n").alias("n_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    cont = F.col("n_inter") / F.least("n_a", "n_b")
+    a_contained = (F.col("n_a") < F.col("n_b")) | (
+        (F.col("n_a") == F.col("n_b")) & (F.col("doc_id_a") < F.col("doc_id_b"))
+    )
+    return (
+        pairs.where(cont >= threshold)
+        .select(
+            F.when(a_contained, F.col("doc_id_a"))
+            .otherwise(F.col("doc_id_b"))
+            .alias("contained_id"),
+            F.when(a_contained, F.col("doc_id_b"))
+            .otherwise(F.col("doc_id_a"))
+            .alias("container_id"),
+            F.round(cont, 6).alias("containment"),
+        )
+    )
+
+
+def simhash_nbit(
+    docs: DataFrame,
+    nbits: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Generalized n-bit SimHash (same construction as ``simhash16``,
+    parameterized width). Wider fingerprints discriminate better —
+    16 bits saturate on small vocabularies (every doc within a few
+    bits of every other); 32/64 bits keep hamming distances spread."""
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    h = (
+        docs.select(
+            F.col(id_col),
+            F.array_distinct(F.split(F.col(text_col), " ")).alias("toks"),
+        )
+        .repartition(par)
+        .select(F.col(id_col), F.explode("toks").alias("tok"))
+        .select(F.col(id_col), h32(F.col("tok")).alias("h"))
+    )
+    sums = [
+        F.sum(
+            F.when(F.shiftright("h", b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"s_{b}")
+        for b in range(nbits)
+    ]
+    s = h.groupBy(id_col).agg(*sums)
+    sim = None
+    for b in range(nbits):
+        bit = F.when(F.col(f"s_{b}") >= 0, F.lit(2**b)).otherwise(F.lit(0))
+        sim = bit if sim is None else sim + bit
+    return s.select(F.col(id_col), sim.cast("bigint").alias("simhash"))
+
+
+def simhash_hamming_candidates(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    nbits: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """SimHash near-dup candidates within a hamming radius, via
+    PIGEONHOLE banding: split the ``nbits``-bit fingerprint into
+    ``max_hamming + 1`` chunks — a pair within the radius must agree on
+    at least one whole chunk, so an equijoin on (chunk_idx,
+    chunk_value) finds every such pair while touching only
+    chunk-collisions (the multi-index trick from Manku et al.,
+    WWW'07 — O(collisions), never O(n²)). Candidates are verified
+    exactly with bit_count(xor) ≤ max_hamming. Width matters: 16-bit
+    sketches saturate on small vocabularies (dense collisions); 32+
+    bits keep the candidate set sparse at the same radius.
+    """
+    n_chunks = max_hamming + 1
+    bits = nbits // n_chunks
+    mask = (1 << bits) - 1
+    sim = simhash_nbit(docs, nbits=nbits, id_col=id_col, text_col=text_col)
+    chunks = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(c).alias("chunk"),
+                    F.shiftright("simhash", bits * c)
+                    .bitwiseAND(F.lit(mask))
+                    .alias("ck"),
+                )
+                for c in range(n_chunks)
+            ]
+        )
+    )
+    banded = sim.select(F.col(id_col), "simhash", chunks.alias("b")).select(
+        F.col(id_col), "simhash", "b.chunk", "b.ck"
+    )
+    a = banded.select(
+        F.col(id_col).alias("doc_id_a"),
+        F.col("simhash").alias("sim_a"),
+        "chunk",
+        "ck",
+    )
+    b = banded.select(
+        F.col(id_col).alias("doc_id_b"),
+        F.col("simhash").alias("sim_b"),
+        "chunk",
+        "ck",
+    )
+    ham = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return (
+        a.join(b, ["chunk", "ck"])
+        .where(F.col("doc_id_a") < F.col("doc_id_b"))
+        .where(ham <= max_hamming)
+        .select(
+            "doc_id_a", "doc_id_b", ham.cast("long").alias("hamming")
+        )
+        .distinct()
+    )

@@ -9733,3 +9733,114 @@ def q_users_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
         "returning_users",
         F.sum("new_users").over(w).cast("long").alias("cumulative_users"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Wave 55 — dedup family completions: asymmetric containment (quote
+# inclusion) and SimHash hamming-radius candidates (Manku pigeonhole).
+# ---------------------------------------------------------------------------
+
+_CONTAINMENT_ORACLE = (
+    "WITH "
+    + _SHINGLE_CTE
+    + """,
+df_counts AS (SELECT shingle, COUNT(DISTINCT doc_id) AS df FROM sh GROUP BY shingle),
+sh_capped AS (SELECT sh.* FROM sh JOIN df_counts USING (shingle) WHERE df <= 50),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, COUNT(*) AS n_inter
+  FROM sh_capped a JOIN sh_capped b
+    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), scored AS (
+  SELECT doc_id_a, doc_id_b, sa.n_sh AS n_a, sb.n_sh AS n_b,
+         n_inter * 1.0 / LEAST(sa.n_sh, sb.n_sh) AS cont
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = doc_id_a
+  JOIN sizes sb ON sb.doc_id = doc_id_b
+)
+SELECT CASE WHEN n_a < n_b OR (n_a = n_b AND doc_id_a < doc_id_b)
+            THEN doc_id_a ELSE doc_id_b END AS contained_id,
+       CASE WHEN n_a < n_b OR (n_a = n_b AND doc_id_a < doc_id_b)
+            THEN doc_id_b ELSE doc_id_a END AS container_id,
+       ROUND(cont, 6) AS containment
+FROM scored WHERE cont >= 0.5
+"""
+)
+
+
+@query("shingle_containment_pairs", oracle=_CONTAINMENT_ORACLE)
+def q_shingle_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment dedup (quote-inclusion detector):
+    containment = |A∩B| / min(|A|,|B|) flags a short document embedded
+    inside a long one at 1.0 where Jaccard sees only a small union
+    ratio — the near-dup mode document-level Jaccard structurally
+    misses. Oriented output: (contained, container).
+
+    Scale shape: the same single-lineage posting-list formulation as
+    the Jaccard family (sizes ride through the inverted index, df cap
+    kills stop-shingle blowup) — one scan, two shuffles, zero joins;
+    only the final ratio differs.
+    """
+    from vector_knowledge_base_spark.operators.text_dedup import (
+        shingle_containment_pairs,
+    )
+
+    # NOTE df-cap semantics: the cap here bounds each posting LIST
+    # (max_df applies to the hashed-shingle posting length), mirrored
+    # in the oracle by the df<=50 filtered shingle relation; sizes stay
+    # uncapped on both sides.
+    return shingle_containment_pairs(
+        _t(spark, sf_dir, "documents"), threshold=0.5, max_df=50
+    )
+
+
+_SIMHASH32_SUMS = ",\n  ".join(
+    f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s_{b}"
+    for b in range(32)
+)
+_SIMHASH32_VALUE = " + ".join(
+    f"(CASE WHEN s_{b} >= 0 THEN {2**b} ELSE 0 END)" for b in range(32)
+)
+
+_SIMHASH_CAND_ORACLE = f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents
+),
+h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h FROM toks),
+s AS (SELECT doc_id, {_SIMHASH32_SUMS} FROM h GROUP BY doc_id),
+f AS (SELECT doc_id, CAST({_SIMHASH32_VALUE} AS BIGINT) AS simhash FROM s),
+banded AS (
+  SELECT doc_id, simhash, c.chunk,
+         (simhash >> (c.chunk * 8)) & 255 AS ck
+  FROM f, (VALUES (0), (1), (2), (3)) c(chunk)
+)
+SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM banded a JOIN banded b USING (chunk, ck)
+WHERE a.doc_id < b.doc_id
+  AND bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+
+
+@query("simhash_hamming_candidates", oracle=_SIMHASH_CAND_ORACLE)
+def q_simhash_hamming_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs within hamming radius 3 over a 32-BIT
+    fingerprint, by PIGEONHOLE banding (Manku et al., WWW'07): 4 chunks
+    of 8 bits — a pair within hamming ≤ 3 must agree on ≥ 1 whole chunk, so an equijoin on
+    (chunk, value) finds every such pair at O(chunk collisions), never
+    O(n²); candidates verify exactly via bit_count(xor). Completes the
+    dedup-candidate family: MinHash-LSH ~ Jaccard, this ~ hamming on
+    the SimHash sketch (robust to small token-weight drift).
+
+    Scale shape: fingerprints are one codegen hash-agg row per doc;
+    banding explodes 4 rows/doc; the equijoin shuffles 16-byte rows on
+    (chunk, value). The verify touches candidates only.
+    """
+    from vector_knowledge_base_spark.operators.text_dedup import (
+        simhash_hamming_candidates,
+    )
+
+    return simhash_hamming_candidates(
+        _t(spark, sf_dir, "documents"), max_hamming=3, nbits=32
+    )

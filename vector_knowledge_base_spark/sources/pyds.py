@@ -20,7 +20,12 @@ from __future__ import annotations
 
 import hashlib
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 _WORDS = [
     "spark", "vector", "table", "query", "index", "batch", "stream",
@@ -78,3 +83,64 @@ class SyntheticDocsReader(DataSourceReader):
     def read(self, partition: _RangePartition):
         for doc_id in range(partition.start, partition.end):
             yield (doc_id, synthetic_text(doc_id))
+
+
+class SyntheticDocsStreamDataSource(DataSource):
+    """Streaming twin of the synthetic source (Spark 4
+    SimpleDataSourceStreamReader contract): emits ``batch_size`` docs
+    per microbatch until ``n_total``, with exactly-once offsets.
+
+    ``spark.readStream.format("synthetic_docs_stream")
+    .option("n_total", 60).option("batch_size", 20).load()``
+
+    The offset is a plain dict checkpointed by the engine;
+    ``readBetweenOffsets`` replays any offset range deterministically —
+    the recovery contract a production connector (queue/CDC feed/log
+    tailer) must honor for end-to-end exactly-once.
+    """
+
+    @classmethod
+    def name(cls) -> str:
+        return "synthetic_docs_stream"
+
+    def schema(self) -> str:
+        return "doc_id bigint, text string"
+
+    def simpleStreamReader(self, schema) -> "SyntheticDocsStreamReader":
+        return SyntheticDocsStreamReader(
+            n_total=int(self.options.get("n_total", 60)),
+            batch_size=int(self.options.get("batch_size", 20)),
+        )
+
+
+class SyntheticDocsStreamReader(SimpleDataSourceStreamReader):
+    """SimpleDataSourceStreamReader: driver-side reads (rows flow
+    through the offset log) — right for low-volume control streams;
+    a high-volume source implements the partitioned
+    DataSourceStreamReader instead so executors fetch in parallel."""
+
+    def __init__(self, n_total: int, batch_size: int):
+        self.n_total = n_total
+        self.batch_size = batch_size
+
+    def initialOffset(self) -> dict:
+        return {"pos": 0}
+
+    def read(self, start: dict):
+        lo = int(start["pos"])
+        hi = min(lo + self.batch_size, self.n_total)
+        return (
+            iter([(i, synthetic_text(i)) for i in range(lo, hi)]),
+            {"pos": hi},
+        )
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return iter(
+            [
+                (i, synthetic_text(i))
+                for i in range(int(start["pos"]), int(end["pos"]))
+            ]
+        )
+
+    def commit(self, end: dict) -> None:
+        pass
