@@ -251,6 +251,10 @@ HEADLINE = [
     # wave 55 (r4) — containment dedup + SimHash hamming-radius candidates
     "shingle_containment_pairs",
     "simhash_hamming_candidates",
+    # wave 56 (r4) — yield funnel, leak-free splits, embedding drift
+    "pipeline_yield_funnel",
+    "split_by_component_leakfree",
+    "label_centroid_drift",
 ]
 
 KNN_BATCH_N_QUERIES = 5  # matches the knn_batch query definition
@@ -304,6 +308,57 @@ def _scale_anchor(spark, sf_dir, extra, errors) -> None:
         )
 
 
+def _dedup_scale_anchor(spark, sf_dir, extra, errors) -> None:
+    """Dedup scale anchor: MinHash SIGNATURE throughput (docs/sec) on
+    the corpus vs a lazily 10×-replicated corpus (offset doc ids, a
+    per-replica suffix token so replicas aren't byte-identical). The
+    signature stage is the part of the dedup family whose cost is
+    CLAIMED linear in docs (map-side combine, shuffle = docs × 8
+    longs) — near-flat docs/sec at 10× is that claim, measured. The
+    candidate/banding stage is deliberately excluded: replicating a
+    corpus makes every replica group a real near-dup cluster, so its
+    pair count grows quadratically BY CONSTRUCTION (that regime is what
+    max_df/banding audits are for, not a throughput anchor)."""
+    try:
+        from pyspark.sql import functions as SF
+
+        from vector_knowledge_base_spark.operators.text_dedup import (
+            minhash_signatures,
+        )
+        from vector_knowledge_base_spark.sources.tables import load_table
+
+        docs = load_table(spark, sf_dir, "documents")
+        n1 = docs.count()
+        big = docs.select("doc_id", "text")
+        for i in range(1, 10):
+            big = big.unionAll(
+                docs.select(
+                    (SF.col("doc_id") + SF.lit(i * 100_000_000)).alias("doc_id"),
+                    SF.concat(SF.col("text"), SF.lit(f" rep{i}")).alias("text"),
+                )
+            )
+        t1 = []
+        for _ in range(2):
+            t0 = time.time()
+            _materialize(minhash_signatures(docs))
+            t1.append(time.time() - t0)
+        t10 = []
+        for _ in range(2):
+            t0 = time.time()
+            _materialize(minhash_signatures(big))
+            t10.append(time.time() - t0)
+        extra["minhash_sig_docs_per_sec_1x"] = round(
+            n1 / statistics.median(t1), 1
+        )
+        extra["minhash_sig_docs_per_sec_10x"] = round(
+            n1 * 10 / statistics.median(t10), 1
+        )
+    except Exception as e:  # noqa: BLE001
+        errors["minhash_sig_scale_anchor"] = (
+            f"{type(e).__name__}: {str(e).splitlines()[0][:200]}"
+        )
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -338,11 +393,12 @@ def main() -> None:
     errors: dict[str, str] = {}
     extra: dict[str, float] = {}
 
-    # Scale-up anchor FIRST (r4: with 162 headline queries the old
+    # Scale-up anchors FIRST (r4: with 162 headline queries the old
     # end-of-run placement fell past the 80% budget cut and the anchor
-    # silently vanished from BENCH_r; it is the round's key empirical
-    # scale claim, so it now spends its ~10 s before the loop).
+    # silently vanished from BENCH_r; they are the round's key empirical
+    # scale claims, so they spend their ~20 s before the loop).
     _scale_anchor(spark, sf_dir, extra, errors)
+    _dedup_scale_anchor(spark, sf_dir, extra, errors)
 
     for name in HEADLINE:
         if name not in q.QUERIES:

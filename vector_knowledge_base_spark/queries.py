@@ -9844,3 +9844,350 @@ def q_simhash_hamming_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_hamming_candidates(
         _t(spark, sf_dir, "documents"), max_hamming=3, nbits=32
     )
+
+
+# ---------------------------------------------------------------------------
+# Wave 56 — pipeline operations: per-stage yield funnel, the leak-free
+# component-keyed split (the REMEDY for split_leakage_audit's finding),
+# and embedding drift monitoring.
+# ---------------------------------------------------------------------------
+
+_YIELD_FUNNEL_ORACLE = (
+    "WITH RECURSIVE "
+    + _SHINGLE_CTE
+    + """,
+df_counts AS (SELECT shingle, COUNT(DISTINCT doc_id) AS df FROM sh GROUP BY shingle),
+sh_capped AS (SELECT sh.* FROM sh JOIN df_counts USING (shingle) WHERE df <= 50),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, COUNT(*) AS n_inter
+  FROM sh_capped a JOIN sh_capped b
+    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT doc_id_a, doc_id_b FROM inter
+  JOIN sizes sa ON sa.doc_id = doc_id_a
+  JOIN sizes sb ON sb.doc_id = doc_id_b
+  WHERE n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter) >= 0.05
+),
+bi AS (
+  SELECT doc_id_a AS id, doc_id_b AS nbr FROM pairs
+  UNION ALL
+  SELECT doc_id_b AS id, doc_id_a AS nbr FROM pairs
+),
+reach AS (
+  SELECT id, nbr AS r FROM bi
+  UNION
+  SELECT bi.id, reach.r FROM bi JOIN reach ON bi.nbr = reach.id
+),
+comp AS (SELECT id, LEAST(id, MIN(r)) AS component FROM reach GROUP BY id),
+s1 AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+s2 AS (
+  SELECT d.doc_id FROM documents d
+  JOIN s1 USING (doc_id)
+  LEFT JOIN comp c ON c.id = d.doc_id
+  WHERE COALESCE(c.component, d.doc_id) = d.doc_id
+),
+s3 AS (
+  SELECT s2.doc_id FROM s2 JOIN (
+    SELECT doc_id FROM (
+      SELECT doc_id,
+             LEN(string_split(text, ' ')) AS n_words,
+             (LENGTH(text) - LEN(string_split(text, ' ')) + 1) * 1.0
+               / LEN(string_split(text, ' ')) AS mwl,
+             LEN(list_filter(string_split(text, ' '),
+                 t -> t IN ('the','a','of','and','to','in','is','it')))
+               * 1.0 / LEN(string_split(text, ' ')) AS sf
+      FROM documents
+    ) WHERE n_words BETWEEN 20 AND 80 AND mwl BETWEEN 3.0 AND 10.0
+          AND sf >= 0.01
+  ) q USING (doc_id)
+),
+funnel AS (
+  SELECT 0 AS stage_idx, 'input' AS stage,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS n_docs
+  UNION ALL SELECT 1, 'exact_dedup', (SELECT COUNT(*) FROM s1)
+  UNION ALL SELECT 2, 'neardup_canonical', (SELECT COUNT(*) FROM s2)
+  UNION ALL SELECT 3, 'gopher_quality', (SELECT COUNT(*) FROM s3)
+)
+SELECT CAST(stage_idx AS BIGINT) AS stage_idx, stage,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       ROUND(n_docs * 1.0 / MAX(n_docs) OVER (), 4) AS pct_of_input,
+       ROUND(n_docs * 1.0 / LAG(n_docs, 1, n_docs)
+             OVER (ORDER BY stage_idx), 4) AS pct_of_prev
+FROM funnel
+"""
+)
+
+
+@query("pipeline_yield_funnel", oracle=_YIELD_FUNNEL_ORACLE)
+def q_pipeline_yield_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stage yield funnel of the cleaning pipeline: input → exact
+    dedup → near-dup canonical → Gopher quality, each applied to the
+    previous stage's survivors, with retention vs input and vs the
+    previous stage. pipeline_clean_corpus emits the final survivors;
+    THIS is the report that says which stage ate the data — the first
+    thing an operator reads after a curation run.
+
+    Scale shape: the stages share one pass each (hash-agg exact keys,
+    the capped pair graph + components, a scan-projection rule filter);
+    the funnel itself is four 1-row counts unioned, windowed over 4
+    rows. Nothing beyond what the pipeline already computes.
+    """
+    from vector_knowledge_base_spark.operators.components import dedup_canonical
+    from vector_knowledge_base_spark.operators.text_dedup import ngram_jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    s1 = (
+        docs.select("doc_id", F.md5(F.col("text").cast("binary")).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    pairs = ngram_jaccard_pairs(docs, threshold=0.05, max_df=50)
+    canon = dedup_canonical(docs, pairs)
+    s2 = (
+        s1.join(canon, "doc_id")
+        .where(F.col("canonical_id") == F.col("doc_id"))
+        .select("doc_id")
+    )
+    toks = F.split(F.col("text"), " ")
+    n_words = F.size(toks)
+    mean_wl = (F.length("text") - n_words + 1) * F.lit(1.0) / n_words
+    stop = ["the", "a", "of", "and", "to", "in", "is", "it"]
+    stop_frac = F.size(F.filter(toks, lambda t: t.isin(stop))) * F.lit(1.0) / n_words
+    quality = docs.where(
+        n_words.between(20, 80) & mean_wl.between(3.0, 10.0) & (stop_frac >= 0.01)
+    ).select("doc_id")
+    s3 = s2.join(quality, "doc_id", "left_semi")
+
+    def stage(idx, name, frame):
+        return frame.agg(
+            F.lit(idx).cast("long").alias("stage_idx"),
+            F.lit(name).alias("stage"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+
+    funnel = (
+        stage(0, "input", docs)
+        .unionAll(stage(1, "exact_dedup", s1))
+        .unionAll(stage(2, "neardup_canonical", s2))
+        .unionAll(stage(3, "gopher_quality", s3))
+    )
+    w_all = Window.partitionBy()
+    w_ord = Window.orderBy("stage_idx")
+    return funnel.select(
+        "stage_idx",
+        "stage",
+        "n_docs",
+        F.round(F.col("n_docs") * 1.0 / F.max("n_docs").over(w_all), 4).alias(
+            "pct_of_input"
+        ),
+        F.round(
+            F.col("n_docs")
+            * 1.0
+            / F.lag("n_docs", 1).over(w_ord),
+            4,
+        ).alias("pct_of_prev"),
+    ).select(
+        "stage_idx",
+        "stage",
+        "n_docs",
+        "pct_of_input",
+        F.coalesce("pct_of_prev", F.lit(1.0)).alias("pct_of_prev"),
+    )
+
+
+_LEAKFREE_SPLIT_ORACLE = (
+    "WITH RECURSIVE "
+    + _SHINGLE_CTE
+    + """,
+df_counts AS (SELECT shingle, COUNT(DISTINCT doc_id) AS df FROM sh GROUP BY shingle),
+sh_capped AS (SELECT sh.* FROM sh JOIN df_counts USING (shingle) WHERE df <= 50),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, COUNT(*) AS n_inter
+  FROM sh_capped a JOIN sh_capped b
+    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT doc_id_a, doc_id_b FROM inter
+  JOIN sizes sa ON sa.doc_id = doc_id_a
+  JOIN sizes sb ON sb.doc_id = doc_id_b
+  WHERE n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter) >= 0.05
+),
+bi AS (
+  SELECT doc_id_a AS id, doc_id_b AS nbr FROM pairs
+  UNION ALL
+  SELECT doc_id_b AS id, doc_id_a AS nbr FROM pairs
+),
+reach AS (
+  SELECT id, nbr AS r FROM bi
+  UNION
+  SELECT bi.id, reach.r FROM bi JOIN reach ON bi.nbr = reach.id
+),
+comp AS (SELECT id, LEAST(id, MIN(r)) AS component FROM reach GROUP BY id),
+canon AS (
+  SELECT d.doc_id,
+         COALESCE(c.component, d.doc_id) AS canonical_id
+  FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+),
+split AS (
+  SELECT doc_id, CASE
+    WHEN ('0x' || substr(md5(CAST(canonical_id AS VARCHAR)), 1, 8))::BIGINT
+         % 100 < 80 THEN 'train'
+    WHEN ('0x' || substr(md5(CAST(canonical_id AS VARCHAR)), 1, 8))::BIGINT
+         % 100 < 90 THEN 'val'
+    ELSE 'test' END AS split
+  FROM canon
+)
+SELECT LEAST(sa.split, sb.split) || '|' || GREATEST(sa.split, sb.split)
+         AS split_pair,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       (LEAST(sa.split, sb.split) <> GREATEST(sa.split, sb.split)) AS is_leak
+FROM pairs
+JOIN split sa ON sa.doc_id = pairs.doc_id_a
+JOIN split sb ON sb.doc_id = pairs.doc_id_b
+GROUP BY 1, 3
+"""
+)
+
+
+@query("split_by_component_leakfree", oracle=_LEAKFREE_SPLIT_ORACLE)
+def q_split_by_component_leakfree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REMEDY for split_leakage_audit: split assignment keyed on the
+    near-dup COMPONENT's canonical id (md5-bucket 80/10/10), so every
+    member of a dedup cluster lands in the same split by construction —
+    the audit re-run over the same pair graph must show zero cross-split
+    pairs (every output row has is_leak = false). This is how LLM
+    pipelines actually split: by group, never by document.
+
+    Scale shape: adds ONE broadcast-size join (doc → canonical) on top
+    of the audit's plan; the split rule is the registry's replayable
+    md5-bucket sampling applied to the canonical id.
+    """
+    from vector_knowledge_base_spark.operators.components import dedup_canonical
+    from vector_knowledge_base_spark.operators.text_dedup import ngram_jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.05, max_df=50).select(
+        "doc_id_a", "doc_id_b"
+    )
+    canon = dedup_canonical(docs, pairs)
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.col("canonical_id").cast("string").cast("binary")), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    split = canon.select(
+        "doc_id",
+        F.when(bucket < 80, "train")
+        .when(bucket < 90, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+    sa = split.withColumnsRenamed({"doc_id": "doc_id_a", "split": "split_a"})
+    sb = split.withColumnsRenamed({"doc_id": "doc_id_b", "split": "split_b"})
+    tagged = pairs.join(sa, "doc_id_a").join(sb, "doc_id_b")
+    lo = F.least("split_a", "split_b")
+    hi = F.greatest("split_a", "split_b")
+    return (
+        tagged.groupBy(
+            F.concat_ws("|", lo, hi).alias("split_pair"),
+            (lo != hi).alias("is_leak"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .select("split_pair", "n_pairs", "is_leak")
+    )
+
+
+_CENTROID_DRIFT_ORACLE = """
+WITH ex AS (
+  SELECT label, vec_id % 2 AS half, u.dim AS dim, u.v AS v
+  FROM embeddings,
+  LATERAL (SELECT unnest(embedding::DOUBLE[]) AS v,
+                  generate_subscripts(embedding, 1) AS dim) u
+), cent AS (
+  SELECT label, half, dim, AVG(v) AS c FROM ex GROUP BY 1, 2, 3
+), wide AS (
+  SELECT a.label, a.dim, a.c AS ca, b.c AS cb
+  FROM cent a JOIN cent b USING (label, dim)
+  WHERE a.half = 0 AND b.half = 1
+), per AS (
+  SELECT label,
+         SUM(ca * cb) AS dot,
+         SQRT(SUM(ca * ca)) AS na,
+         SQRT(SUM(cb * cb)) AS nb
+  FROM wide GROUP BY label
+), counts AS (
+  SELECT label,
+         CAST(COUNT(*) FILTER (vec_id % 2 = 0) AS BIGINT) AS n_a,
+         CAST(COUNT(*) FILTER (vec_id % 2 = 1) AS BIGINT) AS n_b
+  FROM embeddings GROUP BY label
+)
+SELECT per.label, counts.n_a, counts.n_b,
+       ROUND(per.dot / (per.na * per.nb), 6) AS centroid_cosine,
+       ROUND(per.na, 6) AS norm_a,
+       ROUND(per.nb, 6) AS norm_b
+FROM per JOIN counts USING (label)
+"""
+
+
+@query("label_centroid_drift", oracle=_CENTROID_DRIFT_ORACLE)
+def q_label_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding drift monitor: per label, the cosine between the class
+    centroid computed on two corpus halves (even/odd vec_id — the
+    deterministic stand-in for before/after an embedder change or a
+    time split). Centroid cosine near 1 = the class's region is stable;
+    a drop means re-embedding moved the class and downstream ANN
+    indexes / cluster labels need a rebuild. The PSI-drift twin for the
+    vector column.
+
+    Scale shape: one posexplode and one (label, half, dim) hash-agg —
+    the corpus reduces to 2·|labels|·dim rows before any comparison;
+    the drift math runs entirely on centroids (the closed-form trick
+    the class-margin query established).
+    """
+    emb = _t(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "label",
+        (F.col("vec_id") % 2).alias("half"),
+        F.posexplode("embedding").alias("dim", "v"),
+    )
+    cent = ex.groupBy("label", "half", "dim").agg(F.avg("v").alias("c"))
+    a = cent.where(F.col("half") == 0).select(
+        "label", "dim", F.col("c").alias("ca")
+    )
+    b = cent.where(F.col("half") == 1).select(
+        "label", "dim", F.col("c").alias("cb")
+    )
+    per = (
+        a.join(b, ["label", "dim"])
+        .groupBy("label")
+        .agg(
+            F.sum(F.col("ca") * F.col("cb")).alias("dot"),
+            F.sqrt(F.sum(F.col("ca") * F.col("ca"))).alias("na"),
+            F.sqrt(F.sum(F.col("cb") * F.col("cb"))).alias("nb"),
+        )
+    )
+    counts = emb.groupBy("label").agg(
+        F.sum((F.col("vec_id") % 2 == 0).cast("long")).alias("n_a"),
+        F.sum((F.col("vec_id") % 2 == 1).cast("long")).alias("n_b"),
+    )
+    return per.join(counts, "label").select(
+        "label",
+        "n_a",
+        "n_b",
+        F.round(F.col("dot") / (F.col("na") * F.col("nb")), 6).alias(
+            "centroid_cosine"
+        ),
+        F.round("na", 6).alias("norm_a"),
+        F.round("nb", 6).alias("norm_b"),
+    )
