@@ -255,6 +255,10 @@ HEADLINE = [
     "pipeline_yield_funnel",
     "split_by_component_leakfree",
     "label_centroid_drift",
+    # wave 57 (r4) — temporal PSI, backlog aging, compression quality
+    "events_weekly_psi_drift",
+    "orders_backlog_aging",
+    "compression_ratio_by_source",
 ]
 
 KNN_BATCH_N_QUERIES = 5  # matches the knn_batch query definition

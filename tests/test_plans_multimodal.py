@@ -384,3 +384,54 @@ def test_pack_sequences_window_is_sharded(spark):
     plan = explain_str(q.QUERIES["pack_sequences_greedy"](spark, SF))
     assert "SinglePartition" not in plan, plan
     assert "hashpartitioning(shard" in plan, plan
+
+
+def test_transitions_window_is_user_partitioned(spark):
+    """event_type_transitions' per-row window must partition by user —
+    never a global-order single-partition sort of the stream."""
+    from vector_knowledge_base_spark import queries as q
+
+    plan = explain_str(q.QUERIES["event_type_transitions"](spark, SF))
+    win_lines = [l for l in plan.splitlines() if "partitionBy" in l.lower() or "windowspecdefinition" in l.lower()]
+    assert "user_id" in plan
+    assert "CartesianProduct" not in plan
+    # the raw-stream window carries the user partition key
+    assert any("user_id" in l for l in plan.splitlines() if "Window" in l or "windowspec" in l.lower()) or "user_id" in " ".join(win_lines)
+
+
+def test_curriculum_bands_no_global_rank(spark):
+    """curriculum_quality_bands must assign bands by comparing to
+    broadcast percentile BOUNDS — no ntile/row_number global rank over
+    the corpus (the single-partition-sort anti-pattern)."""
+    from vector_knowledge_base_spark import queries as q
+
+    plan = explain_str(q.QUERIES["curriculum_quality_bands"](spark, SF))
+    # "percentile(" ends in "ntile(" — strip it before the rank check
+    deperc = plan.replace("percentile(", "PCTL(")
+    assert "ntile(" not in deperc
+    assert "row_number(" not in deperc
+    # the 1-row bounds side joins as a broadcast
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_snapshot_diff_single_equijoin(spark):
+    """snapshot_diff_orders is ONE key-equijoin (full outer SMJ/SHJ) —
+    no nested-loop, no cartesian, nothing quadratic."""
+    from vector_knowledge_base_spark import queries as q
+
+    plan = explain_str(q.QUERIES["snapshot_diff_orders"](spark, SF))
+    assert "FullOuter" in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_simhash_candidates_equijoin_only(spark):
+    """simhash_hamming_candidates joins on (chunk, value) equality —
+    the pigeonhole trick means NO all-pairs operator may appear."""
+    from vector_knowledge_base_spark import queries as q
+
+    plan = explain_str(q.QUERIES["simhash_hamming_candidates"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan

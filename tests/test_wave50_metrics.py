@@ -58,3 +58,35 @@ def test_vocab_coverage_window_runs_on_aggregated_vocab(spark):
     w = plan.find("Window")
     assert w != -1
     assert "HashAggregate" in plan[w:], plan[:2000]
+
+
+def test_compression_ratio_orders_repetitive_below_shuffled(spark):
+    """Property: repetitive text compresses strictly below high-entropy
+    text of the same length — the discrimination the Dolma-style filter
+    relies on; plus ratio sanity bounds on the real corpus."""
+    from pyspark.sql import functions as F
+
+    from vector_knowledge_base_spark.operators.compression import (
+        compression_ratios,
+    )
+    from vector_knowledge_base_spark.sources.tables import load_table
+
+    rep = "token " * 200
+    # deterministic pseudo-random text of comparable length
+    import hashlib
+
+    rnd = " ".join(
+        hashlib.md5(str(i).encode()).hexdigest()[:5] for i in range(200)
+    )
+    df = spark.createDataFrame(
+        [(0, rep), (1, rnd)], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r["ratio"] for r in compression_ratios(df).collect()}
+    assert got[0] < got[1] / 3  # repetition compresses dramatically better
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    stats = (
+        compression_ratios(docs)
+        .agg(F.min("ratio").alias("lo"), F.max("ratio").alias("hi"))
+        .first()
+    )
+    assert 0.0 < stats["lo"] <= stats["hi"] < 2.0

@@ -10191,3 +10191,232 @@ def q_label_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("na", 6).alias("norm_a"),
         F.round("nb", 6).alias("norm_b"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Wave 57 — temporal drift, backlog aging, compression-ratio quality.
+# ---------------------------------------------------------------------------
+
+_WEEKLY_PSI_ORACLE = """
+WITH base AS (
+  SELECT date_trunc('week', ts) AS wk, value FROM events
+), w0 AS (SELECT MIN(wk) AS wk0 FROM base),
+bounds AS (
+  SELECT quantile_cont(value, 0.1) AS b1, quantile_cont(value, 0.2) AS b2,
+         quantile_cont(value, 0.3) AS b3, quantile_cont(value, 0.4) AS b4,
+         quantile_cont(value, 0.5) AS b5, quantile_cont(value, 0.6) AS b6,
+         quantile_cont(value, 0.7) AS b7, quantile_cont(value, 0.8) AS b8,
+         quantile_cont(value, 0.9) AS b9
+  FROM base, w0 WHERE wk = wk0
+), bucketed AS (
+  SELECT wk,
+         (value > b1)::INT + (value > b2)::INT + (value > b3)::INT
+       + (value > b4)::INT + (value > b5)::INT + (value > b6)::INT
+       + (value > b7)::INT + (value > b8)::INT + (value > b9)::INT AS bkt
+  FROM base, bounds
+), counts AS (
+  SELECT wk, bkt, COUNT(*) AS n FROM bucketed GROUP BY 1, 2
+), tot AS (SELECT wk, SUM(n) AS nt FROM counts GROUP BY wk),
+p AS (
+  SELECT counts.wk, bkt, counts.n * 1.0 / tot.nt AS p
+  FROM counts JOIN tot USING (wk)
+), pb AS (
+  SELECT bkt, p AS p0 FROM p, w0 WHERE wk = wk0
+)
+SELECT p.wk AS week_start,
+       CAST(COUNT(*) AS BIGINT) AS n_buckets,
+       ROUND(SUM((p.p - pb.p0) * LN(p.p / pb.p0)), 6) AS psi
+FROM p JOIN pb USING (bkt)
+GROUP BY p.wk
+"""
+
+
+@query("events_weekly_psi_drift", oracle=_WEEKLY_PSI_ORACLE)
+def q_events_weekly_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal drift monitor: PSI of the event-value distribution per
+    week against the FIRST week's deciles — the time-axis twin of
+    source_drift_psi (which compares sources). PSI > 0.1 flags the week
+    a pipeline owner investigates; the baseline-decile construction is
+    exactly how production drift monitors pin the reference bins.
+
+    Scale shape: baseline decile bounds are one exact-percentile agg
+    over the reference week (a 1-row broadcast; approx_percentile at
+    100 TB — quantile_sketch_audit measures that corridor); bucketing
+    is a codegen sum of 9 comparisons; everything after the (week,
+    bucket) hash-agg operates on |weeks|×10 rows.
+    """
+    ev = _t(spark, sf_dir, "events")
+    base = ev.select(F.date_trunc("week", "ts").alias("wk"), "value")
+    w0 = base.agg(F.min("wk").alias("wk0"))
+    bounds = (
+        base.join(F.broadcast(w0), base["wk"] == w0["wk0"])
+        .agg(
+            *[
+                F.percentile("value", F.lit(q / 10.0)).alias(f"b{q}")
+                for q in range(1, 10)
+            ]
+        )
+    )
+    bkt = sum(
+        (F.col("value") > F.col(f"b{q}")).cast("int") for q in range(1, 10)
+    )
+    bucketed = base.crossJoin(F.broadcast(bounds)).select(
+        "wk", bkt.alias("bkt")
+    )
+    counts = bucketed.groupBy("wk", "bkt").agg(F.count(F.lit(1)).alias("n"))
+    tot = counts.groupBy("wk").agg(F.sum("n").alias("nt"))
+    p = counts.join(tot, "wk").select(
+        "wk", "bkt", (F.col("n") * 1.0 / F.col("nt")).alias("p")
+    )
+    pb = p.join(F.broadcast(w0), p["wk"] == w0["wk0"]).select(
+        "bkt", F.col("p").alias("p0")
+    )
+    return (
+        p.join(F.broadcast(pb), "bkt")
+        .groupBy(F.col("wk").alias("week_start"))
+        .agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.round(
+                F.sum(
+                    (F.col("p") - F.col("p0")) * F.log(F.col("p") / F.col("p0"))
+                ),
+                6,
+            ).alias("psi"),
+        )
+    )
+
+
+_BACKLOG_AGING_ORACLE = """
+WITH snap AS (SELECT MAX(o_orderdate) AS as_of FROM orders),
+open_orders AS (
+  SELECT date_diff('day', o_orderdate, as_of) AS age_days,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders, snap WHERE o_orderstatus IN ('O', 'P')
+)
+SELECT CASE WHEN age_days <= 30 THEN '0-30'
+            WHEN age_days <= 90 THEN '31-90'
+            WHEN age_days <= 180 THEN '91-180'
+            ELSE '180+' END AS age_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       ROUND(CAST(SUM(cents) AS DOUBLE) / 100, 2) AS open_value
+FROM open_orders GROUP BY 1
+"""
+
+
+@query("orders_backlog_aging", oracle=_BACKLOG_AGING_ORACLE)
+def q_orders_backlog_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backlog aging report: open orders (status O/P) bucketed by age at
+    the latest order date, with order counts and open value per band —
+    the receivables-style aging snapshot every order warehouse ships.
+    Money summed in integer cents (cross-engine exact; see
+    snapshot_diff_orders).
+
+    Scale shape: one 1-row max-date broadcast, a pushdown-friendly
+    status filter, and a 4-row hash-agg — pure scan-side work.
+    """
+    o = _t(spark, sf_dir, "orders")
+    snap = o.agg(F.max("o_orderdate").alias("as_of"))
+    age = F.datediff(F.col("as_of"), F.col("o_orderdate"))
+    open_orders = (
+        o.where(F.col("o_orderstatus").isin("O", "P"))
+        .crossJoin(F.broadcast(snap))
+        .select(
+            age.alias("age_days"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+    )
+    bucket = (
+        F.when(F.col("age_days") <= 30, "0-30")
+        .when(F.col("age_days") <= 90, "31-90")
+        .when(F.col("age_days") <= 180, "91-180")
+        .otherwise("180+")
+    )
+    return open_orders.groupBy(bucket.alias("age_bucket")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("cents").cast("double") / 100, 2).alias("open_value"),
+    )
+
+
+def _compression_inline_fixtures():
+    """Inline corpus for the driver-checked compression kernel: the
+    expected sizes are computed with the SAME interpreter's zlib that
+    the executors run, so the VALUES oracle is exact by construction
+    (the multimodal_image_meta_inline known-answer pattern)."""
+    return [
+        (0, "the quick brown fox jumps over the lazy dog " * 4),
+        (1, "aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa"),
+        (2, "spark vector table query index batch stream merge scan"),
+        (3, "x"),
+        (4, "ab" * 200),
+    ]
+
+
+def _compression_inline_oracle() -> str:
+    from vector_knowledge_base_spark.operators.compression import (
+        compressed_size,
+    )
+
+    rows = []
+    for doc_id, text in _compression_inline_fixtures():
+        nb = len(text.encode("utf-8"))
+        nc = compressed_size(text)
+        rows.append(
+            f"({doc_id}, {nb}, {nc}, {round(nc / nb, 6)})"
+        )
+    return (
+        "SELECT CAST(doc_id AS BIGINT) AS doc_id,"
+        " CAST(n_bytes AS BIGINT) AS n_bytes,"
+        " CAST(n_compressed AS BIGINT) AS n_compressed,"
+        " CAST(ratio AS DOUBLE) AS ratio FROM (VALUES "
+        + ", ".join(rows)
+        + ") t(doc_id, n_bytes, n_compressed, ratio)"
+    )
+
+
+@query("compression_ratio_inline", oracle=_compression_inline_oracle())
+def q_compression_ratio_inline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compression-ratio quality kernel (Dolma/RedPajama filter) on an
+    inline known-answer corpus: repetitive strings compress far below
+    prose, making zlib ratio a language-agnostic boilerplate detector.
+    The expected VALUES are produced by the same zlib the executors
+    call, so the driver hash-checks the kernel end to end.
+
+    Scale shape: Arrow-batched mapInPandas (zlib is C-speed; one
+    Python crossing per ~10k-row batch), only (id, text) crosses.
+    """
+    from vector_knowledge_base_spark.operators.compression import (
+        compression_ratios,
+    )
+
+    df = spark.createDataFrame(
+        _compression_inline_fixtures(), "doc_id long, text string"
+    )
+    return compression_ratios(df)
+
+
+@query("compression_ratio_by_source", oracle=None)
+def q_compression_ratio_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source compression-ratio profile over the documents corpus
+    (rows-only: DuckDB has no zlib; the kernel itself is driver-checked
+    by compression_ratio_inline, and property tests pin that repetitive
+    text compresses below shuffled text): avg/min ratio and the count
+    of suspiciously-compressible documents (ratio < 0.35) per source."""
+    from vector_knowledge_base_spark.operators.compression import (
+        compression_ratios,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    ratios = compression_ratios(docs)
+    src = docs.select("doc_id", "source")
+    return (
+        ratios.join(src, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("ratio"), 6).alias("avg_ratio"),
+            F.round(F.min("ratio"), 6).alias("min_ratio"),
+            F.sum((F.col("ratio") < 0.35).cast("long")).alias(
+                "n_high_compress"
+            ),
+        )
+    )
