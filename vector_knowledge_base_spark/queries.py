@@ -750,6 +750,12 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 # stays in-window: sliding↔tumbling window, except↔intersect set op,
 # cube↔rollup, uncapped↔capped Jaccard, lag↔row_number window, scalar
 # chain↔normalize-clamp. All remain oracled + pytest-checked at sf0.01.
+#
+# Late-r4 rotation: four new FIRST-CLASS families earned window slots
+# (retrieval eval MRR/NDCG, reciprocal-NN pairs, CDC snapshot diff, the
+# zlib compression kernel) by demoting four entries whose family twin
+# stays in-window (token_count_regex↔text_stats, range↔as-of join,
+# hourly-histogram↔tumbling-window, lang_distribution↔language-ID).
 # ============================================================================
 _WINDOW_PROMOTE = [
     # r3 promotions
@@ -769,6 +775,11 @@ _WINDOW_PROMOTE = [
     # r4 wave 42 — layout + sketch-audit families
     "zorder_layout_stats",         # Z-order pruning effectiveness
     "quantile_sketch_audit",       # approx-quantile vs exact percentiles
+    # r4 waves 51-57 — new first-class families earn driver-hash rows
+    "retrieval_eval_mrr",          # IR eval harness (MRR/P@10/NDCG@10)
+    "mutual_knn_pairs",            # reciprocal-NN dedup confidence
+    "snapshot_diff_orders",        # warehouse CDC snapshot diff
+    "compression_ratio_inline",    # zlib quality kernel (known-answer)
 ]
 _WINDOW_DEMOTE = [
     # rows-only registrations (no SQL oracle possible for raw outputs)
@@ -788,6 +799,11 @@ _WINDOW_DEMOTE = [
     "cluster_members_sorted",           # twin: cluster_stats/_noise
     "percentiles_by_flag",              # twin: quantile_sketch_audit (superset)
     "json_props_extract",               # twin: scalar_function_chain (C-family)
+    # r4 late-window demotions — each twin stays in-window
+    "token_count_regex",                # twin: text_stats (M4 token counts)
+    "range_join_clicks_after_purchase",  # twin: asof_last_click_before_purchase
+    "events_hourly_histogram",          # twin: events_tumbling_window
+    "lang_distribution",                # twin: language_id_heuristic
 ]
 
 
