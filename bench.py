@@ -259,6 +259,10 @@ HEADLINE = [
     "events_weekly_psi_drift",
     "orders_backlog_aging",
     "compression_ratio_by_source",
+    # wave 58 (r4) — audio decode, corpus datasheet, IVF probe curve
+    "multimodal_audio_meta_inline",
+    "dataset_datasheet_summary",
+    "ann_probe_recall_curve",
 ]
 
 KNN_BATCH_N_QUERIES = 5  # matches the knn_batch query definition

@@ -390,3 +390,48 @@ def test_exact_nn_blocked_matches_single_pass(spark):
             for r in exact_nn_blocked(emb, block_size=bs).collect()
         }
         assert got == want, f"block_size={bs}"
+
+
+def test_ann_probe_recall_curve_monotone(spark):
+    """The IVF operating curve must be monotone: scanned fraction and
+    recall both non-decreasing in n_probe, recall exactly 1.0 at full
+    probe (all cells == exact search)."""
+    from vector_knowledge_base_spark import queries as q
+
+    rows = sorted(
+        q.QUERIES["ann_probe_recall_curve"](
+            spark, "/root/testdata/sf0.001"
+        ).collect(),
+        key=lambda r: r["n_probe"],
+    )
+    fracs = [r["scanned_frac"] for r in rows]
+    recalls = [r["recall_at_10"] for r in rows]
+    assert fracs == sorted(fracs)
+    assert recalls == sorted(recalls)
+    assert rows[-1]["recall_at_10"] == 1.0
+    assert rows[-1]["scanned_frac"] == 1.0
+
+
+def test_audio_metadata_real_wav_parse(spark):
+    """WAV RIFF parsing is REAL (no stub): constructed fixtures parse to
+    their construction parameters; corrupt input yields an error row,
+    never a task failure."""
+    from vector_knowledge_base_spark.operators.multimodal import (
+        audio_metadata,
+        wav_bytes,
+    )
+
+    files = spark.createDataFrame(
+        [
+            ("ok.wav", bytearray(wav_bytes(22050, 2, 16, 11025))),
+            ("trunc.wav", bytearray(wav_bytes(22050, 2, 16, 11025)[:20])),
+            ("junk.bin", bytearray(b"\x00\x01\x02")),
+        ],
+        "path string, content binary",
+    )
+    got = {r["path"]: r for r in audio_metadata(files).collect()}
+    ok = got["ok.wav"]
+    assert (ok["n_channels"], ok["sample_rate"], ok["bits_per_sample"]) == (2, 22050, 16)
+    assert ok["duration_ms"] == 500 and ok["error"] is None
+    assert got["trunc.wav"]["error"] is not None
+    assert got["junk.bin"]["error"] is not None

@@ -10436,3 +10436,177 @@ def q_compression_ratio_by_source(spark: SparkSession, sf_dir: str) -> DataFrame
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Wave 58 — real audio metadata decode, the corpus datasheet, and the IVF
+# probe-recall tuning curve.
+# ---------------------------------------------------------------------------
+
+_AUDIO_FIXTURES = [
+    # (path, rate, channels, bits, frames) — params ARE the expectations
+    ("a.wav", 16000, 2, 16, 8000),    # 500 ms stereo 16-bit
+    ("b.wav", 44100, 1, 8, 44100),    # 1000 ms mono 8-bit
+    ("c.wav", 8000, 1, 16, 2000),     # 250 ms mono 16-bit
+]
+
+
+def _audio_inline_oracle() -> str:
+    rows = []
+    for path, rate, ch, bits, frames in _AUDIO_FIXTURES:
+        n_bytes = 44 + frames * ch * bits // 8
+        dur = round(frames * 1000 / rate)
+        rows.append(
+            f"('{path}', {n_bytes}, 'wav', {ch}, {rate}, {bits}, {dur}, NULL)"
+        )
+    rows.append("('bad.bin', 9, 'unknown', 0, 0, 0, 0, 'not a RIFF/WAVE file')")
+    return (
+        "SELECT path, CAST(n_bytes AS BIGINT) AS n_bytes, format,"
+        " CAST(n_channels AS INT) AS n_channels,"
+        " CAST(sample_rate AS INT) AS sample_rate,"
+        " CAST(bits_per_sample AS INT) AS bits_per_sample,"
+        " CAST(duration_ms AS BIGINT) AS duration_ms,"
+        " CAST(error AS VARCHAR) AS error FROM (VALUES "
+        + ", ".join(rows)
+        + ") t(path, n_bytes, format, n_channels, sample_rate,"
+        "      bits_per_sample, duration_ms, error)"
+    )
+
+
+@query("multimodal_audio_meta_inline", oracle=_audio_inline_oracle())
+def q_multimodal_audio_meta_inline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio metadata decode (no stub, no external lib): PCM WAV
+    RIFF chunk-walk — channels / sample rate / bit depth / duration —
+    over inline binary columns, with a malformed blob yielding an error
+    ROW (a 100 TB media scan must not die on one corrupt file). The
+    oracle VALUES are the fixture-construction parameters themselves:
+    true known answers, not parser echoes. Completes the multimodal
+    family's S7 analog for audio next to the PNG-IHDR image path.
+
+    Scale shape: one Arrow-batched mapInPandas stage; binary crosses
+    once per batch; partitioning carries through (no shuffle).
+    """
+    from vector_knowledge_base_spark.operators.multimodal import (
+        audio_metadata,
+        wav_bytes,
+    )
+
+    rows = [
+        (path, bytearray(wav_bytes(rate, ch, bits, frames)))
+        for path, rate, ch, bits, frames in _AUDIO_FIXTURES
+    ] + [("bad.bin", bytearray(b"NOTAWAVE!"))]
+    files = spark.createDataFrame(rows, "path string, content binary")
+    return audio_metadata(files)
+
+
+_DATASHEET_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, UNNEST(string_split(text, ' ')) AS term FROM documents
+), dup AS (
+  SELECT COUNT(*) - COUNT(DISTINCT md5(text)) AS n_exact_dups FROM documents
+)
+SELECT CAST((SELECT COUNT(*) FROM documents) AS BIGINT) AS n_docs,
+       CAST((SELECT COUNT(*) FROM tok) AS BIGINT) AS total_tokens,
+       CAST((SELECT COUNT(DISTINCT term) FROM tok) AS BIGINT) AS vocab_size,
+       CAST((SELECT COUNT(DISTINCT source) FROM documents) AS BIGINT)
+         AS n_sources,
+       CAST((SELECT COUNT(DISTINCT lang) FROM documents) AS BIGINT) AS n_langs,
+       CAST(dup.n_exact_dups AS BIGINT) AS n_exact_dups,
+       ROUND(dup.n_exact_dups * 1.0
+             / (SELECT COUNT(*) FROM documents), 6) AS exact_dup_frac,
+       ROUND((SELECT COUNT(*) FROM tok) * 1.0
+             / (SELECT COUNT(*) FROM documents), 4) AS avg_doc_tokens
+FROM dup
+"""
+
+
+@query("dataset_datasheet_summary", oracle=_DATASHEET_ORACLE)
+def q_dataset_datasheet_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row corpus datasheet (Gebru et al. "Datasheets for Datasets"
+    §composition, re-expressed as a query): document/token/vocabulary
+    counts, source and language coverage, exact-duplicate rate, and
+    mean document length — the header block of every dataset card, and
+    the first report a new corpus gets.
+
+    Scale shape: one token explode feeding two aggregates, plus
+    O(1)-row side aggregates; distincts become approx_count_distinct /
+    HLL at 100 TB (the corridor the sketch-audit queries measure).
+    """
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    tok_agg = tok.agg(
+        F.count(F.lit(1)).alias("total_tokens"),
+        F.countDistinct("term").alias("vocab_size"),
+    )
+    doc_agg = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.countDistinct("lang").alias("n_langs"),
+        (
+            F.count(F.lit(1))
+            - F.countDistinct(F.md5(F.col("text").cast("binary")))
+        ).alias("n_exact_dups"),
+    )
+    return doc_agg.crossJoin(F.broadcast(tok_agg)).select(
+        "n_docs",
+        "total_tokens",
+        "vocab_size",
+        "n_sources",
+        "n_langs",
+        "n_exact_dups",
+        F.round(F.col("n_exact_dups") * 1.0 / F.col("n_docs"), 6).alias(
+            "exact_dup_frac"
+        ),
+        F.round(F.col("total_tokens") * 1.0 / F.col("n_docs"), 4).alias(
+            "avg_doc_tokens"
+        ),
+    )
+
+
+@query("ann_probe_recall_curve", oracle=None)
+def q_ann_probe_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF tuning curve: recall@10 vs exact AND scanned-corpus fraction
+    for n_probe = 1, 2, 4, 8 over an 8-cell index — the report that
+    picks the production probe count (the per-query adaptive variant
+    ann_ivf_adaptive is driver-checked; this is its full operating
+    curve). Rows-only: probe membership depends on the KMeans
+    centroids, which no SQL engine reproduces — the monotonicity
+    property (recall and scanned fraction both non-decreasing in
+    n_probe, recall = 1 at full probe) is pinned by pytest instead.
+    """
+    import numpy as np
+
+    from vector_knowledge_base_spark.operators.ann import build_ivf
+    from vector_knowledge_base_spark.operators.knn import cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    centroids, assigned = build_ivf(emb, n_partitions=8)
+    qrow = emb.where(F.col("vec_id") == 0).select("embedding").first()
+    qv = [float(x) for x in qrow["embedding"]]
+    exact_ids = {
+        r["vec_id"] for r in cosine_topk(emb, qv, k=10).collect()
+    }
+    d = ((centroids - np.asarray(qv)) ** 2).sum(axis=1)
+    order = [int(c) for c in np.argsort(d)]
+    total = assigned.count()
+    rows = []
+    for n_probe in (1, 2, 4, 8):
+        cells = order[:n_probe]
+        sub = assigned.where(F.col("ivf_cell").isin(cells))
+        scanned = sub.count()
+        got = {r["vec_id"] for r in cosine_topk(sub, qv, k=10).collect()}
+        rows.append(
+            (
+                n_probe,
+                scanned,
+                round(scanned / total, 4),
+                len(got & exact_ids),
+                round(len(got & exact_ids) / 10.0, 4),
+            )
+        )
+    assigned.unpersist()
+    return spark.createDataFrame(
+        rows,
+        "n_probe int, scanned_rows long, scanned_frac double,"
+        " n_overlap_exact int, recall_at_10 double",
+    )
