@@ -263,6 +263,13 @@ HEADLINE = [
     "multimodal_audio_meta_inline",
     "dataset_datasheet_summary",
     "ann_probe_recall_curve",
+    # wave 59 (r4) — Spark-4 SQL surface
+    "pipe_syntax_orders_summary",
+    "region_nations_listagg",
+    "events_session_dynamic_gap",
+    # wave 60 (r4) — incremental dedup assignment + encoding quality
+    "incremental_dedup_assign",
+    "ascii_ratio_inline",
 ]
 
 KNN_BATCH_N_QUERIES = 5  # matches the knn_batch query definition

@@ -10610,3 +10610,305 @@ def q_ann_probe_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_probe int, scanned_rows long, scanned_frac double,"
         " n_overlap_exact int, recall_at_10 double",
     )
+
+
+# ---------------------------------------------------------------------------
+# Wave 59 — Spark-4 SQL surface: pipe syntax, ordered LISTAGG, and
+# dynamic-gap session windows.
+# ---------------------------------------------------------------------------
+
+_PIPE_SYNTAX_ORACLE = """
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_open,
+       ROUND(SUM(o_totalprice), 2) AS open_value
+FROM orders WHERE o_orderstatus = 'O'
+GROUP BY o_orderpriority
+"""
+
+
+@query("pipe_syntax_orders_summary", oracle=_PIPE_SYNTAX_ORACLE)
+def q_pipe_syntax_orders_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 SQL PIPE syntax (`FROM t |> WHERE ... |> AGGREGATE ...`,
+    SPARK-49555): the linear query-writing surface, compiled by the
+    same analyzer to the same plan as the classic form — the oracle IS
+    that classic form, so the gate proves semantic equivalence of the
+    two syntaxes on this engine.
+    """
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_pipe")
+    return spark.sql(
+        """
+        FROM orders_pipe
+        |> WHERE o_orderstatus = 'O'
+        |> AGGREGATE COUNT(*) AS n_open,
+                     ROUND(SUM(o_totalprice), 2) AS open_value
+           GROUP BY o_orderpriority
+        """
+    )
+
+
+_LISTAGG_ORACLE = """
+SELECT r.r_name,
+       CAST(COUNT(*) AS BIGINT) AS n_nations,
+       string_agg(n.n_name, ',' ORDER BY n.n_name) AS nations_csv
+FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name
+"""
+
+
+@query("region_nations_listagg", oracle=_LISTAGG_ORACLE)
+def q_region_nations_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered LISTAGG (Spark 4, SPARK-42746): deterministic
+    within-group ordered string aggregation — the SQL-standard
+    `LISTAGG(...) WITHIN GROUP (ORDER BY ...)` vs DuckDB's
+    `string_agg(... ORDER BY ...)`. The ordering clause is what makes
+    the result hash-checkable (an unordered collect_list+concat is
+    partition-order-dependent).
+    """
+    _t(spark, sf_dir, "region").createOrReplaceTempView("region_la")
+    _t(spark, sf_dir, "nation").createOrReplaceTempView("nation_la")
+    return spark.sql(
+        """
+        SELECT r.r_name,
+               COUNT(*) AS n_nations,
+               LISTAGG(n.n_name, ',') WITHIN GROUP (ORDER BY n.n_name)
+                 AS nations_csv
+        FROM region_la r JOIN nation_la n ON n.n_regionkey = r.r_regionkey
+        GROUP BY r.r_name
+        """
+    )
+
+
+_DYN_SESSION_ORACLE = """
+WITH g AS (
+  SELECT user_id, ts, value,
+         CASE WHEN event_type = 'error' THEN INTERVAL 45 MINUTE
+              ELSE INTERVAL 30 MINUTE END AS gap
+  FROM events
+), marked AS (
+  SELECT user_id, ts, value,
+         CASE WHEN MAX(ts + gap) OVER (
+                PARTITION BY user_id ORDER BY ts
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+              ) IS NULL
+              OR ts > MAX(ts + gap) OVER (
+                PARTITION BY user_id ORDER BY ts
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+              ) THEN 1 ELSE 0 END AS brk
+  FROM g
+), sessions AS (
+  SELECT user_id, ts, value,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS UNBOUNDED PRECEDING) AS session_no
+  FROM marked
+)
+SELECT user_id,
+       CAST(MIN(ts) AS TIMESTAMP) AS session_start,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(SUM(value), 2) AS total_value
+FROM sessions
+GROUP BY user_id, session_no
+"""
+
+
+@query("events_session_dynamic_gap", oracle=_DYN_SESSION_ORACLE)
+def q_events_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows with a DYNAMIC, per-event gap (error events hold
+    the session open 45 min, others 30) — the native
+    `session_window(ts, gap_expr)` form; sessionization where activity
+    type changes the timeout is the real-world shape (checkout flows,
+    error storms). Oracle: gaps-and-islands with a RUNNING-MAX session
+    end (a plain LAG rule is wrong under variable gaps — an earlier
+    long-gap event can hold the session open past a later short-gap
+    one).
+
+    Scale shape: one stateful-in-streaming / windowed-in-batch operator
+    partitioned by user; state is one interval per open session.
+    """
+    ev = _t(spark, sf_dir, "events")
+    gap = (
+        F.when(F.col("event_type") == "error", F.lit("45 minutes"))
+        .otherwise(F.lit("30 minutes"))
+    )
+    return (
+        ev.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Wave 60 — incremental dedup assignment (the production ingest shape) and
+# the C4-style ASCII/encoding-ratio filter.
+# ---------------------------------------------------------------------------
+
+_INCR_DEDUP_ASSIGN_ORACLE = (
+    "WITH RECURSIVE "
+    + _SHINGLE_CTE
+    + """,
+df_counts AS (SELECT shingle, COUNT(DISTINCT doc_id) AS df FROM sh GROUP BY shingle),
+sh_capped AS (SELECT sh.* FROM sh JOIN df_counts USING (shingle) WHERE df <= 50),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, COUNT(*) AS n_inter
+  FROM sh_capped a JOIN sh_capped b
+    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT doc_id_a, doc_id_b FROM inter
+  JOIN sizes sa ON sa.doc_id = doc_id_a
+  JOIN sizes sb ON sb.doc_id = doc_id_b
+  WHERE n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter) >= 0.05
+),
+corpus_pairs AS (SELECT * FROM pairs WHERE doc_id_b < 400),
+bi AS (
+  SELECT doc_id_a AS id, doc_id_b AS nbr FROM corpus_pairs
+  UNION ALL
+  SELECT doc_id_b AS id, doc_id_a AS nbr FROM corpus_pairs
+),
+reach AS (
+  SELECT id, nbr AS r FROM bi
+  UNION
+  SELECT bi.id, reach.r FROM bi JOIN reach ON bi.nbr = reach.id
+),
+comp AS (SELECT id, LEAST(id, MIN(r)) AS component FROM reach GROUP BY id),
+corpus AS (
+  SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS canonical_id
+  FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+  WHERE d.doc_id < 400
+),
+delta_match AS (
+  SELECT p.doc_id_b AS doc_id, MIN(corpus.canonical_id) AS canonical_id
+  FROM pairs p JOIN corpus ON corpus.doc_id = p.doc_id_a
+  WHERE p.doc_id_a < 400 AND p.doc_id_b >= 400
+  GROUP BY 1
+)
+SELECT doc_id, CAST(canonical_id AS BIGINT) AS canonical_id,
+       FALSE AS is_new
+FROM corpus
+UNION ALL
+SELECT d.doc_id,
+       CAST(COALESCE(m.canonical_id, d.doc_id) AS BIGINT) AS canonical_id,
+       TRUE AS is_new
+FROM documents d LEFT JOIN delta_match m USING (doc_id)
+WHERE d.doc_id >= 400
+"""
+)
+
+
+@query("incremental_dedup_assign", oracle=_INCR_DEDUP_ASSIGN_ORACLE)
+def q_incremental_dedup_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup ASSIGNMENT — the step after incremental_lsh_
+    dedup's candidates: the stored corpus (doc_id < 400) keeps its
+    connected-component canonical ids; each arriving delta document
+    (doc_id ≥ 400) adopts the minimum canonical id among its verified
+    near-dup corpus partners, or becomes its own canonical. This is how
+    a production ingest keeps the dedup graph current WITHOUT
+    recomputing components over the whole corpus per batch
+    (batch-internal duplicate groups are left to the next full
+    component run — stated, not hidden).
+
+    Scale shape: the corpus component table is a stored artifact; the
+    delta touches only candidate pairs (posting-list join, df-capped)
+    plus one groupBy(delta-doc) min-aggregate and one left join —
+    everything proportional to the batch, nothing to the corpus.
+    """
+    from vector_knowledge_base_spark.operators.components import dedup_canonical
+    from vector_knowledge_base_spark.operators.text_dedup import ngram_jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.05, max_df=50).select(
+        "doc_id_a", "doc_id_b"
+    )
+    corpus_docs = docs.where(F.col("doc_id") < 400)
+    corpus_pairs = pairs.where(F.col("doc_id_b") < 400)
+    corpus = dedup_canonical(corpus_docs, corpus_pairs)
+    delta_match = (
+        pairs.where((F.col("doc_id_a") < 400) & (F.col("doc_id_b") >= 400))
+        .join(
+            corpus.withColumnsRenamed(
+                {"doc_id": "doc_id_a", "canonical_id": "corpus_canonical"}
+            ),
+            "doc_id_a",
+        )
+        .groupBy(F.col("doc_id_b").alias("doc_id"))
+        .agg(F.min("corpus_canonical").alias("canonical_id"))
+    )
+    delta = (
+        docs.where(F.col("doc_id") >= 400)
+        .select("doc_id")
+        .join(delta_match, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("canonical_id", F.col("doc_id"))
+            .cast("long")
+            .alias("canonical_id"),
+            F.lit(True).alias("is_new"),
+        )
+    )
+    return corpus.select(
+        "doc_id",
+        F.col("canonical_id").cast("long").alias("canonical_id"),
+        F.lit(False).alias("is_new"),
+    ).unionAll(delta)
+
+
+_ASCII_FIXTURES = [
+    (0, "plain ascii text only"),
+    (1, "mixed ascii and ünïcödé chärs"),
+    (2, "日本語のテキストです"),
+    (3, "mostly ascii with one é"),
+    (4, ""),
+]
+
+
+def _ascii_inline_oracle() -> str:
+    rows = []
+    for doc_id, text in _ASCII_FIXTURES:
+        n_chars = len(text)
+        n_ascii = sum(1 for ch in text if ord(ch) < 128)
+        ratio = round(n_ascii / n_chars, 6) if n_chars else 1.0
+        rows.append(f"({doc_id}, {n_chars}, {n_ascii}, {ratio})")
+    return (
+        "SELECT CAST(doc_id AS BIGINT) AS doc_id,"
+        " CAST(n_chars AS BIGINT) AS n_chars,"
+        " CAST(n_ascii AS BIGINT) AS n_ascii,"
+        " CAST(ascii_ratio AS DOUBLE) AS ascii_ratio FROM (VALUES "
+        + ", ".join(rows)
+        + ") t(doc_id, n_chars, n_ascii, ascii_ratio)"
+    )
+
+
+@query("ascii_ratio_inline", oracle=_ascii_inline_oracle())
+def q_ascii_ratio_inline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style encoding-quality signal: per-document ASCII character
+    ratio (C4 §2.2 and most crawl pipelines drop or reroute pages whose
+    non-ASCII fraction says the encoding detection failed or the page
+    is in an unexpected script). Computed as pure codegen expressions —
+    character-class regexp strip + length — on an inline
+    known-answer corpus with CJK / accented / empty edge cases
+    (the python-side expectations ARE the oracle VALUES; the synthetic
+    documents table is all-ASCII, so the discriminating cases must be
+    inline).
+
+    Scale shape: a scan projection; no shuffle, no UDF.
+    """
+    df = spark.createDataFrame(_ASCII_FIXTURES, "doc_id long, text string")
+    n_chars = F.length("text")
+    n_ascii = F.length(F.regexp_replace("text", r"[^\x00-\x7F]", ""))
+    return df.select(
+        "doc_id",
+        n_chars.cast("long").alias("n_chars"),
+        n_ascii.cast("long").alias("n_ascii"),
+        F.when(n_chars == 0, F.lit(1.0))
+        .otherwise(F.round(n_ascii * 1.0 / n_chars, 6))
+        .alias("ascii_ratio"),
+    )
