@@ -270,6 +270,10 @@ HEADLINE = [
     # wave 60 (r4) — incremental dedup assignment + encoding quality
     "incremental_dedup_assign",
     "ascii_ratio_inline",
+    # wave 61 (r4) — SLA / distribution audits
+    "events_error_rate_sla",
+    "ecdf_order_values",
+    "gini_order_concentration",
 ]
 
 KNN_BATCH_N_QUERIES = 5  # matches the knn_batch query definition

@@ -10912,3 +10912,165 @@ def q_ascii_ratio_inline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.round(n_ascii * 1.0 / n_chars, 6))
         .alias("ascii_ratio"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Wave 61 — SLA/distribution audits: error-rate SLA hours, order-value
+# ECDF, revenue-concentration Gini.
+# ---------------------------------------------------------------------------
+
+_ERROR_SLA_ORACLE = """
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS h,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(COUNT(*) FILTER (event_type = 'error') AS BIGINT) AS n_errors
+  FROM events GROUP BY 1
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_hours,
+       CAST(SUM(n_errors) AS BIGINT) AS total_errors,
+       ROUND(SUM(n_errors) * 1.0 / SUM(n_events), 6) AS overall_error_rate,
+       CAST(COUNT(*) FILTER (n_errors * 1.0 / n_events > 0.25) AS BIGINT)
+         AS n_sla_violation_hours,
+       ROUND(MAX(n_errors * 1.0 / n_events), 6) AS worst_hour_rate
+FROM hourly
+"""
+
+
+@query("events_error_rate_sla", oracle=_ERROR_SLA_ORACLE)
+def q_events_error_rate_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-rate SLA audit: hourly error fraction, count of hours
+    breaching the 25% error-budget line, and the worst hour — the
+    one-row report an on-call dashboard tiles. (The synthetic stream's
+    five event types put the base rate near 20%, so the 25% line is a
+    real discriminator here.)
+
+    Scale shape: one map-side-combinable hourly aggregate (conditional
+    count rides the same pass), then a scalar aggregate over the tiny
+    hourly table.
+    """
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy(F.date_trunc("hour", "ts").alias("h")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum((F.col("event_type") == "error").cast("long")).alias("n_errors"),
+    )
+    rate = F.col("n_errors") * 1.0 / F.col("n_events")
+    return hourly.agg(
+        F.count(F.lit(1)).alias("n_hours"),
+        F.sum("n_errors").alias("total_errors"),
+        F.round(F.sum("n_errors") * 1.0 / F.sum("n_events"), 6).alias(
+            "overall_error_rate"
+        ),
+        F.sum((rate > 0.25).cast("long")).alias("n_sla_violation_hours"),
+        F.round(F.max(rate), 6).alias("worst_hour_rate"),
+    )
+
+
+_ECDF_ORACLE = """
+WITH pts AS (SELECT UNNEST([50000, 100000, 200000, 300000, 400000]) AS x),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM orders)
+SELECT pts.x AS price_point,
+       CAST(COUNT(*) FILTER (o_totalprice <= pts.x) AS BIGINT) AS n_le,
+       ROUND(COUNT(*) FILTER (o_totalprice <= pts.x) * 1.0 / MAX(tot.n), 6)
+         AS ecdf
+FROM orders, pts, tot
+GROUP BY pts.x
+"""
+
+
+@query("ecdf_order_values", oracle=_ECDF_ORACLE)
+def q_ecdf_order_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical CDF of order values at fixed evaluation points — the
+    inverse view of the percentile family (percentiles answer "what
+    value at p?", the ECDF answers "what p at value?"; distribution
+    regression tests pin exactly these fixed-point reads).
+
+    Scale shape: the 5 evaluation points broadcast as a literal frame;
+    one conditional-count aggregate per point, all in one corpus pass
+    (the crossJoin fans each row to 5 counters map-side — 5× count
+    cost, zero extra shuffles).
+    """
+    o = _t(spark, sf_dir, "orders")
+    pts = spark.createDataFrame(
+        [(50000,), (100000,), (200000,), (300000,), (400000,)],
+        "x int",
+    )
+    tot = o.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        o.crossJoin(F.broadcast(pts))
+        .crossJoin(F.broadcast(tot))
+        .groupBy(F.col("x").alias("price_point"))
+        .agg(
+            F.sum((F.col("o_totalprice") <= F.col("x")).cast("long")).alias(
+                "n_le"
+            ),
+            F.round(
+                F.sum((F.col("o_totalprice") <= F.col("x")).cast("long"))
+                * 1.0
+                / F.max("n"),
+                6,
+            ).alias("ecdf"),
+        )
+    )
+
+
+_GINI_ORACLE = """
+WITH per_cust AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100
+           AS spend
+  FROM orders GROUP BY 1
+), ranked AS (
+  SELECT spend,
+         ROW_NUMBER() OVER (ORDER BY spend, o_custkey) AS rk,
+         COUNT(*) OVER () AS n,
+         SUM(spend) OVER () AS total
+  FROM per_cust
+)
+SELECT CAST(MAX(n) AS BIGINT) AS n_customers,
+       ROUND(MAX(total), 2) AS total_spend,
+       ROUND(SUM((2.0 * rk - n - 1) * spend) / (MAX(n) * MAX(total)), 6)
+         AS gini
+FROM ranked
+"""
+
+
+@query("gini_order_concentration", oracle=_GINI_ORACLE)
+def q_gini_order_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-concentration Gini coefficient over per-customer spend
+    (closed form Σ(2i−n−1)·x_(i) / (n·Σx) on the sorted spend vector) —
+    the single-scalar companion to the Pareto-80/20 report, and the
+    same statistic data-mixture audits use for token-concentration
+    across sources. Spend summed in integer cents (cross-engine exact).
+
+    Scale shape: the corpus reduces to one row per customer first; the
+    rank window runs on that AGGREGATED table (the justified-global-
+    window shape — at 100 TB per-key spend tables are ~millions of
+    rows, and the window input is already 6 orders of magnitude smaller
+    than the fact table).
+    """
+    o = _t(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        (
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).cast(
+                "double"
+            )
+            / 100
+        ).alias("spend")
+    )
+    w = Window.orderBy("spend", "o_custkey")
+    wall = Window.partitionBy()
+    ranked = per_cust.select(
+        "spend",
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(wall).alias("n"),
+        F.sum("spend").over(wall).alias("total"),
+    )
+    return ranked.agg(
+        F.max("n").cast("long").alias("n_customers"),
+        F.round(F.max("total"), 2).alias("total_spend"),
+        F.round(
+            F.sum((2.0 * F.col("rk") - F.col("n") - 1) * F.col("spend"))
+            / (F.max("n") * F.max("total")),
+            6,
+        ).alias("gini"),
+    )
