@@ -9068,7 +9068,10 @@ def q_mutual_knn_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vector_knowledge_base_spark.operators.dedup import exact_nn_blocked
 
     emb = _t(spark, sf_dir, "embeddings")
-    nn = exact_nn_blocked(emb)
+    # the NN table self-joins for reciprocity — materialize the tiny
+    # (id, nn, score) result once instead of running the blocked
+    # matmul grid per join side
+    nn = exact_nn_blocked(emb).localCheckpoint(eager=True)
     x = nn.select(
         F.col("vec_id").alias("vec_id_a"),
         F.col("nn_id").alias("nn_a"),
@@ -9963,10 +9966,13 @@ def q_pipeline_yield_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pairs = ngram_jaccard_pairs(docs, threshold=0.05, max_df=50)
     canon = dedup_canonical(docs, pairs)
+    # s2 feeds its own stage count AND s3 — materialize the survivor
+    # ids once so the pair graph + components run once, not twice
     s2 = (
         s1.join(canon, "doc_id")
         .where(F.col("canonical_id") == F.col("doc_id"))
         .select("doc_id")
+        .localCheckpoint(eager=True)
     )
     toks = F.split(F.col("text"), " ")
     n_words = F.size(toks)
@@ -10088,8 +10094,12 @@ def q_split_by_component_leakfree(spark: SparkSession, sf_dir: str) -> DataFrame
     from vector_knowledge_base_spark.operators.text_dedup import ngram_jaccard_pairs
 
     docs = _t(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(docs, threshold=0.05, max_df=50).select(
-        "doc_id_a", "doc_id_b"
+    # pair graph feeds the components AND the leak re-audit join —
+    # materialize once
+    pairs = (
+        ngram_jaccard_pairs(docs, threshold=0.05, max_df=50)
+        .select("doc_id_a", "doc_id_b")
+        .localCheckpoint(eager=True)
     )
     canon = dedup_canonical(docs, pairs)
     bucket = (
@@ -10825,8 +10835,13 @@ def q_incremental_dedup_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vector_knowledge_base_spark.operators.text_dedup import ngram_jaccard_pairs
 
     docs = _t(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(docs, threshold=0.05, max_df=50).select(
-        "doc_id_a", "doc_id_b"
+    # the pair graph feeds BOTH the corpus components and the delta
+    # match — materialize once (the calibration-audit checkpoint
+    # pattern) instead of re-running the posting-list join per consumer
+    pairs = (
+        ngram_jaccard_pairs(docs, threshold=0.05, max_df=50)
+        .select("doc_id_a", "doc_id_b")
+        .localCheckpoint(eager=True)
     )
     corpus_docs = docs.where(F.col("doc_id") < 400)
     corpus_pairs = pairs.where(F.col("doc_id_b") < 400)
