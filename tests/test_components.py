@@ -151,3 +151,47 @@ def test_python_datasource_streaming(spark, tmp_path):
         q.stop()
     assert len(rows) == 60
     assert rows == {i: synthetic_text(i) for i in range(60)}
+
+
+def test_python_datasource_partitioned_streaming(spark, tmp_path):
+    """Partitioned DataSourceStreamReader end-to-end: the driver plans
+    offset ranges, EXECUTORS read the partitions (num_partitions tasks
+    per microbatch), and the sink accumulates exactly n_total
+    deterministic rows — the firehose-connector contract, vs the
+    driver-side SimpleDataSourceStreamReader."""
+    import time as _time
+
+    from vector_knowledge_base_spark.sources.pyds import (
+        SyntheticDocsPartitionedStreamDataSource,
+        synthetic_text,
+    )
+
+    spark.dataSource.register(SyntheticDocsPartitionedStreamDataSource)
+    stream = (
+        spark.readStream.format("synthetic_docs_pstream")
+        .option("n_total", 90)
+        .option("batch_size", 40)  # uneven: 40, 40, 10
+        .option("num_partitions", 3)
+        .load()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("pyds_pstream")
+        .option("checkpointLocation", str(tmp_path / "ckpt_p"))
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        deadline = _time.time() + 120
+        while _time.time() < deadline:
+            if spark.table("pyds_pstream").count() >= 90:
+                break
+            _time.sleep(0.5)
+        rows = {
+            r["doc_id"]: r["text"]
+            for r in spark.table("pyds_pstream").collect()
+        }
+    finally:
+        q.stop()
+    assert len(rows) == 90
+    assert rows == {i: synthetic_text(i) for i in range(90)}

@@ -23,6 +23,7 @@ import hashlib
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     InputPartition,
     SimpleDataSourceStreamReader,
 )
@@ -143,4 +144,72 @@ class SyntheticDocsStreamReader(SimpleDataSourceStreamReader):
         )
 
     def commit(self, end: dict) -> None:
+        pass
+
+
+class SyntheticDocsPartitionedStreamDataSource(DataSource):
+    """High-volume streaming twin: the PARTITIONED
+    DataSourceStreamReader contract — offsets planned on the driver,
+    rows read BY EXECUTORS (one task per InputPartition per
+    microbatch). This is the connector shape for sources too big to
+    funnel through the driver (the SimpleDataSourceStreamReader above
+    routes rows through the offset log — right for control streams,
+    wrong for a firehose).
+
+    ``spark.readStream.format("synthetic_docs_pstream")
+    .option("n_total", 90).option("batch_size", 30)
+    .option("num_partitions", 3).load()``
+    """
+
+    @classmethod
+    def name(cls) -> str:
+        return "synthetic_docs_pstream"
+
+    def schema(self) -> str:
+        return "doc_id bigint, text string"
+
+    def streamReader(self, schema) -> "SyntheticDocsPartitionedStreamReader":
+        return SyntheticDocsPartitionedStreamReader(
+            n_total=int(self.options.get("n_total", 90)),
+            batch_size=int(self.options.get("batch_size", 30)),
+            num_partitions=int(self.options.get("num_partitions", 3)),
+        )
+
+
+class SyntheticDocsPartitionedStreamReader(DataSourceStreamReader):
+    """DataSourceStreamReader: latestOffset() advances the high-water
+    mark batch_size at a time; partitions(start, end) splits the offset
+    range into executor tasks; read(partition) runs ON EXECUTORS."""
+
+    def __init__(self, n_total: int, batch_size: int, num_partitions: int):
+        self.n_total = n_total
+        self.batch_size = batch_size
+        self.num_partitions = max(1, num_partitions)
+        self._latest = 0
+
+    def initialOffset(self) -> dict:
+        return {"pos": 0}
+
+    def latestOffset(self) -> dict:
+        self._latest = min(self._latest + self.batch_size, self.n_total)
+        return {"pos": self._latest}
+
+    def partitions(self, start: dict, end: dict):
+        lo, hi = int(start["pos"]), int(end["pos"])
+        n = hi - lo
+        if n <= 0:
+            return [_RangePartition(lo, lo)]
+        step = -(-n // self.num_partitions)
+        return [
+            _RangePartition(p, min(p + step, hi)) for p in range(lo, hi, step)
+        ]
+
+    def read(self, partition: _RangePartition):
+        for doc_id in range(partition.start, partition.end):
+            yield (doc_id, synthetic_text(doc_id))
+
+    def commit(self, end: dict) -> None:
+        pass
+
+    def stop(self) -> None:
         pass
