@@ -274,6 +274,10 @@ HEADLINE = [
     "events_error_rate_sla",
     "ecdf_order_values",
     "gini_order_concentration",
+    # wave 62 (r4) — burstiness, per-source vocab, filtered batch kNN
+    "events_burstiness_fano",
+    "top_terms_per_source",
+    "knn_batch_filtered",
 ]
 
 KNN_BATCH_N_QUERIES = 5  # matches the knn_batch query definition

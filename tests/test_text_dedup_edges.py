@@ -202,3 +202,37 @@ def test_simhash_hamming_candidates_verified(spark):
         assert (a, b) not in seen
         seen.add((a, b))
         assert bin(sims[a] ^ sims[b]).count("1") == r["hamming"] <= 3
+
+
+def test_incremental_dedup_against_stored_signatures(spark, tmp_path):
+    """The production ingest chain over a REAL stored artifact: corpus
+    MinHash signatures persisted to parquet once, the arriving batch
+    probed against the STORED table — candidates identical to the
+    in-memory computation (the signature table is a valid durable
+    index, not a per-run recomputation)."""
+    from vector_knowledge_base_spark.operators.text_dedup import (
+        lsh_candidates_between,
+        minhash_signatures,
+    )
+    from vector_knowledge_base_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    corpus = docs.where(F.col("doc_id") < 400)
+    batch = docs.where(F.col("doc_id") >= 400)
+    sig_path = str(tmp_path / "corpus_sigs")
+    minhash_signatures(corpus).write.parquet(sig_path)
+
+    stored = spark.read.parquet(sig_path)
+    got = {
+        (r["new_id"], r["corpus_id"])
+        for r in lsh_candidates_between(
+            minhash_signatures(batch), stored
+        ).collect()
+    }
+    want = {
+        (r["new_id"], r["corpus_id"])
+        for r in lsh_candidates_between(
+            minhash_signatures(batch), minhash_signatures(corpus)
+        ).collect()
+    }
+    assert got == want and len(got) > 0

@@ -11089,3 +11089,158 @@ def q_gini_order_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("gini"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Wave 62 — burstiness statistics, per-source vocabulary, and per-query
+# filtered batch kNN serving.
+# ---------------------------------------------------------------------------
+
+_BURSTINESS_ORACLE = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS h,
+         CAST(COUNT(*) AS DOUBLE) AS c
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_hours,
+       ROUND(AVG(c), 4) AS mean_per_hour,
+       ROUND(VAR_SAMP(c) / AVG(c), 4) AS fano_factor,
+       ROUND((STDDEV_SAMP(c) - AVG(c)) / (STDDEV_SAMP(c) + AVG(c)), 4)
+         AS burstiness_index
+FROM hourly GROUP BY event_type
+"""
+
+
+@query("events_burstiness_fano", oracle=_BURSTINESS_ORACLE)
+def q_events_burstiness_fano(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burstiness statistics per event type: the Fano factor
+    (variance/mean of hourly counts — 1 under a Poisson process, >1 =
+    bursty arrivals) and the Goh-Barabási burstiness index
+    (σ−μ)/(σ+μ) ∈ (−1, 1). The one-row-per-type answer to "is this
+    stream Poisson or bursty" that sizes queues and anomaly thresholds.
+
+    Scale shape: the stream reduces to (type, hour) counts map-side;
+    variance/stddev are mergeable co-moment aggregates over that tiny
+    table.
+    """
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.count(F.lit(1)).cast("double").alias("c"))
+    return hourly.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_hours"),
+        F.round(F.avg("c"), 4).alias("mean_per_hour"),
+        F.round(F.var_samp("c") / F.avg("c"), 4).alias("fano_factor"),
+        F.round(
+            (F.stddev_samp("c") - F.avg("c"))
+            / (F.stddev_samp("c") + F.avg("c")),
+            4,
+        ).alias("burstiness_index"),
+    )
+
+
+_TOP_TERMS_PER_SOURCE_ORACLE = """
+WITH freq AS (
+  SELECT source, UNNEST(string_split(text, ' ')) AS term
+  FROM documents
+), counts AS (
+  SELECT source, term, CAST(COUNT(*) AS BIGINT) AS f
+  FROM freq
+  WHERE term NOT IN ('the','a','of','and','to','in','is','it')
+  GROUP BY 1, 2
+), ranked AS (
+  SELECT source, term, f,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY f DESC, term) AS rk
+  FROM counts
+)
+SELECT source, CAST(rk AS BIGINT) AS rk, term, f
+FROM ranked WHERE rk <= 5
+"""
+
+
+@query("top_terms_per_source", oracle=_TOP_TERMS_PER_SOURCE_ORACLE)
+def q_top_terms_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 non-stopword terms per source — the per-domain vocabulary
+    signature (the grouped twin of the global vocab_top_terms; what a
+    corpus card prints per data source).
+
+    Scale shape: the rank window is PARTITIONED BY SOURCE and runs on
+    the AGGREGATED (source, term) count table — both the window's
+    partition bound and its input size are vocabulary-scale, not
+    corpus-scale; the corpus itself is one explode + hash-agg pass.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    stop = ["the", "a", "of", "and", "to", "in", "is", "it"]
+    counts = (
+        docs.select("source", F.explode(F.split("text", " ")).alias("term"))
+        .where(~F.col("term").isin(stop))
+        .groupBy("source", "term")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("f"), F.asc("term"))
+    return (
+        counts.withColumn("rk", F.row_number().over(w).cast("long"))
+        .where(F.col("rk") <= 5)
+        .select("source", "rk", "term", "f")
+    )
+
+
+_KNN_BATCH_FILTERED_ORACLE = """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv, label AS qlabel
+  FROM embeddings WHERE vec_id < 20
+), ranked AS (
+  SELECT q.query_id, e.vec_id,
+         ROUND(list_dot_product(e.embedding::DOUBLE[], q.qv), 6) AS score,
+         ROW_NUMBER() OVER (
+           PARTITION BY q.query_id
+           ORDER BY ROUND(list_dot_product(e.embedding::DOUBLE[], q.qv), 6)
+                      DESC, e.vec_id
+         ) AS rank
+  FROM q JOIN embeddings e
+    ON e.label = q.qlabel AND e.vec_id <> q.query_id
+)
+SELECT query_id, vec_id, score, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 5
+"""
+
+
+@query("knn_batch_filtered", oracle=_KNN_BATCH_FILTERED_ORACLE)
+def q_knn_batch_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch kNN with a PER-QUERY predicate: each of 20 queries
+    retrieves its top-5 within ITS OWN label class (self excluded) —
+    the multi-tenant serving shape ("search only this user's/
+    collection's documents") where the filter varies per query rather
+    than being a constant pushdown.
+
+    Scale shape: the per-query predicate becomes part of the broadcast
+    join condition (label equality), so Spark prunes non-matching
+    (query, doc) pairs AT THE JOIN — the scored set shrinks from
+    |Q|×|corpus| to Σ|class(q)| before the rank window runs; the
+    corpus is still scanned exactly once.
+    """
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+        F.col("label").alias("qlabel"),
+    )
+    scored = emb.join(
+        F.broadcast(q),
+        (F.col("label") == F.col("qlabel"))
+        & (F.col("vec_id") != F.col("query_id")),
+    ).select(
+        "query_id",
+        "vec_id",
+        F.round(dot_product(F.col("embedding"), F.col("query_vec")), 6).alias(
+            "score"
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= 5)
+        .select("query_id", "vec_id", "score", "rank")
+    )
