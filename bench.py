@@ -278,6 +278,9 @@ HEADLINE = [
     "events_burstiness_fano",
     "top_terms_per_source",
     "knn_batch_filtered",
+    # wave 63 (r4) — seasonal decomposition, segment migration
+    "events_seasonal_decomposition",
+    "customer_segment_migration",
 ]
 
 KNN_BATCH_N_QUERIES = 5  # matches the knn_batch query definition

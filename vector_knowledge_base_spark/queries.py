@@ -11244,3 +11244,169 @@ def q_knn_batch_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= 5)
         .select("query_id", "vec_id", "score", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Wave 63 — classical time-series decomposition and customer-segment
+# migration.
+# ---------------------------------------------------------------------------
+
+_SEASONAL_DECOMP_ORACLE = """
+WITH daily AS (
+  SELECT date_trunc('day', ts) AS d,
+         dayofweek(ts) AS dow,
+         CAST(COUNT(*) AS DOUBLE) AS y
+  FROM events GROUP BY 1, 2
+), idx AS (
+  SELECT d, dow, y,
+         date_diff('day', (SELECT MIN(d) FROM daily), d)::DOUBLE AS t
+  FROM daily
+), fit AS (
+  SELECT regr_slope(y, t) AS beta, regr_intercept(y, t) AS alpha FROM idx
+), resid AS (
+  SELECT dow, y - (alpha + beta * t) AS r FROM idx, fit
+)
+SELECT CAST(dow AS BIGINT) AS dow,
+       CAST(COUNT(*) AS BIGINT) AS n_days,
+       ROUND(AVG(r), 4) AS seasonal_index,
+       ROUND(MAX(fit.beta), 6) AS trend_slope
+FROM resid, fit
+GROUP BY dow
+"""
+
+
+@query("events_seasonal_decomposition", oracle=_SEASONAL_DECOMP_ORACLE)
+def q_events_seasonal_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical (STL-lite) decomposition of the daily event count:
+    linear TREND via closed-form OLS over the day index, then the
+    day-of-week SEASONAL index as the mean detrended residual per
+    weekday — the additive y = trend + seasonal + noise split every
+    capacity forecast starts from. A flat seasonal profile says the
+    stream has no weekly cycle; the slope says whether load is growing.
+
+    Scale shape: the stream reduces to one row per day; OLS is a
+    mergeable co-moment aggregate (regr_slope) over that tiny series;
+    the 1-row fit broadcasts back for the residual pass.
+    """
+    ev = _t(spark, sf_dir, "events")
+    # dayofweek: Spark is 1-based (Sun=1), DuckDB 0-based — subtract 1
+    daily = ev.groupBy(
+        F.date_trunc("day", "ts").alias("d"),
+        (F.dayofweek("ts") - 1).cast("long").alias("dow_duck"),
+    ).agg(F.count(F.lit(1)).cast("double").alias("y"))
+    d0 = daily.agg(F.min("d").alias("d0"))
+    idx = daily.crossJoin(F.broadcast(d0)).select(
+        F.col("dow_duck").alias("dow"),
+        "y",
+        F.datediff("d", "d0").cast("double").alias("t"),
+    )
+    fit = idx.agg(
+        F.regr_slope("y", "t").alias("beta"),
+        F.regr_intercept("y", "t").alias("alpha"),
+    )
+    resid = idx.crossJoin(F.broadcast(fit)).select(
+        "dow",
+        (F.col("y") - (F.col("alpha") + F.col("beta") * F.col("t"))).alias("r"),
+        "beta",
+    )
+    return resid.groupBy("dow").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.round(F.avg("r"), 4).alias("seasonal_index"),
+        F.round(F.max("beta"), 6).alias("trend_slope"),
+    )
+
+
+_SEGMENT_MIGRATION_ORACLE = """
+WITH spend AS (
+  SELECT o_custkey,
+         CASE WHEN o_orderdate < DATE '1998-01-01' THEN 'p1' ELSE 'p2' END
+           AS period,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100
+           AS s
+  FROM orders GROUP BY 1, 2
+), b1 AS (
+  SELECT quantile_cont(s, 0.5) AS m FROM spend WHERE period = 'p1'
+), b2 AS (
+  SELECT quantile_cont(s, 0.5) AS m FROM spend WHERE period = 'p2'
+), seg AS (
+  SELECT o_custkey, period,
+         CASE WHEN period = 'p1' AND s <= b1.m THEN 'low'
+              WHEN period = 'p1' THEN 'high'
+              WHEN s <= b2.m THEN 'low'
+              ELSE 'high' END AS segment
+  FROM spend, b1, b2
+), wide AS (
+  SELECT COALESCE(a.o_custkey, b.o_custkey) AS o_custkey,
+         COALESCE(a.segment, 'absent') AS seg_p1,
+         COALESCE(b.segment, 'absent') AS seg_p2
+  FROM (SELECT * FROM seg WHERE period = 'p1') a
+  FULL OUTER JOIN (SELECT * FROM seg WHERE period = 'p2') b
+    USING (o_custkey)
+)
+SELECT seg_p1, seg_p2, CAST(COUNT(*) AS BIGINT) AS n_customers
+FROM wide GROUP BY 1, 2
+"""
+
+
+@query("customer_segment_migration", oracle=_SEGMENT_MIGRATION_ORACLE)
+def q_customer_segment_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segment-migration matrix: customers classified high/low spender
+    (vs the period median) in two eras (orders before/from 1998), then
+    counted per (was, became) cell — including 'absent' rows for
+    churned and newly-arrived customers. The cohort-health report
+    behind every retention deck; spend in integer cents (cross-engine
+    exact).
+
+    Scale shape: one (customer, period) aggregate over the fact table;
+    per-period median bounds are two 1-row broadcasts; the matrix is a
+    key-partitioned full outer self-join of the per-customer segment
+    table (the snapshot-diff join shape) into a ≤9-cell aggregate.
+    """
+    o = _t(spark, sf_dir, "orders")
+    spend = o.groupBy(
+        "o_custkey",
+        F.when(F.col("o_orderdate") < F.lit("1998-01-01"), "p1")
+        .otherwise("p2")
+        .alias("period"),
+    ).agg(
+        (
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).cast(
+                "double"
+            )
+            / 100
+        ).alias("s")
+    )
+    b1 = spend.where(F.col("period") == "p1").agg(
+        F.percentile("s", F.lit(0.5)).alias("m1")
+    )
+    b2 = spend.where(F.col("period") == "p2").agg(
+        F.percentile("s", F.lit(0.5)).alias("m2")
+    )
+    seg = (
+        spend.crossJoin(F.broadcast(b1))
+        .crossJoin(F.broadcast(b2))
+        .select(
+            "o_custkey",
+            "period",
+            F.when(
+                (F.col("period") == "p1") & (F.col("s") <= F.col("m1")), "low"
+            )
+            .when(F.col("period") == "p1", "high")
+            .when(F.col("s") <= F.col("m2"), "low")
+            .otherwise("high")
+            .alias("segment"),
+        )
+    )
+    a = seg.where(F.col("period") == "p1").select(
+        "o_custkey", F.col("segment").alias("seg_a")
+    )
+    b = seg.where(F.col("period") == "p2").select(
+        F.col("o_custkey").alias("ck_b"), F.col("segment").alias("seg_b")
+    )
+    wide = a.join(b, a["o_custkey"] == b["ck_b"], "full_outer").select(
+        F.coalesce("seg_a", F.lit("absent")).alias("seg_p1"),
+        F.coalesce("seg_b", F.lit("absent")).alias("seg_p2"),
+    )
+    return wide.groupBy("seg_p1", "seg_p2").agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
