@@ -281,6 +281,9 @@ HEADLINE = [
     # wave 63 (r4) — seasonal decomposition, segment migration
     "events_seasonal_decomposition",
     "customer_segment_migration",
+    # wave 64 (r4) — score calibration, vocabulary kinship
+    "quality_quantile_normalization",
+    "source_vocab_overlap",
 ]
 
 KNN_BATCH_N_QUERIES = 5  # matches the knn_batch query definition

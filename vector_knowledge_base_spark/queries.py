@@ -11410,3 +11410,147 @@ def q_customer_segment_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wide.groupBy("seg_p1", "seg_p2").agg(
         F.count(F.lit(1)).alias("n_customers")
     )
+
+
+# ---------------------------------------------------------------------------
+# Wave 64 — cross-source score calibration and vocabulary overlap.
+# ---------------------------------------------------------------------------
+
+_QUANTILE_NORM_ORACLE = """
+WITH scored AS (
+  SELECT doc_id, source,
+         len(list_distinct(string_split(text, ' ')))::DOUBLE
+           / len(string_split(text, ' ')) AS score
+  FROM documents
+), ranked AS (
+  SELECT doc_id, source, score,
+         percent_rank() OVER (PARTITION BY source ORDER BY score, doc_id)
+           AS pr
+  FROM scored
+), grid AS (
+  SELECT generate_subscripts(qs, 1) - 1 AS i, UNNEST(qs) AS q
+  FROM (SELECT quantile_cont(score, [0.0, 0.01, 0.02, 0.03, 0.04, 0.05, 0.06, 0.07, 0.08, 0.09, 0.1, 0.11, 0.12, 0.13, 0.14, 0.15, 0.16, 0.17, 0.18, 0.19, 0.2, 0.21, 0.22, 0.23, 0.24, 0.25, 0.26, 0.27, 0.28, 0.29, 0.3, 0.31, 0.32, 0.33, 0.34, 0.35, 0.36, 0.37, 0.38, 0.39, 0.4, 0.41, 0.42, 0.43, 0.44, 0.45, 0.46, 0.47, 0.48, 0.49, 0.5, 0.51, 0.52, 0.53, 0.54, 0.55, 0.56, 0.57, 0.58, 0.59, 0.6, 0.61, 0.62, 0.63, 0.64, 0.65, 0.66, 0.67, 0.68, 0.69, 0.7, 0.71, 0.72, 0.73, 0.74, 0.75, 0.76, 0.77, 0.78, 0.79, 0.8, 0.81, 0.82, 0.83, 0.84, 0.85, 0.86, 0.87, 0.88, 0.89, 0.9, 0.91, 0.92, 0.93, 0.94, 0.95, 0.96, 0.97, 0.98, 0.99, 1.0]) AS qs FROM scored)
+)
+SELECT ranked.source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       ROUND(AVG(ranked.score), 6) AS avg_raw,
+       ROUND(AVG(grid.q), 6) AS avg_normalized
+FROM ranked
+JOIN grid ON grid.i = CAST(ROUND(ranked.pr * 100) AS INT)
+GROUP BY ranked.source
+"""
+
+
+@query("quality_quantile_normalization", oracle=_QUANTILE_NORM_ORACLE)
+def q_quality_quantile_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source quantile normalization of the quality score: each
+    document's within-source percent rank is mapped onto the GLOBAL
+    score quantile at that rank (a 101-point grid) — the calibration
+    that makes "top 20% of source X" comparable to "top 20% of source
+    Y" before a single threshold cuts across sources (per-source score
+    distributions differ; a raw global threshold silently starves
+    whole sources). Reported as per-source raw vs normalized means —
+    normalization pulls every source's mean toward the global curve.
+
+    Scale shape: the per-source rank window partitions BY SOURCE (the
+    calibration unit bounds the sort); the global quantile grid is 101
+    rows computed once and broadcast for the lookup join. At 100 TB
+    the grid comes from approx_percentile (sketch-audit corridor).
+    """
+    docs = _t(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    scored = docs.select(
+        "doc_id",
+        "source",
+        (F.size(F.array_distinct(words)) / F.size(words)).alias("score"),
+    )
+    w = Window.partitionBy("source").orderBy("score", "doc_id")
+    ranked = scored.withColumn("pr", F.percent_rank().over(w))
+    grid = (
+        scored.agg(
+            F.percentile(
+                "score",
+                F.array(*[F.lit(i / 100.0) for i in range(101)]),
+            ).alias("qs")
+        )
+        .select(F.posexplode("qs").alias("i", "q"))
+    )
+    joined = ranked.join(
+        F.broadcast(grid),
+        F.round(F.col("pr") * 100).cast("int") == F.col("i"),
+    )
+    return joined.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("score"), 6).alias("avg_raw"),
+        F.round(F.avg("q"), 6).alias("avg_normalized"),
+    )
+
+
+_VOCAB_OVERLAP_ORACLE = """
+WITH vocab AS (
+  SELECT DISTINCT source, UNNEST(string_split(text, ' ')) AS term
+  FROM documents
+), sizes AS (
+  SELECT source, COUNT(*) AS n FROM vocab GROUP BY source
+), inter AS (
+  SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS n_inter
+  FROM vocab a JOIN vocab b
+    ON a.term = b.term AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT source_a, source_b,
+       CAST(n_inter AS BIGINT) AS n_shared_terms,
+       ROUND(n_inter * 1.0 / (sa.n + sb.n - n_inter), 6) AS vocab_jaccard
+FROM inter
+JOIN sizes sa ON sa.source = source_a
+JOIN sizes sb ON sb.source = source_b
+"""
+
+
+@query("source_vocab_overlap", oracle=_VOCAB_OVERLAP_ORACLE)
+def q_source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise source VOCABULARY Jaccard — do two data sources speak
+    the same language, at the type level? Complements the document-
+    level cross-source duplication matrix (which needs shared
+    documents) and n-gram novelty (which needs shared n-grams): vocab
+    overlap detects domain kinship even with zero shared text.
+
+    Scale shape: the corpus reduces to the per-source vocabulary
+    first (distinct hash-agg); the pair join runs on vocabulary-scale
+    rows keyed by term (the posting-list shape), never on documents.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    vocab = (
+        docs.select("source", F.explode(F.split("text", " ")).alias("term"))
+        .distinct()
+    )
+    sizes = vocab.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    a = vocab.select(F.col("source").alias("source_a"), "term")
+    b = vocab.select(F.col("source").alias("source_b"), "term")
+    inter = (
+        a.join(b, "term")
+        .where(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        inter.join(
+            F.broadcast(sizes.withColumnsRenamed({"source": "source_a", "n": "na"})),
+            "source_a",
+        )
+        .join(
+            F.broadcast(sizes.withColumnsRenamed({"source": "source_b", "n": "nb"})),
+            "source_b",
+        )
+        .select(
+            "source_a",
+            "source_b",
+            F.col("n_inter").cast("long").alias("n_shared_terms"),
+            F.round(
+                F.col("n_inter")
+                * 1.0
+                / (F.col("na") + F.col("nb") - F.col("n_inter")),
+                6,
+            ).alias("vocab_jaccard"),
+        )
+    )
