@@ -284,6 +284,9 @@ HEADLINE = [
     # wave 64 (r4) — score calibration, vocabulary kinship
     "quality_quantile_normalization",
     "source_vocab_overlap",
+    # wave 65 (r4) — simhash precision audit, peak detection
+    "simhash_precision_audit",
+    "events_peak_detection",
 ]
 
 KNN_BATCH_N_QUERIES = 5  # matches the knn_batch query definition
@@ -388,6 +391,51 @@ def _dedup_scale_anchor(spark, sf_dir, extra, errors) -> None:
         )
 
 
+def _chunker_scale_anchor(spark, sf_dir, extra, errors) -> None:
+    """Python-path scale anchor: Arrow-batched chunker throughput
+    (docs/sec) on the corpus vs a lazily 10×-replicated corpus — the
+    third empirical scale claim, covering the mapInPandas/Arrow UDF
+    lane (kNN anchors cover JVM vector math, the MinHash anchor covers
+    codegen hash-aggs). Near-flat-or-better docs/sec at 10× = the
+    Python crossing amortizes per batch, not per row."""
+    try:
+        from pyspark.sql import functions as SF
+
+        from vector_knowledge_base_spark.pipeline.chunker import (
+            chunk_documents_df,
+        )
+        from vector_knowledge_base_spark.sources.tables import load_table
+
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "text", "lang"
+        )
+        n1 = docs.count()
+        big = docs
+        for i in range(1, 10):
+            big = big.unionAll(
+                docs.withColumn(
+                    "doc_id", SF.col("doc_id") + SF.lit(i * 100_000_000)
+                )
+            )
+        t1, t10 = [], []
+        for _ in range(2):
+            t0 = time.time()
+            _materialize(chunk_documents_df(docs))
+            t1.append(time.time() - t0)
+        for _ in range(2):
+            t0 = time.time()
+            _materialize(chunk_documents_df(big))
+            t10.append(time.time() - t0)
+        extra["chunker_docs_per_sec_1x"] = round(n1 / statistics.median(t1), 1)
+        extra["chunker_docs_per_sec_10x"] = round(
+            n1 * 10 / statistics.median(t10), 1
+        )
+    except Exception as e:  # noqa: BLE001
+        errors["chunker_scale_anchor"] = (
+            f"{type(e).__name__}: {str(e).splitlines()[0][:200]}"
+        )
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -428,6 +476,7 @@ def main() -> None:
     # scale claims, so they spend their ~20 s before the loop).
     _scale_anchor(spark, sf_dir, extra, errors)
     _dedup_scale_anchor(spark, sf_dir, extra, errors)
+    _chunker_scale_anchor(spark, sf_dir, extra, errors)
 
     for name in HEADLINE:
         if name not in q.QUERIES:

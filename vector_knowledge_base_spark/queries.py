@@ -11554,3 +11554,178 @@ def q_source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("vocab_jaccard"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Wave 65 — SimHash candidate precision audit and hourly peak detection.
+# ---------------------------------------------------------------------------
+
+_SIMHASH_PRECISION_ORACLE = f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents
+),
+h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h FROM toks),
+s AS (SELECT doc_id, {{sums}} FROM h GROUP BY doc_id),
+f AS (SELECT doc_id, CAST({{value}} AS BIGINT) AS simhash FROM s),
+banded AS (
+  SELECT doc_id, simhash, c.chunk,
+         (simhash >> (c.chunk * 8)) & 255 AS ck
+  FROM f, (VALUES (0), (1), (2), (3)) c(chunk)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+         bit_count(xor(a.simhash, b.simhash)) AS hamming
+  FROM banded a JOIN banded b USING (chunk, ck)
+  WHERE a.doc_id < b.doc_id
+    AND bit_count(xor(a.simhash, b.simhash)) <= 3
+),
+sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+           UNNEST([array_to_string(t[i:i+2], ' ')
+                   for i in range(1, len(t) - 1)]) AS shingle
+    FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+  )
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_id_a, c.doc_id_b, COUNT(*) AS n_inter
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.doc_id_a
+  JOIN sh b ON b.doc_id = c.doc_id_b AND b.shingle = a.shingle
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT c.hamming,
+         COALESCE(i.n_inter, 0) * 1.0
+           / (sa.n_sh + sb.n_sh - COALESCE(i.n_inter, 0)) AS j
+  FROM cand c
+  LEFT JOIN inter i USING (doc_id_a, doc_id_b)
+  JOIN sizes sa ON sa.doc_id = c.doc_id_a
+  JOIN sizes sb ON sb.doc_id = c.doc_id_b
+)
+SELECT CAST(hamming AS BIGINT) AS hamming,
+       CAST(COUNT(*) AS BIGINT) AS n_candidates,
+       CAST(COUNT(*) FILTER (j >= 0.2) AS BIGINT) AS n_true_neardup,
+       ROUND(COUNT(*) FILTER (j >= 0.2) * 1.0 / COUNT(*), 4) AS precision,
+       ROUND(AVG(j), 6) AS avg_jaccard
+FROM scored GROUP BY hamming
+""".format(sums=_SIMHASH32_SUMS, value=_SIMHASH32_VALUE)
+
+
+@query("simhash_precision_audit", oracle=_SIMHASH_PRECISION_ORACLE)
+def q_simhash_precision_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision of the SimHash pigeonhole candidates, stratified by
+    hamming distance: for every radius-3 candidate pair, the EXACT
+    shingle Jaccard, reported as (hamming → candidate count, true
+    near-dup count at J≥0.2, precision, mean Jaccard) — the audit that
+    says which hamming cut is trustworthy before a 100 TB run acts on
+    the sketch (the SimHash twin of lsh_candidate_precision).
+
+    Scale shape: the verify stage touches CANDIDATES only (never all
+    pairs); the exact side reuses the shingle posting-list join keyed
+    by the candidate set.
+    """
+    from vector_knowledge_base_spark.operators.text_dedup import (
+        doc_shingles,
+        simhash_hamming_candidates,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    cand = simhash_hamming_candidates(
+        docs, max_hamming=3, nbits=32
+    ).localCheckpoint(eager=True)
+    sh = doc_shingles(docs).localCheckpoint(eager=True)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    inter = (
+        cand.select("doc_id_a", "doc_id_b")
+        .join(sh.select(F.col("doc_id").alias("doc_id_a"), "shingle"), "doc_id_a")
+        .join(
+            sh.select(F.col("doc_id").alias("doc_id_b"), "shingle"),
+            ["doc_id_b", "shingle"],
+        )
+        .groupBy("doc_id_a", "doc_id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    ni = F.coalesce("n_inter", F.lit(0))
+    j = ni * 1.0 / (F.col("na") + F.col("nb") - ni)
+    scored = (
+        cand.join(inter, ["doc_id_a", "doc_id_b"], "left")
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_id_a"), F.col("n_sh").alias("na")),
+            "doc_id_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_id_b"), F.col("n_sh").alias("nb")),
+            "doc_id_b",
+        )
+        .select("hamming", j.alias("j"))
+    )
+    true_nd = (F.col("j") >= 0.2).cast("long")
+    return scored.groupBy("hamming").agg(
+        F.count(F.lit(1)).alias("n_candidates"),
+        F.sum(true_nd).alias("n_true_neardup"),
+        F.round(F.sum(true_nd) * 1.0 / F.count(F.lit(1)), 4).alias("precision"),
+        F.round(F.avg("j"), 6).alias("avg_jaccard"),
+    )
+
+
+_PEAK_DETECTION_ORACLE = """
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS h, CAST(COUNT(*) AS DOUBLE) AS c
+  FROM events GROUP BY 1
+), m AS (SELECT AVG(c) AS mean_c FROM hourly),
+ctx AS (
+  SELECT h, c,
+         LAG(c) OVER (ORDER BY h) AS prev_c,
+         LEAD(c) OVER (ORDER BY h) AS next_c
+  FROM hourly
+)
+SELECT CAST(ctx.h AS TIMESTAMP) AS peak_hour,
+       CAST(ctx.c AS BIGINT) AS n_events,
+       ROUND(ctx.c / m.mean_c, 4) AS vs_mean
+FROM ctx, m
+WHERE ctx.prev_c IS NOT NULL AND ctx.next_c IS NOT NULL
+  AND ctx.c > ctx.prev_c AND ctx.c > ctx.next_c
+  AND ctx.c > 1.5 * m.mean_c
+"""
+
+
+@query("events_peak_detection", oracle=_PEAK_DETECTION_ORACLE)
+def q_events_peak_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Traffic peak detection: hours that are strict local maxima of
+    the hourly rate AND exceed 1.5× the overall mean — the "what
+    spiked and when" report that pairs with the seasonal/burstiness
+    audits (a peak the seasonal profile expects is load; one it
+    doesn't is an incident).
+
+    Scale shape: lag/lead windows run on the AGGREGATED hourly series
+    (calendar-bounded); the mean is a 1-row broadcast.
+    """
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy(F.date_trunc("hour", "ts").alias("h")).agg(
+        F.count(F.lit(1)).cast("double").alias("c")
+    )
+    m = hourly.agg(F.avg("c").alias("mean_c"))
+    w = Window.orderBy("h")
+    ctx = hourly.select(
+        "h",
+        "c",
+        F.lag("c").over(w).alias("prev_c"),
+        F.lead("c").over(w).alias("next_c"),
+    )
+    return (
+        ctx.crossJoin(F.broadcast(m))
+        .where(
+            F.col("prev_c").isNotNull()
+            & F.col("next_c").isNotNull()
+            & (F.col("c") > F.col("prev_c"))
+            & (F.col("c") > F.col("next_c"))
+            & (F.col("c") > 1.5 * F.col("mean_c"))
+        )
+        .select(
+            F.col("h").alias("peak_hour"),
+            F.col("c").cast("long").alias("n_events"),
+            F.round(F.col("c") / F.col("mean_c"), 4).alias("vs_mean"),
+        )
+    )
