@@ -287,6 +287,9 @@ HEADLINE = [
     # wave 65 (r4) — simhash precision audit, peak detection
     "simhash_precision_audit",
     "events_peak_detection",
+    # wave 66 (r4) — feature correlation matrix, discount effectiveness
+    "lineitem_corr_matrix",
+    "discount_band_effectiveness",
 ]
 
 KNN_BATCH_N_QUERIES = 5  # matches the knn_batch query definition

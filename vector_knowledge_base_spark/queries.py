@@ -11729,3 +11729,107 @@ def q_events_peak_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("c") / F.col("mean_c"), 4).alias("vs_mean"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Wave 66 — feature-correlation matrix and discount-band effectiveness.
+# ---------------------------------------------------------------------------
+
+_CORR_MATRIX_ORACLE = """
+SELECT * FROM (
+  SELECT 'quantity|extendedprice' AS feature_pair,
+         ROUND(corr(l_quantity, l_extendedprice), 6) AS pearson_r
+  FROM lineitem
+  UNION ALL
+  SELECT 'quantity|discount', ROUND(corr(l_quantity, l_discount), 6)
+  FROM lineitem
+  UNION ALL
+  SELECT 'quantity|tax', ROUND(corr(l_quantity, l_tax), 6) FROM lineitem
+  UNION ALL
+  SELECT 'extendedprice|discount',
+         ROUND(corr(l_extendedprice, l_discount), 6) FROM lineitem
+  UNION ALL
+  SELECT 'extendedprice|tax', ROUND(corr(l_extendedprice, l_tax), 6)
+  FROM lineitem
+  UNION ALL
+  SELECT 'discount|tax', ROUND(corr(l_discount, l_tax), 6) FROM lineitem
+)
+"""
+
+
+@query("lineitem_corr_matrix", oracle=_CORR_MATRIX_ORACLE)
+def q_lineitem_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation matrix over the lineitem numeric
+    features (quantity, extendedprice, discount, tax) — the
+    feature-redundancy screen every feature-engineering pass starts
+    with (|r| ≈ 1 pairs carry one signal, near-0 pairs are
+    independent).
+
+    Scale shape: ALL six co-moment aggregates run in ONE scan (one
+    Aggregate with six corr() expressions — map-side mergeable),
+    unpivoted to rows after; the oracle's UNION-of-scans form is the
+    semantic spec, not the plan.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    pairs = [
+        ("quantity|extendedprice", "l_quantity", "l_extendedprice"),
+        ("quantity|discount", "l_quantity", "l_discount"),
+        ("quantity|tax", "l_quantity", "l_tax"),
+        ("extendedprice|discount", "l_extendedprice", "l_discount"),
+        ("extendedprice|tax", "l_extendedprice", "l_tax"),
+        ("discount|tax", "l_discount", "l_tax"),
+    ]
+    agg = li.agg(
+        *[
+            F.round(F.corr(x, y), 6).alias(name.replace("|", "_"))
+            for name, x, y in pairs
+        ]
+    )
+    stack_expr = "stack({n}, {args}) as (feature_pair, pearson_r)".format(
+        n=len(pairs),
+        args=", ".join(
+            f"'{name}', {name.replace('|', '_')}" for name, _, _ in pairs
+        ),
+    )
+    return agg.select(F.expr(stack_expr))
+
+
+_DISCOUNT_EFFECT_ORACLE = """
+SELECT ROUND(l_discount, 2) AS discount_band,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       ROUND(AVG(l_quantity), 4) AS avg_quantity,
+       ROUND(CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100)
+                           AS BIGINT)) AS DOUBLE) / 100, 2) AS net_revenue,
+       ROUND(CAST(SUM(CAST(ROUND(l_extendedprice * l_discount * 100)
+                           AS BIGINT)) AS DOUBLE) / 100, 2) AS discount_cost
+FROM lineitem GROUP BY 1
+"""
+
+
+@query("discount_band_effectiveness", oracle=_DISCOUNT_EFFECT_ORACLE)
+def q_discount_band_effectiveness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discount-band effectiveness: per discount level, volume (does a
+    deeper discount move more units?), net revenue, and what the
+    discount cost — the pricing-analytics table behind every promo
+    retrospective. Money in integer cents (cross-engine exact).
+
+    Scale shape: one hash-agg keyed by the ~11 discount levels; every
+    measure is map-side combinable.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    net_cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    disc_cents = F.round(
+        F.col("l_extendedprice") * F.col("l_discount") * 100
+    ).cast("long")
+    return li.groupBy(
+        F.round("l_discount", 2).alias("discount_band")
+    ).agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.round(F.avg("l_quantity"), 4).alias("avg_quantity"),
+        F.round(F.sum(net_cents).cast("double") / 100, 2).alias("net_revenue"),
+        F.round(F.sum(disc_cents).cast("double") / 100, 2).alias(
+            "discount_cost"
+        ),
+    )
