@@ -290,6 +290,8 @@ HEADLINE = [
     # wave 66 (r4) — feature correlation matrix, discount effectiveness
     "lineitem_corr_matrix",
     "discount_band_effectiveness",
+    # wave 67 (r4) — k-vote kNN classification probe
+    "knn_vote_accuracy",
 ]
 
 KNN_BATCH_N_QUERIES = 5  # matches the knn_batch query definition

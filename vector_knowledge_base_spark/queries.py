@@ -11833,3 +11833,83 @@ def q_discount_band_effectiveness(spark: SparkSession, sf_dir: str) -> DataFrame
             "discount_cost"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Wave 67 — k-vote kNN classification accuracy (the k>1 embedding probe).
+# ---------------------------------------------------------------------------
+
+_KNN_VOTE_ORACLE = """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv, label AS qlabel
+  FROM embeddings WHERE vec_id < 100
+), ranked AS (
+  SELECT q.query_id, q.qlabel, e.label,
+         ROW_NUMBER() OVER (
+           PARTITION BY q.query_id
+           ORDER BY ROUND(list_dot_product(e.embedding::DOUBLE[], q.qv), 6)
+                      DESC, e.vec_id
+         ) AS rn
+  FROM q JOIN embeddings e ON e.vec_id <> q.query_id
+), votes AS (
+  SELECT query_id, qlabel, label, COUNT(*) AS v,
+         MIN(rn) AS best_rn
+  FROM ranked WHERE rn <= 5
+  GROUP BY 1, 2, 3
+), winner AS (
+  SELECT query_id, qlabel, label AS predicted,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY v DESC, best_rn) AS w
+  FROM votes
+)
+SELECT qlabel AS label,
+       CAST(COUNT(*) AS BIGINT) AS n_queries,
+       CAST(SUM(CASE WHEN predicted = qlabel THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_correct,
+       ROUND(SUM(CASE WHEN predicted = qlabel THEN 1 ELSE 0 END) * 1.0
+             / COUNT(*), 4) AS vote5_accuracy
+FROM winner WHERE w = 1
+GROUP BY qlabel
+"""
+
+
+@query("knn_vote_accuracy", oracle=_KNN_VOTE_ORACLE)
+def q_knn_vote_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k=5 majority-vote kNN classification accuracy per label over a
+    100-query sample (ties broken by the best-ranked voter) — the k>1
+    robustness check on top of the top-1 LOO probe: if vote-5 beats
+    top-1, the space is locally noisy but regionally coherent; if it
+    loses, classes interleave at radius 5.
+
+    Scale shape: one batch_knn pass (corpus scanned once, queries
+    broadcast, per-query rank window), then two tiny aggregates over
+    the 500-row neighbor table (votes, winner-per-query).
+    """
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 100).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+        F.col("label").alias("qlabel"),
+    )
+    ranked = batch_knn(
+        q.select("query_id", "query_vec"), emb, k=5, include_self=False
+    )
+    lab = emb.select("vec_id", "label")
+    votes = (
+        ranked.join(lab, "vec_id")
+        .join(F.broadcast(q.select("query_id", "qlabel")), "query_id")
+        .groupBy("query_id", "qlabel", "label")
+        .agg(F.count(F.lit(1)).alias("v"), F.min("rank").alias("best_rn"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("v"), F.asc("best_rn"))
+    winner = votes.withColumn("w", F.row_number().over(w)).where(
+        F.col("w") == 1
+    )
+    correct = (F.col("label") == F.col("qlabel")).cast("long")
+    return winner.groupBy(F.col("qlabel").alias("label")).agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        F.sum(correct).alias("n_correct"),
+        F.round(F.sum(correct) * 1.0 / F.count(F.lit(1)), 4).alias(
+            "vote5_accuracy"
+        ),
+    )
