@@ -90,3 +90,66 @@ def test_compression_ratio_orders_repetitive_below_shuffled(spark):
         .first()
     )
     assert 0.0 < stats["lo"] <= stats["hi"] < 2.0
+
+
+def test_segment_migration_cells_cover_all_customers(spark):
+    """The (was, became) matrix must partition the customer universe:
+    cell counts sum to the distinct customers with any order, and no
+    (absent, absent) cell can exist."""
+    from vector_knowledge_base_spark import queries as q
+    from vector_knowledge_base_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    rows = q.QUERIES["customer_segment_migration"](spark, sf).collect()
+    total = sum(r["n_customers"] for r in rows)
+    n_cust = (
+        load_table(spark, sf, "orders").select("o_custkey").distinct().count()
+    )
+    assert total == n_cust
+    assert not any(
+        r["seg_p1"] == "absent" and r["seg_p2"] == "absent" for r in rows
+    )
+
+
+def test_peak_detection_rows_are_peaks(spark):
+    """Every reported peak exceeds 1.5x the mean by construction."""
+    from vector_knowledge_base_spark import queries as q
+
+    rows = q.QUERIES["events_peak_detection"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert all(r["vs_mean"] > 1.5 for r in rows)
+
+
+def test_quantile_normalization_bounds(spark):
+    """Normalized means must lie within the raw score's global range
+    (the quantile map cannot extrapolate)."""
+    from pyspark.sql import functions as F
+
+    from vector_knowledge_base_spark import queries as q
+    from vector_knowledge_base_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    rows = q.QUERIES["quality_quantile_normalization"](spark, sf).collect()
+    docs = load_table(spark, sf, "documents")
+    words = F.split("text", " ")
+    score = F.size(F.array_distinct(words)) / F.size(words)
+    lohi = docs.agg(
+        F.min(score).alias("lo"), F.max(score).alias("hi")
+    ).first()
+    for r in rows:
+        assert lohi["lo"] - 1e-9 <= r["avg_normalized"] <= lohi["hi"] + 1e-9
+
+
+def test_knn_vote_accuracy_bounded_and_complete(spark):
+    """Vote accuracies are valid fractions and the per-label query
+    counts sum to the sampled query count."""
+    from vector_knowledge_base_spark import queries as q
+
+    rows = q.QUERIES["knn_vote_accuracy"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert sum(r["n_queries"] for r in rows) == 100
+    for r in rows:
+        assert 0.0 <= r["vote5_accuracy"] <= 1.0
+        assert r["n_correct"] <= r["n_queries"]
