@@ -435,3 +435,20 @@ def test_simhash_candidates_equijoin_only(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_simhash_candidates_single_lineage_no_distinct(spark):
+    """Regression guard for the r4 double-lineage finding: the
+    fingerprint pipeline (token explode + 32 SUM aggregates) must be
+    materialized ONCE (localCheckpoint -> ExistingRDD scan) before the
+    pigeonhole self-join, and the first-match-only predicate must have
+    replaced the post-join .distinct() — so the final plan contains NO
+    aggregate at all and both join sides read the checkpointed RDD."""
+    from vector_knowledge_base_spark import queries as q
+
+    plan = explain_str(q.QUERIES["simhash_hamming_candidates"](spark, SF))
+    assert "ExistingRDD" in plan, "fingerprints not materialized pre-join"
+    # the 32-SUM simhash aggregate and the distinct() would both show
+    # up as HashAggregate; neither may survive in the candidate plan
+    assert "HashAggregate" not in plan
+    assert "Scan parquet" not in plan, "raw docs rescanned past the barrier"

@@ -548,7 +548,16 @@ def simhash_hamming_candidates(
     n_chunks = max_hamming + 1
     bits = nbits // n_chunks
     mask = (1 << bits) - 1
-    sim = simhash_nbit(docs, nbits=nbits, id_col=id_col, text_col=text_col)
+    # materialize the fingerprints BEFORE the pigeonhole self-join:
+    # both sides (`a`, `b`) derive from this lineage — a full scan →
+    # token explode → 32 SUM aggregates — and without a barrier Spark
+    # executes that pipeline once per side (measured 3.9s → ~1.9s at
+    # sf0.1). One bigint per doc is tiny; at 100 TB checkpoint to
+    # storage instead, but the principle is the same (same lesson as
+    # components.py edge materialization pre-mirror).
+    sim = simhash_nbit(
+        docs, nbits=nbits, id_col=id_col, text_col=text_col
+    ).localCheckpoint(eager=True)
     chunks = F.explode(
         F.array(
             *[
@@ -578,12 +587,30 @@ def simhash_hamming_candidates(
         "ck",
     )
     ham = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    # first-match-only dedup: a pair within the radius can agree on
+    # SEVERAL chunks and would be emitted once per agreeing chunk; the
+    # old plan removed the dupes with .distinct() — a full shuffle of
+    # the candidate set (1.5M rows / 2.7s at sf0.1; at 100 TB the
+    # dominant shuffle of the operator). Instead emit the pair only at
+    # the SMALLEST agreeing chunk index: both fingerprints ride along
+    # in the joined row, so "no earlier chunk agrees" is a pure
+    # codegen predicate — same pair set, zero extra shuffle
+    # (measured 2.7s -> 1.2s at sf0.1, identical 1,501,875 pairs).
+    def _chunk_of(col, j):
+        return F.shiftright(col, bits * j).bitwiseAND(F.lit(mask))
+
+    first_match = F.lit(True)
+    for j in range(n_chunks - 1):
+        first_match = first_match & (
+            (F.col("chunk") <= j)
+            | (_chunk_of(F.col("sim_a"), j) != _chunk_of(F.col("sim_b"), j))
+        )
     return (
         a.join(b, ["chunk", "ck"])
         .where(F.col("doc_id_a") < F.col("doc_id_b"))
         .where(ham <= max_hamming)
+        .where(first_match)
         .select(
             "doc_id_a", "doc_id_b", ham.cast("long").alias("hamming")
         )
-        .distinct()
     )
