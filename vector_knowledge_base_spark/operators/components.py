@@ -164,6 +164,65 @@ def dedup_canonical(
     )
 
 
+def incremental_canonical_assign(
+    corpus_canon: DataFrame,
+    batch_docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    pair_a: str = "doc_id_a",
+    pair_b: str = "doc_id_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """(doc_id, canonical_id) for every BATCH document, given the stored
+    corpus canonical table and the verified near-dup pairs that touch
+    the batch — semantically equal (batch side) to a full component
+    rerun over corpus ∪ batch, WITHOUT recomputing corpus components.
+
+    The r4 version adopted only the min corpus canonical per batch doc
+    and left same-batch duplicate groups unresolved (two dups arriving
+    together with no corpus partner each became their own canonical —
+    the one semantic gap in the incremental chain). Closed here by
+    running components over the RESIDUAL graph: batch×batch pairs plus
+    one adoption edge (batch doc → corpus canonical) per corpus
+    partner. Corpus docs in the same component collapse to the same
+    canonical node, so corpus-mediated connectivity between batch docs
+    survives; component labels are min over {batch ids, adopted
+    canonical ids}, which equals the full-rerun min because a corpus
+    canonical IS its component's min id. The residual graph is
+    batch-proportional (pairs touching the batch + their canonicals),
+    so the whole step costs O(batch), never O(corpus).
+
+    ``pairs`` must not contain corpus×corpus pairs (they are dropped
+    defensively — corpus components are already folded into the stored
+    canonical table)."""
+    canon_a = corpus_canon.select(
+        F.col(id_col).alias(pair_a), F.col("canonical_id").alias("can_a")
+    )
+    canon_b = corpus_canon.select(
+        F.col(id_col).alias(pair_b), F.col("canonical_id").alias("can_b")
+    )
+    e = (
+        pairs.join(canon_a, pair_a, "left")
+        .join(canon_b, pair_b, "left")
+        # corpus×corpus pairs carry no new information for the batch
+        .where(F.col("can_a").isNull() | F.col("can_b").isNull())
+    )
+    src = F.when(F.col("can_a").isNotNull(), F.col(pair_b)).otherwise(F.col(pair_a))
+    dst = (
+        F.when(F.col("can_a").isNotNull(), F.col("can_a"))
+        .when(F.col("can_b").isNotNull(), F.col("can_b"))
+        .otherwise(F.col(pair_b))
+    )
+    edges = e.select(src.alias("src"), dst.alias("dst")).distinct()
+    comp = connected_components(edges, src="src", dst="dst", max_iter=max_iter)
+    return batch_docs.select(id_col).join(
+        F.broadcast(comp.withColumnRenamed("id", id_col)), id_col, "left"
+    ).select(
+        F.col(id_col),
+        F.coalesce("component", F.col(id_col)).alias("canonical_id"),
+    )
+
+
 def pagerank(
     edges: DataFrame,
     src: str = "src",
