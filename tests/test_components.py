@@ -195,3 +195,39 @@ def test_python_datasource_partitioned_streaming(spark, tmp_path):
         q.stop()
     assert len(rows) == 90
     assert rows == {i: synthetic_text(i) for i in range(90)}
+
+
+def test_pstream_reader_offset_monotone_across_restart():
+    """Recovery regression (r5 advisory): a restarted
+    SyntheticDocsPartitionedStreamReader starts with an in-memory
+    high-water mark of 0, but the engine replans from the CHECKPOINTED
+    offset — the reader must ratchet against every engine-supplied
+    offset (partitions start, commit end) so latestOffset() never falls
+    below a committed position and re-emits committed ranges."""
+    from vector_knowledge_base_spark.sources.pyds import (
+        SyntheticDocsPartitionedStreamReader,
+    )
+
+    # first life: two clean batches, committed through 60
+    a = SyntheticDocsPartitionedStreamReader(
+        n_total=90, batch_size=30, num_partitions=3
+    )
+    assert a.latestOffset() == {"pos": 30}
+    a.partitions({"pos": 0}, {"pos": 30})
+    a.commit({"pos": 30})
+    assert a.latestOffset() == {"pos": 60}
+    a.partitions({"pos": 30}, {"pos": 60})
+    a.commit({"pos": 60})
+
+    # restart: fresh object; the engine replays the WAL batch (60, 90)
+    # it had planned but not committed
+    b = SyntheticDocsPartitionedStreamReader(
+        n_total=90, batch_size=30, num_partitions=3
+    )
+    b.partitions({"pos": 60}, {"pos": 90})
+    # the mark must have ratcheted: the next latestOffset may never
+    # regress below the replayed start (pre-fix it returned 30 and the
+    # engine would later re-plan 30-90 — duplicate rows)
+    assert int(b.latestOffset()["pos"]) >= 60
+    b.commit({"pos": 90})
+    assert int(b.latestOffset()["pos"]) >= 90

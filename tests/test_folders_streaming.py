@@ -410,3 +410,28 @@ def test_streaming_ingest_checkpoint_resume_exactly_once(spark, tmp_path):
         got.groupBy("doc_id", "chunk_index").count().where(F.col("count") > 1).count()
     )
     assert dups == 0
+
+
+def test_session_window_boundary_merges_adjacent(spark):
+    """Pins the session_window boundary rule the dynamic-gap oracle
+    depends on (r5, verified vs an advisory claiming the opposite): an
+    event at EXACTLY prev_ts + gap MERGES into the running session —
+    Spark coalesces adjacent [a,b)/[b,c) session windows — matching the
+    oracle's strict `ts >` break condition. If a Spark upgrade flips
+    this to strict non-overlap semantics, this test fails before the
+    driver hash does."""
+    df = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:00:00"),
+            (1, "2024-01-01 00:30:00"),  # exactly prev + gap
+            (1, "2024-01-01 01:00:01"),  # 1s past the merged session end
+        ],
+        "user_id int, ts_s string",
+    ).select("user_id", F.col("ts_s").cast("timestamp").alias("ts"))
+    out = (
+        df.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .count()
+        .collect()
+    )
+    counts = sorted(r["count"] for r in out)
+    assert counts == [1, 2], f"boundary event no longer merges: {out}"

@@ -44,12 +44,17 @@ def compression_ratios(
             raw = pdf[text_col].str.encode("utf-8")
             n_bytes = raw.str.len()
             n_comp = raw.map(lambda b: len(zlib.compress(b, LEVEL)))
+            # empty-text guard: int/0 in pandas yields inf, which would
+            # poison every avg/min downstream; an empty doc is defined
+            # as ratio 1.0 (incompressible), mirroring ascii_ratio's
+            # explicit empty-string handling
+            ratio = (n_comp / n_bytes.where(n_bytes > 0)).fillna(1.0).round(6)
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col],
                     "n_bytes": n_bytes,
                     "n_compressed": n_comp,
-                    "ratio": (n_comp / n_bytes).round(6),
+                    "ratio": ratio,
                 }
             )
 

@@ -195,6 +195,13 @@ class SyntheticDocsPartitionedStreamReader(DataSourceStreamReader):
         return {"pos": self._latest}
 
     def partitions(self, start: dict, end: dict):
+        # recovery monotonicity: after a checkpoint restart this object
+        # is fresh (_latest = 0) but the engine replans from the
+        # COMMITTED offset — ratchet the high-water mark against engine
+        # state so latestOffset never regresses below it (a regressed
+        # mark re-advances past already-committed ranges and re-emits
+        # them: duplicate rows, contradicting exactly-once recovery)
+        self._latest = max(self._latest, int(start["pos"]))
         lo, hi = int(start["pos"]), int(end["pos"])
         n = hi - lo
         if n <= 0:
@@ -209,7 +216,9 @@ class SyntheticDocsPartitionedStreamReader(DataSourceStreamReader):
             yield (doc_id, synthetic_text(doc_id))
 
     def commit(self, end: dict) -> None:
-        pass
+        # same ratchet on commit: the engine's committed end is the
+        # durable floor for any future latestOffset() call
+        self._latest = max(self._latest, int(end["pos"]))
 
     def stop(self) -> None:
         pass
