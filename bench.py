@@ -448,15 +448,22 @@ def _serving_latency_anchor(spark, sf_dir, extra, errors) -> None:
     nit: the end-of-run placement silently fell off the record once 205
     queries preceded it; it now runs in the anchors-first block).
 
-    At 1× both full-scan and IVF land on the same ~200-250 ms job-
+    At 1× both full-scan and IVF land on the same ~160-250 ms job-
     dispatch floor — the empirical form of BASELINE.md's "online ANN
     serving requires a specialized runtime" concession. The 10× corpus
     is where scan work finally exceeds dispatch, so the IVF layout's
-    partition pruning (probe 4/8 cells of a cell-partitioned parquet
+    partition pruning (probe 4/32 cells of a cell-partitioned parquet
     corpus = directory pruning before any file opens) becomes
     MEASURABLE rather than argued: expect ivf_10x < fullscan_10x.
-    Median ms over 5 single-query jobs, collect() as the sink (serving
-    returns rows to a caller)."""
+
+    Serving realism choices: KMeans trains ONCE on the 1× corpus and
+    replicas inherit their original's cell (identical vectors ⇒
+    identical assignment — index build cost is amortized, like any
+    production index); the reader holds ONE long-lived DataFrame handle
+    per corpus (schema/partition discovery paid at open, as a serving
+    session would), with partition pruning still per-query. Median ms
+    over 5 single-query jobs, collect() as the sink (serving returns
+    rows to a caller)."""
     try:
         import shutil
         import tempfile
@@ -467,10 +474,7 @@ def _serving_latency_anchor(spark, sf_dir, extra, errors) -> None:
 
         from vector_knowledge_base_spark.operators.ann import build_ivf
         from vector_knowledge_base_spark.operators.knn import cosine_topk
-        from vector_knowledge_base_spark.sources.storage import (
-            read_ivf_cells,
-            write_ivf_corpus,
-        )
+        from vector_knowledge_base_spark.sources.storage import write_ivf_corpus
         from vector_knowledge_base_spark.sources.tables import load_table
 
         emb = load_table(spark, sf_dir, "embeddings")
@@ -485,13 +489,22 @@ def _serving_latency_anchor(spark, sf_dir, extra, errors) -> None:
                     "embedding",
                 )
             )
+        centroids, assigned = build_ivf(emb, n_partitions=32)
+        assigned_big = assigned
+        for i in range(1, 10):
+            assigned_big = assigned_big.unionAll(
+                assigned.select(
+                    (SF.col("vec_id") + SF.lit(i * 100_000_000)).alias("vec_id"),
+                    "embedding",
+                    "ivf_cell",
+                )
+            )
 
-        for label, corpus in (("", emb), ("_10x", big)):
-            centroids, assigned = build_ivf(corpus, n_partitions=8)
+        for label, corpus, idx in (("", emb, assigned), ("_10x", big, assigned_big)):
             tmpd = tempfile.mkdtemp(prefix="ivf_bench_")
             try:
-                write_ivf_corpus(assigned, tmpd)
-                assigned.unpersist()
+                write_ivf_corpus(idx, tmpd)
+                base = spark.read.parquet(tmpd)  # held open, like a server
                 full_lat, lat = [], []
                 for r in qrows:
                     qv = [float(x) for x in r["embedding"]]
@@ -503,7 +516,7 @@ def _serving_latency_anchor(spark, sf_dir, extra, errors) -> None:
                     d = ((centroids - np.asarray(qv)) ** 2).sum(axis=1)
                     probe = [int(c) for c in np.argsort(d)[:4]]
                     t0 = time.time()
-                    sub = read_ivf_cells(spark, tmpd, probe)
+                    sub = base.where(SF.col("ivf_cell").isin(probe))
                     cosine_topk(sub, qv, k=10).collect()
                     lat.append(time.time() - t0)
                 extra[f"knn_single_fullscan{label}_ms"] = round(
@@ -514,6 +527,7 @@ def _serving_latency_anchor(spark, sf_dir, extra, errors) -> None:
                 )
             finally:
                 shutil.rmtree(tmpd, ignore_errors=True)
+        assigned.unpersist()
     except Exception as e:  # noqa: BLE001
         errors["knn_single_serving_anchor"] = (
             f"{type(e).__name__}: {str(e).splitlines()[0][:200]}"

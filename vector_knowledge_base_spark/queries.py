@@ -756,12 +756,31 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 # zlib compression kernel) by demoting four entries whose family twin
 # stays in-window (token_count_regex↔text_stats, range↔as-of join,
 # hourly-histogram↔tumbling-window, lang_distribution↔language-ID).
+#
+# r5 rotation (VERDICT r4 #5): five promotions, each demotion names its
+# strictly-covering in-window twin —
+#   exact_substring_spans       IN  (the actionable cut list)
+#     ↔ exact_substring_profile OUT (same gram-hash run detection; the
+#       spans output is what the profile aggregates)
+#   shingle_containment_pairs   IN  (asymmetric quote-inclusion dedup)
+#     ↔ ngram_jaccard_df_capped OUT (same df-capped posting-list join
+#       core; a regression there flips containment red)
+#   knn_batch_filtered          IN  (batch kNN + per-query predicate)
+#     ↔ knn_batch               OUT (the unfiltered subset of the same
+#       operator; knn_topk_filtered/knn_neighbor_join also in-window)
+#   events_seasonal_decomposition IN (hourly series + seasonal split)
+#     ↔ events_tumbling_window  OUT (the hourly aggregation it builds on)
+#   incremental_dedup_equivalence IN (r5 delta×delta closure, inline
+#       known-answer; incremental_dedup_assign's full-rerun oracle is
+#       its sf0.01 twin in pytest)
+#     ↔ minhash_signatures      OUT (minhash_lsh_candidates, in-window,
+#       consumes the signatures — a signature regression flips it red)
 # ============================================================================
 _WINDOW_PROMOTE = [
     # r3 promotions
     "ann_ivf_exhaustive",       # exact-twin oracle for the IVF ANN path
     "folder_paths_resolved",    # recursive folder resolution (ref J3)
-    "ngram_jaccard_df_capped",  # the scale-safe dedup headline variant
+    # (r5: ngram_jaccard_df_capped moved to DEMOTE — twin containment)
     "cluster_stats_noise",      # HDBSCAN −1 noise-sentinel semantics
     "extract_dispatch_inline",  # extractor dispatch surface (ref S11)
     # r4 promotions — the ML family's invariant projections (wave 40/41)
@@ -771,7 +790,7 @@ _WINDOW_PROMOTE = [
     "pq_shortlist_rerank_topk",    # PQ serving == exact top-10 (KNN oracle)
     "ann_ivf_adaptive",            # adaptive probe: recall + scan bounds
     "hll_vs_exact_by_source",      # sketch accuracy vs exact distinct
-    "exact_substring_profile",     # Lee-et-al exact-substring dedup
+    # (r5: exact_substring_profile moved to DEMOTE — twin spans)
     # r4 wave 42 — layout + sketch-audit families
     "zorder_layout_stats",         # Z-order pruning effectiveness
     "quantile_sketch_audit",       # approx-quantile vs exact percentiles
@@ -780,6 +799,12 @@ _WINDOW_PROMOTE = [
     "mutual_knn_pairs",            # reciprocal-NN dedup confidence
     "snapshot_diff_orders",        # warehouse CDC snapshot diff
     "compression_ratio_inline",    # zlib quality kernel (known-answer)
+    # r5 promotions — see rotation note above
+    "exact_substring_spans",          # actionable cut-list spans
+    "shingle_containment_pairs",      # asymmetric containment dedup
+    "knn_batch_filtered",             # batch kNN + per-query predicate
+    "events_seasonal_decomposition",  # hourly seasonal split
+    "incremental_dedup_equivalence",  # delta×delta closure proof
 ]
 _WINDOW_DEMOTE = [
     # rows-only registrations (no SQL oracle possible for raw outputs)
@@ -804,6 +829,12 @@ _WINDOW_DEMOTE = [
     "range_join_clicks_after_purchase",  # twin: asof_last_click_before_purchase
     "events_hourly_histogram",          # twin: events_tumbling_window
     "lang_distribution",                # twin: language_id_heuristic
+    # r5 demotions — each twin named in the rotation note above
+    "exact_substring_profile",          # twin: exact_substring_spans
+    "ngram_jaccard_df_capped",          # twin: shingle_containment_pairs
+    "knn_batch",                        # twin: knn_batch_filtered
+    "events_tumbling_window",           # twin: events_seasonal_decomposition
+    "minhash_signatures",               # twin: minhash_lsh_candidates
 ]
 
 
