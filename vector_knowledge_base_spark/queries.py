@@ -10608,50 +10608,104 @@ def q_dataset_datasheet_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("ann_probe_recall_curve", oracle=None)
 def q_ann_probe_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF tuning curve: recall@10 vs exact AND scanned-corpus fraction
-    for n_probe = 1, 2, 4, 8 over an 8-cell index — the report that
-    picks the production probe count (the per-query adaptive variant
-    ann_ivf_adaptive is driver-checked; this is its full operating
-    curve). Rows-only: probe membership depends on the KMeans
-    centroids, which no SQL engine reproduces — the monotonicity
-    property (recall and scanned fraction both non-decreasing in
-    n_probe, recall = 1 at full probe) is pinned by pytest instead.
+    """IVF tuning curve, MULTI-QUERY (r5 — the r4 version measured one
+    query, a statistically meaningless operating point): average and
+    worst-case recall@10 vs exact, and average scanned-corpus fraction,
+    for n_probe = 1, 2, 4, 8 over an 8-cell index, across 20 query
+    vectors — the report that picks the production probe count (the
+    per-query adaptive variant ann_ivf_adaptive is driver-checked).
+
+    Scale shape: the corpus is SCORED ONCE for all queries and probe
+    levels — a broadcast probe-plan (query_id, cell, cell_rank from
+    driver-side 20×8 centroid math) joins the assigned corpus, each
+    probe level is then a filter + per-query window top-k over the
+    checkpointed scored table; no per-(query, level) rescan loop (the
+    r4 version ran 4 separate scans). Rows-only: probe membership
+    depends on KMeans centroid geometry, which no SQL engine
+    reproduces — the monotonicity property (recall and scanned fraction
+    both non-decreasing in n_probe, recall = 1 at full probe) is pinned
+    by pytest instead.
     """
     import numpy as np
 
     from vector_knowledge_base_spark.operators.ann import build_ivf
-    from vector_knowledge_base_spark.operators.knn import cosine_topk
+    from vector_knowledge_base_spark.operators.knn import batch_knn
 
+    n_q, k = 20, 10
     emb = _t(spark, sf_dir, "embeddings")
     centroids, assigned = build_ivf(emb, n_partitions=8)
-    qrow = emb.where(F.col("vec_id") == 0).select("embedding").first()
-    qv = [float(x) for x in qrow["embedding"]]
-    exact_ids = {
-        r["vec_id"] for r in cosine_topk(emb, qv, k=10).collect()
-    }
-    d = ((centroids - np.asarray(qv)) ** 2).sum(axis=1)
-    order = [int(c) for c in np.argsort(d)]
-    total = assigned.count()
-    rows = []
-    for n_probe in (1, 2, 4, 8):
-        cells = order[:n_probe]
-        sub = assigned.where(F.col("ivf_cell").isin(cells))
-        scanned = sub.count()
-        got = {r["vec_id"] for r in cosine_topk(sub, qv, k=10).collect()}
-        rows.append(
-            (
-                n_probe,
-                scanned,
-                round(scanned / total, 4),
-                len(got & exact_ids),
-                round(len(got & exact_ids) / 10.0, 4),
+    queries = emb.where(F.col("vec_id") < n_q).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = batch_knn(queries, emb, k=k).select("query_id", "vec_id")
+    # probe plan: cell_rank of every cell for every query (20×8 driver
+    # numpy — the same centroid math every IVF probe does)
+    plan_rows = [
+        (int(r["query_id"]), int(c), int(rank))
+        for r in queries.collect()
+        for rank, c in enumerate(
+            np.argsort(
+                ((centroids - np.asarray(r["query_vec"])) ** 2).sum(axis=1)
             )
         )
+    ]
+    plan = spark.createDataFrame(
+        plan_rows, "query_id long, ivf_cell int, cell_rank int"
+    )
+    from vector_knowledge_base_spark.functions.vector import dot_product
+
+    scored = (
+        assigned.join(F.broadcast(plan), "ivf_cell")
+        .join(F.broadcast(queries), "query_id")
+        .select(
+            "query_id",
+            "vec_id",
+            "cell_rank",
+            F.round(dot_product(F.col("embedding"), F.col("query_vec")), 6).alias(
+                "score"
+            ),
+        )
+        .localCheckpoint(eager=True)
+    )
     assigned.unpersist()
-    return spark.createDataFrame(
-        rows,
-        "n_probe int, scanned_rows long, scanned_frac double,"
-        " n_overlap_exact int, recall_at_10 double",
+    total = emb.count()
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), "vec_id")
+    levels = None
+    for p in (1, 2, 4, 8):
+        top = (
+            scored.where(F.col("cell_rank") < p)
+            .withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select(F.lit(p).alias("n_probe"), "query_id", "vec_id")
+        )
+        levels = top if levels is None else levels.unionAll(top)
+    per_q = (
+        levels.join(
+            exact.withColumn("is_exact", F.lit(1)), ["query_id", "vec_id"], "left"
+        )
+        .groupBy("n_probe", "query_id")
+        .agg((F.sum(F.coalesce("is_exact", F.lit(0))) / float(k)).alias("recall"))
+    )
+    lv = spark.createDataFrame([(p,) for p in (1, 2, 4, 8)], "n_probe int")
+    scan = (
+        scored.groupBy("query_id", "cell_rank")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .join(F.broadcast(lv), F.col("cell_rank") < F.col("n_probe"))
+        .groupBy("n_probe", "query_id")
+        .agg(F.sum("n").alias("scanned"))
+    )
+    return (
+        per_q.join(scan, ["n_probe", "query_id"])
+        .groupBy("n_probe")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_queries"),
+            F.round(F.avg(F.col("scanned") / F.lit(float(total))), 4).alias(
+                "scanned_frac"
+            ),
+            F.round(F.avg("recall"), 4).alias("recall_at_10"),
+            F.round(F.min("recall"), 4).alias("min_recall_at_10"),
+        )
+        .orderBy("n_probe")
     )
 
 
