@@ -262,6 +262,8 @@ HEADLINE = [
     # wave 58 (r4) — audio decode, corpus datasheet, IVF probe curve
     "multimodal_audio_meta_inline",
     "dataset_datasheet_summary",
+    "txlog_snapshot_read",
+    "txlog_cdc_diff",
     "ann_probe_recall_curve",
     # wave 59 (r4) — Spark-4 SQL surface
     "pipe_syntax_orders_summary",

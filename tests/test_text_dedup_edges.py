@@ -236,3 +236,70 @@ def test_incremental_dedup_against_stored_signatures(spark, tmp_path):
         ).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_ingest_chain_stored_artifacts_assignment_equivalence(spark, tmp_path):
+    """The FULL production ingest chain over stored artifacts (r5,
+    ROADMAP candidate #6): corpus MinHash signatures AND the corpus
+    canonical table persisted to parquet once; an arriving batch is
+    banded against the STORED signature table (corpus×batch), banded
+    against itself (batch×batch), and assigned canonicals via
+    incremental_canonical_assign over the STORED canonical artifact.
+    The assignment must equal a full component rerun over
+    corpus ∪ batch using the same candidate generator — nothing about
+    reading the artifacts from disk may change the semantics."""
+    from vector_knowledge_base_spark.operators.components import (
+        connected_components,
+        dedup_canonical,
+        incremental_canonical_assign,
+    )
+    from vector_knowledge_base_spark.operators.text_dedup import (
+        lsh_candidates_between,
+        minhash_lsh_candidates,
+        minhash_signatures,
+    )
+    from vector_knowledge_base_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    corpus = docs.where(F.col("doc_id") < 400)
+    batch = docs.where(F.col("doc_id") >= 400)
+
+    # ingest-time artifacts: signature table + canonical table
+    sig_path = str(tmp_path / "corpus_sigs")
+    canon_path = str(tmp_path / "corpus_canon")
+    minhash_signatures(corpus).write.parquet(sig_path)
+    corpus_pairs = minhash_lsh_candidates(minhash_signatures(corpus))
+    dedup_canonical(corpus, corpus_pairs).write.parquet(canon_path)
+
+    # batch arrival: probe stored signatures + band the batch itself
+    stored_sigs = spark.read.parquet(sig_path)
+    stored_canon = spark.read.parquet(canon_path)
+    batch_sigs = minhash_signatures(batch)
+    cross = lsh_candidates_between(batch_sigs, stored_sigs).select(
+        F.col("corpus_id").alias("doc_id_a"), F.col("new_id").alias("doc_id_b")
+    )
+    within = minhash_lsh_candidates(batch_sigs)
+    got = {
+        (r["doc_id"], r["canonical_id"])
+        for r in incremental_canonical_assign(
+            stored_canon, batch, cross.unionAll(within)
+        ).collect()
+    }
+
+    # full rerun over the union with the same generator
+    all_pairs = corpus_pairs.unionAll(cross).unionAll(within)
+    comp = connected_components(all_pairs, src="doc_id_a", dst="doc_id_b")
+    full = {
+        (r["doc_id"], r["canonical_id"])
+        for r in batch.select("doc_id")
+        .join(comp.withColumnRenamed("id", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("component", F.col("doc_id")).alias("canonical_id"),
+        )
+        .collect()
+    }
+    assert got == full and len(got) == batch.count()
+    # the chain must have found at least one cross-partner adoption,
+    # otherwise the test is vacuous
+    assert any(c < 400 for _, c in got)

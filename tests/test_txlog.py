@@ -1,0 +1,225 @@
+"""Transactional manifest layer (sources/txlog.py): commit atomicity,
+time travel, copy-on-write delete, file-churn-proportional CDC, vacuum.
+
+Reference parity: the reference mutates stores in place
+(backend/document_registry.py delete/upsert); at 100 TB mutations must
+be metadata + touched-file rewrites, which is what these tests pin —
+including the property that untouched data files are carried BY
+REFERENCE (same inode, never rewritten)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from vector_knowledge_base_spark.sources.txlog import (
+    append_table,
+    compact_log,
+    create_table,
+    delete_where,
+    read_table,
+    table_diff,
+    table_versions,
+)
+
+
+@pytest.fixture()
+def orders(spark):
+    from vector_knowledge_base_spark.sources.tables import load_table
+
+    return load_table(spark, "/root/testdata/sf0.001", "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+
+
+def test_create_read_roundtrip(spark, orders, tmp_path):
+    p = str(tmp_path / "t")
+    v = create_table(spark, p, orders)
+    assert v == 0
+    got = read_table(spark, p)
+    assert got.count() == orders.count()
+    assert set(got.columns) == set(orders.columns)
+    with pytest.raises(RuntimeError):
+        create_table(spark, p, orders)  # refuses to overwrite
+
+
+def test_append_and_time_travel(spark, orders, tmp_path):
+    p = str(tmp_path / "t")
+    first = orders.where(F.col("o_orderkey") < 1000)
+    rest = orders.where(F.col("o_orderkey") >= 1000)
+    create_table(spark, p, first)
+    v1 = append_table(spark, p, rest)
+    assert v1 == 1
+    assert read_table(spark, p).count() == orders.count()
+    # time travel: v0 still shows only the first batch
+    assert read_table(spark, p, version=0).count() == first.count()
+
+
+def test_append_does_not_rewrite_existing_files(spark, orders, tmp_path):
+    p = str(tmp_path / "t")
+    create_table(spark, p, orders.where(F.col("o_orderkey") < 1000))
+    m0 = json.load(open(p + "/_txlog/00000000.json"))
+    inodes_before = {f: os.stat(f).st_ino for f in m0["files"]}
+    append_table(spark, p, orders.where(F.col("o_orderkey") >= 1000))
+    m1 = json.load(open(p + "/_txlog/00000001.json"))
+    # every v0 file carried by reference: same path, same inode
+    for f, ino in inodes_before.items():
+        assert f in m1["files"]
+        assert os.stat(f).st_ino == ino
+
+
+def test_delete_where_is_copy_on_write(spark, orders, tmp_path):
+    p = str(tmp_path / "t")
+    # two batches -> v1 manifest has two file sets; delete rows that
+    # exist ONLY in the second batch and assert batch-1 files untouched
+    create_table(spark, p, orders.where(F.col("o_orderkey") < 1000))
+    append_table(spark, p, orders.where(F.col("o_orderkey") >= 1000))
+    m1 = json.load(open(p + "/_txlog/00000001.json"))
+    v0_files = set(json.load(open(p + "/_txlog/00000000.json"))["files"])
+    inodes = {f: os.stat(f).st_ino for f in v0_files}
+
+    v2 = delete_where(spark, p, F.col("o_orderkey") >= 1000)
+    m2 = json.load(open(p + "/_txlog/%08d.json" % v2))
+    # only batch-2 files were rewritten
+    assert set(m2["rewritten"]) == set(m1["files"]) - v0_files
+    for f in v0_files:
+        assert f in m2["files"] and os.stat(f).st_ino == inodes[f]
+    got = read_table(spark, p)
+    assert got.count() == orders.where(F.col("o_orderkey") < 1000).count()
+    assert got.where(F.col("o_orderkey") >= 1000).count() == 0
+    # and time travel still reads the pre-delete table
+    assert read_table(spark, p, version=1).count() == orders.count()
+
+
+def test_delete_where_no_match_is_metadata_only(spark, orders, tmp_path):
+    p = str(tmp_path / "t")
+    create_table(spark, p, orders)
+    v1 = delete_where(spark, p, F.col("o_orderkey") < 0)
+    m0 = json.load(open(p + "/_txlog/00000000.json"))
+    m1 = json.load(open(p + "/_txlog/%08d.json" % v1))
+    assert m1["files"] == m0["files"]
+    assert m1["rewritten"] == []
+
+
+def test_delete_where_null_predicate_rows_survive(spark, tmp_path):
+    p = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "b")], "id long, tag string"
+    )
+    create_table(spark, p, df)
+    delete_where(spark, p, F.col("tag") == "a")
+    got = {r["id"] for r in read_table(spark, p).collect()}
+    # SQL DELETE semantics: only TRUE rows go; the NULL-tag row stays
+    assert got == {2, 3}
+
+
+def test_table_diff_reads_changed_files_only(spark, orders, tmp_path):
+    p = str(tmp_path / "t")
+    create_table(spark, p, orders)
+    delete_where(spark, p, F.col("o_orderstatus") == "F")
+    diff = table_diff(spark, p, 0, 1)
+    n_f = orders.where(F.col("o_orderstatus") == "F").count()
+    by_change = {
+        r["change"]: r["n"]
+        for r in diff.groupBy("change").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert by_change.get("delete", 0) == n_f
+    assert by_change.get("insert", 0) == 0
+    # reverse diff flips the change kinds
+    rev = table_diff(spark, p, 1, 0)
+    assert rev.where(F.col("change") == "insert").count() == n_f
+
+
+def test_crash_before_commit_is_invisible(spark, orders, tmp_path):
+    """Orphan data files (crash after data write, before manifest
+    rename) must be ignored by readers — the manifest is the commit
+    point."""
+    p = str(tmp_path / "t")
+    create_table(spark, p, orders.where(F.col("o_orderkey") < 1000))
+    n = read_table(spark, p).count()
+    # simulate the crash: a data batch lands with NO manifest
+    orphan = os.path.join(p, "data", "borphan")
+    orders.where(F.col("o_orderkey") >= 1000).write.parquet(orphan)
+    assert read_table(spark, p).count() == n
+    # history unaffected
+    assert [r["version"] for r in table_versions(spark, p).collect()] == [0]
+
+
+def test_compact_log_vacuums_unreferenced_files(spark, orders, tmp_path):
+    p = str(tmp_path / "t")
+    create_table(spark, p, orders)
+    delete_where(spark, p, F.col("o_orderstatus") == "F")  # v1 rewrites all
+    m0_files = json.load(open(p + "/_txlog/00000000.json"))["files"]
+    m1_files = set(json.load(open(p + "/_txlog/00000001.json"))["files"])
+    dead = [f for f in m0_files if f not in m1_files]
+    assert dead  # the delete rewrote at least one file
+    removed = compact_log(spark, p, keep_versions=1)
+    assert removed == len(dead)
+    assert all(not os.path.exists(f) for f in dead)
+    # latest version still reads fine; v0 is gone from history
+    assert read_table(spark, p).count() == orders.where(
+        F.col("o_orderstatus") != "F"
+    ).count()
+    with pytest.raises(RuntimeError):
+        read_table(spark, p, version=0)
+
+
+def test_streaming_ingest_txlog_exactly_once(spark, tmp_path):
+    """Streaming ingest committed INTO the transactional table: restart
+    from the same checkpoint processes only the delta; a re-delivered
+    micro-batch (same batch_id, crash-before-checkpoint simulation) is
+    a manifest no-op — row counts never double; and the txlog table
+    immediately supports a batch copy-on-write delete over the
+    streamed-in data (the one-log-for-everything point)."""
+    from vector_knowledge_base_spark.sources.tables import load_table
+    from vector_knowledge_base_spark.sources.txlog import _read_manifest
+    from vector_knowledge_base_spark.streaming.txsink import (
+        streaming_ingest_txlog,
+        txlog_foreach_batch,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text", "lang"
+    )
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    table = str(tmp_path / "table")
+    docs.where(F.col("doc_id") < 20).write.parquet(src)
+
+    streaming_ingest_txlog(spark, src, ckpt, table).awaitTermination(180)
+    n1 = read_table(spark, table).count()
+    assert n1 >= 20
+
+    # crash-before-checkpoint simulation: re-deliver the committed
+    # batch id with the same data — must be a no-op
+    last_v = table_versions(spark, table).agg(F.max("version")).first()[0]
+    bid = _read_manifest(table, last_v)["batch_id"]
+    redelivered = read_table(spark, table)  # same rows, same id
+    txlog_foreach_batch(table)(redelivered, bid)
+    assert read_table(spark, table).count() == n1
+
+    # second wave; resume from the same checkpoint → delta only
+    docs.where((F.col("doc_id") >= 20) & (F.col("doc_id") < 30)).write.mode(
+        "append"
+    ).parquet(src)
+    streaming_ingest_txlog(spark, src, ckpt, table).awaitTermination(180)
+    got = read_table(spark, table)
+    n2 = got.count()
+    assert n2 > n1
+    dups = (
+        got.groupBy("doc_id", "chunk_index")
+        .count()
+        .where(F.col("count") > 1)
+        .count()
+    )
+    assert dups == 0
+
+    # and the streamed table is a first-class txlog table: batch delete
+    delete_where(spark, table, F.col("doc_id") < 5)
+    assert read_table(spark, table).where(F.col("doc_id") < 5).count() == 0
+    # pre-delete version still readable (time travel over streamed data)
+    vs = [r["version"] for r in table_versions(spark, table).collect()]
+    assert read_table(spark, table, version=sorted(vs)[-2]).count() == n2

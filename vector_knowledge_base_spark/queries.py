@@ -775,6 +775,12 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 #       its sf0.01 twin in pytest)
 #     ↔ minhash_signatures      OUT (minhash_lsh_candidates, in-window,
 #       consumes the signatures — a signature regression flips it red)
+#   txlog_snapshot_read         IN  (wave 69 transactional layer: time
+#       travel across a copy-on-write delete, manifest bookkeeping
+#       hash-checked against raw-table recomputation)
+#     ↔ clusters_distinct       OUT (cluster_stats, in-window, runs
+#       countDistinct over the same label column — a distinct-machinery
+#       regression flips it red)
 # ============================================================================
 _WINDOW_PROMOTE = [
     # r3 promotions
@@ -805,6 +811,7 @@ _WINDOW_PROMOTE = [
     "knn_batch_filtered",             # batch kNN + per-query predicate
     "events_seasonal_decomposition",  # hourly seasonal split
     "incremental_dedup_equivalence",  # delta×delta closure proof
+    "txlog_snapshot_read",            # transactional time travel (wave 69)
 ]
 _WINDOW_DEMOTE = [
     # rows-only registrations (no SQL oracle possible for raw outputs)
@@ -835,6 +842,8 @@ _WINDOW_DEMOTE = [
     "knn_batch",                        # twin: knn_batch_filtered
     "events_tumbling_window",           # twin: events_seasonal_decomposition
     "minhash_signatures",               # twin: minhash_lsh_candidates
+    "clusters_distinct",                # twin: cluster_stats (countDistinct
+                                        #   over the same label column)
 ]
 
 
@@ -1362,7 +1371,9 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     qvec = emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
-    model, hashed = lsh_model(emb, bucket_length=1.0, num_hash_tables=4)
+    # one-shot probe: cache=False — the hashed corpus is read once at
+    # collection; a cache here would leak across the session (r4 nit)
+    model, hashed = lsh_model(emb, bucket_length=1.0, num_hash_tables=4, cache=False)
     return lsh_topk(model, hashed, qvec, k=10)
 
 
@@ -12088,4 +12099,110 @@ def q_knn_vote_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum(correct) * 1.0 / F.count(F.lit(1)), 4).alias(
             "vote5_accuracy"
         ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Wave 69 (r5) — transactional table layer (sources/txlog.py): versioned
+# manifests over parquet; copy-on-write delete; file-churn CDC. The
+# reference mutates its store in place (backend/document_registry.py);
+# at 100 TB mutations must be metadata + touched-file rewrites.
+# ---------------------------------------------------------------------------
+
+
+def _txlog_demo_table(spark: SparkSession, sf_dir: str) -> str:
+    """Build (or rebuild) the demo tx table for this sf_dir: v0 = the
+    orders table in two batches, v1 = DELETE WHERE o_orderstatus = 'F'.
+    Deterministic path per sf; wiped and rebuilt per call so repeated
+    runs (bench medians, driver + pytest) see identical state."""
+    import re
+    import shutil
+
+    from vector_knowledge_base_spark.sources.txlog import (
+        append_table,
+        create_table,
+        delete_where,
+    )
+
+    tag = re.sub(r"[^A-Za-z0-9.]", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1])
+    path = f"/tmp/vkb_txlog_demo_{tag}"
+    shutil.rmtree(path, ignore_errors=True)
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    create_table(spark, path, orders.where(F.col("o_orderkey") % 2 == 0))
+    append_table(spark, path, orders.where(F.col("o_orderkey") % 2 == 1))
+    delete_where(spark, path, F.col("o_orderstatus") == "F")
+    return path
+
+
+_TXLOG_SNAPSHOT_ORACLE = """
+SELECT 1 AS version,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       ROUND(SUM(o_totalprice), 2) AS total_value
+FROM orders
+UNION ALL
+SELECT 2 AS version,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       ROUND(SUM(o_totalprice), 2) AS total_value
+FROM orders WHERE o_orderstatus <> 'F'
+"""
+
+
+@query("txlog_snapshot_read", oracle=_TXLOG_SNAPSHOT_ORACLE)
+def q_txlog_snapshot_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transactional-table TIME TRAVEL, driver-checked: the orders
+    table is committed as a txlog table (two appends, then a
+    copy-on-write DELETE of the 'F' rows — sources/txlog.py), and the
+    query reads BOTH the pre-delete version (v1) and the post-delete
+    latest (v2) from their immutable manifests, aggregating each. The
+    oracle recomputes both snapshots from the raw table — so manifest
+    bookkeeping, carried-by-reference files, and the rewritten
+    survivor files are all hash-checked.
+
+    Scale shape: the delete rewrote ONLY files containing 'F' rows;
+    v1 readers still see every original file (immutability = time
+    travel for free); cost of the mutation ∝ churn, not table size.
+    """
+    from vector_knowledge_base_spark.sources.txlog import read_table
+
+    path = _txlog_demo_table(spark, sf_dir)
+
+    def snap(v: int) -> DataFrame:
+        return read_table(spark, path, version=v).agg(
+            F.lit(v).alias("version"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_value"),
+        ).select("version", "n_rows", "total_value")
+
+    return snap(1).unionAll(snap(2))
+
+
+_TXLOG_CDC_ORACLE = """
+SELECT 'delete' AS change,
+       o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM orders WHERE o_orderstatus = 'F'
+GROUP BY o_orderstatus
+"""
+
+
+@query("txlog_cdc_diff", oracle=_TXLOG_CDC_ORACLE)
+def q_txlog_cdc_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level CDC from the transaction log, driver-checked: the diff
+    between the pre-delete and post-delete versions of the txlog orders
+    table must be exactly the deleted 'F' rows (no inserts, no
+    collateral). table_diff reads CHANGED FILES ONLY — files carried by
+    reference between the manifests are never opened, so CDC cost is
+    proportional to the churn (the snapshot_diff_orders query computes
+    the same shape by full-table comparison; this is the log-derived
+    form a transactional format gives for free).
+    """
+    from vector_knowledge_base_spark.sources.txlog import table_diff
+
+    path = _txlog_demo_table(spark, sf_dir)
+    return (
+        table_diff(spark, path, 1, 2)
+        .groupBy("change", "o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
     )

@@ -1,0 +1,325 @@
+"""Minimal transactional table layer: versioned manifests over parquet.
+
+The reference mutates its stores in place (Qdrant collection upserts /
+deletes, ``backend/document_registry.py``); this repo's ``delete_where``
+/ ``reset_table`` are crash-safe whole-directory parquet rewrites. At
+100 TB a whole-directory rewrite for a 0.1% delete is the wrong cost
+model — mutations must be METADATA operations plus copy-on-write of
+only the touched files. That is the core public idea behind Delta Lake
+/ Apache Iceberg (a numbered log of file-list manifests whose atomic
+rename is the commit point); this module implements the smallest honest
+version of it on plain parquet + POSIX rename, with no external library.
+
+Layout::
+
+    table/
+      _txlog/
+        00000000.json     {"version":0,"op":"create","files":[...],...}
+        00000001.json     {"version":1,"op":"delete_where", ...}
+      data/
+        b0/part-*.parquet  (immutable once committed)
+        b1/part-*.parquet
+
+Guarantees (single-writer; a real deployment adds a log-store lock):
+
+- The manifest rename is the COMMIT POINT: a crash anywhere before it
+  leaves orphan data files (ignored by every reader — readers only
+  trust manifest file lists), never a corrupt or half-visible table.
+- Data files are immutable; every version's file list remains readable
+  forever → time travel (``read_table(version=...)``) and file-level
+  CDC (``table_diff``) come free from the log.
+- ``delete_where`` reads the predicate ONCE to find affected files
+  (input_file_name projection), rewrites ONLY those files without the
+  matching rows, and commits a manifest swapping old→new. Untouched
+  files are carried by reference — a 0.1% delete touches 0.1% of files.
+
+Scale notes: the manifest lists absolute file paths (a real system uses
+relative paths + checksums + column stats for file skipping; column
+stats ARE already exploited at the parquet-rowgroup level by Spark's
+scan, so the skipping story here is partition-directory + file-list
+pruning). Version resolution is one directory listing of _txlog — O(versions),
+kept small by compact().
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_LOG_DIR = "_txlog"
+_DATA_DIR = "data"
+
+
+def _log_path(path: str) -> str:
+    return os.path.join(path, _LOG_DIR)
+
+
+def _manifest_file(path: str, version: int) -> str:
+    return os.path.join(_log_path(path), f"{version:08d}.json")
+
+
+def _list_versions(path: str) -> list[int]:
+    d = _log_path(path)
+    if not os.path.isdir(d):
+        return []
+    out = []
+    for n in os.listdir(d):
+        if n.endswith(".json") and not n.startswith("."):
+            try:
+                out.append(int(n[:-5]))
+            except ValueError:
+                continue
+    return sorted(out)
+
+
+def _read_manifest(path: str, version: int) -> dict:
+    with open(_manifest_file(path, version)) as f:
+        return json.load(f)
+
+
+def _commit(path: str, manifest: dict) -> int:
+    """Atomic commit: write to a dot-temp in _txlog, fsync, rename into
+    the numbered slot. POSIX rename within one directory is atomic —
+    readers see the old latest or the new latest, never a partial file.
+    Refuses to overwrite an existing version (single-writer guard)."""
+    os.makedirs(_log_path(path), exist_ok=True)
+    version = manifest["version"]
+    final = _manifest_file(path, version)
+    if os.path.exists(final):
+        raise RuntimeError(
+            f"txlog: version {version} already committed at {path} "
+            "(concurrent writer?)"
+        )
+    tmp = os.path.join(_log_path(path), f".{uuid.uuid4().hex}.tmp")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.rename(tmp, final)
+    return version
+
+
+def _write_batch(df: DataFrame, path: str) -> list[str]:
+    """Write a new immutable data batch; return its parquet file list.
+    The batch dir is invisible to readers until a manifest references
+    it (crash → orphan files, never a visible partial write)."""
+    batch = os.path.join(path, _DATA_DIR, f"b{uuid.uuid4().hex[:12]}")
+    df.write.mode("error").parquet(batch)
+    return sorted(
+        os.path.join(batch, n)
+        for n in os.listdir(batch)
+        if n.endswith(".parquet")
+    )
+
+
+def _committed_batch_ids(path: str) -> set:
+    return {
+        m.get("batch_id")
+        for m in (_read_manifest(path, v) for v in _list_versions(path))
+        if m.get("batch_id") is not None
+    }
+
+
+def create_table(
+    spark: SparkSession, path: str, df: DataFrame, batch_id: int | None = None
+) -> int:
+    """Create version 0 from ``df``. Fails if the table exists."""
+    if _list_versions(path):
+        raise RuntimeError(f"txlog: table already exists at {path}")
+    files = _write_batch(df, path)
+    return _commit(
+        path,
+        {
+            "version": 0,
+            "op": "create",
+            "files": files,
+            "parent": None,
+            "batch_id": batch_id,
+        },
+    )
+
+
+def append_table(
+    spark: SparkSession, path: str, df: DataFrame, batch_id: int | None = None
+) -> int:
+    """Append ``df`` as a new version: new files + carried references.
+    The table data already on disk is NOT read or rewritten.
+
+    ``batch_id`` (optional) makes the append IDEMPOTENT for streaming
+    sinks: if any retained manifest already carries this id, the call
+    is a no-op returning that version — foreachBatch re-delivery after
+    a crash-before-checkpoint lands exactly once (the standard
+    transactional-sink contract; the engine guarantees a replayed batch
+    has the same id and the same data)."""
+    versions = _list_versions(path)
+    if not versions:
+        raise RuntimeError(f"txlog: no table at {path}")
+    if batch_id is not None:
+        for v in versions:
+            if _read_manifest(path, v).get("batch_id") == batch_id:
+                return v  # already committed: replay is a no-op
+    latest = versions[-1]
+    files = _read_manifest(path, latest)["files"]
+    new_files = _write_batch(df, path)
+    return _commit(
+        path,
+        {
+            "version": latest + 1,
+            "op": "append",
+            "files": files + new_files,
+            "parent": latest,
+            "batch_id": batch_id,
+        },
+    )
+
+
+def read_table(
+    spark: SparkSession, path: str, version: int | None = None
+) -> DataFrame:
+    """Read the table at ``version`` (default: latest). Time travel is
+    free: every version's manifest lists immutable files."""
+    versions = _list_versions(path)
+    if not versions:
+        raise RuntimeError(f"txlog: no table at {path}")
+    v = versions[-1] if version is None else version
+    if v not in versions:
+        raise RuntimeError(f"txlog: version {v} not in {versions}")
+    files = _read_manifest(path, v)["files"]
+    if not files:
+        raise RuntimeError(f"txlog: version {v} is empty")
+    return spark.read.parquet(*files)
+
+
+def delete_where(spark: SparkSession, path: str, predicate: Column) -> int:
+    """Copy-on-write delete: only files CONTAINING matching rows are
+    rewritten (without those rows); everything else is carried by
+    reference in the new manifest. One scan finds the affected file
+    set (input_file_name projection over the predicate — at scale this
+    is where manifest column stats would prune most files before the
+    scan); the rewrite reads only the affected files."""
+    versions = _list_versions(path)
+    if not versions:
+        raise RuntimeError(f"txlog: no table at {path}")
+    latest = versions[-1]
+    files = _read_manifest(path, latest)["files"]
+    cur = spark.read.parquet(*files)
+    affected = {
+        r["f"].removeprefix("file://")
+        for r in cur.where(predicate)
+        .select(F.input_file_name().alias("f"))
+        .distinct()
+        .collect()
+    }
+    affected = {f for f in affected if f in set(files)}
+    if not affected:
+        # no matching rows anywhere: pure metadata commit (a no-op
+        # delete at 100 TB costs one scan + one manifest write)
+        return _commit(
+            path,
+            {
+                "version": latest + 1,
+                "op": "delete_where",
+                "files": files,
+                "parent": latest,
+                "rewritten": [],
+            },
+        )
+    # SQL DELETE semantics: remove rows where the predicate is TRUE;
+    # NULL-evaluating rows survive (plain ~predicate would drop them)
+    survivors = spark.read.parquet(*sorted(affected)).where(
+        ~F.coalesce(predicate, F.lit(False))
+    )
+    new_files = _write_batch(survivors, path) if survivors.limit(1).count() else []
+    kept = [f for f in files if f not in affected]
+    return _commit(
+        path,
+        {
+            "version": latest + 1,
+            "op": "delete_where",
+            "files": kept + new_files,
+            "parent": latest,
+            "rewritten": sorted(affected),
+        },
+    )
+
+
+def table_versions(spark: SparkSession, path: str) -> DataFrame:
+    """(version, op, n_files, parent) — the table history, from the log
+    alone (no data files opened)."""
+    rows = [
+        (
+            m["version"],
+            m["op"],
+            len(m["files"]),
+            m["parent"],
+        )
+        for m in (_read_manifest(path, v) for v in _list_versions(path))
+    ]
+    return spark.createDataFrame(
+        rows, "version int, op string, n_files int, parent int"
+    )
+
+
+def table_diff(
+    spark: SparkSession, path: str, v_from: int, v_to: int
+) -> DataFrame:
+    """Row-level CDC between two versions, computed from CHANGED FILES
+    ONLY: files present in both manifests carry identical immutable
+    rows and are never read — inserts = rows(files added) EXCEPT ALL
+    rows(files removed), deletes the reverse. At 100 TB the diff cost
+    is proportional to the churn, not the table. Returns the union with
+    a ``change`` column ('insert' | 'delete')."""
+    a = set(_read_manifest(path, v_from)["files"])
+    b = set(_read_manifest(path, v_to)["files"])
+    removed, added = sorted(a - b), sorted(b - a)
+    schema_src = read_table(spark, path, v_to)
+    old = (
+        spark.read.parquet(*removed)
+        if removed
+        else schema_src.limit(0)
+    )
+    new = (
+        spark.read.parquet(*added)
+        if added
+        else schema_src.limit(0)
+    )
+    return new.exceptAll(old).withColumn(
+        "change", F.lit("insert")
+    ).unionAll(old.exceptAll(new).withColumn("change", F.lit("delete")))
+
+
+def compact_log(spark: SparkSession, path: str, keep_versions: int = 10) -> int:
+    """Drop manifests older than the newest ``keep_versions`` and any
+    data file no retained manifest references (vacuum). Returns the
+    number of data files removed. Time travel windows shrink to the
+    retained versions — the standard retention trade."""
+    versions = _list_versions(path)
+    drop = versions[:-keep_versions]
+    if not drop:
+        return 0
+    keep = versions[-keep_versions:]
+    live: set[str] = set()
+    for v in keep:
+        live.update(_read_manifest(path, v)["files"])
+    removed = 0
+    for v in drop:
+        for f in _read_manifest(path, v)["files"]:
+            if f not in live and os.path.exists(f):
+                os.remove(f)
+                removed += 1
+        os.remove(_manifest_file(path, v))
+    # prune empty batch dirs
+    data = os.path.join(path, _DATA_DIR)
+    if os.path.isdir(data):
+        for d in os.listdir(data):
+            full = os.path.join(data, d)
+            if os.path.isdir(full) and not any(
+                n.endswith(".parquet") for n in os.listdir(full)
+            ):
+                shutil.rmtree(full, ignore_errors=True)
+    return removed
