@@ -138,3 +138,61 @@ def test_folder_surface_and_3d_query(spark, tmp_path):
     h = kb.health()
     assert h["status"] == "healthy" and h["documents"] == 2
     assert ".txt" in kb.allowed_extensions()
+
+
+def test_knowledge_base_txlog_storage_lifecycle(spark, tmp_path):
+    """The same facade verbs with the chunks table on the transactional
+    layer (storage='txlog'): uploads append versions, delete_document is
+    copy-on-write, run_clustering commits a rewrite version, and the
+    mutation history is queryable — with TIME TRAVEL back to the
+    pre-delete corpus (the capability the in-place parquet mode cannot
+    offer)."""
+    src = tmp_path / "uploads"
+    src.mkdir()
+    (src / "spark_notes.txt").write_text(
+        "spark shuffle partitions tuning broadcast join adaptive execution"
+    )
+    (src / "cooking.md").write_text(
+        "tomato basil pasta garlic olive oil recipe dinner"
+    )
+    kb = KnowledgeBase(spark, str(tmp_path / "ws"), storage="txlog")
+    kb.upload_directory(str(src), category="notes")
+    kb.create_document(
+        "gardening.txt", "tomato seedling soil watering sunlight garden"
+    )
+    assert {r.filename for r in kb.list_documents().collect()} == {
+        "spark_notes.txt", "cooking.md", "gardening.txt",
+    }
+    # search works identically over the txlog-backed table
+    hits = kb.search("spark broadcast join", k=2).collect()
+    assert hits and hits[0].filename == "spark_notes.txt"
+
+    # clustering label write-back commits a rewrite version
+    kb.run_clustering(k=2)
+    assert kb.chunks().where(F.col("cluster").isNotNull()).count() == (
+        kb.chunks().count()
+    )
+
+    # copy-on-write delete + registry rebuild
+    n_before = kb.chunks().count()
+    pre_delete_version = (
+        kb.history().agg(F.max("version")).first()[0]
+    )
+    kb.delete_document("cooking.md")
+    assert kb.chunks().where(F.col("filename") == "cooking.md").count() == 0
+    assert "cooking.md" not in {
+        r.filename for r in kb.list_documents().collect()
+    }
+    # time travel: the pre-delete corpus is still readable
+    assert kb.chunks_at(pre_delete_version).count() == n_before
+
+    # history records every mutation in order
+    ops = [
+        r["op"]
+        for r in kb.history().orderBy("version").collect()
+    ]
+    assert ops == ["create", "append", "rewrite", "delete_where"]
+
+    # reset drops the log entirely
+    kb.reset()
+    assert kb.list_documents().count() == 0

@@ -51,8 +51,22 @@ class _KnowledgeBaseCore:
     which composes both)."""
 
     def __init__(
-        self, spark: SparkSession, workspace_dir: str, embedding_dim: int = 64
+        self,
+        spark: SparkSession,
+        workspace_dir: str,
+        embedding_dim: int = 64,
+        storage: str = "parquet",
     ):
+        """``storage='txlog'`` keeps the chunks table in the
+        transactional manifest layer (sources/txlog.py): deletes become
+        copy-on-write of only the touched files, clustering label
+        write-back commits a new version instead of a swap-rewrite, and
+        the table history (time travel + CDC) is exposed via
+        ``history()`` / ``chunks_at()``. Derived small tables (registry,
+        coords3d, folders) stay plain parquet either way."""
+        if storage not in ("parquet", "txlog"):
+            raise ValueError(f"unknown storage mode: {storage}")
+        self.storage = storage
         self.spark = spark
         self.dim = embedding_dim
         self.chunks_path = os.path.join(workspace_dir, "chunks")
@@ -66,7 +80,29 @@ class _KnowledgeBaseCore:
     # -- reads -------------------------------------------------------------
 
     def chunks(self) -> DataFrame:
+        if self.storage == "txlog":
+            from vector_knowledge_base_spark.sources.txlog import read_table
+
+            return read_table(self.spark, self.chunks_path)
         return self.spark.read.parquet(self.chunks_path)
+
+    def chunks_at(self, version: int) -> DataFrame:
+        """Time travel (txlog storage only): the chunks table as of
+        ``version`` — e.g. the pre-delete corpus for an audit."""
+        if self.storage != "txlog":
+            raise RuntimeError("chunks_at requires storage='txlog'")
+        from vector_knowledge_base_spark.sources.txlog import read_table
+
+        return read_table(self.spark, self.chunks_path, version=version)
+
+    def history(self) -> DataFrame:
+        """(version, op, n_files, parent) — mutation history of the
+        chunks table (txlog storage only)."""
+        if self.storage != "txlog":
+            raise RuntimeError("history requires storage='txlog'")
+        from vector_knowledge_base_spark.sources.txlog import table_versions
+
+        return table_versions(self.spark, self.chunks_path)
 
     def list_documents(self) -> DataFrame:
         """O(1)-style listing from the materialized registry (A2)."""
@@ -97,7 +133,19 @@ class _KnowledgeBaseCore:
         chunks = chunks.cache()
         try:
             n = chunks.count()
-            chunks.write.mode("append").parquet(self.chunks_path)
+            if self.storage == "txlog":
+                from vector_knowledge_base_spark.sources.txlog import (
+                    _list_versions,
+                    append_table,
+                    create_table,
+                )
+
+                if _list_versions(self.chunks_path):
+                    append_table(self.spark, self.chunks_path, chunks)
+                else:
+                    create_table(self.spark, self.chunks_path, chunks)
+            else:
+                chunks.write.mode("append").parquet(self.chunks_path)
             upsert_registry(self.spark, self.registry_path, build_registry(chunks))
         finally:
             chunks.unpersist()
@@ -164,10 +212,21 @@ class _KnowledgeBaseCore:
     def delete_document(self, filename: str) -> None:
         """Predicate delete (S17) + registry rebuild from the surviving
         chunks — the set-oriented form of the reference's
-        delete-by-payload loop."""
-        from vector_knowledge_base_spark.sources.storage import delete_where
+        delete-by-payload loop. Under txlog storage this is copy-on-
+        write: only files containing the document's chunks are
+        rewritten, and the pre-delete version stays readable."""
+        if self.storage == "txlog":
+            from vector_knowledge_base_spark.sources import txlog
 
-        delete_where(self.spark, self.chunks_path, F.col("filename") == filename)
+            txlog.delete_where(
+                self.spark, self.chunks_path, F.col("filename") == filename
+            )
+        else:
+            from vector_knowledge_base_spark.sources.storage import delete_where
+
+            delete_where(
+                self.spark, self.chunks_path, F.col("filename") == filename
+            )
         _rewrite(build_registry(self.chunks()), self.registry_path)
         # drop the folder assignment too (filesystem_db.py:172-177)
         if os.path.exists(self.file_folders_path):
@@ -180,6 +239,10 @@ class _KnowledgeBaseCore:
         """Drop all derived state (S18) — including the folder hierarchy,
         like the reference's /admin/reset (main.py:1157-1198 step 2
         resets the filesystem DB too)."""
+        if self.storage == "txlog" and os.path.exists(self.chunks_path):
+            from vector_knowledge_base_spark.sources.txlog import drop_table
+
+            drop_table(self.chunks_path)
         for p in (
             self.chunks_path,
             self.registry_path,
@@ -218,7 +281,15 @@ class _KnowledgeBaseCore:
             .join(labels, "chunk_id", "left")
             .join(F.broadcast(names.select("cluster", "cluster_name")), "cluster", "left")
         )
-        _rewrite(relabeled, self.chunks_path)
+        if self.storage == "txlog":
+            from vector_knowledge_base_spark.sources.txlog import overwrite_table
+
+            # the rewrite READS the current version while WRITING the
+            # next one — safe under txlog (old files are immutable; the
+            # manifest rename is the only commit point), no swap dance
+            overwrite_table(self.spark, self.chunks_path, relabeled)
+        else:
+            _rewrite(relabeled, self.chunks_path)
         return names
 
     def list_clusters(self) -> DataFrame:

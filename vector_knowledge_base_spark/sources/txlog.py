@@ -178,6 +178,36 @@ def append_table(
     )
 
 
+def overwrite_table(spark: SparkSession, path: str, df: DataFrame) -> int:
+    """Replace the table contents as a NEW VERSION (op='rewrite'): the
+    manifest references only the new batch; prior versions stay
+    readable until compact_log vacuums them. The transactional form of
+    a full-table rewrite (e.g. clustering label write-back) — readers
+    concurrent with the rewrite keep a consistent old snapshot, and a
+    crash mid-write leaves the old version intact (the manifest rename
+    is still the only commit point)."""
+    versions = _list_versions(path)
+    if not versions:
+        return create_table(spark, path, df)
+    latest = versions[-1]
+    new_files = _write_batch(df, path)
+    return _commit(
+        path,
+        {
+            "version": latest + 1,
+            "op": "rewrite",
+            "files": new_files,
+            "parent": latest,
+        },
+    )
+
+
+def drop_table(path: str) -> None:
+    """Remove the table: data, log, everything. (The reference's
+    /admin/reset analog for a txlog-backed store.)"""
+    shutil.rmtree(path, ignore_errors=True)
+
+
 def read_table(
     spark: SparkSession, path: str, version: int | None = None
 ) -> DataFrame:
