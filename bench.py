@@ -296,6 +296,9 @@ HEADLINE = [
     "knn_vote_accuracy",
     # wave 68 (r5) — incremental-dedup equivalence proof (delta×delta gap closed)
     "incremental_dedup_equivalence",
+    # wave 70 (r5) — DSIR importance-resampling data selection
+    "dsir_importance_by_lang",
+    "dsir_topk_selection",
 ]
 
 KNN_BATCH_N_QUERIES = 5  # matches the knn_batch query definition

@@ -12206,3 +12206,149 @@ def q_txlog_cdc_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("change", "o_orderstatus")
         .agg(F.count(F.lit(1)).alias("n_rows"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Wave 70 (r5) — DSIR data selection (Xie et al. 2023, "Data Selection
+# for Language Models via Importance Resampling"): hashed-unigram
+# importance weights log p_target(x) - log p_raw(x), the standard
+# pretraining-corpus targeting step. Target domain here: lang='en'
+# (the corpus's majority slice); raw pool: the whole corpus.
+# ---------------------------------------------------------------------------
+
+_DSIR_BUCKETS = 256
+
+_DSIR_W_CTE = f"""
+toks AS (
+  SELECT doc_id, lang,
+         ('0x' || substr(md5(tok), 1, 8))::BIGINT % {_DSIR_BUCKETS} AS bucket
+  FROM (SELECT doc_id, lang, UNNEST(string_split(text, ' ')) AS tok
+        FROM documents)
+),
+raw AS (SELECT bucket, COUNT(*)::DOUBLE AS n FROM toks GROUP BY bucket),
+rawtot AS (SELECT SUM(n) AS t FROM raw),
+tgt AS (SELECT bucket, COUNT(*)::DOUBLE AS n FROM toks
+        WHERE lang = 'en' GROUP BY bucket),
+tgttot AS (SELECT COUNT(*)::DOUBLE AS t FROM toks WHERE lang = 'en'),
+lr AS (
+  SELECT raw.bucket,
+         LN((COALESCE(tgt.n, 0) + 1) / (tgttot.t + {_DSIR_BUCKETS}))
+         - LN((raw.n + 1) / (rawtot.t + {_DSIR_BUCKETS})) AS lr
+  FROM raw LEFT JOIN tgt USING (bucket), rawtot, tgttot
+),
+db AS (SELECT doc_id, lang, bucket, COUNT(*) AS cnt
+       FROM toks GROUP BY 1, 2, 3),
+w AS (
+  SELECT doc_id, lang, ROUND(SUM(cnt * lr), 4) AS log_weight
+  FROM db JOIN lr USING (bucket) GROUP BY 1, 2
+)
+"""
+
+_DSIR_REPORT_ORACLE = (
+    "WITH "
+    + _DSIR_W_CTE
+    + """
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       ROUND(AVG(log_weight), 4) AS avg_log_weight,
+       ROUND(MAX(log_weight), 4) AS max_log_weight
+FROM w GROUP BY lang
+"""
+)
+
+_DSIR_TOPK_ORACLE = (
+    "WITH "
+    + _DSIR_W_CTE
+    + """
+SELECT doc_id, lang, log_weight FROM w
+ORDER BY log_weight DESC, doc_id LIMIT 100
+"""
+)
+
+
+def _dsir_doc_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document DSIR importance log-weight under hashed-unigram
+    models of the target (lang='en') vs the raw pool.
+
+    Determinism across engines: per-doc weights are Σ_b cnt_b · lr_b
+    over at most 64 buckets (tokens are bucket-counted FIRST, so the
+    float sum has ≤64 terms in both engines), rounded to 4 decimals
+    BEFORE any downstream aggregation — the proven unigram_logprob
+    pattern, hardened.
+
+    Scale shape: one exploded scan; the two LM tables are 64-row
+    broadcasts; the per-doc reduce is one hash aggregate keyed
+    (doc_id, bucket) then (doc_id) — shuffle carries 8-byte buckets,
+    never text."""
+    from vector_knowledge_base_spark.operators.text_dedup import h32
+
+    B = _DSIR_BUCKETS
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("tok")
+    ).select("doc_id", "lang", (h32(F.col("tok")) % B).alias("bucket"))
+    raw = toks.groupBy("bucket").agg(F.count(F.lit(1)).cast("double").alias("n"))
+    rawtot = raw.agg(F.sum("n").alias("t"))
+    tgt = (
+        toks.where(F.col("lang") == "en")
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("double").alias("tn"))
+    )
+    tgttot = toks.where(F.col("lang") == "en").agg(
+        F.count(F.lit(1)).cast("double").alias("tt")
+    )
+    lr = (
+        raw.join(tgt, "bucket", "left")
+        .join(F.broadcast(rawtot))
+        .join(F.broadcast(tgttot))
+        .select(
+            "bucket",
+            (
+                F.log((F.coalesce("tn", F.lit(0.0)) + 1) / (F.col("tt") + B))
+                - F.log((F.col("n") + 1) / (F.col("t") + B))
+            ).alias("lr"),
+        )
+    )
+    db = toks.groupBy("doc_id", "lang", "bucket").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    return (
+        db.join(F.broadcast(lr), "bucket")
+        .groupBy("doc_id", "lang")
+        .agg(F.round(F.sum(F.col("cnt") * F.col("lr")), 4).alias("log_weight"))
+    )
+
+
+@query("dsir_importance_by_lang", oracle=_DSIR_REPORT_ORACLE)
+def q_dsir_importance_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance-weight report by language: average and max
+    hashed-unigram importance log-weight toward the lang='en' target —
+    the calibration view that says whether the importance model
+    separates the target domain before any resampling happens (the
+    en rows must dominate; pinned by pytest as well as the oracle).
+    """
+    return _dsir_doc_weights(spark, sf_dir).groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("log_weight"), 4).alias("avg_log_weight"),
+        F.round(F.max("log_weight"), 4).alias("max_log_weight"),
+    )
+
+
+@query("dsir_topk_selection", oracle=_DSIR_TOPK_ORACLE)
+def q_dsir_topk_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR selection, deterministic form: the 100 raw documents with
+    the highest importance weight toward the target domain (ties by
+    doc_id). Production DSIR perturbs weights with Gumbel noise before
+    the top-k to sample rather than argmax — omitted here for
+    determinism (the engine's weighted_sample_priority query holds the
+    Gumbel-top-k machinery; composing the two is a one-liner).
+
+    Scale shape: prune-first TakeOrderedAndProject over the per-doc
+    weight table; at 100 TB this is the selection job DSIR runs over a
+    full crawl with 64-row broadcast LMs — no shuffle carries text.
+    """
+    return (
+        _dsir_doc_weights(spark, sf_dir)
+        .orderBy(F.desc("log_weight"), "doc_id")
+        .limit(100)
+    )
