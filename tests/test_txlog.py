@@ -223,3 +223,35 @@ def test_streaming_ingest_txlog_exactly_once(spark, tmp_path):
     # pre-delete version still readable (time travel over streamed data)
     vs = [r["version"] for r in table_versions(spark, table).collect()]
     assert read_table(spark, table, version=sorted(vs)[-2]).count() == n2
+
+
+def test_compact_files_transactional(spark, orders, tmp_path):
+    """Compaction rewrites many small files into few WITHOUT changing
+    contents, as a new version (old version still readable), and is a
+    no-op when already compact."""
+    from vector_knowledge_base_spark.sources.txlog import compact_files
+
+    p = str(tmp_path / "t")
+    create_table(spark, p, orders.where(F.col("o_orderkey") < 500).repartition(6))
+    for lo, hi in ((500, 1500), (1500, 3000), (3000, 10**9)):
+        append_table(
+            spark,
+            p,
+            orders.where(
+                (F.col("o_orderkey") >= lo) & (F.col("o_orderkey") < hi)
+            ).repartition(6),
+        )
+    pre_v = table_versions(spark, p).agg(F.max("version")).first()[0]
+    n_files_pre = json.load(open(p + "/_txlog/%08d.json" % pre_v))["files"]
+    assert len(n_files_pre) >= 10
+    n_rows = read_table(spark, p).count()
+
+    v = compact_files(spark, p, target_files=4)
+    m = json.load(open(p + "/_txlog/%08d.json" % v))
+    assert m["op"] == "compact" and len(m["files"]) <= 4
+    got = read_table(spark, p)
+    assert got.count() == n_rows == orders.count()
+    # old version still readable (no read outage during compaction)
+    assert read_table(spark, p, version=pre_v).count() == n_rows
+    # idempotent when already compact
+    assert compact_files(spark, p, target_files=4) == v

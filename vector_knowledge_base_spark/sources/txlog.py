@@ -202,6 +202,37 @@ def overwrite_table(spark: SparkSession, path: str, df: DataFrame) -> int:
     )
 
 
+def compact_files(
+    spark: SparkSession, path: str, target_files: int = 8
+) -> int:
+    """Small-file compaction as a TRANSACTION: rewrite the current
+    contents into ``target_files`` files and commit op='compact'. The
+    streaming sink produces one batch dir per micro-batch — hundreds of
+    tiny files throttle scan parallelism planning at scale; compaction
+    restores uniform splits WITHOUT a read outage (readers of the old
+    version keep their immutable files; compact_log vacuums them once
+    retention allows). No-op (returns the current version) if the table
+    already has <= target_files files."""
+    versions = _list_versions(path)
+    if not versions:
+        raise RuntimeError(f"txlog: no table at {path}")
+    latest = versions[-1]
+    files = _read_manifest(path, latest)["files"]
+    if len(files) <= target_files:
+        return latest
+    df = spark.read.parquet(*files).coalesce(target_files)
+    new_files = _write_batch(df, path)
+    return _commit(
+        path,
+        {
+            "version": latest + 1,
+            "op": "compact",
+            "files": new_files,
+            "parent": latest,
+        },
+    )
+
+
 def drop_table(path: str) -> None:
     """Remove the table: data, log, everything. (The reference's
     /admin/reset analog for a txlog-backed store.)"""
