@@ -452,3 +452,9 @@ def test_simhash_candidates_single_lineage_no_distinct(spark):
     # up as HashAggregate; neither may survive in the candidate plan
     assert "HashAggregate" not in plan
     assert "Scan parquet" not in plan, "raw docs rescanned past the barrier"
+    # and the checkpointed fingerprints must be re-spread across the
+    # cluster: AQE coalesces the tiny fingerprint shuffle to ONE
+    # partition, which would serialize the collision join + hamming
+    # verify through a single task (measured 18s single-task vs ~1s
+    # parallel on the audit's 1.5M pairs at sf0.1)
+    assert "RoundRobinPartitioning" in plan, "candidate join not parallelized"

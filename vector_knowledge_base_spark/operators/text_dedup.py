@@ -555,9 +555,16 @@ def simhash_hamming_candidates(
     # sf0.1). One bigint per doc is tiny; at 100 TB checkpoint to
     # storage instead, but the principle is the same (same lesson as
     # components.py edge materialization pre-mirror).
-    sim = simhash_nbit(
-        docs, nbits=nbits, id_col=id_col, text_col=text_col
-    ).localCheckpoint(eager=True)
+    # Then REPARTITION the checkpointed rows: AQE coalesces the tiny
+    # fingerprint shuffle to one partition, which would serialize the
+    # whole pigeonhole join + hamming verify (the expensive part —
+    # collision pairs, not fingerprints) through a single task.
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    sim = (
+        simhash_nbit(docs, nbits=nbits, id_col=id_col, text_col=text_col)
+        .localCheckpoint(eager=True)
+        .repartition(par)
+    )
     chunks = F.explode(
         F.array(
             *[
