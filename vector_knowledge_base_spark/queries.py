@@ -5710,6 +5710,14 @@ def q_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "shingle",
             (F.col("tf") * F.log(F.col("n") * 1.0 / F.col("df"))).alias("w"),
         )
+        # the weighted posting list feeds THREE consumers (norms + both
+        # self-join sides) — materialize once instead of running the
+        # scan→shingle→tf→df pipeline per consumer, and re-spread the
+        # checkpointed rows (AQE coalesces the tiny shuffle to one
+        # partition, which would serialize the pair join); the simhash
+        # r4/r5 lesson applied
+        .localCheckpoint(eager=True)
+        .repartition(par)
     )
     nrm = w.groupBy("doc_id").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
     a = w.select(F.col("doc_id").alias("doc_id_a"), "shingle", F.col("w").alias("wa"))
