@@ -299,6 +299,8 @@ HEADLINE = [
     # wave 70 (r5) — DSIR importance-resampling data selection
     "dsir_importance_by_lang",
     "dsir_topk_selection",
+    # wave 71 (r5) — real BMP pixel decode (image analog of the WAV decoder)
+    "multimodal_image_pixels_inline",
 ]
 
 KNN_BATCH_N_QUERIES = 5  # matches the knn_batch query definition

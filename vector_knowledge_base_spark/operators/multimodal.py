@@ -286,3 +286,114 @@ def audio_metadata(files: DataFrame) -> DataFrame:
     return files.select("path", "content").mapInPandas(
         run, schema=AUDIO_META_SCHEMA
     )
+
+
+BMP_PIXEL_SCHEMA = T.StructType(
+    [
+        T.StructField("path", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("mean_r", T.DoubleType()),
+        T.StructField("mean_g", T.DoubleType()),
+        T.StructField("mean_b", T.DoubleType()),
+        T.StructField("error", T.StringType()),
+    ]
+)
+
+
+def bmp_bytes(pixels) -> bytes:
+    """Construct a 24-bit uncompressed BMP (BITMAPFILEHEADER +
+    BITMAPINFOHEADER) from a row-major [[(r,g,b), ...], ...] grid — the
+    test-fixture generator whose pixel values ARE the expected channel
+    means. Rows are stored bottom-up with 4-byte padding, per the spec."""
+    height = len(pixels)
+    width = len(pixels[0])
+    row_pad = (-(width * 3)) % 4
+    body = b""
+    for row in reversed(pixels):  # BMP scanlines are bottom-up
+        for r, g, b in row:
+            body += struct.pack("<BBB", b, g, r)  # stored as BGR
+        body += b"\x00" * row_pad
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(body), 2835, 2835, 0, 0
+    )
+    offset = 14 + 40
+    file_header = struct.pack("<2sIHHI", b"BM", offset + len(body), 0, 0, offset)
+    return file_header + info + body
+
+
+def parse_bmp_pixels(content: bytes) -> dict:
+    """REAL BMP pixel decode — pure struct + numpy, no external library
+    (24-bit uncompressed BITMAPINFOHEADER, the lingua-franca subset; the
+    PNG path stays import-gated because inflate needs a codec, but BMP
+    pixel data is raw bytes — this is the image analog of the WAV RIFF
+    decoder). Returns dims + per-channel means; raises ValueError on
+    anything malformed or unsupported (compressed, non-24-bit)."""
+    import numpy as np
+
+    if len(content) < 54 or content[:2] != b"BM":
+        raise ValueError("not a BMP file")
+    offset = struct.unpack_from("<I", content, 10)[0]
+    hdr_size = struct.unpack_from("<I", content, 14)[0]
+    if hdr_size < 40:
+        raise ValueError("unsupported BMP header")
+    width, height = struct.unpack_from("<ii", content, 18)
+    planes, bpp = struct.unpack_from("<HH", content, 26)
+    compression = struct.unpack_from("<I", content, 30)[0]
+    if bpp != 24 or compression != 0 or width <= 0 or height == 0:
+        raise ValueError(f"unsupported BMP variant (bpp={bpp}, comp={compression})")
+    flipped = height > 0  # positive height = bottom-up storage
+    height = abs(height)
+    stride = (width * 3 + 3) & ~3
+    need = offset + stride * height
+    if len(content) < need:
+        raise ValueError("truncated BMP pixel data")
+    raw = np.frombuffer(content, dtype=np.uint8, count=stride * height, offset=offset)
+    rows = raw.reshape(height, stride)[:, : width * 3].reshape(height, width, 3)
+    if flipped:
+        rows = rows[::-1]
+    means = rows.astype(np.float64).mean(axis=(0, 1))  # BGR order on disk
+    return {
+        "width": int(width),
+        "height": int(height),
+        "mean_r": float(round(means[2], 6)),
+        "mean_g": float(round(means[1], 6)),
+        "mean_b": float(round(means[0], 6)),
+    }
+
+
+def image_pixel_stats(files: DataFrame) -> DataFrame:
+    """Per-image pixel statistics (dims + channel means) over a
+    binaryFile DataFrame via the REAL BMP decoder — one Arrow-batched
+    mapInPandas stage; malformed/unsupported rows become error rows,
+    never task failures. The Spark-side plumbing (schema, batching,
+    error-row discipline) is identical to what a PIL/ffmpeg kernel
+    would use at 100 TB — only the codec call differs."""
+    import pandas as pd
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            recs = []
+            for row in pdf.itertuples(index=False):
+                content = bytes(row.content)
+                rec = {
+                    "path": row.path,
+                    "n_bytes": len(content),
+                    "width": 0,
+                    "height": 0,
+                    "mean_r": 0.0,
+                    "mean_g": 0.0,
+                    "mean_b": 0.0,
+                    "error": None,
+                }
+                try:
+                    rec.update(parse_bmp_pixels(content))
+                except Exception as e:  # noqa: BLE001 — error rows
+                    rec["error"] = str(e)
+                recs.append(rec)
+            yield pd.DataFrame(recs)
+
+    return files.select("path", "content").mapInPandas(
+        run, schema=BMP_PIXEL_SCHEMA
+    )

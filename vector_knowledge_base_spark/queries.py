@@ -12382,3 +12382,67 @@ def q_dsir_topk_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("log_weight"), "doc_id")
         .limit(100)
     )
+
+
+# ---------------------------------------------------------------------------
+# Wave 71 (r5) — REAL image pixel decode: 24-bit BMP, pure struct+numpy
+# (the image analog of the wave-58 WAV RIFF decoder; PNG/JPEG stay
+# import-gated because they need a codec, raw BMP does not).
+# ---------------------------------------------------------------------------
+
+_BMP_FIXTURES = [
+    # (path, pixel grid row-major [(r,g,b)...], expected means (r,g,b))
+    ("red2x2.bmp", [[(255, 0, 0), (255, 0, 0)], [(255, 0, 0), (255, 0, 0)]],
+     (255.0, 0.0, 0.0)),
+    ("grad3x1.bmp", [[(10, 20, 30), (40, 50, 60), (70, 80, 90)]],
+     (40.0, 50.0, 60.0)),
+    ("bw1x2.bmp", [[(0, 0, 0)], [(255, 255, 255)]], (127.5, 127.5, 127.5)),
+]
+
+
+def _bmp_inline_oracle() -> str:
+    from vector_knowledge_base_spark.operators.multimodal import bmp_bytes
+
+    rows = []
+    for path, grid, (mr, mg, mb) in _BMP_FIXTURES:
+        n = len(bmp_bytes(grid))
+        w, h = len(grid[0]), len(grid)
+        rows.append(
+            f"('{path}', {n}, {w}, {h}, {mr}, {mg}, {mb}, NULL)"
+        )
+    rows.append("('bad.bin', 7, 0, 0, 0.0, 0.0, 0.0, 'not a BMP file')")
+    return (
+        "SELECT path, CAST(n_bytes AS BIGINT) AS n_bytes,"
+        " CAST(width AS INTEGER) AS width, CAST(height AS INTEGER) AS height,"
+        " CAST(mean_r AS DOUBLE) AS mean_r, CAST(mean_g AS DOUBLE) AS mean_g,"
+        " CAST(mean_b AS DOUBLE) AS mean_b, CAST(error AS VARCHAR) AS error"
+        " FROM (VALUES "
+        + ", ".join(rows)
+        + ") t(path, n_bytes, width, height, mean_r, mean_g, mean_b, error)"
+    )
+
+
+@query("multimodal_image_pixels_inline", oracle=_bmp_inline_oracle())
+def q_multimodal_image_pixels_inline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image pixel decode (no stub, no external lib): 24-bit BMP —
+    dims + per-channel means from the raw scanlines (bottom-up rows,
+    4-byte stride padding, BGR order all handled) — over inline binary
+    columns, with a malformed blob yielding an error ROW. The oracle
+    VALUES are the fixture pixel grids' hand-computed means: true known
+    answers, not parser echoes. Upgrades the multimodal image path from
+    header-sniff to pixel-level decode next to the WAV RIFF audio
+    decoder.
+
+    Scale shape: one Arrow-batched mapInPandas stage; binary crosses
+    once per batch; partitioning carries through (no shuffle).
+    """
+    from vector_knowledge_base_spark.operators.multimodal import (
+        bmp_bytes,
+        image_pixel_stats,
+    )
+
+    rows = [
+        (path, bytearray(bmp_bytes(grid))) for path, grid, _ in _BMP_FIXTURES
+    ] + [("bad.bin", bytearray(b"NOTABMP"))]
+    files = spark.createDataFrame(rows, "path string, content binary")
+    return image_pixel_stats(files)
