@@ -255,3 +255,15 @@ def test_compact_files_transactional(spark, orders, tmp_path):
     assert read_table(spark, p, version=pre_v).count() == n_rows
     # idempotent when already compact
     assert compact_files(spark, p, target_files=4) == v
+
+
+def test_delete_where_table_path_with_spaces(spark, orders, tmp_path):
+    """input_file_name() returns percent-encoded file:// URIs; a table
+    path containing spaces must still match the manifest paths (the
+    pre-fix code silently skipped the delete — worse than failing)."""
+    p = str(tmp_path / "dir with spaces" / "t")
+    create_table(spark, p, orders)
+    delete_where(spark, p, F.col("o_orderstatus") == "F")
+    got = read_table(spark, p)
+    assert got.where(F.col("o_orderstatus") == "F").count() == 0
+    assert got.count() == orders.where(F.col("o_orderstatus") != "F").count()

@@ -269,14 +269,24 @@ def delete_where(spark: SparkSession, path: str, predicate: Column) -> int:
     latest = versions[-1]
     files = _read_manifest(path, latest)["files"]
     cur = spark.read.parquet(*files)
-    affected = {
-        r["f"].removeprefix("file://")
+    # input_file_name() yields file:// URIs with percent-encoding —
+    # unquote before matching against manifest paths, and HARD-FAIL on
+    # any unmatched hit rather than silently skipping a delete
+    from urllib.parse import unquote, urlparse
+
+    hit_files = {
+        unquote(urlparse(r["f"]).path)
         for r in cur.where(predicate)
         .select(F.input_file_name().alias("f"))
         .distinct()
         .collect()
     }
-    affected = {f for f in affected if f in set(files)}
+    affected = hit_files & set(files)
+    if hit_files - affected:
+        raise RuntimeError(
+            f"txlog: matching rows in files outside the manifest: "
+            f"{sorted(hit_files - affected)[:3]}"
+        )
     if not affected:
         # no matching rows anywhere: pure metadata commit (a no-op
         # delete at 100 TB costs one scan + one manifest write)
