@@ -267,3 +267,83 @@ def test_delete_where_table_path_with_spaces(spark, orders, tmp_path):
     got = read_table(spark, p)
     assert got.where(F.col("o_orderstatus") == "F").count() == 0
     assert got.count() == orders.where(F.col("o_orderstatus") != "F").count()
+
+
+def test_txlog_model_based_op_sequence(spark, tmp_path):
+    """Model-based check: a seeded random sequence of append /
+    delete_where / overwrite / compact ops applied to BOTH the txlog
+    table and an in-memory pandas model must agree on the full table
+    contents after EVERY op — the whole-system invariant none of the
+    single-op tests compose."""
+    import random
+
+    import pandas as pd
+
+    from vector_knowledge_base_spark.sources.txlog import (
+        compact_files,
+        overwrite_table,
+    )
+
+    rng = random.Random(42)
+    p = str(tmp_path / "t")
+
+    def fresh_batch(n):
+        rows = [
+            (rng.randrange(10**6), rng.choice("abcde"), rng.randrange(100))
+            for _ in range(n)
+        ]
+        return rows
+
+    def to_df(rows):
+        return spark.createDataFrame(rows, "id long, tag string, v long")
+
+    model = pd.DataFrame(fresh_batch(40), columns=["id", "tag", "v"])
+    create_table(spark, p, to_df(list(model.itertuples(index=False))))
+
+    def check():
+        got = (
+            read_table(spark, p)
+            .toPandas()
+            .sort_values(["id", "tag", "v"])
+            .reset_index(drop=True)
+        )
+        want = (
+            model.sort_values(["id", "tag", "v"]).reset_index(drop=True)
+        ).astype(got.dtypes.to_dict())
+        pd.testing.assert_frame_equal(got, want)
+
+    for step in range(10):
+        op = rng.choice(["append", "delete", "overwrite", "compact"])
+        if op == "append":
+            rows = fresh_batch(rng.randrange(1, 25))
+            append_table(spark, p, to_df(rows))
+            model = pd.concat(
+                [model, pd.DataFrame(rows, columns=["id", "tag", "v"])],
+                ignore_index=True,
+            )
+        elif op == "delete":
+            tag = rng.choice("abcde")
+            delete_where(spark, p, F.col("tag") == tag)
+            model = model[model["tag"] != tag]
+        elif op == "overwrite":
+            rows = fresh_batch(rng.randrange(1, 15))
+            overwrite_table(spark, p, to_df(rows))
+            model = pd.DataFrame(rows, columns=["id", "tag", "v"])
+        else:
+            compact_files(spark, p, target_files=2)
+        check()  # incl. the fully-deleted case: schema comes from the log
+
+
+def test_delete_all_rows_leaves_readable_empty_table(spark, tmp_path):
+    """Deleting every row is a legal state: the table reads back empty
+    with the schema reconstructed from the log, and appends keep
+    working afterwards."""
+    p = str(tmp_path / "t")
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, tag string")
+    create_table(spark, p, df)
+    delete_where(spark, p, F.lit(True))
+    got = read_table(spark, p)
+    assert got.count() == 0
+    assert got.columns == ["id", "tag"]
+    append_table(spark, p, df.where(F.col("id") == 1))
+    assert read_table(spark, p).count() == 1

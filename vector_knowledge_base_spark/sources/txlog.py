@@ -140,6 +140,7 @@ def create_table(
             "files": files,
             "parent": None,
             "batch_id": batch_id,
+            "schema": df.schema.jsonValue(),
         },
     )
 
@@ -174,6 +175,7 @@ def append_table(
             "files": files + new_files,
             "parent": latest,
             "batch_id": batch_id,
+            "schema": df.schema.jsonValue(),
         },
     )
 
@@ -198,6 +200,7 @@ def overwrite_table(spark: SparkSession, path: str, df: DataFrame) -> int:
             "op": "rewrite",
             "files": new_files,
             "parent": latest,
+            "schema": df.schema.jsonValue(),
         },
     )
 
@@ -229,6 +232,7 @@ def compact_files(
             "op": "compact",
             "files": new_files,
             "parent": latest,
+            "schema": _read_manifest(path, latest).get("schema"),
         },
     )
 
@@ -250,9 +254,17 @@ def read_table(
     v = versions[-1] if version is None else version
     if v not in versions:
         raise RuntimeError(f"txlog: version {v} not in {versions}")
-    files = _read_manifest(path, v)["files"]
+    m = _read_manifest(path, v)
+    files = m["files"]
     if not files:
-        raise RuntimeError(f"txlog: version {v} is empty")
+        # a fully-deleted table is a legal state: reconstruct an empty
+        # DataFrame from the schema recorded in the log (the reason
+        # real formats log the schema, not just the file list)
+        if m.get("schema") is None:
+            raise RuntimeError(f"txlog: version {v} is empty and unschema'd")
+        from pyspark.sql import types as T
+
+        return spark.createDataFrame([], T.StructType.fromJson(m["schema"]))
     return spark.read.parquet(*files)
 
 
@@ -298,6 +310,7 @@ def delete_where(spark: SparkSession, path: str, predicate: Column) -> int:
                 "files": files,
                 "parent": latest,
                 "rewritten": [],
+                "schema": _read_manifest(path, latest).get("schema"),
             },
         )
     # SQL DELETE semantics: remove rows where the predicate is TRUE;
@@ -315,6 +328,7 @@ def delete_where(spark: SparkSession, path: str, predicate: Column) -> int:
             "files": kept + new_files,
             "parent": latest,
             "rewritten": sorted(affected),
+            "schema": _read_manifest(path, latest).get("schema"),
         },
     )
 
