@@ -68,8 +68,15 @@ def connected_components(
     mat = edges.select(F.col(src).alias("id"), F.col(dst).alias("nbr")).localCheckpoint(
         eager=True
     )
-    if mat.count() <= driver_max_edges:
-        return _driver_union_find(mat)
+    # ONE action decides the path AND fetches the edges: limit(max+1)
+    # .toPandas() — if the probe comes back within the gate it IS the
+    # edge list (no second count-then-collect round trip; each driver
+    # action costs ~0.3s of dispatch, and graph consumers run two
+    # component builds per query); an over-limit probe costs one extra
+    # Arrow page before falling to the distributed loop
+    probe = mat.limit(driver_max_edges + 1).toPandas()
+    if len(probe) <= driver_max_edges:
+        return _driver_union_find(mat, probe)
     bi = mat.unionAll(mat.select(F.col("nbr").alias("id"), F.col("id").alias("nbr")))
     labels = bi.select("id").distinct().select("id", F.col("id").alias("label"))
     for _ in range(max_iter):
@@ -100,12 +107,13 @@ def connected_components(
     return labels.select("id", F.col("label").alias("component"))
 
 
-def _driver_union_find(mat: DataFrame) -> DataFrame:
+def _driver_union_find(mat: DataFrame, pdf=None) -> DataFrame:
     """Union-find over a collected (id, nbr) edge list; component = min
     member id, matching the distributed path exactly. Path-halving +
     union-by-attachment keeps it near-linear. Edges arrive as one Arrow
-    batch (``toPandas``); the output schema reuses the input id type, so
-    string/int ids work identically to the distributed path."""
+    batch (``toPandas``, or the caller's already-fetched probe); the
+    output schema reuses the input id type, so string/int ids work
+    identically to the distributed path."""
     from pyspark.sql import types as T
 
     parent: dict = {}
@@ -118,7 +126,8 @@ def _driver_union_find(mat: DataFrame) -> DataFrame:
             parent[x], x = root, parent[x]
         return root
 
-    pdf = mat.toPandas()
+    if pdf is None:
+        pdf = mat.toPandas()
     for a, b in zip(pdf["id"].tolist(), pdf["nbr"].tolist()):
         if a not in parent:
             parent[a] = a
