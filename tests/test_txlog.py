@@ -347,3 +347,46 @@ def test_delete_all_rows_leaves_readable_empty_table(spark, tmp_path):
     assert got.columns == ["id", "tag"]
     append_table(spark, p, df.where(F.col("id") == 1))
     assert read_table(spark, p).count() == 1
+
+
+def test_append_schema_enforcement(spark, tmp_path):
+    """Schema drift on append is refused (silent drift poisons every
+    future read — parquet readers take the first footer); evolution is
+    an explicit overwrite."""
+    from vector_knowledge_base_spark.sources.txlog import overwrite_table
+
+    p = str(tmp_path / "t")
+    create_table(
+        spark, p, spark.createDataFrame([(1, "a")], "id long, tag string")
+    )
+    with pytest.raises(RuntimeError, match="schema"):
+        append_table(
+            spark, p, spark.createDataFrame([(2, 3.5)], "id long, score double")
+        )
+    # same-schema append still fine; explicit overwrite evolves
+    append_table(spark, p, spark.createDataFrame([(2, "b")], "id long, tag string"))
+    overwrite_table(
+        spark, p, spark.createDataFrame([(9, 1.5)], "id long, score double")
+    )
+    assert read_table(spark, p).columns == ["id", "score"]
+
+
+def test_fsck_reports_missing_and_orphans(spark, orders, tmp_path):
+    from vector_knowledge_base_spark.sources.txlog import fsck
+
+    p = str(tmp_path / "t")
+    create_table(spark, p, orders)
+    # clean table: everything readable, no orphans
+    rep = {r["version"]: r for r in fsck(spark, p).collect()}
+    assert rep[0]["readable"] and rep[0]["n_missing"] == 0
+    assert rep[-1]["n_files"] == 0  # orphans row
+    # orphan debris (crash before commit) is counted but harmless
+    orders.limit(5).write.parquet(os.path.join(p, "data", "bcrash"))
+    rep = {r["version"]: r for r in fsck(spark, p).collect()}
+    assert rep[-1]["n_files"] >= 1
+    assert rep[0]["readable"]
+    # delete a referenced file -> version flagged unreadable
+    victim = json.load(open(p + "/_txlog/00000000.json"))["files"][0]
+    os.remove(victim)
+    rep = {r["version"]: r for r in fsck(spark, p).collect()}
+    assert not rep[0]["readable"] and rep[0]["n_missing"] == 1

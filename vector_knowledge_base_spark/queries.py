@@ -781,6 +781,11 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 #     ↔ clusters_distinct       OUT (cluster_stats, in-window, runs
 #       countDistinct over the same label column — a distinct-machinery
 #       regression flips it red)
+#
+# r6 rotation candidates (registered late in r5, pytest-oracled now):
+#   dsir_importance_by_lang / dsir_topk_selection (wave 70),
+#   multimodal_image_pixels_inline (wave 71, known-answer BMP decode),
+#   txlog_cdc_diff (log-derived CDC twin of the in-window snapshot read).
 # ============================================================================
 _WINDOW_PROMOTE = [
     # r3 promotions

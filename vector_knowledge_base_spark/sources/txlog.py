@@ -165,7 +165,21 @@ def append_table(
             if _read_manifest(path, v).get("batch_id") == batch_id:
                 return v  # already committed: replay is a no-op
     latest = versions[-1]
-    files = _read_manifest(path, latest)["files"]
+    m = _read_manifest(path, latest)
+    files = m["files"]
+    # schema ENFORCEMENT (not evolution): an append whose columns or
+    # types drift from the logged schema is refused — silent drift
+    # poisons every future read (parquet takes the first file's footer);
+    # evolving the schema is an explicit overwrite_table
+    logged = m.get("schema")
+    if logged is not None and df.schema.jsonValue() != logged:
+        from pyspark.sql import types as T
+
+        want = T.StructType.fromJson(logged).simpleString()
+        raise RuntimeError(
+            f"txlog: append schema {df.schema.simpleString()} does not "
+            f"match the table schema {want}; use overwrite_table to evolve"
+        )
     new_files = _write_batch(df, path)
     return _commit(
         path,
@@ -234,6 +248,39 @@ def compact_files(
             "parent": latest,
             "schema": _read_manifest(path, latest).get("schema"),
         },
+    )
+
+
+def fsck(spark: SparkSession, path: str) -> DataFrame:
+    """Log/file integrity check (the 'is this table safe to read'
+    report a scheduler runs before a big job): for every retained
+    version — does every referenced data file exist on disk, and are
+    there orphan data files no manifest references (crash debris the
+    vacuum will clear)? Returns (version, op, n_files, n_missing,
+    readable) plus one 'orphans' summary row (version = -1)."""
+    versions = _list_versions(path)
+    referenced: set[str] = set()
+    rows = []
+    for v in versions:
+        m = _read_manifest(path, v)
+        missing = [f for f in m["files"] if not os.path.exists(f)]
+        referenced.update(m["files"])
+        rows.append((v, m["op"], len(m["files"]), len(missing), not missing))
+    data = os.path.join(path, _DATA_DIR)
+    n_orphans = 0
+    if os.path.isdir(data):
+        for d in os.listdir(data):
+            full = os.path.join(data, d)
+            if os.path.isdir(full):
+                n_orphans += sum(
+                    1
+                    for n in os.listdir(full)
+                    if n.endswith(".parquet")
+                    and os.path.join(full, n) not in referenced
+                )
+    rows.append((-1, "orphans", n_orphans, 0, True))
+    return spark.createDataFrame(
+        rows, "version int, op string, n_files int, n_missing int, readable boolean"
     )
 
 
