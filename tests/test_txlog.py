@@ -390,3 +390,45 @@ def test_fsck_reports_missing_and_orphans(spark, orders, tmp_path):
     os.remove(victim)
     rep = {r["version"]: r for r in fsck(spark, p).collect()}
     assert not rep[0]["readable"] and rep[0]["n_missing"] == 1
+
+
+def test_merge_table_upsert_copy_on_write(spark, orders, tmp_path):
+    """MERGE: matched keys replaced, unmatched inserted, untouched files
+    carried by reference (inode check), one op='merge' version; the
+    pre-merge version stays readable."""
+    from vector_knowledge_base_spark.sources.txlog import merge_table
+
+    p = str(tmp_path / "t")
+    lo = orders.where(F.col("o_orderkey") < 1000)
+    hi = orders.where(F.col("o_orderkey") >= 1000)
+    create_table(spark, p, lo)
+    append_table(spark, p, hi)
+    v0_files = set(json.load(open(p + "/_txlog/00000000.json"))["files"])
+    inodes = {f: os.stat(f).st_ino for f in v0_files}
+
+    # updates: rewrite two EXISTING hi-side orders + one brand-new key
+    existing = {
+        r["o_orderkey"]
+        for r in hi.orderBy("o_orderkey").limit(2).collect()
+    }
+    upd = spark.createDataFrame(
+        [(k, 1, "X", 9.99) for k in sorted(existing)] + [(999999999, 1, "X", 3.0)],
+        orders.schema,
+    )
+    n_before = read_table(spark, p).count()
+    v = merge_table(spark, p, upd, ["o_orderkey"])
+    m = json.load(open(p + "/_txlog/%08d.json" % v))
+    assert m["op"] == "merge"
+    got = read_table(spark, p)
+    assert got.count() == n_before + 1  # 2 updates in place + 1 insert
+    # matched rows replaced
+    assert got.where(
+        F.col("o_orderkey").isin([int(k) for k in existing])
+        & (F.col("o_orderstatus") == "X")
+    ).count() == 2
+    assert got.where(F.col("o_orderkey") == 999999999).count() == 1
+    # lo-side files untouched unless they held a matched key
+    for f in v0_files - set(m["rewritten"]):
+        assert os.stat(f).st_ino == inodes[f]
+    # time travel to pre-merge
+    assert read_table(spark, p, version=v - 1).count() == n_before

@@ -251,6 +251,74 @@ def compact_files(
     )
 
 
+def merge_table(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    key_cols: list[str],
+) -> int:
+    """Copy-on-write MERGE (upsert): rows whose ``key_cols`` match an
+    update row are REPLACED by it; update rows matching nothing are
+    INSERTED — committed as one op='merge' version. Only files
+    containing a matching key are rewritten; everything else is carried
+    by reference (cost ∝ churn). Caller contract: ``updates`` carries
+    one row per key (both rows land otherwise — same as a SQL MERGE
+    with duplicate source keys). Schema must match the logged schema
+    (same enforcement as append)."""
+    versions = _list_versions(path)
+    if not versions:
+        raise RuntimeError(f"txlog: no table at {path}")
+    latest = versions[-1]
+    m = _read_manifest(path, latest)
+    files = m["files"]
+    logged = m.get("schema")
+    if logged is not None and updates.schema.jsonValue() != logged:
+        raise RuntimeError(
+            f"txlog: merge schema {updates.schema.simpleString()} does not "
+            "match the table schema"
+        )
+    from urllib.parse import unquote, urlparse
+
+    cur = spark.read.parquet(*files)
+    keys = updates.select(*key_cols).distinct()
+    hit_files = {
+        unquote(urlparse(r["f"]).path)
+        for r in cur.join(F.broadcast(keys), key_cols, "left_semi")
+        .select(F.input_file_name().alias("f"))
+        .distinct()
+        .collect()
+    }
+    affected = hit_files & set(files)
+    if hit_files - affected:
+        raise RuntimeError(
+            f"txlog: matching rows in files outside the manifest: "
+            f"{sorted(hit_files - affected)[:3]}"
+        )
+    survivors = (
+        spark.read.parquet(*sorted(affected)).join(
+            F.broadcast(keys), key_cols, "left_anti"
+        )
+        if affected
+        else None
+    )
+    merged = (
+        survivors.unionByName(updates) if survivors is not None else updates
+    )
+    new_files = _write_batch(merged, path)
+    kept = [f for f in files if f not in affected]
+    return _commit(
+        path,
+        {
+            "version": latest + 1,
+            "op": "merge",
+            "files": kept + new_files,
+            "parent": latest,
+            "rewritten": sorted(affected),
+            "schema": logged if logged is not None else updates.schema.jsonValue(),
+        },
+    )
+
+
 def fsck(spark: SparkSession, path: str) -> DataFrame:
     """Log/file integrity check (the 'is this table safe to read'
     report a scheduler runs before a big job): for every retained
