@@ -264,6 +264,7 @@ HEADLINE = [
     "dataset_datasheet_summary",
     "txlog_snapshot_read",
     "txlog_cdc_diff",
+    "txlog_merge_upsert",
     "ann_probe_recall_curve",
     # wave 59 (r4) — Spark-4 SQL surface
     "pipe_syntax_orders_summary",

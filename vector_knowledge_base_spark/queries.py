@@ -12451,3 +12451,72 @@ def q_multimodal_image_pixels_inline(spark: SparkSession, sf_dir: str) -> DataFr
     ] + [("bad.bin", bytearray(b"NOTABMP"))]
     files = spark.createDataFrame(rows, "path string, content binary")
     return image_pixel_stats(files)
+
+
+_TXLOG_MERGE_ORACLE = """
+WITH merged AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderstatus = 'F' THEN 0.0 ELSE o_totalprice END
+           AS o_totalprice,
+         o_orderstatus
+  FROM orders
+  UNION ALL
+  SELECT 900000001 AS o_orderkey, 123.45 AS o_totalprice, 'N' AS o_orderstatus
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) FILTER (o_totalprice = 0.0) AS BIGINT) AS n_zeroed,
+       ROUND(SUM(o_totalprice), 2) AS total_value
+FROM merged
+"""
+
+
+@query("txlog_merge_upsert", oracle=_TXLOG_MERGE_ORACLE)
+def q_txlog_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transactional MERGE, driver-checked: the orders table is
+    committed as a txlog table, then a copy-on-write merge zeroes the
+    price of every 'F' order (matched keys → replaced rows) and inserts
+    one synthetic order (unmatched key). The post-merge snapshot's
+    aggregate must equal the oracle's CASE-rewritten raw table plus the
+    insert — so key matching, file-level copy-on-write, and the
+    carried-by-reference bookkeeping are all hash-checked. (The SQL
+    MERGE shape itself is covered by merge_upsert_classify; this checks
+    the LOG-backed implementation.)
+
+    Scale shape: only files containing an 'F' row are rewritten;
+    the merge cost is churn-proportional, never table-proportional.
+    """
+    import shutil
+
+    from vector_knowledge_base_spark.sources.txlog import (
+        create_table,
+        merge_table,
+        read_table,
+    )
+
+    import re
+
+    tag = re.sub(r"[^A-Za-z0-9.]", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1])
+    path = f"/tmp/vkb_txlog_merge_{tag}"
+    shutil.rmtree(path, ignore_errors=True)
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    create_table(spark, path, orders)
+    updates = orders.where(F.col("o_orderstatus") == "F").select(
+        "o_orderkey",
+        F.lit(0.0).alias("o_totalprice"),
+        "o_orderstatus",
+    ).unionAll(
+        spark.createDataFrame(
+            [(900000001, 123.45, "N")],
+            "o_orderkey long, o_totalprice double, o_orderstatus string",
+        ).select(
+            "o_orderkey", "o_totalprice", F.col("o_orderstatus")
+        )
+    )
+    merge_table(spark, path, updates, ["o_orderkey"])
+    return read_table(spark, path).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum((F.col("o_totalprice") == 0.0).cast("long")).alias("n_zeroed"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_value"),
+    )

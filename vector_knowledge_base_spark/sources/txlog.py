@@ -281,10 +281,13 @@ def merge_table(
 
     cur = spark.read.parquet(*files)
     keys = updates.select(*key_cols).distinct()
+    # project input_file_name() BEFORE the semi-join: Spark refuses the
+    # expression once the plan has more than one source
+    tagged = cur.select(F.input_file_name().alias("f"), *key_cols)
     hit_files = {
         unquote(urlparse(r["f"]).path)
-        for r in cur.join(F.broadcast(keys), key_cols, "left_semi")
-        .select(F.input_file_name().alias("f"))
+        for r in tagged.join(F.broadcast(keys), key_cols, "left_semi")
+        .select("f")
         .distinct()
         .collect()
     }
