@@ -432,3 +432,57 @@ def test_merge_table_upsert_copy_on_write(spark, orders, tmp_path):
         assert os.stat(f).st_ino == inodes[f]
     # time travel to pre-merge
     assert read_table(spark, p, version=v - 1).count() == n_before
+
+
+def test_streaming_ingest_dedup_against_stored_corpus(spark, tmp_path):
+    """The deduplicated streaming ingest: wave 1 seeds the corpus (and
+    its signature table); wave 2 carries exact copies of wave-1 docs
+    under NEW ids plus a batch-internal duplicate pair plus genuinely
+    new docs — after the second run, the corpus contains each text
+    exactly once and the signature table stays row-aligned with it."""
+    from vector_knowledge_base_spark.sources.tables import load_table
+    from vector_knowledge_base_spark.streaming.txsink import (
+        streaming_ingest_dedup_txlog,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text", "lang"
+    )
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    dt = str(tmp_path / "docs_tx")
+    st = str(tmp_path / "sigs_tx")
+
+    wave1 = docs.where(F.col("doc_id") < 20)
+    wave1.write.parquet(src)
+    streaming_ingest_dedup_txlog(spark, src, ckpt, dt, st).awaitTermination(180)
+    n1 = read_table(spark, dt).count()
+    assert n1 > 0
+
+    # wave 2: copies of two wave-1 docs under new ids, one internal dup
+    # pair (same text twice), and fresh docs
+    copies = wave1.where(F.col("doc_id") < 2).select(
+        (F.col("doc_id") + 1000).alias("doc_id"), "text", "lang"
+    )
+    internal_dup = spark.createDataFrame(
+        [(2000, "a brand new unique document body entirely", "en"),
+         (2001, "a brand new unique document body entirely", "en")],
+        "doc_id long, text string, lang string",
+    )
+    fresh = docs.where((F.col("doc_id") >= 20) & (F.col("doc_id") < 25))
+    copies.unionAll(internal_dup).unionAll(fresh).write.mode("append").parquet(src)
+    streaming_ingest_dedup_txlog(spark, src, ckpt, dt, st).awaitTermination(180)
+
+    corpus = read_table(spark, dt)
+    # every stored text is unique (cross-wave and batch-internal dedup)
+    assert corpus.count() == corpus.select("text").distinct().count()
+    # the wave-1 copies were dropped; the internal dup collapsed to min id
+    assert corpus.where(F.col("doc_id").isin([1000, 1001])).count() == 0
+    assert [r["doc_id"] for r in corpus.where(
+        F.col("text").startswith("a brand new")).collect()] == [2000]
+    # fresh docs landed
+    assert corpus.where(
+        (F.col("doc_id") >= 20) & (F.col("doc_id") < 25)
+    ).count() == 5
+    # signature table row-aligned with the corpus
+    assert read_table(spark, st).count() == corpus.count()

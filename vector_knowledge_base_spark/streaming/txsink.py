@@ -72,3 +72,103 @@ def streaming_ingest_txlog(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def dedup_ingest_foreach_batch(
+    docs_table: str,
+    sigs_table: str,
+    bands: int = 4,
+    rows_per_band: int = 2,
+):
+    """foreachBatch callback for DEDUPLICATED streaming ingest — the
+    production training-data shape: each arriving micro-batch is probed
+    against the STORED corpus signature table (MinHash + LSH banding,
+    work ∝ batch, never ∝ corpus), batch-internal duplicate groups are
+    collapsed to one canonical survivor, and the surviving documents
+    AND their signatures are committed to their txlog tables —
+    idempotent on batch_id, so crash replay cannot double-ingest.
+
+    Dedup policy: a batch doc sharing an LSH band with ANY stored
+    corpus doc is dropped (it already exists); within the batch, only
+    the min-id member of each band-connected group survives (the same
+    canonical rule as incremental_canonical_assign). LSH candidates are
+    used as-is (no exact verify) — the streaming gate favors recall;
+    the batch-side exact audit is the lsh_candidate_precision query."""
+    from pyspark.sql import functions as F
+
+    from vector_knowledge_base_spark.operators.components import (
+        connected_components,
+    )
+    from vector_knowledge_base_spark.operators.text_dedup import (
+        lsh_candidates_between,
+        minhash_lsh_candidates,
+        minhash_signatures,
+    )
+    from vector_knowledge_base_spark.sources.txlog import read_table
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch = batch_df.localCheckpoint(eager=True)
+        sigs = minhash_signatures(batch).localCheckpoint(eager=True)
+        if _list_versions(docs_table):
+            stored_sigs = read_table(spark, sigs_table)
+            dup_vs_corpus = lsh_candidates_between(
+                sigs, stored_sigs, bands=bands, rows_per_band=rows_per_band
+            ).select(F.col("new_id").alias("doc_id")).distinct()
+        else:
+            dup_vs_corpus = None
+        within = minhash_lsh_candidates(
+            sigs, bands=bands, rows_per_band=rows_per_band
+        )
+        comp = connected_components(within, src="doc_id_a", dst="doc_id_b")
+        # batch-internal survivors: the min-id member of each group
+        non_canonical = comp.where(F.col("id") != F.col("component")).select(
+            F.col("id").alias("doc_id")
+        )
+        drop = (
+            non_canonical
+            if dup_vs_corpus is None
+            else non_canonical.unionAll(dup_vs_corpus).distinct()
+        )
+        keep = batch.join(drop, "doc_id", "left_anti").localCheckpoint(eager=True)
+        keep_sigs = sigs.join(drop, "doc_id", "left_anti")
+        for table, df in ((docs_table, keep), (sigs_table, keep_sigs)):
+            if _list_versions(table):
+                append_table(spark, table, df, batch_id=batch_id)
+            else:
+                create_table(spark, table, df, batch_id=batch_id)
+
+    return sink
+
+
+def streaming_ingest_dedup_txlog(
+    spark,
+    input_dir: str,
+    checkpoint_dir: str,
+    docs_table: str,
+    sigs_table: str,
+):
+    """Deduplicated continuous document ingest into transactional
+    tables: stream of (doc_id, text, lang) parquet → per-micro-batch
+    LSH dedup against the stored corpus → txlog commits of surviving
+    docs + their signature rows. The signature table doubles as the
+    durable dedup index (the stored artifact the batch operators probe
+    — tests/test_text_dedup_edges.py exercises the same table shape).
+
+    At 100 TB: the corpus signature table is banded/bucketed at write
+    time so the probe join prunes to touched buckets; each micro-batch
+    costs O(batch) regardless of corpus size; and both tables share the
+    txlog exactly-once guarantee across restarts."""
+    docs = (
+        spark.readStream.schema("doc_id long, text string, lang string")
+        .parquet(input_dir)
+    )
+    return (
+        docs.writeStream.foreachBatch(
+            dedup_ingest_foreach_batch(docs_table, sigs_table)
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
