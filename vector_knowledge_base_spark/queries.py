@@ -12322,16 +12322,25 @@ def _dsir_doc_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         "doc_id", "lang", F.explode(F.split("text", " ")).alias("tok")
     ).select("doc_id", "lang", (h32(F.col("tok")) % B).alias("bucket"))
-    raw = toks.groupBy("bucket").agg(F.count(F.lit(1)).cast("double").alias("n"))
+    # ONE corpus scan: the per-(doc, bucket) count relation is the base
+    # everything else derives from — target/raw LM counts and both
+    # totals are tiny re-aggregations of it, so the 100 TB cost is one
+    # scan + one hash-agg, not four (the naive form re-scanned and
+    # re-exploded the corpus per LM table; caught by a plan audit).
+    # At scale: checkpoint to storage instead of memory.
+    db = (
+        toks.groupBy("doc_id", "lang", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=True)
+    )
+    raw = db.groupBy("bucket").agg(F.sum("cnt").cast("double").alias("n"))
     rawtot = raw.agg(F.sum("n").alias("t"))
     tgt = (
-        toks.where(F.col("lang") == "en")
+        db.where(F.col("lang") == "en")
         .groupBy("bucket")
-        .agg(F.count(F.lit(1)).cast("double").alias("tn"))
+        .agg(F.sum("cnt").cast("double").alias("tn"))
     )
-    tgttot = toks.where(F.col("lang") == "en").agg(
-        F.count(F.lit(1)).cast("double").alias("tt")
-    )
+    tgttot = tgt.agg(F.sum("tn").alias("tt"))
     lr = (
         raw.join(tgt, "bucket", "left")
         .join(F.broadcast(rawtot))
@@ -12343,9 +12352,6 @@ def _dsir_doc_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
                 - F.log((F.col("n") + 1) / (F.col("t") + B))
             ).alias("lr"),
         )
-    )
-    db = toks.groupBy("doc_id", "lang", "bucket").agg(
-        F.count(F.lit(1)).alias("cnt")
     )
     return (
         db.join(F.broadcast(lr), "bucket")
