@@ -117,6 +117,18 @@ def _write_batch(df: DataFrame, path: str) -> list[str]:
     )
 
 
+def _schema_key(schema) -> list:
+    """(name, type) pairs — the drift-detection identity; nullability
+    and column metadata are deliberately excluded."""
+    return [(f.name, f.dataType.simpleString()) for f in schema.fields]
+
+
+def _logged_schema_key(logged: dict) -> list:
+    from pyspark.sql import types as T
+
+    return _schema_key(T.StructType.fromJson(logged))
+
+
 def _committed_batch_ids(path: str) -> set:
     return {
         m.get("batch_id")
@@ -170,9 +182,11 @@ def append_table(
     # schema ENFORCEMENT (not evolution): an append whose columns or
     # types drift from the logged schema is refused — silent drift
     # poisons every future read (parquet takes the first file's footer);
-    # evolving the schema is an explicit overwrite_table
+    # evolving the schema is an explicit overwrite_table. Compared on
+    # (name, type) only — nullability/metadata differences are benign
+    # (an embed stage and an inline frame disagree on nullable flags)
     logged = m.get("schema")
-    if logged is not None and df.schema.jsonValue() != logged:
+    if logged is not None and _schema_key(df.schema) != _logged_schema_key(logged):
         from pyspark.sql import types as T
 
         want = T.StructType.fromJson(logged).simpleString()
@@ -272,7 +286,7 @@ def merge_table(
     m = _read_manifest(path, latest)
     files = m["files"]
     logged = m.get("schema")
-    if logged is not None and updates.schema.jsonValue() != logged:
+    if logged is not None and _schema_key(updates.schema) != _logged_schema_key(logged):
         raise RuntimeError(
             f"txlog: merge schema {updates.schema.simpleString()} does not "
             "match the table schema"
