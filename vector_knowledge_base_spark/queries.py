@@ -7571,10 +7571,10 @@ def q_zorder_layout_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _QUANTILE_SKETCH_ORACLE = """
 SELECT l_returnflag,
-       ROUND(percentile_cont(0.5) WITHIN GROUP (ORDER BY l_extendedprice), 2)
-         AS exact_p50,
-       ROUND(percentile_cont(0.9) WITHIN GROUP (ORDER BY l_extendedprice), 2)
-         AS exact_p90,
+       ROUND(list_sort(list(l_extendedprice))[
+         CAST(FLOOR(0.5 * (COUNT(*) - 1)) AS INT) + 1], 2) AS exact_p50,
+       ROUND(list_sort(list(l_extendedprice))[
+         CAST(FLOOR(0.9 * (COUNT(*) - 1)) AS INT) + 1], 2) AS exact_p90,
        TRUE AS sketch_within_1pct
 FROM lineitem GROUP BY l_returnflag
 """
@@ -7587,11 +7587,19 @@ def q_quantile_sketch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     SQL-checkable side; the boolean asserts the MERGEABLE approx
     sketch (percentile_approx — the only quantile that exists at
     100 TB, where exact percentiles need a full sort) lands within ±1%
-    of exact, computed in the same aggregate."""
+    of exact, computed in the same aggregate.
+
+    The exact side is the DISCRETE percentile — an actual element of
+    the sorted values at index floor(p·(n−1)) — because continuous
+    interpolation (a + f·(b−a)) differs between engines in the last
+    double bit, and a value landing on a half-cent boundary rounds
+    apart (caught by the r5 sf0.001 sweep: 52724.24 vs .25). An
+    element pick has no arithmetic to disagree on; the index formula
+    is the same IEEE expression in both engines."""
     li = _t(spark, sf_dir, "lineitem")
     agg = li.groupBy("l_returnflag").agg(
-        F.percentile("l_extendedprice", F.lit(0.5)).alias("ep50"),
-        F.percentile("l_extendedprice", F.lit(0.9)).alias("ep90"),
+        F.sort_array(F.collect_list("l_extendedprice")).alias("vals"),
+        F.count(F.lit(1)).alias("n"),
         F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(10000)).alias(
             "ap50"
         ),
@@ -7599,6 +7607,11 @@ def q_quantile_sketch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ap90"
         ),
     )
+    def disc(p):
+        idx = (F.floor(F.lit(p) * (F.col("n") - 1)) + 1).cast("int")
+        return F.element_at("vals", idx)
+
+    agg = agg.withColumn("ep50", disc(0.5)).withColumn("ep90", disc(0.9))
     return agg.select(
         "l_returnflag",
         F.round("ep50", 2).alias("exact_p50"),
@@ -9461,7 +9474,8 @@ WITH cells AS (
 )
 SELECT prof.dow, prof.hr, prof.n_days,
        ROUND(prof.mean_c, 4) AS mean_events,
-       ROUND(prof.sd_c, 4) AS sd_events,
+       ROUND(CASE WHEN prof.n_days < 2 THEN 0.0 ELSE prof.sd_c END, 4)
+         AS sd_events,
        CAST(COUNT(*) FILTER (
          prof.sd_c > 0 AND ROUND(ABS(cells.c - prof.mean_c)
                                  / prof.sd_c, 4) > 2
@@ -9501,13 +9515,22 @@ def q_seasonal_hour_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("sd_c") > 0)
         & (F.round(F.abs(F.col("c") - F.col("mean_c")) / F.col("sd_c"), 4) > 2)
     ).cast("long")
+    # single-observation cells (possible at small SFs): stddev_samp is
+    # NaN in Spark but NULL in DuckDB — define sd as 0.0 for n_days < 2
+    # on both engines (r5 sf0.001 sweep catch)
+    sd_defined = F.when(F.col("n_days") < 2, F.lit(0.0)).otherwise(F.col("sd_c"))
     return j.groupBy(
         "dow",
         "hr",
         "n_days",
         F.round("mean_c", 4).alias("mean_events"),
-        F.round("sd_c", 4).alias("sd_events"),
-    ).agg(F.sum(anom).alias("n_anomalous"))
+        F.round(sd_defined, 4).alias("sd_events"),
+    ).agg(
+        # NULL sd (single-day cell) makes the whole conjunction NULL in
+        # Spark, while the oracle's COUNT(*) FILTER counts it as 0 —
+        # coalesce per row so both engines count non-anomalous
+        F.sum(F.coalesce(anom, F.lit(0))).alias("n_anomalous")
+    )
 
 
 _MI_LANG_SOURCE_ORACLE = """
