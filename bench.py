@@ -302,6 +302,8 @@ HEADLINE = [
     "dsir_topk_selection",
     # wave 71 (r5) — real BMP pixel decode (image analog of the WAV decoder)
     "multimodal_image_pixels_inline",
+    # wave 72 (r5) — BPE first-merge vocabulary induction
+    "bpe_merge_candidates",
 ]
 
 KNN_BATCH_N_QUERIES = 5  # matches the knn_batch query definition

@@ -12571,3 +12571,55 @@ def q_txlog_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((F.col("o_totalprice") == 0.0).cast("long")).alias("n_zeroed"),
         F.round(F.sum("o_totalprice"), 2).alias("total_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Wave 72 (r5) — tokenizer vocabulary induction: the first BPE merge
+# round (Sennrich et al. 2016) as a corpus-scale aggregation — the
+# highest-count adjacent symbol pairs are exactly the first merges BPE
+# training would perform.
+# ---------------------------------------------------------------------------
+
+_BPE_MERGE_ORACLE = """
+WITH words AS (
+  SELECT UNNEST(string_split(text, ' ')) AS w FROM documents
+), pairs AS (
+  SELECT UNNEST([w[i:i+1] FOR i IN RANGE(1, LENGTH(w))]) AS pair
+  FROM words WHERE LENGTH(w) >= 2
+)
+SELECT pair, CAST(COUNT(*) AS BIGINT) AS n
+FROM pairs GROUP BY pair
+ORDER BY n DESC, pair LIMIT 20
+"""
+
+
+@query("bpe_merge_candidates", oracle=_BPE_MERGE_ORACLE)
+def q_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-round BPE merge candidates: the 20 most frequent adjacent
+    character pairs across all corpus words — precisely the pairs the
+    first iterations of BPE tokenizer training would merge. Full BPE
+    training iterates this count-merge loop; each round is this same
+    corpus-scale aggregation over the re-segmented corpus, so the
+    per-round cost model at 100 TB is one explode + one hash-agg.
+
+    Scale shape: explode(word → char bigrams) feeding one count
+    aggregate — map-side combinable, shuffle carries 2-char keys; the
+    transform lambda is interpreted (module-documented Spark caveat)
+    but sits under a LIMIT-20 aggregation, not in a per-row scoring
+    path.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    words = docs.select(F.explode(F.split("text", " ")).alias("w")).where(
+        F.length("w") >= 2
+    )
+    pairs = words.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "pair")
+        .limit(20)
+    )
