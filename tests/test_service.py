@@ -196,3 +196,35 @@ def test_knowledge_base_txlog_storage_lifecycle(spark, tmp_path):
     # reset drops the log entirely
     kb.reset()
     assert kb.list_documents().count() == 0
+
+
+def test_txlog_upload_after_clustering_keeps_working(spark, tmp_path):
+    """ADVICE r5: run_clustering widens the txlog chunks schema with
+    cluster/cluster_name; a subsequent upload must align its append to
+    the logged schema (null labels) instead of tripping txlog's schema
+    enforcement and blocking all further ingest."""
+    src = tmp_path / "uploads"
+    src.mkdir()
+    (src / "one.txt").write_text(
+        "spark shuffle partitions tuning broadcast join adaptive execution"
+    )
+    (src / "two.txt").write_text(
+        "tomato basil pasta garlic olive oil recipe dinner"
+    )
+    kb = KnowledgeBase(spark, str(tmp_path / "ws"), storage="txlog")
+    kb.upload_directory(str(src))
+    kb.run_clustering(k=2)
+    # the r5 code raised 'txlog: append schema ... does not match' here
+    kb.create_document(
+        "three.txt", "gardening soil seedling watering sunlight compost"
+    )
+    chunks = kb.chunks()
+    assert "cluster" in chunks.columns and "cluster_name" in chunks.columns
+    new = chunks.where(F.col("filename") == "three.txt")
+    assert new.count() >= 1
+    # new uploads carry null labels until the next clustering run
+    assert new.where(F.col("cluster").isNull()).count() == new.count()
+    # search and re-clustering still work over the mixed table
+    assert kb.search("gardening compost", k=1).collect()[0].filename == "three.txt"
+    kb.run_clustering(k=2)
+    assert kb.chunks().where(F.col("cluster").isNull()).count() == 0

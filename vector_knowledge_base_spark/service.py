@@ -130,6 +130,28 @@ class _KnowledgeBaseCore:
             "category", F.col("category").cast("string")
         ).withColumn("tags", F.col("tags").cast("array<string>"))
         chunks = chunks.select(*self._CHUNK_COLUMNS)
+        if self.storage == "txlog":
+            from vector_knowledge_base_spark.sources.txlog import (
+                _list_versions,
+                table_schema,
+            )
+
+            # align to the LOGGED schema: run_clustering widens the
+            # table with cluster/cluster_name label columns, and txlog's
+            # append-time schema enforcement would refuse a label-less
+            # chunk frame afterwards, blocking all further uploads
+            # (ADVICE r5). New uploads carry null labels until the next
+            # clustering run relabels everything — same lifecycle as the
+            # parquet mode's mergeSchema-free layout.
+            if _list_versions(self.chunks_path):
+                logged = table_schema(self.chunks_path)
+                if logged is not None:
+                    for fld in logged.fields:
+                        if fld.name not in chunks.columns:
+                            chunks = chunks.withColumn(
+                                fld.name, F.lit(None).cast(fld.dataType)
+                            )
+                    chunks = chunks.select(*[f.name for f in logged.fields])
         chunks = chunks.cache()
         try:
             n = chunks.count()
@@ -266,7 +288,11 @@ class _KnowledgeBaseCore:
             name_clusters_tfidf,
         )
 
-        chunks = self.chunks()
+        # drop any PRIOR clustering labels up front: a re-clustering run
+        # reads a table that already has cluster/cluster_name, and
+        # joining the fresh labels onto it would make `cluster`
+        # ambiguous inside the naming aggregation
+        chunks = self.chunks().drop("cluster", "cluster_name")
         labels = kmeans_cluster(
             chunks.select("chunk_id", "embedding"), k=k, id_col="chunk_id"
         )
@@ -277,8 +303,7 @@ class _KnowledgeBaseCore:
             chunks.join(labels, "chunk_id"), text_col="text"
         ).localCheckpoint(eager=True)
         relabeled = (
-            chunks.drop("cluster", "cluster_name")
-            .join(labels, "chunk_id", "left")
+            chunks.join(labels, "chunk_id", "left")
             .join(F.broadcast(names.select("cluster", "cluster_name")), "cluster", "left")
         )
         if self.storage == "txlog":

@@ -7,8 +7,9 @@ deletes, ``backend/document_registry.py``); this repo's ``delete_where``
 model — mutations must be METADATA operations plus copy-on-write of
 only the touched files. That is the core public idea behind Delta Lake
 / Apache Iceberg (a numbered log of file-list manifests whose atomic
-rename is the commit point); this module implements the smallest honest
-version of it on plain parquet + POSIX rename, with no external library.
+creation is the commit point); this module implements the smallest
+honest version of it on plain parquet + POSIX link, with no external
+library.
 
 Layout::
 
@@ -16,15 +17,26 @@ Layout::
       _txlog/
         00000000.json     {"version":0,"op":"create","files":[...],...}
         00000001.json     {"version":1,"op":"delete_where", ...}
+        _batchids.json    batch ids whose manifests were vacuumed
       data/
         b0/part-*.parquet  (immutable once committed)
         b1/part-*.parquet
 
-Guarantees (single-writer; a real deployment adds a log-store lock):
+Guarantees:
 
-- The manifest rename is the COMMIT POINT: a crash anywhere before it
-  leaves orphan data files (ignored by every reader — readers only
-  trust manifest file lists), never a corrupt or half-visible table.
+- The manifest CREATION is the COMMIT POINT, and it is a compare-and-
+  swap: the numbered slot is claimed with ``os.link`` (atomic create-
+  exclusive on POSIX), so two concurrent writers racing for the same
+  version can never both win — the loser gets ``TxConflict`` and
+  OPTIMISTICALLY RETRIES against the new latest snapshot (the Delta
+  Lake conflict model, public). Appends always commute (their files are
+  brand new and they remove nothing), so a retried append just rebases
+  its file list; delete/merge/compact recompute their affected set from
+  the winner's snapshot before recommitting, which re-validates that
+  the loser's file set doesn't overlap anything the winner removed. A
+  crash anywhere before the commit point leaves orphan data files
+  (ignored by every reader — readers only trust manifest file lists),
+  never a corrupt or half-visible table.
 - Data files are immutable; every version's file list remains readable
   forever → time travel (``read_table(version=...)``) and file-level
   CDC (``table_diff``) come free from the log.
@@ -32,13 +44,24 @@ Guarantees (single-writer; a real deployment adds a log-store lock):
   (input_file_name projection), rewrites ONLY those files without the
   matching rows, and commits a manifest swapping old→new. Untouched
   files are carried by reference — a 0.1% delete touches 0.1% of files.
+- Manifests store paths RELATIVE to the table root (tables are
+  relocatable — move/rsync the directory and every version still
+  reads; pre-r6 absolute-path manifests remain readable), plus
+  PER-FILE STATISTICS (row count, per-column min/max from the parquet
+  footers) used to SKIP stats-disjoint files in ``read_table`` /
+  ``delete_where`` when the caller passes the declarative filter DSL —
+  the manifest-level analog of parquet row-group pruning, and the
+  reason a point delete on a clustered key touches O(1) files instead
+  of scanning the table.
+- Streaming exactly-once: ``append_table(batch_id=...)`` is idempotent
+  on the batch id; ``compact_log`` carries the batch ids of vacuumed
+  manifests forward into ``_batchids.json`` (atomic rewrite BEFORE the
+  manifests are deleted), so a checkpoint replay older than the
+  retention window still lands exactly once — the Delta txn app-id
+  retention idea.
 
-Scale notes: the manifest lists absolute file paths (a real system uses
-relative paths + checksums + column stats for file skipping; column
-stats ARE already exploited at the parquet-rowgroup level by Spark's
-scan, so the skipping story here is partition-directory + file-list
-pruning). Version resolution is one directory listing of _txlog — O(versions),
-kept small by compact().
+Scale notes: version resolution is one directory listing of _txlog —
+O(versions), kept small by compact_log.
 """
 
 from __future__ import annotations
@@ -47,12 +70,24 @@ import json
 import os
 import shutil
 import uuid
+from typing import Any, Mapping
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 _LOG_DIR = "_txlog"
 _DATA_DIR = "data"
+_BATCHIDS_FILE = "_batchids.json"
+_MAX_COMMIT_RETRIES = 20
+
+
+class TxConflict(RuntimeError):
+    """Another writer claimed the version slot this commit targeted.
+
+    Raised by ``_commit``; every public writer catches it and retries
+    against the new latest snapshot (optimistic concurrency). Surfaced
+    to callers only after ``_MAX_COMMIT_RETRIES`` consecutive losses.
+    """
 
 
 def _log_path(path: str) -> str:
@@ -69,7 +104,7 @@ def _list_versions(path: str) -> list[int]:
         return []
     out = []
     for n in os.listdir(d):
-        if n.endswith(".json") and not n.startswith("."):
+        if n.endswith(".json") and not n.startswith((".", "_")):
             try:
                 out.append(int(n[:-5]))
             except ValueError:
@@ -82,32 +117,55 @@ def _read_manifest(path: str, version: int) -> dict:
         return json.load(f)
 
 
+def _rel(path: str, f: str) -> str:
+    """Manifest entry for an absolute data-file path: relative to the
+    table root, so the table directory is relocatable as a unit."""
+    return os.path.relpath(f, path)
+
+
+def _resolve(path: str, entry: str) -> str:
+    """Absolute path for a manifest entry. Absolute entries (pre-r6
+    manifests) pass through — old logs stay readable."""
+    return entry if os.path.isabs(entry) else os.path.join(path, entry)
+
+
+def _manifest_files(path: str, m: dict) -> list[str]:
+    return [_resolve(path, e) for e in m["files"]]
+
+
 def _commit(path: str, manifest: dict) -> int:
-    """Atomic commit: write to a dot-temp in _txlog, fsync, rename into
-    the numbered slot. POSIX rename within one directory is atomic —
-    readers see the old latest or the new latest, never a partial file.
-    Refuses to overwrite an existing version (single-writer guard)."""
+    """Compare-and-swap commit: write to a dot-temp in _txlog, fsync,
+    then claim the numbered slot with ``os.link`` — atomic create-
+    exclusive, so exactly one writer wins a given version. Readers see
+    the old latest or the new latest, never a partial file. Raises
+    ``TxConflict`` if the slot is already taken (caller retries against
+    the new snapshot)."""
     os.makedirs(_log_path(path), exist_ok=True)
     version = manifest["version"]
     final = _manifest_file(path, version)
-    if os.path.exists(final):
-        raise RuntimeError(
-            f"txlog: version {version} already committed at {path} "
-            "(concurrent writer?)"
-        )
     tmp = os.path.join(_log_path(path), f".{uuid.uuid4().hex}.tmp")
     with open(tmp, "w") as f:
         json.dump(manifest, f)
         f.flush()
         os.fsync(f.fileno())
-    os.rename(tmp, final)
+    try:
+        os.link(tmp, final)  # the CAS: fails iff the slot exists
+    except FileExistsError:
+        os.remove(tmp)
+        raise TxConflict(
+            f"txlog: version {version} already committed at {path} "
+            "by a concurrent writer"
+        ) from None
+    os.remove(tmp)
     return version
 
 
 def _write_batch(df: DataFrame, path: str) -> list[str]:
-    """Write a new immutable data batch; return its parquet file list.
-    The batch dir is invisible to readers until a manifest references
-    it (crash → orphan files, never a visible partial write)."""
+    """Write a new immutable data batch; return its parquet file list
+    (absolute). The batch dir is invisible to readers until a manifest
+    references it (crash → orphan files, never a visible partial
+    write; a conflict-retry loser's abandoned batch is the same kind
+    of orphan and compact_log vacuums it)."""
     batch = os.path.join(path, _DATA_DIR, f"b{uuid.uuid4().hex[:12]}")
     df.write.mode("error").parquet(batch)
     return sorted(
@@ -115,6 +173,113 @@ def _write_batch(df: DataFrame, path: str) -> list[str]:
         for n in os.listdir(batch)
         if n.endswith(".parquet")
     )
+
+
+def _json_safe(v):
+    if isinstance(v, (bool, int, float, str)) or v is None:
+        return v
+    if isinstance(v, bytes):
+        try:
+            return v.decode("utf-8")
+        except UnicodeDecodeError:
+            return None
+    return str(v)  # dates/timestamps → ISO strings (orderable)
+
+
+def _file_stats(path: str, files: list[str]) -> dict:
+    """Per-file stats from the parquet footers (no data read): row
+    count + per-top-level-column min/max, keyed by the manifest entry
+    (relative path). Non-orderable / nested / undecodable columns are
+    simply absent — pruning treats absence as 'cannot skip'."""
+    import pyarrow.parquet as pq
+
+    out = {}
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        mins: dict[str, Any] = {}
+        maxs: dict[str, Any] = {}
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            for ci in range(g.num_columns):
+                col = g.column(ci)
+                name = col.path_in_schema
+                if "." in name:
+                    continue  # nested leaf — not a top-level column
+                st = col.statistics
+                if st is None or not st.has_min_max:
+                    mins.pop(name, None), maxs.pop(name, None)
+                    continue
+                mn, mx = _json_safe(st.min), _json_safe(st.max)
+                if mn is None or mx is None:
+                    continue
+                try:
+                    mins[name] = mn if name not in mins else min(mins[name], mn)
+                    maxs[name] = mx if name not in maxs else max(maxs[name], mx)
+                except TypeError:
+                    mins.pop(name, None), maxs.pop(name, None)
+        out[_rel(path, f)] = {"rows": md.num_rows, "min": mins, "max": maxs}
+    return out
+
+
+def _filters_to_column(filters: Mapping[str, Any]) -> Column:
+    """The declarative filter DSL (same shapes as functions/filters.py
+    F1, per-column): scalar → eq, list → IN, {'gte','lte'} → range."""
+    cond = F.lit(True)
+    for key, value in filters.items():
+        if isinstance(value, Mapping):
+            gte, lte = value.get("gte"), value.get("lte")
+            if gte is not None:
+                cond = cond & (F.col(key) >= F.lit(gte))
+            if lte is not None:
+                cond = cond & (F.col(key) <= F.lit(lte))
+        elif isinstance(value, (list, tuple, set)):
+            cond = cond & F.col(key).isin(list(value))
+        else:
+            cond = cond & (F.col(key) == F.lit(value))
+    return cond
+
+
+def _file_can_skip(stats: dict, filters: Mapping[str, Any]) -> bool:
+    """True iff the filters PROVE the file holds no matching row (its
+    [min,max] is disjoint from the filter on some ANDed key). Missing
+    stats → cannot skip. Comparisons across unlike types → cannot skip."""
+    for key, value in filters.items():
+        mn = stats.get("min", {}).get(key)
+        mx = stats.get("max", {}).get(key)
+        if mn is None or mx is None:
+            continue
+        try:
+            if isinstance(value, Mapping):
+                gte, lte = value.get("gte"), value.get("lte")
+                if gte is not None and mx < gte:
+                    return True
+                if lte is not None and mn > lte:
+                    return True
+            elif isinstance(value, (list, tuple, set)):
+                if value and all(v < mn or v > mx for v in value):
+                    return True
+            else:
+                if value < mn or value > mx:
+                    return True
+        except TypeError:
+            continue
+    return False
+
+
+def _prune_files(
+    path: str, m: dict, filters: Mapping[str, Any] | None
+) -> list[str]:
+    """The manifest entries that COULD contain a matching row, resolved
+    to absolute paths. With no filters (or no stats — pre-r6
+    manifests), every file survives."""
+    if not filters:
+        return _manifest_files(path, m)
+    stats = m.get("stats") or {}
+    return [
+        _resolve(path, e)
+        for e in m["files"]
+        if e not in stats or not _file_can_skip(stats[e], filters)
+    ]
 
 
 def _schema_key(schema) -> list:
@@ -129,32 +294,63 @@ def _logged_schema_key(logged: dict) -> list:
     return _schema_key(T.StructType.fromJson(logged))
 
 
+def table_schema(path: str):
+    """The logged StructType of the latest version (None if the log
+    predates schema recording)."""
+    from pyspark.sql import types as T
+
+    versions = _list_versions(path)
+    if not versions:
+        raise RuntimeError(f"txlog: no table at {path}")
+    logged = _read_manifest(path, versions[-1]).get("schema")
+    return None if logged is None else T.StructType.fromJson(logged)
+
+
+def _carried_batch_ids(path: str) -> set:
+    f = os.path.join(_log_path(path), _BATCHIDS_FILE)
+    if not os.path.exists(f):
+        return set()
+    with open(f) as fh:
+        return set(json.load(fh)["batch_ids"])
+
+
 def _committed_batch_ids(path: str) -> set:
-    return {
-        m.get("batch_id")
-        for m in (_read_manifest(path, v) for v in _list_versions(path))
-        if m.get("batch_id") is not None
-    }
+    """Every batch id this table has ever committed: ids in retained
+    manifests plus ids carried forward by compact_log — so the
+    exactly-once check survives log vacuuming."""
+    ids = _carried_batch_ids(path)
+    for v in _list_versions(path):
+        b = _read_manifest(path, v).get("batch_id")
+        if b is not None:
+            ids.add(b)
+    return ids
 
 
 def create_table(
     spark: SparkSession, path: str, df: DataFrame, batch_id: int | None = None
 ) -> int:
-    """Create version 0 from ``df``. Fails if the table exists."""
+    """Create version 0 from ``df``. Fails if the table exists (a lost
+    CAS race against another creator surfaces as the same error)."""
     if _list_versions(path):
         raise RuntimeError(f"txlog: table already exists at {path}")
     files = _write_batch(df, path)
-    return _commit(
-        path,
-        {
-            "version": 0,
-            "op": "create",
-            "files": files,
-            "parent": None,
-            "batch_id": batch_id,
-            "schema": df.schema.jsonValue(),
-        },
-    )
+    try:
+        return _commit(
+            path,
+            {
+                "version": 0,
+                "op": "create",
+                "files": [_rel(path, f) for f in files],
+                "stats": _file_stats(path, files),
+                "parent": None,
+                "batch_id": batch_id,
+                "schema": df.schema.jsonValue(),
+            },
+        )
+    except TxConflict:
+        raise RuntimeError(
+            f"txlog: table already exists at {path} (lost create race)"
+        ) from None
 
 
 def append_table(
@@ -164,47 +360,66 @@ def append_table(
     The table data already on disk is NOT read or rewritten.
 
     ``batch_id`` (optional) makes the append IDEMPOTENT for streaming
-    sinks: if any retained manifest already carries this id, the call
-    is a no-op returning that version — foreachBatch re-delivery after
-    a crash-before-checkpoint lands exactly once (the standard
+    sinks: if this id was ever committed (retained manifest OR the
+    carried-forward set compact_log maintains), the call is a no-op
+    returning the current version — foreachBatch re-delivery after a
+    crash-before-checkpoint lands exactly once (the standard
     transactional-sink contract; the engine guarantees a replayed batch
-    has the same id and the same data)."""
-    versions = _list_versions(path)
-    if not versions:
-        raise RuntimeError(f"txlog: no table at {path}")
-    if batch_id is not None:
-        for v in versions:
-            if _read_manifest(path, v).get("batch_id") == batch_id:
-                return v  # already committed: replay is a no-op
-    latest = versions[-1]
-    m = _read_manifest(path, latest)
-    files = m["files"]
-    # schema ENFORCEMENT (not evolution): an append whose columns or
-    # types drift from the logged schema is refused — silent drift
-    # poisons every future read (parquet takes the first file's footer);
-    # evolving the schema is an explicit overwrite_table. Compared on
-    # (name, type) only — nullability/metadata differences are benign
-    # (an embed stage and an inline frame disagree on nullable flags)
-    logged = m.get("schema")
-    if logged is not None and _schema_key(df.schema) != _logged_schema_key(logged):
-        from pyspark.sql import types as T
+    has the same id and the same data).
 
-        want = T.StructType.fromJson(logged).simpleString()
-        raise RuntimeError(
-            f"txlog: append schema {df.schema.simpleString()} does not "
-            f"match the table schema {want}; use overwrite_table to evolve"
-        )
-    new_files = _write_batch(df, path)
-    return _commit(
-        path,
-        {
-            "version": latest + 1,
-            "op": "append",
-            "files": files + new_files,
-            "parent": latest,
-            "batch_id": batch_id,
-            "schema": df.schema.jsonValue(),
-        },
+    Concurrency: an append's files are brand new and it removes
+    nothing, so it commutes with any concurrent commit — a lost CAS
+    just rebases onto the winner's file list and retries (data files
+    are written once; only the manifest is recommitted)."""
+    new_files: list[str] | None = None
+    for _ in range(_MAX_COMMIT_RETRIES):
+        versions = _list_versions(path)
+        if not versions:
+            raise RuntimeError(f"txlog: no table at {path}")
+        if batch_id is not None and batch_id in _committed_batch_ids(path):
+            return versions[-1]  # already committed: replay is a no-op
+        latest = versions[-1]
+        m = _read_manifest(path, latest)
+        # schema ENFORCEMENT (not evolution): an append whose columns or
+        # types drift from the logged schema is refused — silent drift
+        # poisons every future read (parquet takes the first file's
+        # footer); evolving the schema is an explicit overwrite_table.
+        # Compared on (name, type) only — nullability/metadata
+        # differences are benign (an embed stage and an inline frame
+        # disagree on nullable flags)
+        logged = m.get("schema")
+        if logged is not None and _schema_key(df.schema) != _logged_schema_key(
+            logged
+        ):
+            from pyspark.sql import types as T
+
+            want = T.StructType.fromJson(logged).simpleString()
+            raise RuntimeError(
+                f"txlog: append schema {df.schema.simpleString()} does not "
+                f"match the table schema {want}; use overwrite_table to evolve"
+            )
+        if new_files is None:
+            new_files = _write_batch(df, path)
+        try:
+            return _commit(
+                path,
+                {
+                    "version": latest + 1,
+                    "op": "append",
+                    "files": m["files"] + [_rel(path, f) for f in new_files],
+                    "stats": {
+                        **(m.get("stats") or {}),
+                        **_file_stats(path, new_files),
+                    },
+                    "parent": latest,
+                    "batch_id": batch_id,
+                    "schema": df.schema.jsonValue(),
+                },
+            )
+        except TxConflict:
+            continue  # rebase onto the winner's snapshot
+    raise TxConflict(
+        f"txlog: append to {path} lost {_MAX_COMMIT_RETRIES} CAS races"
     )
 
 
@@ -214,22 +429,31 @@ def overwrite_table(spark: SparkSession, path: str, df: DataFrame) -> int:
     readable until compact_log vacuums them. The transactional form of
     a full-table rewrite (e.g. clustering label write-back) — readers
     concurrent with the rewrite keep a consistent old snapshot, and a
-    crash mid-write leaves the old version intact (the manifest rename
-    is still the only commit point)."""
+    crash mid-write leaves the old version intact (the manifest CAS is
+    still the only commit point). A lost race retries at the next slot
+    (overwrite-vs-anything serializes as last-writer-wins by design)."""
     versions = _list_versions(path)
     if not versions:
         return create_table(spark, path, df)
-    latest = versions[-1]
     new_files = _write_batch(df, path)
-    return _commit(
-        path,
-        {
-            "version": latest + 1,
-            "op": "rewrite",
-            "files": new_files,
-            "parent": latest,
-            "schema": df.schema.jsonValue(),
-        },
+    for _ in range(_MAX_COMMIT_RETRIES):
+        latest = _list_versions(path)[-1]
+        try:
+            return _commit(
+                path,
+                {
+                    "version": latest + 1,
+                    "op": "rewrite",
+                    "files": [_rel(path, f) for f in new_files],
+                    "stats": _file_stats(path, new_files),
+                    "parent": latest,
+                    "schema": df.schema.jsonValue(),
+                },
+            )
+        except TxConflict:
+            continue
+    raise TxConflict(
+        f"txlog: overwrite of {path} lost {_MAX_COMMIT_RETRIES} CAS races"
     )
 
 
@@ -243,25 +467,35 @@ def compact_files(
     restores uniform splits WITHOUT a read outage (readers of the old
     version keep their immutable files; compact_log vacuums them once
     retention allows). No-op (returns the current version) if the table
-    already has <= target_files files."""
-    versions = _list_versions(path)
-    if not versions:
-        raise RuntimeError(f"txlog: no table at {path}")
-    latest = versions[-1]
-    files = _read_manifest(path, latest)["files"]
-    if len(files) <= target_files:
-        return latest
-    df = spark.read.parquet(*files).coalesce(target_files)
-    new_files = _write_batch(df, path)
-    return _commit(
-        path,
-        {
-            "version": latest + 1,
-            "op": "compact",
-            "files": new_files,
-            "parent": latest,
-            "schema": _read_manifest(path, latest).get("schema"),
-        },
+    already has <= target_files files. A lost CAS race recomputes from
+    the winner's snapshot (the file set it compacted may have changed)."""
+    for _ in range(_MAX_COMMIT_RETRIES):
+        versions = _list_versions(path)
+        if not versions:
+            raise RuntimeError(f"txlog: no table at {path}")
+        latest = versions[-1]
+        m = _read_manifest(path, latest)
+        files = _manifest_files(path, m)
+        if len(files) <= target_files:
+            return latest
+        df = spark.read.parquet(*files).coalesce(target_files)
+        new_files = _write_batch(df, path)
+        try:
+            return _commit(
+                path,
+                {
+                    "version": latest + 1,
+                    "op": "compact",
+                    "files": [_rel(path, f) for f in new_files],
+                    "stats": _file_stats(path, new_files),
+                    "parent": latest,
+                    "schema": m.get("schema"),
+                },
+            )
+        except TxConflict:
+            continue
+    raise TxConflict(
+        f"txlog: compact of {path} lost {_MAX_COMMIT_RETRIES} CAS races"
     )
 
 
@@ -278,61 +512,88 @@ def merge_table(
     by reference (cost ∝ churn). Caller contract: ``updates`` carries
     one row per key (both rows land otherwise — same as a SQL MERGE
     with duplicate source keys). Schema must match the logged schema
-    (same enforcement as append)."""
-    versions = _list_versions(path)
-    if not versions:
-        raise RuntimeError(f"txlog: no table at {path}")
-    latest = versions[-1]
-    m = _read_manifest(path, latest)
-    files = m["files"]
-    logged = m.get("schema")
-    if logged is not None and _schema_key(updates.schema) != _logged_schema_key(logged):
-        raise RuntimeError(
-            f"txlog: merge schema {updates.schema.simpleString()} does not "
-            "match the table schema"
-        )
+    (same enforcement as append). A fully-deleted table (files=[]) is
+    legal: every update row inserts. A lost CAS race recomputes the
+    affected-file set against the winner's snapshot and retries — the
+    re-scan IS the conflict re-validation (nothing stale survives)."""
     from urllib.parse import unquote, urlparse
 
-    cur = spark.read.parquet(*files)
-    keys = updates.select(*key_cols).distinct()
-    # project input_file_name() BEFORE the semi-join: Spark refuses the
-    # expression once the plan has more than one source
-    tagged = cur.select(F.input_file_name().alias("f"), *key_cols)
-    hit_files = {
-        unquote(urlparse(r["f"]).path)
-        for r in tagged.join(F.broadcast(keys), key_cols, "left_semi")
-        .select("f")
-        .distinct()
-        .collect()
-    }
-    affected = hit_files & set(files)
-    if hit_files - affected:
-        raise RuntimeError(
-            f"txlog: matching rows in files outside the manifest: "
-            f"{sorted(hit_files - affected)[:3]}"
-        )
-    survivors = (
-        spark.read.parquet(*sorted(affected)).join(
-            F.broadcast(keys), key_cols, "left_anti"
-        )
-        if affected
-        else None
-    )
-    merged = (
-        survivors.unionByName(updates) if survivors is not None else updates
-    )
-    new_files = _write_batch(merged, path)
-    kept = [f for f in files if f not in affected]
-    return _commit(
-        path,
-        {
-            "version": latest + 1,
-            "op": "merge",
-            "files": kept + new_files,
-            "parent": latest,
-            "rewritten": sorted(affected),
-            "schema": logged if logged is not None else updates.schema.jsonValue(),
-        },
+    for _ in range(_MAX_COMMIT_RETRIES):
+        versions = _list_versions(path)
+        if not versions:
+            raise RuntimeError(f"txlog: no table at {path}")
+        latest = versions[-1]
+        m = _read_manifest(path, latest)
+        files = _manifest_files(path, m)
+        logged = m.get("schema")
+        if logged is not None and _schema_key(
+            updates.schema
+        ) != _logged_schema_key(logged):
+            raise RuntimeError(
+                f"txlog: merge schema {updates.schema.simpleString()} does "
+                "not match the table schema"
+            )
+        if not files:
+            # legal fully-deleted state: every update row is an insert
+            affected: set[str] = set()
+            merged = updates
+        else:
+            cur = spark.read.parquet(*files)
+            keys = updates.select(*key_cols).distinct()
+            # project input_file_name() BEFORE the semi-join: Spark
+            # refuses the expression once the plan has >1 source
+            tagged = cur.select(F.input_file_name().alias("f"), *key_cols)
+            hit_files = {
+                unquote(urlparse(r["f"]).path)
+                for r in tagged.join(F.broadcast(keys), key_cols, "left_semi")
+                .select("f")
+                .distinct()
+                .collect()
+            }
+            affected = hit_files & set(files)
+            if hit_files - affected:
+                raise RuntimeError(
+                    f"txlog: matching rows in files outside the manifest: "
+                    f"{sorted(hit_files - affected)[:3]}"
+                )
+            survivors = (
+                spark.read.parquet(*sorted(affected)).join(
+                    F.broadcast(keys), key_cols, "left_anti"
+                )
+                if affected
+                else None
+            )
+            merged = (
+                survivors.unionByName(updates)
+                if survivors is not None
+                else updates
+            )
+        new_files = _write_batch(merged, path)
+        kept = [e for e in m["files"] if _resolve(path, e) not in affected]
+        stats = {
+            k: v
+            for k, v in (m.get("stats") or {}).items()
+            if _resolve(path, k) not in affected
+        }
+        try:
+            return _commit(
+                path,
+                {
+                    "version": latest + 1,
+                    "op": "merge",
+                    "files": kept + [_rel(path, f) for f in new_files],
+                    "stats": {**stats, **_file_stats(path, new_files)},
+                    "parent": latest,
+                    "rewritten": sorted(_rel(path, f) for f in affected),
+                    "schema": logged
+                    if logged is not None
+                    else updates.schema.jsonValue(),
+                },
+            )
+        except TxConflict:
+            continue  # recompute against the winner's snapshot
+    raise TxConflict(
+        f"txlog: merge into {path} lost {_MAX_COMMIT_RETRIES} CAS races"
     )
 
 
@@ -348,9 +609,10 @@ def fsck(spark: SparkSession, path: str) -> DataFrame:
     rows = []
     for v in versions:
         m = _read_manifest(path, v)
-        missing = [f for f in m["files"] if not os.path.exists(f)]
-        referenced.update(m["files"])
-        rows.append((v, m["op"], len(m["files"]), len(missing), not missing))
+        files = _manifest_files(path, m)
+        missing = [f for f in files if not os.path.exists(f)]
+        referenced.update(files)
+        rows.append((v, m["op"], len(files), len(missing), not missing))
     data = os.path.join(path, _DATA_DIR)
     n_orphans = 0
     if os.path.isdir(data):
@@ -376,10 +638,19 @@ def drop_table(path: str) -> None:
 
 
 def read_table(
-    spark: SparkSession, path: str, version: int | None = None
+    spark: SparkSession,
+    path: str,
+    version: int | None = None,
+    filters: Mapping[str, Any] | None = None,
 ) -> DataFrame:
     """Read the table at ``version`` (default: latest). Time travel is
-    free: every version's manifest lists immutable files."""
+    free: every version's manifest lists immutable files.
+
+    ``filters`` (optional, the declarative DSL: scalar eq / list IN /
+    {'gte','lte'} range per column) SKIPS stats-disjoint files before
+    Spark ever sees them — manifest-level file pruning on top of
+    parquet row-group pruning — and applies the same predicate to the
+    surviving rows, so the result equals read-everything-then-filter."""
     versions = _list_versions(path)
     if not versions:
         raise RuntimeError(f"txlog: no table at {path}")
@@ -387,81 +658,126 @@ def read_table(
     if v not in versions:
         raise RuntimeError(f"txlog: version {v} not in {versions}")
     m = _read_manifest(path, v)
-    files = m["files"]
+    files = _prune_files(path, m, filters)
     if not files:
-        # a fully-deleted table is a legal state: reconstruct an empty
-        # DataFrame from the schema recorded in the log (the reason
-        # real formats log the schema, not just the file list)
+        # a fully-deleted table (or an everything-pruned read) is a
+        # legal state: reconstruct an empty DataFrame from the schema
+        # recorded in the log (the reason real formats log the schema,
+        # not just the file list)
         if m.get("schema") is None:
             raise RuntimeError(f"txlog: version {v} is empty and unschema'd")
         from pyspark.sql import types as T
 
         return spark.createDataFrame([], T.StructType.fromJson(m["schema"]))
-    return spark.read.parquet(*files)
+    df = spark.read.parquet(*files)
+    return df.where(_filters_to_column(filters)) if filters else df
 
 
-def delete_where(spark: SparkSession, path: str, predicate: Column) -> int:
+def delete_where(
+    spark: SparkSession,
+    path: str,
+    predicate: Column | None = None,
+    filters: Mapping[str, Any] | None = None,
+) -> int:
     """Copy-on-write delete: only files CONTAINING matching rows are
     rewritten (without those rows); everything else is carried by
-    reference in the new manifest. One scan finds the affected file
-    set (input_file_name projection over the predicate — at scale this
-    is where manifest column stats would prune most files before the
-    scan); the rewrite reads only the affected files."""
-    versions = _list_versions(path)
-    if not versions:
-        raise RuntimeError(f"txlog: no table at {path}")
-    latest = versions[-1]
-    files = _read_manifest(path, latest)["files"]
-    cur = spark.read.parquet(*files)
-    # input_file_name() yields file:// URIs with percent-encoding —
-    # unquote before matching against manifest paths, and HARD-FAIL on
-    # any unmatched hit rather than silently skipping a delete
+    reference in the new manifest. One scan finds the affected file set
+    (input_file_name projection over the predicate); the rewrite reads
+    only the affected files.
+
+    Pass either an arbitrary ``predicate`` Column, or declarative
+    ``filters`` (scalar eq / list IN / {'gte','lte'} range) — with
+    filters the manifest's per-file min/max stats PRUNE stats-disjoint
+    files before the affected-file scan, so a point delete on a
+    clustered key scans O(matching files), not the table. Deleting from
+    an already-empty table is a metadata no-op (delete stays
+    idempotent). A lost CAS race recomputes the affected set against
+    the winner's snapshot and retries."""
+    if (predicate is None) == (filters is None):
+        raise ValueError("delete_where: pass exactly one of predicate/filters")
+    if predicate is None:
+        predicate = _filters_to_column(filters)
     from urllib.parse import unquote, urlparse
 
-    hit_files = {
-        unquote(urlparse(r["f"]).path)
-        for r in cur.where(predicate)
-        .select(F.input_file_name().alias("f"))
-        .distinct()
-        .collect()
-    }
-    affected = hit_files & set(files)
-    if hit_files - affected:
-        raise RuntimeError(
-            f"txlog: matching rows in files outside the manifest: "
-            f"{sorted(hit_files - affected)[:3]}"
+    for _ in range(_MAX_COMMIT_RETRIES):
+        versions = _list_versions(path)
+        if not versions:
+            raise RuntimeError(f"txlog: no table at {path}")
+        latest = versions[-1]
+        m = _read_manifest(path, latest)
+        files = _manifest_files(path, m)
+        candidates = _prune_files(path, m, filters)
+        if candidates:
+            cur = spark.read.parquet(*candidates)
+            # input_file_name() yields file:// URIs with percent-encoding
+            # — unquote before matching against manifest paths, and
+            # HARD-FAIL on any unmatched hit rather than silently
+            # skipping a delete
+            hit_files = {
+                unquote(urlparse(r["f"]).path)
+                for r in cur.where(predicate)
+                .select(F.input_file_name().alias("f"))
+                .distinct()
+                .collect()
+            }
+        else:
+            hit_files = set()
+        affected = hit_files & set(files)
+        if hit_files - affected:
+            raise RuntimeError(
+                f"txlog: matching rows in files outside the manifest: "
+                f"{sorted(hit_files - affected)[:3]}"
+            )
+        if not affected:
+            # no matching rows anywhere (or the table is already empty):
+            # pure metadata commit — a no-op delete at 100 TB costs at
+            # most one pruned scan + one manifest write
+            try:
+                return _commit(
+                    path,
+                    {
+                        "version": latest + 1,
+                        "op": "delete_where",
+                        "files": m["files"],
+                        "stats": m.get("stats") or {},
+                        "parent": latest,
+                        "rewritten": [],
+                        "schema": m.get("schema"),
+                    },
+                )
+            except TxConflict:
+                continue
+        # SQL DELETE semantics: remove rows where the predicate is TRUE;
+        # NULL-evaluating rows survive (plain ~predicate would drop them)
+        survivors = spark.read.parquet(*sorted(affected)).where(
+            ~F.coalesce(predicate, F.lit(False))
         )
-    if not affected:
-        # no matching rows anywhere: pure metadata commit (a no-op
-        # delete at 100 TB costs one scan + one manifest write)
-        return _commit(
-            path,
-            {
-                "version": latest + 1,
-                "op": "delete_where",
-                "files": files,
-                "parent": latest,
-                "rewritten": [],
-                "schema": _read_manifest(path, latest).get("schema"),
-            },
+        new_files = (
+            _write_batch(survivors, path) if survivors.limit(1).count() else []
         )
-    # SQL DELETE semantics: remove rows where the predicate is TRUE;
-    # NULL-evaluating rows survive (plain ~predicate would drop them)
-    survivors = spark.read.parquet(*sorted(affected)).where(
-        ~F.coalesce(predicate, F.lit(False))
-    )
-    new_files = _write_batch(survivors, path) if survivors.limit(1).count() else []
-    kept = [f for f in files if f not in affected]
-    return _commit(
-        path,
-        {
-            "version": latest + 1,
-            "op": "delete_where",
-            "files": kept + new_files,
-            "parent": latest,
-            "rewritten": sorted(affected),
-            "schema": _read_manifest(path, latest).get("schema"),
-        },
+        kept = [e for e in m["files"] if _resolve(path, e) not in affected]
+        stats = {
+            k: v
+            for k, v in (m.get("stats") or {}).items()
+            if _resolve(path, k) not in affected
+        }
+        try:
+            return _commit(
+                path,
+                {
+                    "version": latest + 1,
+                    "op": "delete_where",
+                    "files": kept + [_rel(path, f) for f in new_files],
+                    "stats": {**stats, **_file_stats(path, new_files)},
+                    "parent": latest,
+                    "rewritten": sorted(_rel(path, f) for f in affected),
+                    "schema": m.get("schema"),
+                },
+            )
+        except TxConflict:
+            continue  # recompute against the winner's snapshot
+    raise TxConflict(
+        f"txlog: delete from {path} lost {_MAX_COMMIT_RETRIES} CAS races"
     )
 
 
@@ -491,8 +807,8 @@ def table_diff(
     rows(files removed), deletes the reverse. At 100 TB the diff cost
     is proportional to the churn, not the table. Returns the union with
     a ``change`` column ('insert' | 'delete')."""
-    a = set(_read_manifest(path, v_from)["files"])
-    b = set(_read_manifest(path, v_to)["files"])
+    a = set(_manifest_files(path, _read_manifest(path, v_from)))
+    b = set(_manifest_files(path, _read_manifest(path, v_to)))
     removed, added = sorted(a - b), sorted(b - a)
     schema_src = read_table(spark, path, v_to)
     old = (
@@ -514,18 +830,40 @@ def compact_log(spark: SparkSession, path: str, keep_versions: int = 10) -> int:
     """Drop manifests older than the newest ``keep_versions`` and any
     data file no retained manifest references (vacuum). Returns the
     number of data files removed. Time travel windows shrink to the
-    retained versions — the standard retention trade."""
+    retained versions — the standard retention trade.
+
+    Exactly-once across vacuum: the batch ids of the dropped manifests
+    are carried forward into ``_batchids.json`` (atomic temp+rename,
+    written BEFORE any manifest is deleted — a crash mid-compact can
+    duplicate carried ids, never lose one), so a streaming checkpoint
+    replaying a batch older than the retention window still lands as a
+    no-op (the Delta txn app-id retention idea)."""
     versions = _list_versions(path)
     drop = versions[:-keep_versions]
     if not drop:
         return 0
     keep = versions[-keep_versions:]
+    dropped_ids = set()
+    for v in drop:
+        b = _read_manifest(path, v).get("batch_id")
+        if b is not None:
+            dropped_ids.add(b)
+    if dropped_ids:
+        carried = sorted(
+            _carried_batch_ids(path) | dropped_ids, key=lambda x: (str(type(x)), x)
+        )
+        tmp = os.path.join(_log_path(path), f".{uuid.uuid4().hex}.tmp")
+        with open(tmp, "w") as f:
+            json.dump({"batch_ids": carried}, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.rename(tmp, os.path.join(_log_path(path), _BATCHIDS_FILE))
     live: set[str] = set()
     for v in keep:
-        live.update(_read_manifest(path, v)["files"])
+        live.update(_manifest_files(path, _read_manifest(path, v)))
     removed = 0
     for v in drop:
-        for f in _read_manifest(path, v)["files"]:
+        for f in _manifest_files(path, _read_manifest(path, v)):
             if f not in live and os.path.exists(f):
                 os.remove(f)
                 removed += 1

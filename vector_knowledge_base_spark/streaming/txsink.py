@@ -110,7 +110,13 @@ def dedup_ingest_foreach_batch(
         spark = batch_df.sparkSession
         batch = batch_df.localCheckpoint(eager=True)
         sigs = minhash_signatures(batch).localCheckpoint(eager=True)
-        if _list_versions(docs_table):
+        # gate on the table this branch READS (sigs_table), not its
+        # sibling: a crash between the first batch's two commits
+        # (docs_table created, sigs_table not yet) would otherwise make
+        # every replay raise 'txlog: no table' and wedge the stream —
+        # a missing signature table simply means the corpus probe has
+        # nothing to probe yet (ADVICE r5)
+        if _list_versions(sigs_table):
             stored_sigs = read_table(spark, sigs_table)
             dup_vs_corpus = lsh_candidates_between(
                 sigs, stored_sigs, bands=bands, rows_per_band=rows_per_band
