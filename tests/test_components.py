@@ -231,3 +231,75 @@ def test_pstream_reader_offset_monotone_across_restart():
     assert int(b.latestOffset()["pos"]) >= 60
     b.commit({"pos": 90})
     assert int(b.latestOffset()["pos"]) >= 90
+
+
+def test_nonmonotone_batch_id_rewrites_match_full_rerun(spark):
+    """VERDICT r5 wrong-item #2: a BATCH doc id smaller than its corpus
+    partner's canonical. The batch assignment alone would leave stored
+    corpus rows on a stale canonical; incremental_canonical_rewrites
+    must emit exactly the rows that, merged over the store, make
+    assign ∪ patched-store equal the full component rerun."""
+    from vector_knowledge_base_spark.operators.components import (
+        incremental_canonical_assign,
+        incremental_canonical_rewrites,
+    )
+
+    # corpus: cluster {10, 12} (canonical 10) + singleton 11
+    docs_corpus = spark.createDataFrame(
+        [(10, "a"), (11, "b"), (12, "c")], ["doc_id", "text"]
+    )
+    corpus_pairs = spark.createDataFrame([(10, 12)], ["doc_id_a", "doc_id_b"])
+    corpus = dedup_canonical(docs_corpus, corpus_pairs)
+    # batch: id 5 < 10 joins the {10,12} cluster; id 20 is a singleton
+    docs_batch = spark.createDataFrame([(5, "a"), (20, "z")], ["doc_id", "text"])
+    batch_pairs = spark.createDataFrame([(5, 12)], ["doc_id_a", "doc_id_b"])
+
+    assign = {
+        r["doc_id"]: r["canonical_id"]
+        for r in incremental_canonical_assign(
+            corpus, docs_batch, batch_pairs
+        ).collect()
+    }
+    # batch side already equals the full rerun (min over the residual
+    # component includes the batch id)
+    assert assign == {5: 5, 20: 20}
+
+    rewrites = {
+        r["doc_id"]: r["canonical_id"]
+        for r in incremental_canonical_rewrites(corpus, batch_pairs).collect()
+    }
+    # exactly the stale cluster's stored members, remapped to the new min
+    assert rewrites == {10: 5, 12: 5}
+
+    # patched store + batch assignment == full rerun over corpus ∪ batch
+    full = {
+        r["doc_id"]: r["canonical_id"]
+        for r in dedup_canonical(
+            docs_corpus.unionAll(docs_batch),
+            corpus_pairs.unionAll(batch_pairs),
+        ).collect()
+    }
+    stored = {r["doc_id"]: r["canonical_id"] for r in corpus.collect()}
+    stored.update(rewrites)
+    stored.update(assign)
+    assert stored == full
+
+
+def test_monotone_ids_produce_no_rewrites(spark):
+    """Under monotone ingest ids the rewrite set is provably empty —
+    the documented fast path that lets monotone pipelines skip the
+    corpus-side merge entirely."""
+    from vector_knowledge_base_spark.operators.components import (
+        incremental_canonical_rewrites,
+    )
+
+    docs_corpus = spark.createDataFrame(
+        [(0, "a"), (1, "b"), (2, "c")], ["doc_id", "text"]
+    )
+    corpus = dedup_canonical(
+        docs_corpus, spark.createDataFrame([(0, 2)], ["doc_id_a", "doc_id_b"])
+    )
+    batch_pairs = spark.createDataFrame(
+        [(100, 2), (100, 101)], ["doc_id_a", "doc_id_b"]
+    )
+    assert incremental_canonical_rewrites(corpus, batch_pairs).count() == 0
