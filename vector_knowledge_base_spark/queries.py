@@ -788,17 +788,46 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 #       countDistinct over the same label column — a distinct-machinery
 #       regression flips it red)
 #
-# r6 rotation candidates (registered late in r5, pytest-oracled now):
-#   dsir_importance_by_lang / dsir_topk_selection (wave 70),
-#   multimodal_image_pixels_inline (wave 71, known-answer BMP decode),
-#   txlog_cdc_diff (log-derived CDC twin of the in-window snapshot read).
+# r6 rotation (VERDICT r5 #1): seven promotions — the six families the
+# r5 judge verified green at sf0.1 plus the new streaming audit — each
+# demotion names its strictly-covering in-window twin:
+#   txlog_cdc_diff              IN  (log-derived CDC: changed-files-only)
+#     ↔ snapshot_diff_orders    OUT (the full-table-comparison form of
+#       the SAME diff shape — txlog_cdc_diff's docstring states the
+#       relationship; a diff-semantics regression flips the log form)
+#   txlog_merge_upsert          IN  (copy-on-write MERGE on the log)
+#   dsir_importance_by_lang     IN  (DSIR importance weights)
+#     ↔ doc_fingerprint         OUT (dedup_exact, in-window, computes
+#       the IDENTICAL md5-fingerprint projection then aggregates it)
+#   dsir_topk_selection         IN  (DSIR top-k corpus selection)
+#     ↔ knn_topk_filtered       OUT (knn_batch_filtered, in-window, is
+#       the batch generalization of the same filtered top-k operator;
+#       knn_topk_cosine also in-window)
+#   multimodal_image_pixels_inline IN (known-answer BMP pixel decode)
+#     ↔ cluster_stats_noise     OUT (cluster_stats, in-window, runs the
+#       same per-label aggregation over the same label column; the −1
+#       noise sentinel stays pytest-oracled at sf0.01 + the sf0.1 sweep)
+#   bpe_merge_candidates        IN  (BPE tokenizer-training counts)
+#     ↔ ann_ivf_exhaustive      OUT (ann_ivf_adaptive, in-window,
+#       builds the same IVF artifact AND computes the exact top-10
+#       in-plan as its recall baseline — the exhaustive path runs
+#       inside it; pq_shortlist_rerank_topk also pins exact top-10)
+#   streaming_dedup_ingest_audit IN (wave 73: the flagship streaming +
+#       transaction + dedup integration, hand-derived VALUES oracle)
+#     ↔ embedding_neardup_cosine OUT (mutual_knn_pairs, in-window,
+#       runs the same exact_nn_blocked blocked-matmul cosine kernel
+#       and consumes its top-1s — a kernel regression flips it red)
+#   (7th demotion slot) hll_vs_exact_by_source OUT — sketch-vs-exact
+#       audit family; quantile_sketch_audit, in-window, is the same
+#       audit shape (approx sketch joined against its exact SQL
+#       aggregate); the HLL path stays pytest-oracled at both SFs.
 # ============================================================================
 _WINDOW_PROMOTE = [
     # r3 promotions
-    "ann_ivf_exhaustive",       # exact-twin oracle for the IVF ANN path
+    # (r6: ann_ivf_exhaustive moved to DEMOTE — twin ann_ivf_adaptive)
     "folder_paths_resolved",    # recursive folder resolution (ref J3)
     # (r5: ngram_jaccard_df_capped moved to DEMOTE — twin containment)
-    "cluster_stats_noise",      # HDBSCAN −1 noise-sentinel semantics
+    # (r6: cluster_stats_noise moved to DEMOTE — twin cluster_stats)
     "extract_dispatch_inline",  # extractor dispatch surface (ref S11)
     # r4 promotions — the ML family's invariant projections (wave 40/41)
     "kmeans_cluster_invariants",   # M5: fitted-labeling balance checks
@@ -806,7 +835,7 @@ _WINDOW_PROMOTE = [
     "ann_lsh_recall_report",       # LSH recall vs exact, hash-checkable
     "pq_shortlist_rerank_topk",    # PQ serving == exact top-10 (KNN oracle)
     "ann_ivf_adaptive",            # adaptive probe: recall + scan bounds
-    "hll_vs_exact_by_source",      # sketch accuracy vs exact distinct
+    # (r6: hll_vs_exact_by_source moved to DEMOTE — twin quantile_sketch_audit)
     # (r5: exact_substring_profile moved to DEMOTE — twin spans)
     # r4 wave 42 — layout + sketch-audit families
     "zorder_layout_stats",         # Z-order pruning effectiveness
@@ -814,7 +843,7 @@ _WINDOW_PROMOTE = [
     # r4 waves 51-57 — new first-class families earn driver-hash rows
     "retrieval_eval_mrr",          # IR eval harness (MRR/P@10/NDCG@10)
     "mutual_knn_pairs",            # reciprocal-NN dedup confidence
-    "snapshot_diff_orders",        # warehouse CDC snapshot diff
+    # (r6: snapshot_diff_orders moved to DEMOTE — twin txlog_cdc_diff)
     "compression_ratio_inline",    # zlib quality kernel (known-answer)
     # r5 promotions — see rotation note above
     "exact_substring_spans",          # actionable cut-list spans
@@ -823,6 +852,14 @@ _WINDOW_PROMOTE = [
     "events_seasonal_decomposition",  # hourly seasonal split
     "incremental_dedup_equivalence",  # delta×delta closure proof
     "txlog_snapshot_read",            # transactional time travel (wave 69)
+    # r6 promotions — see rotation note above
+    "txlog_cdc_diff",                 # log-derived CDC (changed files only)
+    "txlog_merge_upsert",             # copy-on-write MERGE on the log
+    "dsir_importance_by_lang",        # DSIR importance weights (wave 70)
+    "dsir_topk_selection",            # DSIR top-k corpus selection
+    "multimodal_image_pixels_inline",  # known-answer BMP pixel decode
+    "bpe_merge_candidates",           # BPE tokenizer-training counts
+    "streaming_dedup_ingest_audit",   # streaming+txlog+dedup integration
 ]
 _WINDOW_DEMOTE = [
     # rows-only registrations (no SQL oracle possible for raw outputs)
@@ -855,6 +892,14 @@ _WINDOW_DEMOTE = [
     "minhash_signatures",               # twin: minhash_lsh_candidates
     "clusters_distinct",                # twin: cluster_stats (countDistinct
                                         #   over the same label column)
+    # r6 demotions — each twin named in the rotation note above
+    "snapshot_diff_orders",             # twin: txlog_cdc_diff
+    "doc_fingerprint",                  # twin: dedup_exact
+    "knn_topk_filtered",                # twin: knn_batch_filtered
+    "cluster_stats_noise",              # twin: cluster_stats
+    "ann_ivf_exhaustive",               # twin: ann_ivf_adaptive
+    "embedding_neardup_cosine",         # twin: mutual_knn_pairs
+    "hll_vs_exact_by_source",           # twin: quantile_sketch_audit
 ]
 
 
@@ -12622,4 +12667,241 @@ def q_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy(F.desc("n"), "pair")
         .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Wave 73 (r6) — driver-visible audit of the flagship streaming +
+# transaction + dedup integration (VERDICT r5 next-round item #7). The
+# inline corpus is engineered so every streaming-dedup case occurs:
+# a batch-internal exact duplicate (4 dups 0), a dup-vs-stored-corpus
+# in each later wave (10 dups 1, 20 dups 11), and fresh documents in
+# every wave. Exact duplicates give identical MinHash signatures, so
+# every LSH band collides deterministically; the distinct texts share
+# no 3-gram shingles, so no spurious candidates. Expected outcome is
+# hand-derived and pinned in the VALUES oracle.
+# ---------------------------------------------------------------------------
+_STREAM_AUDIT_WAVES = [
+    [
+        (0, "alpha beta gamma delta epsilon zeta"),
+        (1, "one two three four five six"),
+        (2, "red orange yellow green blue violet"),
+        (3, "lorem ipsum dolor sit amet consectetur"),
+        (4, "alpha beta gamma delta epsilon zeta"),
+    ],
+    [
+        (10, "one two three four five six"),
+        (11, "north south east west up down"),
+        (12, "apple banana cherry date elder fig"),
+    ],
+    [
+        (20, "north south east west up down"),
+        (21, "mercury venus earth mars jupiter saturn"),
+    ],
+]
+
+_STREAM_AUDIT_ORACLE = """
+SELECT metric, CAST(value AS BIGINT) AS value FROM (VALUES
+  ('accepted_b0', 4), ('accepted_b1', 2), ('accepted_b2', 1),
+  ('rejected_total', 3), ('docs_versions', 3), ('sigs_versions', 3),
+  ('stored_minus_full_rerun', 0), ('full_rerun_minus_stored', 0)
+) AS t(metric, value)
+"""
+
+
+@query("streaming_dedup_ingest_audit", oracle=_STREAM_AUDIT_ORACLE)
+def q_streaming_dedup_ingest_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end audit of the deduplicating streaming ingest into
+    transactional tables (streaming/txsink.py streaming_ingest_dedup_
+    txlog): three arrival waves are streamed through availableNow runs
+    sharing one checkpoint — each wave becomes one micro-batch, LSH-
+    deduped against the STORED corpus signature table and within
+    itself, and committed to txlog docs+sigs tables. The audit then
+    batch-reads the committed log: per-wave accepted counts via time
+    travel (version v minus version v-1), total rejections, version
+    counts on both tables, and a set-equivalence check of the stored
+    survivor set against an independent FULL-RERUN batch dedup
+    (minhash_lsh_candidates + dedup_canonical over all ten documents).
+    Every number is pinned by the hand-derived VALUES oracle, so the
+    driver hash-checks streaming semantics, exactly-once txlog
+    commits, time travel, and the dedup policy in one row set.
+
+    Scale shape: each micro-batch costs O(batch) (corpus probed via
+    the banded signature table, broadcast batch side); the audit's
+    driver-side counts are over an 8-row fixture — the known-answer
+    harness, not the production path.
+    """
+    import re
+    import shutil
+
+    from vector_knowledge_base_spark.operators.components import dedup_canonical
+    from vector_knowledge_base_spark.operators.text_dedup import (
+        minhash_lsh_candidates,
+        minhash_signatures,
+    )
+    from vector_knowledge_base_spark.sources.txlog import (
+        _list_versions,
+        read_table,
+    )
+    from vector_knowledge_base_spark.streaming.txsink import (
+        streaming_ingest_dedup_txlog,
+    )
+
+    tag = re.sub(r"[^A-Za-z0-9.]", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1])
+    base = f"/tmp/vkb_stream_audit_{tag}"
+    shutil.rmtree(base, ignore_errors=True)
+    input_dir, ckpt = f"{base}/in", f"{base}/ckpt"
+    docs_t, sigs_t = f"{base}/docs", f"{base}/sigs"
+
+    for wave in _STREAM_AUDIT_WAVES:
+        spark.createDataFrame(
+            [(d, t, "en") for d, t in wave], "doc_id long, text string, lang string"
+        ).coalesce(1).write.mode("append").parquet(input_dir)
+        q = streaming_ingest_dedup_txlog(spark, input_dir, ckpt, docs_t, sigs_t)
+        q.awaitTermination()
+
+    n_arrived = sum(len(w) for w in _STREAM_AUDIT_WAVES)
+    per_version = [
+        read_table(spark, docs_t, version=v).count()
+        for v in range(len(_list_versions(docs_t)))
+    ]
+    stored = read_table(spark, docs_t).select("doc_id").localCheckpoint(eager=True)
+
+    # independent full-rerun dedup over the whole fixture (same LSH
+    # parameters as the sink) — the stored survivor set must equal it
+    all_docs = spark.createDataFrame(
+        [(d, t) for w in _STREAM_AUDIT_WAVES for d, t in w],
+        "doc_id long, text string",
+    )
+    pairs = minhash_lsh_candidates(
+        minhash_signatures(all_docs), bands=4, rows_per_band=2
+    )
+    survivors = (
+        dedup_canonical(all_docs, pairs)
+        .where(F.col("doc_id") == F.col("canonical_id"))
+        .select("doc_id")
+    )
+    metrics = [
+        ("accepted_b0", per_version[0]),
+        ("accepted_b1", per_version[1] - per_version[0]),
+        ("accepted_b2", per_version[2] - per_version[1]),
+        ("rejected_total", n_arrived - per_version[-1]),
+        ("docs_versions", len(_list_versions(docs_t))),
+        ("sigs_versions", len(_list_versions(sigs_t))),
+        ("stored_minus_full_rerun", stored.exceptAll(survivors).count()),
+        ("full_rerun_minus_stored", survivors.exceptAll(stored).count()),
+    ]
+    return spark.createDataFrame(metrics, "metric string, value long")
+
+
+# ---------------------------------------------------------------------------
+# Wave 74 (r6) — iterative BPE vocabulary training (VERDICT r5 item #6:
+# "from candidates to a training loop"). bpe_merge_candidates (driver-
+# promoted, corpus-scale) pins the per-round counting kernel; this pins
+# the full k-round train: adopt argmax merge → re-segment → recount.
+# The fixture's six expected merges are derived by an independent
+# pure-Python BPE implementation (tests/test_bpe.py runs it live
+# against the operator; the VALUES below freeze the same answer for
+# the driver hash check).
+# ---------------------------------------------------------------------------
+_BPE_TRAIN_TEXTS = [
+    "low low low low low lower lower newest newest",
+    "newest newest newest newest widest lowest lowest new",
+    "lower newest widest widest low new new wider",
+]
+
+_BPE_TRAIN_ORACLE = """
+SELECT CAST(round AS BIGINT) AS round, a, b, merged, CAST(n AS BIGINT) AS n
+FROM (VALUES
+  (0, 'e', 's', 'es', 12),
+  (1, 'es', 't', 'est', 12),
+  (2, 'l', 'o', 'lo', 11),
+  (3, 'lo', 'w', 'low', 11),
+  (4, 'e', 'w', 'ew', 10),
+  (5, 'n', 'ew', 'new', 10)
+) AS t(round, a, b, merged, n)
+"""
+
+
+@query("bpe_vocab_train_k", oracle=_BPE_TRAIN_ORACLE)
+def q_bpe_vocab_train_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Six rounds of BPE tokenizer-vocabulary training on an inline
+    word-frequency fixture: each round counts adjacent symbol pairs
+    weighted by word frequency, adopts the argmax (count desc, pair
+    lexicographic), greedily re-segments every word, and recounts —
+    the Sennrich et al. 2016 algorithm end-to-end, known-answer
+    checked against an independent pure-Python derivation via the
+    VALUES oracle. The corpus-scale single-round kernel is the
+    in-window bpe_merge_candidates; the k-round loop here runs on the
+    distinct-word table, the part that stays small at 100 TB (see
+    operators/bpe.py module docstring for the cost model).
+    """
+    from vector_knowledge_base_spark.operators.bpe import (
+        bpe_train,
+        word_frequencies,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(_BPE_TRAIN_TEXTS)],
+        "doc_id long, text string",
+    )
+    merges, _ = bpe_train(word_frequencies(docs), k=6)
+    return spark.createDataFrame(
+        [(r, a, b, a + b, n) for r, a, b, n in merges],
+        "round long, a string, b string, merged string, n long",
+    )
+
+
+_NONMONO_ORACLE = """
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(canonical_id AS BIGINT) AS canonical_id,
+       origin
+FROM (VALUES
+  (5, 5, 'batch'), (20, 20, 'batch'),
+  (10, 5, 'rewrite'), (12, 5, 'rewrite')
+) AS t(doc_id, canonical_id, origin)
+"""
+
+
+@query("incremental_dedup_nonmonotone", oracle=_NONMONO_ORACLE)
+def q_incremental_dedup_nonmonotone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The non-monotone-id edge case the r5 verdict flagged (wrong-item
+    #2), closed in r6: batch doc 5 has a SMALLER id than the corpus
+    cluster {10, 12} (canonical 10) it joins. The batch assignment
+    gives 5 its full-rerun canonical (5), and
+    incremental_canonical_rewrites emits exactly the stored rows whose
+    canonical must change (10→5, 12→5) — merged over the store, the
+    incremental chain again equals a full component rerun, now for ANY
+    id assignment. Known-answer VALUES oracle; the generic equivalence
+    fixture is tests/test_components.py::
+    test_nonmonotone_batch_id_rewrites_match_full_rerun.
+
+    Scale shape: the rewrite map is one row per affected corpus
+    cluster, broadcast into a single equijoin against the stored
+    canonical table — cost ∝ affected-cluster members, never corpus
+    size (operators/components.py incremental_canonical_rewrites).
+    """
+    from vector_knowledge_base_spark.operators.components import (
+        dedup_canonical,
+        incremental_canonical_assign,
+        incremental_canonical_rewrites,
+    )
+
+    docs_corpus = spark.createDataFrame(
+        [(10, "a"), (11, "b"), (12, "c")], "doc_id long, text string"
+    )
+    corpus_pairs = spark.createDataFrame(
+        [(10, 12)], "doc_id_a long, doc_id_b long"
+    )
+    corpus = dedup_canonical(docs_corpus, corpus_pairs).localCheckpoint(
+        eager=True
+    )
+    docs_batch = spark.createDataFrame(
+        [(5, "a"), (20, "z")], "doc_id long, text string"
+    )
+    batch_pairs = spark.createDataFrame([(5, 12)], "doc_id_a long, doc_id_b long")
+    assign = incremental_canonical_assign(corpus, docs_batch, batch_pairs)
+    rewrites = incremental_canonical_rewrites(corpus, batch_pairs)
+    return assign.withColumn("origin", F.lit("batch")).unionAll(
+        rewrites.withColumn("origin", F.lit("rewrite"))
     )
