@@ -28,6 +28,16 @@ TABLES = (
     "embeddings",
 )
 
+# Analyzed-relation cache (r6): profiling the knn_batch serving lane
+# showed per-invocation cost is dominated by plan CONSTRUCTION — file
+# listing + parquet footer/schema read on every spark.read.parquet —
+# not execution (224 ms build vs 64 ms exec at sf0.1). The star-schema
+# tables are immutable, so the analyzed base relation is reused per
+# (Spark application, sf_dir, table). DataFrames are immutable plan
+# handles — sharing one across queries is safe; keying on applicationId
+# drops entries from stopped sessions.
+_RELATION_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one table. Plain ``spark.read.parquet`` — the reference's
@@ -41,6 +51,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir), name)
+    cached = _RELATION_CACHE.get(key)
+    if cached is not None:
+        return cached
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
@@ -52,6 +67,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # rejects unix_micros()/cast("long"); with the UTC session tz the
             # cast to TimestampType is value-identical.
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    _RELATION_CACHE[key] = df
     return df
 
 
