@@ -697,6 +697,135 @@ def test_merge_into_fully_deleted_table_inserts_all(spark, tmp_path):
     assert {r["id"] for r in read_table(spark, p).collect()} == {7, 8}
 
 
+def test_compact_files_clustered_rewrite_enables_pruning(spark, tmp_path):
+    """r6: compact_files(order_by=[...]) is a clustered rewrite —
+    repartitionByRange + in-partition sort makes each output file cover
+    a DISJOINT key range, so the manifest stats become a real index: a
+    point/range predicate prunes to O(matching) files (Delta's
+    OPTIMIZE ... ZORDER in its exact 1-D linear form)."""
+    from vector_knowledge_base_spark.sources.txlog import (
+        _prune_files,
+        _read_manifest,
+        compact_files,
+    )
+
+    p = str(tmp_path / "t")
+    # interleaved appends: every file's id range spans the whole domain,
+    # so BEFORE clustering no predicate can prune anything
+    for k in range(4):
+        df = spark.createDataFrame(
+            [(i, i * 2) for i in range(k, 4000, 4)], "id long, v long"
+        )
+        if k == 0:
+            create_table(spark, p, df.coalesce(1))
+        else:
+            append_table(spark, p, df.coalesce(1))
+    m = _read_manifest(p, 3)
+    assert len(m["files"]) == 4
+    assert len(_prune_files(p, m, {"id": 7})) == 4  # interleaved: no skip
+    v = compact_files(spark, p, target_files=4, order_by=["id"])
+    m = _read_manifest(p, v)
+    assert m["op"] == "compact" and len(m["files"]) == 4
+    # ranges are DISJOINT (exact, not approximate): sort by min, assert
+    # each file's max < the next file's min
+    spans = sorted(
+        (m["stats"][e]["min"]["id"], m["stats"][e]["max"]["id"])
+        for e in m["files"]
+    )
+    assert all(spans[i][1] < spans[i + 1][0] for i in range(len(spans) - 1))
+    # a point predicate now touches exactly one file; a range a minority
+    assert len(_prune_files(p, m, {"id": 7})) == 1
+    assert len(_prune_files(p, m, {"id": {"gte": 100, "lte": 200}})) <= 2
+    # contents unchanged by the rewrite
+    got = read_table(spark, p)
+    assert got.count() == 4000
+    assert got.agg(F.sum("v")).first()[0] == sum(i * 2 for i in range(4000))
+    # and the pruned filtered read is still correct
+    assert read_table(spark, p, filters={"id": 7}).first()["v"] == 14
+
+
+def test_append_merge_schema_adds_column_metadata_only(spark, tmp_path):
+    """r6 schema evolution: an opted-in append may ADD columns — the
+    logged schema becomes the union, existing files never move (zero
+    bytes rewritten: the only acceptable cost at 100 TB), and reads
+    null-fill the evolved column for pre-evolution files."""
+    from vector_knowledge_base_spark.sources.txlog import (
+        _read_manifest,
+        table_schema,
+    )
+
+    p = str(tmp_path / "t")
+    v0 = spark.createDataFrame([(1, "a"), (2, "b")], "id long, tag string")
+    create_table(spark, p, v0.coalesce(1))
+    old_entry = _read_manifest(p, 0)["files"][0]
+    ino = os.stat(os.path.join(p, old_entry)).st_ino
+    evolved = spark.createDataFrame(
+        [(3, "c", "en")], "id long, tag string, lang string"
+    )
+    # without the opt-in: refused (enforcement unchanged)
+    with pytest.raises(RuntimeError, match="merge_schema"):
+        append_table(spark, p, evolved)
+    append_table(spark, p, evolved, merge_schema=True)
+    # the old file is carried by reference, not rewritten
+    assert os.stat(os.path.join(p, old_entry)).st_ino == ino
+    # logged schema is the union; reads null-fill pre-evolution rows
+    assert [f.name for f in table_schema(p).fields] == ["id", "tag", "lang"]
+    got = {r["id"]: r["lang"] for r in read_table(spark, p).collect()}
+    assert got == {1: None, 2: None, 3: "en"}
+    # time travel: version 0 keeps its ORIGINAL two-column schema
+    assert [f.name for f in read_table(spark, p, version=0).schema.fields] == [
+        "id", "tag",
+    ]
+    # an append may also OMIT evolved columns (null-filled the same way)
+    append_table(
+        spark, p,
+        spark.createDataFrame([(4, "d")], "id long, tag string"),
+        merge_schema=True,
+    )
+    got = {r["id"]: r["lang"] for r in read_table(spark, p).collect()}
+    assert got == {1: None, 2: None, 3: "en", 4: None}
+    assert [f.name for f in table_schema(p).fields] == ["id", "tag", "lang"]
+    # a TYPE change is refused even under merge_schema
+    with pytest.raises(RuntimeError, match="cannot change column"):
+        append_table(
+            spark, p,
+            spark.createDataFrame([(5, 7, "x")], "id long, tag long, lang string"),
+            merge_schema=True,
+        )
+
+
+def test_evolved_column_filter_skips_preevolution_files(spark, tmp_path):
+    """A filter on an evolved column PROVABLY skips files written before
+    the evolution (the column is physically absent there → all NULL →
+    no match) — stats-level pruning without any stats on the column."""
+    from vector_knowledge_base_spark.sources.txlog import (
+        _prune_files,
+        _read_manifest,
+    )
+
+    p = str(tmp_path / "t")
+    create_table(
+        spark, p,
+        spark.createDataFrame([(i,) for i in range(50)], "id long").coalesce(1),
+    )
+    append_table(
+        spark, p,
+        spark.createDataFrame([(100, "en"), (101, "de")], "id long, lang string").coalesce(1),
+        merge_schema=True,
+    )
+    m = _read_manifest(p, 1)
+    assert len(m["files"]) == 2
+    pruned = _prune_files(p, m, {"lang": "en"})
+    assert len(pruned) == 1  # the pre-evolution file is skipped
+    got = read_table(spark, p, filters={"lang": "en"})
+    assert [r["id"] for r in got.collect()] == [100]
+    # delete on the evolved column touches only the post-evolution file
+    v = delete_where(spark, p, filters={"lang": "de"})
+    m2 = _read_manifest(p, v)
+    assert len(m2["rewritten"]) == 1
+    assert read_table(spark, p).count() == 51
+
+
 def test_dedup_ingest_replay_survives_partial_first_commit(spark, tmp_path):
     """ADVICE r5: a crash between the first micro-batch's two commits
     (docs_table created, sigs_table not yet) must not wedge the stream —

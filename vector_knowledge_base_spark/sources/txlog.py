@@ -195,7 +195,9 @@ def _file_stats(path: str, files: list[str]) -> dict:
 
     out = {}
     for f in files:
-        md = pq.ParquetFile(f).metadata
+        pf = pq.ParquetFile(f)
+        md = pf.metadata
+        cols = list(pf.schema_arrow.names)
         mins: dict[str, Any] = {}
         maxs: dict[str, Any] = {}
         for rg in range(md.num_row_groups):
@@ -217,8 +219,27 @@ def _file_stats(path: str, files: list[str]) -> dict:
                     maxs[name] = mx if name not in maxs else max(maxs[name], mx)
                 except TypeError:
                     mins.pop(name, None), maxs.pop(name, None)
-        out[_rel(path, f)] = {"rows": md.num_rows, "min": mins, "max": maxs}
+        out[_rel(path, f)] = {
+            "rows": md.num_rows,
+            "min": mins,
+            "max": maxs,
+            "cols": cols,
+        }
     return out
+
+
+def _read_files(spark: SparkSession, m: dict, files: list[str]) -> DataFrame:
+    """Read manifest data files WITH the logged schema (when recorded):
+    files written before a schema evolution physically lack the evolved
+    columns, and supplying the schema makes Spark null-fill them — the
+    read-side half of merge_schema appends. Also skips footer schema
+    inference (one less listing pass). Pre-schema manifests read plain."""
+    logged = m.get("schema")
+    if logged is None:
+        return spark.read.parquet(*files)
+    from pyspark.sql import types as T
+
+    return spark.read.schema(T.StructType.fromJson(logged)).parquet(*files)
 
 
 def _filters_to_column(filters: Mapping[str, Any]) -> Column:
@@ -242,8 +263,14 @@ def _filters_to_column(filters: Mapping[str, Any]) -> Column:
 def _file_can_skip(stats: dict, filters: Mapping[str, Any]) -> bool:
     """True iff the filters PROVE the file holds no matching row (its
     [min,max] is disjoint from the filter on some ANDed key). Missing
-    stats → cannot skip. Comparisons across unlike types → cannot skip."""
+    stats → cannot skip. Comparisons across unlike types → cannot skip.
+    A column PHYSICALLY ABSENT from the file (written before a schema
+    evolution added it) reads as all-NULL, and NULL never satisfies an
+    eq/IN/range filter — provably skippable."""
+    cols = stats.get("cols")
     for key, value in filters.items():
+        if cols is not None and key not in cols:
+            return True
         mn = stats.get("min", {}).get(key)
         mx = stats.get("max", {}).get(key)
         if mn is None or mx is None:
@@ -354,10 +381,23 @@ def create_table(
 
 
 def append_table(
-    spark: SparkSession, path: str, df: DataFrame, batch_id: int | None = None
+    spark: SparkSession,
+    path: str,
+    df: DataFrame,
+    batch_id: int | None = None,
+    merge_schema: bool = False,
 ) -> int:
     """Append ``df`` as a new version: new files + carried references.
     The table data already on disk is NOT read or rewritten.
+
+    ``merge_schema`` (r6, the Delta mergeSchema=true idea): an opted-in
+    append may ADD columns (the logged schema becomes the union; files
+    written earlier null-fill the new columns at read time via the
+    logged-schema read) and may OMIT logged columns (its files null-fill
+    them the same way). Changing an EXISTING column's type is refused
+    either way — silent type drift poisons every read. Evolution is a
+    pure metadata operation: zero existing bytes move, which is the only
+    acceptable cost for adding a column to a 100 TB table.
 
     ``batch_id`` (optional) makes the append IDEMPOTENT for streaming
     sinks: if this id was ever committed (retained manifest OR the
@@ -388,16 +428,41 @@ def append_table(
         # differences are benign (an embed stage and an inline frame
         # disagree on nullable flags)
         logged = m.get("schema")
-        if logged is not None and _schema_key(df.schema) != _logged_schema_key(
-            logged
-        ):
+        commit_schema = df.schema.jsonValue()
+        if logged is not None:
             from pyspark.sql import types as T
 
-            want = T.StructType.fromJson(logged).simpleString()
-            raise RuntimeError(
-                f"txlog: append schema {df.schema.simpleString()} does not "
-                f"match the table schema {want}; use overwrite_table to evolve"
-            )
+            if not merge_schema:
+                if _schema_key(df.schema) != _logged_schema_key(logged):
+                    want = T.StructType.fromJson(logged).simpleString()
+                    raise RuntimeError(
+                        f"txlog: append schema {df.schema.simpleString()} "
+                        f"does not match the table schema {want}; pass "
+                        "merge_schema=True to add columns, or "
+                        "overwrite_table to change types"
+                    )
+                commit_schema = logged  # carry nullability as logged
+            else:
+                logged_st = T.StructType.fromJson(logged)
+                logged_types = dict(_schema_key(logged_st))
+                conflicts = [
+                    (n, t, logged_types[n])
+                    for n, t in _schema_key(df.schema)
+                    if n in logged_types and logged_types[n] != t
+                ]
+                if conflicts:
+                    n, t, want_t = conflicts[0]
+                    raise RuntimeError(
+                        f"txlog: merge_schema cannot change column {n!r} "
+                        f"from {want_t} to {t}; use overwrite_table"
+                    )
+                union = list(logged_st.fields)
+                for fld in df.schema.fields:
+                    if fld.name not in logged_types:
+                        union.append(
+                            T.StructField(fld.name, fld.dataType, True)
+                        )
+                commit_schema = T.StructType(union).jsonValue()
         if new_files is None:
             new_files = _write_batch(df, path)
         try:
@@ -413,7 +478,7 @@ def append_table(
                     },
                     "parent": latest,
                     "batch_id": batch_id,
-                    "schema": df.schema.jsonValue(),
+                    "schema": commit_schema,
                 },
             )
         except TxConflict:
@@ -458,7 +523,10 @@ def overwrite_table(spark: SparkSession, path: str, df: DataFrame) -> int:
 
 
 def compact_files(
-    spark: SparkSession, path: str, target_files: int = 8
+    spark: SparkSession,
+    path: str,
+    target_files: int = 8,
+    order_by: list[str] | None = None,
 ) -> int:
     """Small-file compaction as a TRANSACTION: rewrite the current
     contents into ``target_files`` files and commit op='compact'. The
@@ -468,7 +536,19 @@ def compact_files(
     version keep their immutable files; compact_log vacuums them once
     retention allows). No-op (returns the current version) if the table
     already has <= target_files files. A lost CAS race recomputes from
-    the winner's snapshot (the file set it compacted may have changed)."""
+    the winner's snapshot (the file set it compacted may have changed).
+
+    ``order_by`` (r6) makes compaction a CLUSTERED rewrite:
+    ``repartitionByRange`` + in-partition sort on the given columns, so
+    each output file covers a DISJOINT key range. That turns the
+    manifest's per-file min/max stats into a real index — a point or
+    range predicate on the cluster key prunes to O(matching) files in
+    ``read_table(filters=...)`` / ``delete_where(filters=...)`` (the
+    OPTIMIZE ... ZORDER BY idea from Delta, in its 1-D linear form —
+    exact disjointness, which Z-order only approximates, and the right
+    choice for a single dominant predicate column). A clustered
+    rewrite is applied even when the file count is already small —
+    clustering, not file count, is the point then."""
     for _ in range(_MAX_COMMIT_RETRIES):
         versions = _list_versions(path)
         if not versions:
@@ -476,9 +556,15 @@ def compact_files(
         latest = versions[-1]
         m = _read_manifest(path, latest)
         files = _manifest_files(path, m)
-        if len(files) <= target_files:
+        if len(files) <= target_files and order_by is None:
             return latest
-        df = spark.read.parquet(*files).coalesce(target_files)
+        df = _read_files(spark, m, files)
+        if order_by is not None:
+            df = df.repartitionByRange(
+                target_files, *order_by
+            ).sortWithinPartitions(*order_by)
+        else:
+            df = df.coalesce(target_files)
         new_files = _write_batch(df, path)
         try:
             return _commit(
@@ -538,7 +624,7 @@ def merge_table(
             affected: set[str] = set()
             merged = updates
         else:
-            cur = spark.read.parquet(*files)
+            cur = _read_files(spark, m, files)
             keys = updates.select(*key_cols).distinct()
             # project input_file_name() BEFORE the semi-join: Spark
             # refuses the expression once the plan has >1 source
@@ -557,7 +643,7 @@ def merge_table(
                     f"{sorted(hit_files - affected)[:3]}"
                 )
             survivors = (
-                spark.read.parquet(*sorted(affected)).join(
+                _read_files(spark, m, sorted(affected)).join(
                     F.broadcast(keys), key_cols, "left_anti"
                 )
                 if affected
@@ -669,7 +755,7 @@ def read_table(
         from pyspark.sql import types as T
 
         return spark.createDataFrame([], T.StructType.fromJson(m["schema"]))
-    df = spark.read.parquet(*files)
+    df = _read_files(spark, m, files)
     return df.where(_filters_to_column(filters)) if filters else df
 
 
@@ -708,7 +794,7 @@ def delete_where(
         files = _manifest_files(path, m)
         candidates = _prune_files(path, m, filters)
         if candidates:
-            cur = spark.read.parquet(*candidates)
+            cur = _read_files(spark, m, candidates)
             # input_file_name() yields file:// URIs with percent-encoding
             # — unquote before matching against manifest paths, and
             # HARD-FAIL on any unmatched hit rather than silently
@@ -749,7 +835,7 @@ def delete_where(
                 continue
         # SQL DELETE semantics: remove rows where the predicate is TRUE;
         # NULL-evaluating rows survive (plain ~predicate would drop them)
-        survivors = spark.read.parquet(*sorted(affected)).where(
+        survivors = _read_files(spark, m, sorted(affected)).where(
             ~F.coalesce(predicate, F.lit(False))
         )
         new_files = (
@@ -807,17 +893,20 @@ def table_diff(
     rows(files removed), deletes the reverse. At 100 TB the diff cost
     is proportional to the churn, not the table. Returns the union with
     a ``change`` column ('insert' | 'delete')."""
+    m_to = _read_manifest(path, v_to)
     a = set(_manifest_files(path, _read_manifest(path, v_from)))
-    b = set(_manifest_files(path, _read_manifest(path, v_to)))
+    b = set(_manifest_files(path, m_to))
     removed, added = sorted(a - b), sorted(b - a)
     schema_src = read_table(spark, path, v_to)
+    # both sides read with v_to's schema: across a schema evolution the
+    # old files null-fill the evolved columns, keeping exceptAll typed
     old = (
-        spark.read.parquet(*removed)
+        _read_files(spark, m_to, removed)
         if removed
         else schema_src.limit(0)
     )
     new = (
-        spark.read.parquet(*added)
+        _read_files(spark, m_to, added)
         if added
         else schema_src.limit(0)
     )
