@@ -307,6 +307,71 @@ def test_pq_shortlist_rerank_equals_exact(spark, emb):
     ]
 
 
+def test_ivfpq_exhaustive_reduces_to_exact(spark, emb):
+    """IVF-PQ composition sanity (r6): probing EVERY cell with a
+    shortlist covering the corpus must return exactly the exact top-k —
+    the rerank sees all rows, so any disagreement means the probe
+    filter or the semi-join dropped rows it shouldn't."""
+    from vector_knowledge_base_spark.operators.ann import (
+        build_ivfpq,
+        ivfpq_topk,
+    )
+    from vector_knowledge_base_spark.operators.knn import cosine_topk
+
+    q = emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
+    centroids, codebooks, index = build_ivfpq(emb, n_cells=8, m=8, ksub=16)
+    got = ivfpq_topk(
+        centroids, codebooks, index, emb, q,
+        k=10, n_probe=len(centroids), shortlist=emb.count(),
+    ).collect()
+    want = cosine_topk(emb, q, k=10).collect()
+    assert [(r["vec_id"], r["score"]) for r in got] == [
+        (r["vec_id"], r["score"]) for r in want
+    ]
+
+
+def test_ivfpq_adc_matches_numpy_decomposition(spark, emb):
+    """The in-plan ADC score (bias[cell] + Σ_j table[j, code_j]) must
+    equal the numpy computation of dot(q, centroid) + dot(q_j,
+    codebook_j[code_j]) for every row — pinning the literal-array
+    indexing (1-based element_at, flat j*ksub+c layout) against an
+    independent derivation."""
+    import numpy as np
+
+    from vector_knowledge_base_spark.operators.ann import build_ivfpq
+
+    q = np.asarray(
+        emb.where(F.col("vec_id") == 0).select("embedding").first()[0],
+        dtype=np.float64,
+    )
+    centroids, codebooks, index = build_ivfpq(emb, n_cells=4, m=8, ksub=16)
+    m, ksub, dsub = codebooks.shape
+    flat = [
+        float(np.dot(q[j * dsub : (j + 1) * dsub], codebooks[j][c]))
+        for j in range(m)
+        for c in range(ksub)
+    ]
+    bias = [float(np.dot(q, centroids[c])) for c in range(len(centroids))]
+    table, biases = F.lit(flat), F.lit(bias)
+    adc = F.element_at(
+        biases, (F.col("ivf_cell") + 1).cast("int")
+    ) + F.aggregate(
+        F.zip_with(
+            F.col("codes"),
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            lambda c, j: F.element_at(table, (j * ksub + c + 1).cast("int")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    rows = index.select("vec_id", "ivf_cell", "codes", adc.alias("adc")).collect()
+    for r in rows[:50]:
+        want = bias[r["ivf_cell"]] + sum(
+            flat[j * ksub + r["codes"][j]] for j in range(m)
+        )
+        assert abs(r["adc"] - want) < 1e-9, (r["vec_id"], r["adc"], want)
+
+
 def test_quality_scores_after_observation(spark):
     """Regression: scoring must survive a session on which an
     Observation has been registered. model.transform's UDF closure

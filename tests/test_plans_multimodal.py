@@ -458,3 +458,34 @@ def test_simhash_candidates_single_lineage_no_distinct(spark):
     # verify through a single task (measured 18s single-task vs ~1s
     # parallel on the audit's 1.5M pairs at sf0.1)
     assert "RoundRobinPartitioning" in plan, "candidate join not parallelized"
+
+
+def test_ivfpq_serving_plan_is_codegen_topk(spark):
+    """IVF-PQ serving plan guard (r6): against a MATERIALIZED index the
+    hot path must be pure JVM — the ADC score is literal-array lookups
+    (no Python UDF may appear past the encode), the cell probe is a
+    pushable filter, and both the shortlist and the final rerank
+    compile to TakeOrderedAndProject (per-partition heaps, no global
+    sort). This is the plan that makes the codes-only scan claim true
+    at 100 TB."""
+    from vector_knowledge_base_spark.operators.ann import (
+        build_ivfpq,
+        ivfpq_topk,
+    )
+    from vector_knowledge_base_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF, "embeddings")
+    q = emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
+    centroids, codebooks, index = build_ivfpq(emb, n_cells=8, m=8, ksub=16)
+    index = index.localCheckpoint(eager=True)
+    plan = explain_str(
+        ivfpq_topk(
+            centroids, codebooks, index, emb, q,
+            k=10, n_probe=4, shortlist=100,
+        )
+    )
+    assert "TakeOrderedAndProject" in plan
+    for udf_node in ("BatchEvalPython", "ArrowEvalPython", "FlatMapsInPandas"):
+        assert udf_node not in plan, f"Python stage {udf_node} in serving plan"
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

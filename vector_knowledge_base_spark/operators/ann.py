@@ -416,6 +416,120 @@ def build_pq(
     return codebooks, codes
 
 
+def build_ivfpq(
+    emb: DataFrame,
+    n_cells: int = 8,
+    m: int = 8,
+    ksub: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+):
+    """IVF + PQ composed index (the FAISS IndexIVFPQ layout): the coarse
+    KMeans quantizer assigns each vector to a cell, and PQ encodes the
+    RESIDUAL ``x − centroid[cell]``. Residual encoding is the point of
+    the composition: within a cell residuals are centered around 0, so
+    the same codebook budget quantizes far finer than raw-vector PQ —
+    the reason FAISS composes them rather than running either alone.
+
+    100 TB shape: the index table is (id, cell, m-byte codes) — written
+    partitioned by ``ivf_cell`` it gives file-level probe pruning AND a
+    codes-only hot scan; raw vectors are only fetched for the shortlist
+    rerank. The residual is computed in-plan (broadcast 8-row centroid
+    frame + ``zip_with`` subtraction — codegen, no UDF); only the PQ
+    encode itself is an Arrow-batched pandas UDF.
+
+    Returns (centroids ndarray, codebooks ndarray, index DataFrame
+    (id_col, ivf_cell, codes array<int>))."""
+    centroids, assigned = build_ivf(
+        emb, n_partitions=n_cells, id_col=id_col, vec_col=vec_col, seed=seed
+    )
+    spark = emb.sparkSession
+    cents = spark.createDataFrame(
+        [(i, [float(x) for x in centroids[i]]) for i in range(len(centroids))],
+        "ivf_cell int, cent array<double>",
+    )
+    resid = assigned.join(F.broadcast(cents), "ivf_cell").select(
+        F.col(id_col),
+        F.col("ivf_cell"),
+        F.zip_with(F.col(vec_col), F.col("cent"), lambda a, b: a - b).alias(
+            "residual"
+        ),
+    )
+    codebooks, codes = build_pq(
+        resid, m=m, ksub=ksub, id_col=id_col, vec_col="residual", seed=seed
+    )
+    index = codes.join(resid.select(id_col, "ivf_cell"), id_col)
+    assigned.unpersist()
+    return centroids, codebooks, index
+
+
+def ivfpq_topk(
+    centroids,
+    codebooks,
+    index: DataFrame,
+    emb: DataFrame,
+    query_vector,
+    k: int = 10,
+    n_probe: int = 4,
+    shortlist: int = 100,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Serve a query against the IVF-PQ index: probe the ``n_probe``
+    nearest cells, ADC-score their codes, exact-rerank the ``shortlist``
+    survivors against raw vectors (semi-join point reads).
+
+    The inner-product ADC decomposes exactly: with ``x = c_cell + r``,
+    ``dot(q, x) = dot(q, c_cell) + dot(q, r)``. The per-subspace table
+    ``dot(q_j, codebook_j[·])`` is CELL-INDEPENDENT (codebooks are
+    shared across cells), so ONE flat literal array serves every probed
+    cell; the per-cell constant ``dot(q, c)`` rides in as a second tiny
+    literal indexed by ``ivf_cell``. Scoring a row is therefore m array
+    lookups + adds + one bias lookup — no vector math, no raw-vector
+    read — and compiles to whole-stage codegen + TakeOrderedAndProject."""
+    import numpy as np
+
+    q = np.asarray(list(query_vector), dtype=np.float64)
+    mm, ksub, dsub = codebooks.shape
+    dists = ((centroids - q) ** 2).sum(axis=1)
+    probe = [int(c) for c in np.argsort(dists)[:n_probe]]
+    flat = [
+        float(np.dot(q[j * dsub : (j + 1) * dsub], codebooks[j][c]))
+        for j in range(mm)
+        for c in range(ksub)
+    ]
+    bias = [float(np.dot(q, centroids[c])) for c in range(len(centroids))]
+    table, biases = F.lit(flat), F.lit(bias)
+    adc = F.element_at(
+        biases, (F.col("ivf_cell") + 1).cast("int")
+    ) + F.aggregate(
+        F.zip_with(
+            F.col("codes"),
+            F.sequence(F.lit(0), F.lit(mm - 1)),
+            lambda c, j: F.element_at(table, (j * ksub + c + 1).cast("int")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    short = (
+        index.where(F.col("ivf_cell").isin(probe))
+        .select(F.col(id_col), adc.alias("adc"))
+        .orderBy(F.desc("adc"), F.col(id_col))
+        .limit(shortlist)
+    )
+    qvec = F.lit([float(x) for x in query_vector])
+    return (
+        emb.join(short.select(id_col), id_col, "left_semi")
+        .select(
+            F.col(id_col),
+            F.round(dot_product(F.col(vec_col), qvec), 6).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.col(id_col))
+        .limit(k)
+    )
+
+
 def pq_topk(
     codebooks,
     codes: DataFrame,
