@@ -304,6 +304,15 @@ HEADLINE = [
     "multimodal_image_pixels_inline",
     # wave 72 (r5) — BPE first-merge vocabulary induction
     "bpe_merge_candidates",
+    # wave 73/74 (r6) — streaming+txlog+dedup audit, k-round BPE train
+    "streaming_dedup_ingest_audit",
+    "bpe_vocab_train_k",
+    # wave 75 (r6) — IVF-PQ composed index, clustered txlog compaction
+    "ivfpq_serving_invariants",
+    "txlog_clustered_compaction",
+    # wave 76 (r6) — schema evolution, streaming CDC-apply (MERGE) sink
+    "txlog_schema_evolution",
+    "streaming_cdc_upsert_audit",
 ]
 
 KNN_BATCH_N_QUERIES = 5  # matches the knn_batch query definition

@@ -6,6 +6,7 @@ from __future__ import annotations
 
 import zipfile
 
+import pytest
 from pyspark.sql import functions as F
 
 from vector_knowledge_base_spark.service import KnowledgeBase
@@ -196,6 +197,42 @@ def test_knowledge_base_txlog_storage_lifecycle(spark, tmp_path):
     # reset drops the log entirely
     kb.reset()
     assert kb.list_documents().count() == 0
+
+
+def test_service_optimize_compacts_and_clusters_chunks(spark, tmp_path):
+    """r6 facade OPTIMIZE verb: repeated uploads produce one file batch
+    each; optimize() folds them transactionally, and with cluster_by
+    the rewrite leaves per-file doc_id ranges disjoint so point lookups
+    prune at the manifest level. Contents are unchanged and the
+    pre-compaction version stays readable."""
+    from vector_knowledge_base_spark.sources.txlog import (
+        _prune_files,
+        _read_manifest,
+    )
+
+    kb = KnowledgeBase(spark, str(tmp_path / "ws"), storage="txlog")
+    for i in range(4):
+        kb.create_document(
+            f"doc{i}.txt",
+            f"document number {i} spark tuning shuffle broadcast join",
+        )
+    n = kb.chunks().count()
+    pre_v = kb.history().agg(F.max("version")).first()[0]
+    with pytest.raises(RuntimeError, match="txlog"):
+        KnowledgeBase(spark, str(tmp_path / "ws2")).optimize()
+    v = kb.optimize(target_files=2, cluster_by=["doc_id"])
+    m = _read_manifest(kb.chunks_path, v)
+    assert m["op"] == "compact" and len(m["files"]) <= 2
+    # disjoint doc_id ranges => a point read opens a strict file subset
+    spans = sorted(
+        (m["stats"][e]["min"]["doc_id"], m["stats"][e]["max"]["doc_id"])
+        for e in m["files"]
+    )
+    assert all(spans[i][1] < spans[i + 1][0] for i in range(len(spans) - 1))
+    any_id = kb.chunks().select("doc_id").first()[0]
+    assert len(_prune_files(kb.chunks_path, m, {"doc_id": any_id})) == 1
+    assert kb.chunks().count() == n
+    assert kb.chunks_at(pre_v).count() == n
 
 
 def test_txlog_upload_after_clustering_keeps_working(spark, tmp_path):

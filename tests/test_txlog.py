@@ -236,6 +236,63 @@ def test_streaming_ingest_txlog_exactly_once(spark, tmp_path):
     assert read_table(spark, table, version=sorted(vs)[-2]).count() == n2
 
 
+def test_streaming_cdc_apply_upserts_latest_per_key(spark, tmp_path):
+    """r6 streaming MERGE sink: keyed change rows stream into ONE
+    transactional table — within a micro-batch the latest row per key
+    wins, across micro-batches the merge replaces stored rows
+    copy-on-write, and a crash-replayed batch (same batch_id) is a
+    strict no-op (no extra log version, no second rewrite)."""
+    from vector_knowledge_base_spark.streaming.txsink import (
+        streaming_cdc_apply_txlog,
+        txlog_merge_foreach_batch,
+    )
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    table = str(tmp_path / "table")
+    # wave 1: keys 1,2,3 — key 2 updated twice IN the same batch
+    spark.createDataFrame(
+        [(1, 10, "a1", "en"), (2, 11, "b1", "en"),
+         (2, 12, "b2", "en"), (3, 13, "c1", "de")],
+        "doc_id long, seq long, text string, lang string",
+    ).write.parquet(src)
+    streaming_cdc_apply_txlog(
+        spark, src, ckpt, table, ["doc_id"], seq_col="seq"
+    ).awaitTermination(180)
+    got = {r["doc_id"]: r["text"] for r in read_table(spark, table).collect()}
+    assert got == {1: "a1", 2: "b2", 3: "c1"}  # last-writer-wins in-batch
+
+    # wave 2: update key 1, insert key 4 → merge replaces + inserts
+    spark.createDataFrame(
+        [(1, 20, "a2", "en"), (4, 21, "d1", "fr")],
+        "doc_id long, seq long, text string, lang string",
+    ).write.mode("append").parquet(src)
+    streaming_cdc_apply_txlog(
+        spark, src, ckpt, table, ["doc_id"], seq_col="seq"
+    ).awaitTermination(180)
+    got = {r["doc_id"]: r["text"] for r in read_table(spark, table).collect()}
+    assert got == {1: "a2", 2: "b2", 3: "c1", 4: "d1"}
+    assert read_table(spark, table).count() == 4  # replaced, not accumulated
+
+    # crash-replay: re-deliver the last committed batch id — no new
+    # version, no state change
+    from vector_knowledge_base_spark.sources.txlog import _read_manifest
+
+    vs = [r["version"] for r in table_versions(spark, table).collect()]
+    bid = _read_manifest(table, max(vs))["batch_id"]
+    redelivered = spark.createDataFrame(
+        [(1, 20, "a2", "en"), (4, 21, "d1", "fr")],
+        "doc_id long, seq long, text string, lang string",
+    )
+    txlog_merge_foreach_batch(table, ["doc_id"], seq_col="seq")(
+        redelivered, bid
+    )
+    vs2 = [r["version"] for r in table_versions(spark, table).collect()]
+    assert vs2 == vs  # strict no-op: not even a log version
+    got = {r["doc_id"]: r["text"] for r in read_table(spark, table).collect()}
+    assert got == {1: "a2", 2: "b2", 3: "c1", 4: "d1"}
+
+
 def test_compact_files_transactional(spark, orders, tmp_path):
     """Compaction rewrites many small files into few WITHOUT changing
     contents, as a new version (old version still readable), and is a

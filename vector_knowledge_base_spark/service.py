@@ -104,6 +104,31 @@ class _KnowledgeBaseCore:
 
         return table_versions(self.spark, self.chunks_path)
 
+    def optimize(
+        self,
+        target_files: int = 8,
+        cluster_by: list[str] | None = None,
+    ) -> int:
+        """Transactional small-file compaction of the chunks table
+        (txlog storage only), optionally CLUSTERED: with ``cluster_by``
+        the rewrite range-partitions + sorts on those columns so each
+        output file covers a disjoint key range and the manifest's
+        per-file min/max stats prune point lookups — the facade's
+        OPTIMIZE verb (sources/txlog.py compact_files). Ingest
+        naturally produces one small file batch per upload; this folds
+        them into ``target_files`` with no read outage (old versions
+        stay readable until vacuum)."""
+        if self.storage != "txlog":
+            raise RuntimeError("optimize requires storage='txlog'")
+        from vector_knowledge_base_spark.sources.txlog import compact_files
+
+        return compact_files(
+            self.spark,
+            self.chunks_path,
+            target_files=target_files,
+            order_by=cluster_by,
+        )
+
     def list_documents(self) -> DataFrame:
         """O(1)-style listing from the materialized registry (A2)."""
         return self.spark.read.parquet(self.registry_path)

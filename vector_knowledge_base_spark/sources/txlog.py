@@ -590,6 +590,7 @@ def merge_table(
     path: str,
     updates: DataFrame,
     key_cols: list[str],
+    batch_id: int | None = None,
 ) -> int:
     """Copy-on-write MERGE (upsert): rows whose ``key_cols`` match an
     update row are REPLACED by it; update rows matching nothing are
@@ -601,13 +602,22 @@ def merge_table(
     (same enforcement as append). A fully-deleted table (files=[]) is
     legal: every update row inserts. A lost CAS race recomputes the
     affected-file set against the winner's snapshot and retries — the
-    re-scan IS the conflict re-validation (nothing stale survives)."""
+    re-scan IS the conflict re-validation (nothing stale survives).
+
+    ``batch_id`` (r6) gives the streaming CDC-apply sink strict
+    exactly-once: a replayed micro-batch whose id was ever committed
+    (retained manifest or the carried-forward vacuum set) is a no-op —
+    same contract as append_table. (A MERGE replay is already
+    state-idempotent by key, but without the id it would burn a log
+    version and rewrite the touched files again.)"""
     from urllib.parse import unquote, urlparse
 
     for _ in range(_MAX_COMMIT_RETRIES):
         versions = _list_versions(path)
         if not versions:
             raise RuntimeError(f"txlog: no table at {path}")
+        if batch_id is not None and batch_id in _committed_batch_ids(path):
+            return versions[-1]  # already committed: replay is a no-op
         latest = versions[-1]
         m = _read_manifest(path, latest)
         files = _manifest_files(path, m)
@@ -670,6 +680,7 @@ def merge_table(
                     "files": kept + [_rel(path, f) for f in new_files],
                     "stats": {**stats, **_file_stats(path, new_files)},
                     "parent": latest,
+                    "batch_id": batch_id,
                     "rewritten": sorted(_rel(path, f) for f in affected),
                     "schema": logged
                     if logged is not None
