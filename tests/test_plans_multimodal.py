@@ -477,7 +477,6 @@ def test_ivfpq_serving_plan_is_codegen_topk(spark):
     emb = load_table(spark, SF, "embeddings")
     q = emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
     centroids, codebooks, index = build_ivfpq(emb, n_cells=8, m=8, ksub=16)
-    index = index.localCheckpoint(eager=True)
     plan = explain_str(
         ivfpq_topk(
             centroids, codebooks, index, emb, q,

@@ -459,7 +459,12 @@ def build_ivfpq(
     codebooks, codes = build_pq(
         resid, m=m, ksub=ksub, id_col=id_col, vec_col="residual", seed=seed
     )
-    index = codes.join(resid.select(id_col, "ivf_cell"), id_col)
+    # materialize the index BEFORE dropping the cached assignment: the
+    # join has two resid lineages (encode side + cell side), and an
+    # unpersisted lazy index would re-run the KMeans transform for each
+    index = codes.join(resid.select(id_col, "ivf_cell"), id_col).localCheckpoint(
+        eager=True
+    )
     assigned.unpersist()
     return centroids, codebooks, index
 

@@ -12957,7 +12957,6 @@ def q_ivfpq_serving_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = emb.count()
     qvec = emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
     centroids, codebooks, index = build_ivfpq(emb, n_cells=8, m=8, ksub=16)
-    index = index.localCheckpoint(eager=True)
     codes_len_ok = (
         index.where(F.size("codes") != codebooks.shape[0]).count() == 0
     )
