@@ -330,6 +330,40 @@ def test_ivfpq_exhaustive_reduces_to_exact(spark, emb):
     ]
 
 
+def test_ivfpq_save_load_roundtrip_serves_identically(spark, emb, tmp_path):
+    """Persisted IVF-PQ serving contract: load_ivfpq(save_ivfpq(...))
+    must serve the SAME top-k as the in-memory index (codes stored
+    cell-partitioned; the probe becomes directory pruning), and the
+    missing-path probe returns None."""
+    from vector_knowledge_base_spark.operators.ann import (
+        build_ivfpq,
+        ivfpq_topk,
+        load_ivfpq,
+        save_ivfpq,
+    )
+
+    q = emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
+    centroids, codebooks, index = build_ivfpq(emb, n_cells=4, m=8, ksub=16)
+    path = str(tmp_path / "ivfpq")
+    save_ivfpq(centroids, codebooks, index, path)
+    loaded = load_ivfpq(spark, path)
+    assert loaded is not None
+    c2, cb2, index2 = loaded
+    import numpy as np
+
+    assert np.array_equal(c2, centroids) and np.array_equal(cb2, codebooks)
+    want = ivfpq_topk(
+        centroids, codebooks, index, emb, q, k=10, n_probe=2, shortlist=100
+    ).collect()
+    got = ivfpq_topk(
+        c2, cb2, index2, emb, q, k=10, n_probe=2, shortlist=100
+    ).collect()
+    assert [(r["vec_id"], r["score"]) for r in got] == [
+        (r["vec_id"], r["score"]) for r in want
+    ]
+    assert load_ivfpq(spark, str(tmp_path / "nope")) is None
+
+
 def test_ivfpq_adc_matches_numpy_decomposition(spark, emb):
     """The in-plan ADC score (bias[cell] + Σ_j table[j, code_j]) must
     equal the numpy computation of dot(q, centroid) + dot(q_j,

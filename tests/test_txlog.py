@@ -801,6 +801,90 @@ def test_compact_files_clustered_rewrite_enables_pruning(spark, tmp_path):
     assert read_table(spark, p, filters={"id": 7}).first()["v"] == 14
 
 
+def test_clustered_compact_of_fully_deleted_table_is_noop(spark, tmp_path):
+    """compact_files(order_by=...) on the legal files==[] state must
+    return the current version, not crash on an empty parquet read —
+    the same guard class as delete-twice / merge-into-empty (ADVICE
+    r5); the order_by path bypassed the small-table short-circuit."""
+    from vector_knowledge_base_spark.sources.txlog import compact_files
+
+    from vector_knowledge_base_spark.sources.txlog import _read_manifest
+
+    p = str(tmp_path / "t")
+    create_table(
+        spark,
+        p,
+        spark.createDataFrame([(1, "a")], "id long, tag string").coalesce(1),
+    )
+    delete_where(spark, p, F.lit(True))
+    assert _read_manifest(p, 1)["files"] == []  # the true empty state
+    v = compact_files(spark, p, target_files=2, order_by=["id"])
+    assert v == 1  # the delete version; no new commit
+    assert read_table(spark, p).count() == 0
+
+
+def test_compact_drops_empty_files_metadata_only(spark, tmp_path):
+    """A 1-row frame written at session parallelism carries 0-row part
+    files forever (the affected-file scan never selects them). Compact
+    proves them empty FROM STATS and drops their references without
+    reading or rewriting anything — the surviving file keeps its entry
+    and inode."""
+    from vector_knowledge_base_spark.sources.txlog import (
+        _read_manifest,
+        compact_files,
+    )
+
+    p = str(tmp_path / "t")
+    # no coalesce: local[N] writes N-1 empty parts next to the data
+    create_table(
+        spark, p, spark.createDataFrame([(1, "a")], "id long, tag string")
+    )
+    m0 = _read_manifest(p, 0)
+    nonempty = [e for e in m0["files"] if m0["stats"][e]["rows"] > 0]
+    assert len(m0["files"]) > 1 and len(nonempty) == 1
+    ino = os.stat(os.path.join(p, nonempty[0])).st_ino
+    v = compact_files(spark, p, target_files=8)
+    m1 = _read_manifest(p, v)
+    assert m1["op"] == "compact" and m1["files"] == nonempty
+    assert os.stat(os.path.join(p, nonempty[0])).st_ino == ino  # no rewrite
+    assert read_table(spark, p).count() == 1
+    # idempotent: a second compact is a no-op
+    assert compact_files(spark, p, target_files=8) == v
+
+
+def test_compact_log_vacuums_aged_orphans_only(spark, tmp_path):
+    """Crash debris (a batch dir no manifest references — e.g. a write
+    that died before its CAS, or a lost-CAS retry's abandoned files)
+    must be vacuumable, but ONLY past the grace window: a young
+    unreferenced batch may be a concurrent writer's in-flight commit
+    (the Delta VACUUM retention model)."""
+    import shutil as sh
+
+    from vector_knowledge_base_spark.sources.txlog import fsck
+
+    p = str(tmp_path / "t")
+    create_table(
+        spark, p, spark.createDataFrame([(1, "a")], "id long, tag string").coalesce(1)
+    )
+    # simulate the crash: clone the committed batch dir into a fresh
+    # uncommitted one — a real parquet file no manifest references
+    data = os.path.join(p, "data")
+    src_batch = os.path.join(data, os.listdir(data)[0])
+    orphan_batch = os.path.join(data, "bdeadbeef0000")
+    sh.copytree(src_batch, orphan_batch)
+    orphans = lambda: (  # noqa: E731
+        fsck(spark, p).where("version = -1").first()["n_files"]
+    )
+    assert orphans() == 1
+    # young orphan + default grace: NOT removed (may be in-flight)
+    assert compact_log(spark, p, keep_versions=10) == 0
+    assert orphans() == 1
+    # aged out (grace 0): removed; fsck clean; table intact
+    assert compact_log(spark, p, keep_versions=10, orphan_grace_s=0.0) == 1
+    assert orphans() == 0
+    assert read_table(spark, p).count() == 1
+
+
 def test_append_merge_schema_adds_column_metadata_only(spark, tmp_path):
     """r6 schema evolution: an opted-in append may ADD columns — the
     logged schema becomes the union, existing files never move (zero

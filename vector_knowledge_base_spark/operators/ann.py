@@ -227,6 +227,57 @@ def load_pq(path: str):
     return cb
 
 
+def save_ivfpq(centroids, codebooks, index: DataFrame, path: str) -> None:
+    """Persist the composed IVF-PQ index: centroids + codebooks as one
+    JSON model file (same dependency-free store as save_pq — both are
+    tiny), the code table as parquet PARTITIONED BY ivf_cell, so a
+    probe of n cells reads n directories (the write_ivf_corpus layout,
+    but holding m-byte codes instead of raw vectors — the 100 TB
+    serving store is the code table, ~32× smaller than the corpus)."""
+    import json
+    import os
+
+    os.makedirs(path, exist_ok=True)
+    m, ksub, dsub = codebooks.shape
+    with open(os.path.join(path, "ivfpq_model.json"), "w") as f:
+        json.dump(
+            {
+                "m": int(m),
+                "ksub": int(ksub),
+                "dsub": int(dsub),
+                "codebooks": codebooks.tolist(),
+                "centroids": [[float(x) for x in c] for c in centroids],
+            },
+            f,
+        )
+    index.write.mode("overwrite").partitionBy("ivf_cell").parquet(
+        os.path.join(path, "codes")
+    )
+
+
+def load_ivfpq(spark, path: str):
+    """Reload a persisted IVF-PQ index: (centroids, codebooks, index
+    DataFrame) or None if absent. The returned index scans the
+    cell-partitioned parquet — ``ivfpq_topk``'s cell filter becomes
+    directory pruning, and encoding against the loaded codebooks
+    reproduces stored codes exactly (same contract as load_pq)."""
+    import json
+    import os
+
+    import numpy as np
+
+    fp = os.path.join(path, "ivfpq_model.json")
+    if not os.path.exists(fp):
+        return None
+    with open(fp) as f:
+        d = json.load(f)
+    cb = np.asarray(d["codebooks"], dtype=np.float64)
+    assert cb.shape == (d["m"], d["ksub"], d["dsub"])
+    centroids = np.asarray(d["centroids"], dtype=np.float64)
+    index = spark.read.parquet(os.path.join(path, "codes"))
+    return centroids, cb, index
+
+
 def pq_encode(
     codebooks,
     emb: DataFrame,

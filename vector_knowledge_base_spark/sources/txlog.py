@@ -548,16 +548,54 @@ def compact_files(
     exact disjointness, which Z-order only approximates, and the right
     choice for a single dominant predicate column). A clustered
     rewrite is applied even when the file count is already small —
-    clustering, not file count, is the point then."""
+    clustering, not file count, is the point then.
+
+    0-ROW files (empty shuffle partitions a writer carried — e.g. a
+    1-row frame written at parallelism 8) are dropped WITHOUT a
+    rewrite: the stats prove them empty, so removing their references
+    is a pure metadata commit; the real rewrite (if still needed)
+    reads only the non-empty files."""
     for _ in range(_MAX_COMMIT_RETRIES):
         versions = _list_versions(path)
         if not versions:
             raise RuntimeError(f"txlog: no table at {path}")
         latest = versions[-1]
         m = _read_manifest(path, latest)
-        files = _manifest_files(path, m)
-        if len(files) <= target_files and order_by is None:
+        stats = m.get("stats") or {}
+        # rows absent (pre-stats manifest) => unknown => treat non-empty
+        nonempty = [
+            e for e in m["files"] if stats.get(e, {}).get("rows") != 0
+        ]
+        if not m["files"] or (
+            len(nonempty) == len(m["files"])
+            and len(m["files"]) <= target_files
+            and order_by is None
+        ):
+            # files == [] is the legal fully-deleted state: nothing to
+            # compact OR cluster (same empty-read guard as delete/merge)
             return latest
+        if not nonempty or (
+            len(nonempty) < len(m["files"])
+            and len(nonempty) <= target_files
+            and order_by is None
+        ):
+            # dropping provably-empty references alone reaches the
+            # target (or empties the table): metadata-only compaction
+            try:
+                return _commit(
+                    path,
+                    {
+                        "version": latest + 1,
+                        "op": "compact",
+                        "files": nonempty,
+                        "stats": {k: v for k, v in stats.items() if k in nonempty},
+                        "parent": latest,
+                        "schema": m.get("schema"),
+                    },
+                )
+            except TxConflict:
+                continue
+        files = [_resolve(path, e) for e in nonempty]
         df = _read_files(spark, m, files)
         if order_by is not None:
             df = df.repartitionByRange(
@@ -926,7 +964,44 @@ def table_diff(
     ).unionAll(old.exceptAll(new).withColumn("change", F.lit("delete")))
 
 
-def compact_log(spark: SparkSession, path: str, keep_versions: int = 10) -> int:
+def _vacuum_orphans(
+    path: str, versions: list[int], orphan_grace_s: float
+) -> int:
+    """Remove data files referenced by NO manifest (crash debris,
+    lost-CAS leftovers) once older than the grace window. Returns the
+    number removed."""
+    import time
+
+    referenced: set[str] = set()
+    for v in versions:
+        referenced.update(_manifest_files(path, _read_manifest(path, v)))
+    data = os.path.join(path, _DATA_DIR)
+    if not os.path.isdir(data):
+        return 0
+    cutoff = time.time() - orphan_grace_s
+    removed = 0
+    for d in os.listdir(data):
+        full = os.path.join(data, d)
+        if not os.path.isdir(full):
+            continue
+        for n in os.listdir(full):
+            fp = os.path.join(full, n)
+            if (
+                n.endswith(".parquet")
+                and fp not in referenced
+                and os.path.getmtime(fp) < cutoff
+            ):
+                os.remove(fp)
+                removed += 1
+    return removed
+
+
+def compact_log(
+    spark: SparkSession,
+    path: str,
+    keep_versions: int = 10,
+    orphan_grace_s: float = 86400.0,
+) -> int:
     """Drop manifests older than the newest ``keep_versions`` and any
     data file no retained manifest references (vacuum). Returns the
     number of data files removed. Time travel windows shrink to the
@@ -937,12 +1012,21 @@ def compact_log(spark: SparkSession, path: str, keep_versions: int = 10) -> int:
     written BEFORE any manifest is deleted — a crash mid-compact can
     duplicate carried ids, never lose one), so a streaming checkpoint
     replaying a batch older than the retention window still lands as a
-    no-op (the Delta txn app-id retention idea)."""
+    no-op (the Delta txn app-id retention idea).
+
+    ORPHAN data files — written by a crashed commit or a lost-CAS
+    retry and referenced by NO manifest at all (fsck counts them) —
+    are also removed, but only when older than ``orphan_grace_s``
+    (default 24 h, the Delta VACUUM retention model): a younger
+    unreferenced batch may be a concurrent writer's in-flight commit,
+    and deleting it would corrupt that writer's manifest the moment
+    its CAS lands."""
     versions = _list_versions(path)
-    drop = versions[:-keep_versions]
-    if not drop:
-        return 0
     keep = versions[-keep_versions:]
+    drop = versions[:-keep_versions]
+    removed = _vacuum_orphans(path, versions, orphan_grace_s)
+    if not drop:
+        return removed
     dropped_ids = set()
     for v in drop:
         b = _read_manifest(path, v).get("batch_id")
@@ -961,7 +1045,6 @@ def compact_log(spark: SparkSession, path: str, keep_versions: int = 10) -> int:
     live: set[str] = set()
     for v in keep:
         live.update(_manifest_files(path, _read_manifest(path, v)))
-    removed = 0
     for v in drop:
         for f in _manifest_files(path, _read_manifest(path, v)):
             if f not in live and os.path.exists(f):

@@ -88,7 +88,10 @@ def txlog_merge_foreach_batch(
     With ``seq_col``, the LATEST row per key within the micro-batch
     wins (last-writer-wins, the standard CDC collapse — a key updated
     3 times inside one batch lands once); without it the batch must
-    carry one row per key (merge_table's contract). Exactly-once is
+    carry one row per key (merge_table's contract). Caller contract:
+    ``seq_col`` is unique per key within a batch (a change-log LSN /
+    offset is); equal seqs collapse to ONE row, but which one is not
+    defined — same as Delta's MERGE with duplicate source keys. Exactly-once is
     strict: merge_table records batch_id, so a crash-replayed batch is
     a no-op rather than a second rewrite of the touched files.
 
