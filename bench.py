@@ -313,6 +313,8 @@ HEADLINE = [
     # wave 76 (r6) — schema evolution, streaming CDC-apply (MERGE) sink
     "txlog_schema_evolution",
     "streaming_cdc_upsert_audit",
+    # wave 77 (r6) — OPQ learned-rotation refinement of PQ serving
+    "opq_shortlist_exact_topk",
 ]
 
 # Integration rows whose cost is fixed overhead (streaming runs with

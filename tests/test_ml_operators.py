@@ -406,6 +406,50 @@ def test_ivfpq_adc_matches_numpy_decomposition(spark, emb):
         assert abs(r["adc"] - want) < 1e-9, (r["vec_id"], r["adc"], want)
 
 
+def test_opq_rotation_invariants(spark, emb):
+    """OPQ (Ge et al. 2013): the learned rotation must be orthogonal
+    (RRᵀ = I), the training objective must be monotonically
+    non-increasing across alternating iterations (the warm-start +
+    Procrustes guarantee), and the final quantization error must not
+    exceed plain PQ's on the same sample (R = I is in OPQ's feasible
+    set and iteration 1 IS plain PQ)."""
+    import numpy as np
+
+    from vector_knowledge_base_spark.operators.ann import build_opq
+
+    R, codebooks, codes, history = build_opq(emb, m=8, ksub=16, iters=5)
+    assert np.allclose(R @ R.T, np.eye(R.shape[0]), atol=1e-8)
+    assert all(
+        history[i + 1] <= history[i] + 1e-9 for i in range(len(history) - 1)
+    ), history
+    # history[0] is computed with R = I — i.e. plain PQ's error
+    assert history[-1] <= history[0] + 1e-9
+    row = codes.first()
+    assert len(row["codes"]) == 8 and all(0 <= c < 16 for c in row["codes"])
+
+
+def test_opq_shortlist_rerank_equals_exact(spark, emb):
+    """With a covering shortlist, rotated-space ADC + exact rerank must
+    return EXACTLY the exact top-k — same contract as the PQ form
+    (rotation preserves inner products of co-rotated vectors, so a
+    broken R or a query rotated on one side only mismatches)."""
+    from vector_knowledge_base_spark.operators.ann import (
+        build_opq,
+        opq_shortlist_rerank,
+    )
+    from vector_knowledge_base_spark.operators.knn import cosine_topk
+
+    q = emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
+    R, codebooks, codes, _ = build_opq(emb, m=8, ksub=16, iters=3)
+    got = opq_shortlist_rerank(
+        R, codebooks, codes, emb, q, k=10, shortlist=emb.count()
+    ).collect()
+    want = cosine_topk(emb, q, k=10).collect()
+    assert [(r["vec_id"], r["score"]) for r in got] == [
+        (r["vec_id"], r["score"]) for r in want
+    ]
+
+
 def test_quality_scores_after_observation(spark):
     """Regression: scoring must survive a session on which an
     Observation has been registered. model.transform's UDF closure

@@ -227,6 +227,139 @@ def load_pq(path: str):
     return cb
 
 
+def build_opq(
+    emb: DataFrame,
+    m: int = 8,
+    ksub: int = 16,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    train_limit: int = 100_000,
+):
+    """Optimized Product Quantization (Ge et al., CVPR 2013 — the
+    public OPQ-NP algorithm): learn an ORTHOGONAL rotation R so the
+    rotated space splits into subspaces PQ quantizes with lower error
+    (plain PQ is hostage to the original axis alignment; correlated
+    dimensions landing in different subspaces waste codebook budget).
+
+    Alternating minimization on a bounded driver-side sample (same
+    cost model as build_pq — codebook fitting is O(sample), FAISS
+    trains OPQ the same way): fix R → fit per-subspace k-means on
+    X·R; fix codebooks → the best orthogonal R for current
+    reconstructions Y is the Procrustes solution R = U·Vᵀ from
+    svd(Xᵀ·Y). Each half-step cannot increase ‖X·R − Y‖², so the
+    training objective is monotonically non-increasing (asserted in
+    tests). Encoding is distributed: one Arrow-batched UDF rotates and
+    argmins all subspaces vectorized.
+
+    Serving: rotate the query driver-side (q·R) and reuse the plain
+    PQ machinery unchanged — ``pq_topk(codebooks, codes, q @ R)`` —
+    because rotation preserves inner products of co-rotated vectors.
+
+    Returns (R [d×d], codebooks [m,ksub,dsub], codes DataFrame,
+    history [per-iter training MSE])."""
+    import numpy as np
+
+    sample = np.array(
+        emb.select(vec_col).limit(train_limit).toPandas()[vec_col].tolist(),
+        dtype=np.float64,
+    )
+    n, dim = sample.shape
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    ksub = min(ksub, n)
+    rng = np.random.RandomState(seed)
+    R = np.eye(dim)
+    history: list[float] = []
+    codebooks = np.empty((m, ksub, dsub), dtype=np.float64)
+    fitted = False
+    for _ in range(iters):
+        XR = sample @ R
+        Y = np.empty_like(XR)
+        for j in range(m):
+            sub = XR[:, j * dsub : (j + 1) * dsub]
+            # WARM-START from the previous iteration's codebooks
+            # (OPQ-NP's trick): re-initializing randomly would break
+            # the monotone-objective guarantee — Lloyd from the prior
+            # cents can only improve on the post-Procrustes error
+            cents = (
+                codebooks[j].copy()
+                if fitted
+                else sub[rng.choice(n, size=ksub, replace=False)]
+            )
+            for _lloyd in range(15):
+                d2 = ((sub[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+                assign = d2.argmin(axis=1)
+                for c in range(ksub):
+                    mask = assign == c
+                    if mask.any():
+                        cents[c] = sub[mask].mean(axis=0)
+            codebooks[j] = cents
+            Y[:, j * dsub : (j + 1) * dsub] = cents[
+                ((sub[:, None, :] - cents[None, :, :]) ** 2)
+                .sum(axis=2)
+                .argmin(axis=1)
+            ]
+        fitted = True
+        history.append(float(((XR - Y) ** 2).sum() / n))
+        # Procrustes: best orthogonal R for the fixed reconstructions
+        u, _s, vt = np.linalg.svd(sample.T @ Y)
+        R = u @ vt
+
+    spark = emb.sparkSession
+    bc_r = spark.sparkContext.broadcast(R)
+    bc_cb = spark.sparkContext.broadcast(codebooks)
+
+    @F.pandas_udf("array<int>")
+    def _encode(batch):
+        import pandas as pd
+
+        rot, cb = bc_r.value, bc_cb.value
+        mat = np.array(batch.tolist(), dtype=np.float64) @ rot
+        codes = np.empty((len(mat), cb.shape[0]), dtype=np.int32)
+        for j in range(cb.shape[0]):
+            sub = mat[:, j * dsub : (j + 1) * dsub]
+            d2 = ((sub[:, None, :] - cb[j][None, :, :]) ** 2).sum(axis=2)
+            codes[:, j] = d2.argmin(axis=1)
+        return pd.Series(list(codes))
+
+    codes = emb.select(F.col(id_col), _encode(F.col(vec_col)).alias("codes"))
+    return R, codebooks, codes, history
+
+
+def opq_shortlist_rerank(
+    R,
+    codebooks,
+    codes: DataFrame,
+    emb: DataFrame,
+    query_vector,
+    k: int = 10,
+    shortlist: int = 1000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Two-stage OPQ serving: rotate the query, ADC-shortlist over the
+    rotated-space codes, exact-rerank the survivors against RAW
+    vectors — identical contract to pq_shortlist_rerank (with a
+    covering shortlist the output is bit-identical to exact search)."""
+    import numpy as np
+
+    q_rot = np.asarray(list(query_vector), dtype=np.float64) @ R
+    short_ids = pq_topk(codebooks, codes, q_rot.tolist(), k=shortlist, id_col=id_col)
+    qvec = F.lit([float(x) for x in query_vector])
+    return (
+        emb.join(short_ids.select(id_col), id_col, "left_semi")
+        .select(
+            F.col(id_col),
+            F.round(dot_product(F.col(vec_col), qvec), 6).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.col(id_col))
+        .limit(k)
+    )
+
+
 def save_ivfpq(centroids, codebooks, index: DataFrame, path: str) -> None:
     """Persist the composed IVF-PQ index: centroids + codebooks as one
     JSON model file (same dependency-free store as save_pq — both are

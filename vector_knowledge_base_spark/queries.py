@@ -49,6 +49,18 @@ def _t(spark, sf_dir, name):
     return load_table(spark, sf_dir, name)
 
 
+def _session_tag(spark) -> str:
+    """Short per-SparkSession tag for /tmp fixture paths (txlog demo
+    tables, streaming checkpoints): keyed by applicationId so two
+    concurrent sessions (e.g. an oracle loop and a pytest run at the
+    same SF) can never race on rmtree/create of a shared fixture dir.
+    Within a session the path is stable — repeated runs (bench medians)
+    still wipe and rebuild deterministically."""
+    import re as _re
+
+    return _re.sub(r"[^A-Za-z0-9]", "", spark.sparkContext.applicationId)[-12:]
+
+
 # ---------------------------------------------------------------------------
 # K1/K2 — top-k cosine vector search (SURVEY §2.3; reference
 # /root/reference/backend/main.py:185-230, backend/vector_db.py:165-170)
@@ -12250,7 +12262,7 @@ def _txlog_demo_table(spark: SparkSession, sf_dir: str) -> str:
     )
 
     tag = re.sub(r"[^A-Za-z0-9.]", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1])
-    path = f"/tmp/vkb_txlog_demo_{tag}"
+    path = f"/tmp/vkb_txlog_demo_{_session_tag(spark)}_{tag}"
     shutil.rmtree(path, ignore_errors=True)
     orders = _t(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
@@ -12592,7 +12604,7 @@ def q_txlog_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     import re
 
     tag = re.sub(r"[^A-Za-z0-9.]", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1])
-    path = f"/tmp/vkb_txlog_merge_{tag}"
+    path = f"/tmp/vkb_txlog_merge_{_session_tag(spark)}_{tag}"
     shutil.rmtree(path, ignore_errors=True)
     orders = _t(spark, sf_dir, "orders").select(
         "o_orderkey", "o_totalprice", "o_orderstatus"
@@ -12748,7 +12760,7 @@ def q_streaming_dedup_ingest_audit(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
     tag = re.sub(r"[^A-Za-z0-9.]", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1])
-    base = f"/tmp/vkb_stream_audit_{tag}"
+    base = f"/tmp/vkb_stream_audit_{_session_tag(spark)}_{tag}"
     shutil.rmtree(base, ignore_errors=True)
     input_dir, ckpt = f"{base}/in", f"{base}/ckpt"
     docs_t, sigs_t = f"{base}/docs", f"{base}/sigs"
@@ -13026,7 +13038,7 @@ def q_txlog_clustered_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     tag = re.sub(r"[^A-Za-z0-9.]", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1])
-    path = f"/tmp/vkb_txlog_clustered_{tag}"
+    path = f"/tmp/vkb_txlog_clustered_{_session_tag(spark)}_{tag}"
     shutil.rmtree(path, ignore_errors=True)
     orders = _t(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
@@ -13100,7 +13112,7 @@ def q_txlog_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     tag = re.sub(r"[^A-Za-z0-9.]", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1])
-    path = f"/tmp/vkb_txlog_evo_{tag}"
+    path = f"/tmp/vkb_txlog_evo_{_session_tag(spark)}_{tag}"
     shutil.rmtree(path, ignore_errors=True)
     create_table(
         spark,
@@ -13175,7 +13187,7 @@ def q_streaming_cdc_upsert_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     tag = re.sub(r"[^A-Za-z0-9.]", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1])
-    base = f"/tmp/vkb_cdc_upsert_{tag}"
+    base = f"/tmp/vkb_cdc_upsert_{_session_tag(spark)}_{tag}"
     shutil.rmtree(base, ignore_errors=True)
     src, ckpt, table = f"{base}/src", f"{base}/ckpt", f"{base}/table"
     waves = [
@@ -13197,4 +13209,42 @@ def q_streaming_cdc_upsert_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "text",
         F.lit(n_versions).alias("n_versions"),
         F.lit(rows_at_v0).cast("long").alias("rows_at_v0"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Wave 77 (r6) — Optimized Product Quantization (Ge et al., CVPR 2013):
+# the learned-rotation refinement of PQ. Closes the ANN-refinement
+# candidate early; the driver row uses the strongest available form
+# (output must hash-equal the plain exact-kNN SQL oracle).
+# ---------------------------------------------------------------------------
+
+
+@query("opq_shortlist_exact_topk", oracle=_KNN_ORACLE)
+def q_opq_shortlist_exact_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPQ driver-green row, same strongest form as the PQ twin
+    (pq_shortlist_rerank_topk): learn the orthogonal rotation R by
+    alternating per-subspace k-means with the Procrustes update
+    (operators/ann.py build_opq — warm-started codebooks keep the
+    training objective provably non-increasing; pytest pins RRᵀ = I,
+    monotonicity, and final error ≤ plain PQ's), encode the corpus in
+    the ROTATED space, then serve rotate-query → ADC shortlist →
+    exact rerank. With a covering shortlist the output is
+    bit-identical to exact search, so the oracle is the plain
+    exact-kNN SQL — a wrong rotation, a query rotated on one side
+    only, or a broken rotated-space encoder all mismatch the hash.
+
+    100 TB shape: identical to PQ serving (codes-only hot scan, m
+    array lookups per row); the rotation adds ONE driver-side d×d
+    matmul per query and nothing per corpus row at serve time."""
+    from vector_knowledge_base_spark.operators.ann import (
+        build_opq,
+        opq_shortlist_rerank,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
+    R, codebooks, codes, _hist = build_opq(emb, m=8, ksub=16, iters=3)
+    return opq_shortlist_rerank(
+        R, codebooks, codes, emb, qvec, k=10, shortlist=1000
     )
