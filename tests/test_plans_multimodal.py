@@ -484,7 +484,7 @@ def test_ivfpq_serving_plan_is_codegen_topk(spark):
         )
     )
     assert "TakeOrderedAndProject" in plan
-    for udf_node in ("BatchEvalPython", "ArrowEvalPython", "FlatMapsInPandas"):
+    for udf_node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert udf_node not in plan, f"Python stage {udf_node} in serving plan"
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
