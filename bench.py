@@ -315,6 +315,14 @@ HEADLINE = [
     "streaming_cdc_upsert_audit",
     # wave 77 (r6) — OPQ learned-rotation refinement of PQ serving
     "opq_shortlist_exact_topk",
+    # wave 78 (r6) — C4-style span-level dedup (audit, boilerplate, rewrite)
+    "c4_span_dedup",
+    "boilerplate_spans_top",
+    "c4_span_dedup_rewrite",
+    # wave 79 (r6) — txlog replaceWhere (predicate-scoped overwrite)
+    "txlog_replace_where",
+    # wave 80 (r6) — OPQ-pretransformed IVF-PQ composed index
+    "opq_ivfpq_exact_topk",
 ]
 
 # Integration rows whose cost is fixed overhead (streaming runs with
@@ -329,6 +337,7 @@ SINGLE_RUN = {
     "txlog_snapshot_read",
     "txlog_cdc_diff",
     "txlog_merge_upsert",
+    "txlog_replace_where",
 }
 
 KNN_BATCH_N_QUERIES = 5  # matches the knn_batch query definition

@@ -619,3 +619,81 @@ def test_image_pixel_stats_real_bmp_decode(spark):
     rows = {r["path"]: r for r in image_pixel_stats(files).collect()}
     assert rows["trunc.bmp"]["error"] is not None
     assert rows["png.bin"]["error"] is not None
+
+
+def test_opq_ivfpq_exhaustive_reduces_to_exact(spark, emb):
+    """OPQ→IVF-PQ composition (r6 continuation): with every cell probed
+    and a corpus-covering shortlist, serving must return exactly the
+    exact top-k computed on RAW vectors — pinning that (a) the corpus
+    and query are rotated consistently, (b) the rotated-space ADC
+    shortlist feeds a raw-space rerank correctly (inner products are
+    rotation-invariant), and (c) no row is lost across the pretransform."""
+    from vector_knowledge_base_spark.operators.ann import (
+        build_opq_ivfpq,
+        opq_ivfpq_topk,
+    )
+    from vector_knowledge_base_spark.operators.knn import cosine_topk
+
+    q = emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
+    R, centroids, codebooks, index = build_opq_ivfpq(
+        emb, n_cells=8, m=8, ksub=16, opq_iters=2
+    )
+    got = opq_ivfpq_topk(
+        R, centroids, codebooks, index, emb, q,
+        k=10, n_probe=len(centroids), shortlist=emb.count(),
+    ).collect()
+    want = cosine_topk(emb, q, k=10).collect()
+    assert [(r["vec_id"], r["score"]) for r in got] == [
+        (r["vec_id"], r["score"]) for r in want
+    ]
+
+
+def test_opq_ivfpq_pruned_recall(spark, emb):
+    """At pruned settings (7/8 cells, 75% shortlist) the rotated
+    composition must keep recall ≥ 0.7 against exact top-10 — same bar
+    the un-rotated ivfpq_serving_invariants driver row holds at all
+    three SFs."""
+    from vector_knowledge_base_spark.operators.ann import (
+        build_opq_ivfpq,
+        opq_ivfpq_topk,
+    )
+    from vector_knowledge_base_spark.operators.knn import cosine_topk
+
+    n = emb.count()
+    q = emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
+    R, centroids, codebooks, index = build_opq_ivfpq(
+        emb, n_cells=8, m=8, ksub=16, opq_iters=2
+    )
+    approx = opq_ivfpq_topk(
+        R, centroids, codebooks, index, emb, q,
+        k=10, n_probe=7, shortlist=max(50, int(0.75 * n)),
+    )
+    exact = {r["vec_id"] for r in cosine_topk(emb, q, k=10).collect()}
+    got = {r["vec_id"] for r in approx.collect()}
+    assert len(exact & got) >= 7
+
+
+def test_rotate_embeddings_preserves_inner_products(spark, emb):
+    """The pretransform itself: pairwise inner products of co-rotated
+    vectors equal the raw ones (orthogonality, applied distributively)."""
+    import numpy as np
+
+    from vector_knowledge_base_spark.operators.ann import (
+        build_opq,
+        rotate_embeddings,
+    )
+
+    R, *_ = build_opq(emb, m=8, ksub=16, iters=1)
+    raw = {
+        r["vec_id"]: np.array(r["embedding"])
+        for r in emb.limit(5).collect()
+    }
+    rot = {
+        r["vec_id"]: np.array(r["embedding"])
+        for r in rotate_embeddings(emb.limit(5), R).collect()
+    }
+    for a in raw:
+        for b in raw:
+            assert abs(
+                float(raw[a] @ raw[b]) - float(rot[a] @ rot[b])
+            ) < 1e-9

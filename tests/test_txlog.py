@@ -1001,3 +1001,189 @@ def test_dedup_ingest_replay_survives_partial_first_commit(spark, tmp_path):
     )
     sink(batch2, 1)
     assert {r["doc_id"] for r in read_table(spark, dt).collect()} == {1, 2, 11}
+
+
+# ---------------------------------------------------------------------------
+# replace_where (r6 continuation): Delta's predicate-scoped overwrite —
+# the declarative form of dynamic partition overwrite, on manifest stats
+# instead of partition directories.
+# ---------------------------------------------------------------------------
+
+
+def test_replace_where_swaps_region_atomically(spark, tmp_path):
+    from vector_knowledge_base_spark.sources.txlog import replace_where
+
+    p = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(i, "old", i * 10) for i in range(1, 9)], "id long, tag string, v long"
+    )
+    create_table(spark, p, base)
+    new = spark.createDataFrame(
+        [(3, "new", 333), (4, "new", 444)], "id long, tag string, v long"
+    )
+    v = replace_where(spark, p, {"id": {"gte": 3, "lte": 4}}, new)
+    assert v == 1
+    got = {r["id"]: (r["tag"], r["v"]) for r in read_table(spark, p).collect()}
+    want = {i: ("old", i * 10) for i in (1, 2, 5, 6, 7, 8)}
+    want.update({3: ("new", 333), 4: ("new", 444)})
+    assert got == want
+    # time travel still shows the pre-replace region
+    old = {r["id"]: r["tag"] for r in read_table(spark, p, version=0).collect()}
+    assert old[3] == "old"
+    assert _m(p, 1)["op"] == "replace_where"
+
+
+def test_replace_where_rejects_out_of_region_rows(spark, tmp_path):
+    """The validation that makes replaceWhere safe: inserted rows
+    outside the declared region must fail BEFORE any commit."""
+    from vector_knowledge_base_spark.sources.txlog import replace_where
+
+    p = str(tmp_path / "t")
+    create_table(
+        spark, p, spark.createDataFrame([(1, "a")], "id long, tag string")
+    )
+    bad = spark.createDataFrame(
+        [(3, "in"), (99, "OUT")], "id long, tag string"
+    )
+    with pytest.raises(ValueError, match="violate the replace predicate"):
+        replace_where(spark, p, {"id": {"gte": 1, "lte": 10}}, bad)
+    # nothing committed, table unchanged
+    assert [r["version"] for r in table_versions(spark, p).collect()] == [0]
+    assert read_table(spark, p).count() == 1
+
+
+def test_replace_where_empty_region_is_pure_insert(spark, tmp_path):
+    """Replacing a region with no current rows = dynamic partition
+    overwrite of a NEW partition: no file is rewritten, the new batch
+    just lands."""
+    from vector_knowledge_base_spark.sources.txlog import replace_where
+
+    p = str(tmp_path / "t")
+    create_table(
+        spark, p, spark.createDataFrame([(1, "a")], "id long, tag string")
+    )
+    f0 = set(_mfiles(p, 0))
+    ins = spark.createDataFrame([(50, "new"), (51, "new")], "id long, tag string")
+    replace_where(spark, p, {"id": {"gte": 50, "lte": 59}}, ins)
+    assert _m(p, 1)["rewritten"] == []
+    assert f0 <= set(_mfiles(p, 1))  # old file carried by reference
+    assert read_table(spark, p).count() == 3
+
+
+def test_replace_where_prunes_via_cluster_stats(spark, tmp_path):
+    """On a table clustered by the replace key, a region replace must
+    rewrite ONLY the files whose [min,max] intersects the region."""
+    from vector_knowledge_base_spark.sources.txlog import (
+        compact_files,
+        replace_where,
+    )
+
+    p = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, i * 10) for i in range(100)], "id long, v long"
+    ).repartition(4)
+    create_table(spark, p, df)
+    compact_files(spark, p, target_files=4, order_by=["id"])
+    latest = max(
+        int(n[:-5])
+        for n in os.listdir(p + "/_txlog")
+        if n.endswith(".json") and not n.startswith((".", "_"))
+    )
+    n_files = len(_m(p, latest)["files"])
+    assert n_files >= 3  # clustered into disjoint ranges
+    new = spark.createDataFrame([(5, 5555)], "id long, v long")
+    v = replace_where(spark, p, {"id": {"gte": 0, "lte": 10}}, new)
+    m = _m(p, v)
+    # only files whose clustered range intersects [0,10] are rewritten:
+    # 1 in the ideal quartile layout, ≤2 if the range-partitioner's
+    # sample put a boundary inside the region — never the whole table
+    assert 1 <= len(m["rewritten"]) <= 2 < n_files
+    got = {r["id"]: r["v"] for r in read_table(spark, p).collect()}
+    assert got[5] == 5555
+    assert 0 not in got and 10 not in got and got[11] == 110
+    assert len(got) == 100 - 11 + 1
+
+
+def test_replace_where_refuses_empty_filters_and_schema_drift(spark, tmp_path):
+    from vector_knowledge_base_spark.sources.txlog import replace_where
+
+    p = str(tmp_path / "t")
+    create_table(
+        spark, p, spark.createDataFrame([(1, "a")], "id long, tag string")
+    )
+    with pytest.raises(ValueError, match="empty filters"):
+        replace_where(spark, p, {}, spark.createDataFrame([(1, "x")], "id long, tag string"))
+    # 2.0 == 2 passes the region validation, so the type drift itself
+    # is what gets refused
+    drifted = spark.createDataFrame([(2.0, "x")], "id double, tag string")
+    with pytest.raises(RuntimeError, match="does not match the table schema"):
+        replace_where(spark, p, {"id": 2}, drifted)
+
+
+def test_multiwriter_mixed_ops_stress(spark, tmp_path):
+    """CAS under real contention with HETEROGENEOUS ops (the r5 test
+    raced only appends): four appenders on disjoint key ranges, one
+    merger upserting a fixed key set, one deleter removing a seed
+    range — all concurrently. Invariants afterwards: no commit lost
+    (version count == successful ops + 1), final state exactly equals
+    the deterministic expectation (ops touch disjoint key spaces, so
+    interleaving cannot change the outcome), fsck fully readable, and
+    every version in the log parses."""
+    import threading
+
+    from vector_knowledge_base_spark.sources.txlog import fsck, merge_table
+
+    p = str(tmp_path / "t")
+    # seed: keys 0..9 (deleter's target range) + merge seed keys 900..904
+    seed = [(i, "seed", 0) for i in range(10)] + [
+        (900 + i, "seed", 0) for i in range(5)
+    ]
+    create_table(
+        spark, p, spark.createDataFrame(seed, "id long, tag string, v long")
+    )
+    errs = []
+
+    def appender(lo):
+        try:
+            df = spark.createDataFrame(
+                [(lo + i, f"a{lo}", 1) for i in range(10)],
+                "id long, tag string, v long",
+            )
+            append_table(spark, p, df)
+        except Exception as e:
+            errs.append(e)
+
+    def merger():
+        try:
+            df = spark.createDataFrame(
+                [(900 + i, "merged", 7) for i in range(5)],
+                "id long, tag string, v long",
+            )
+            merge_table(spark, p, df, key_cols=["id"])
+        except Exception as e:
+            errs.append(e)
+
+    def deleter():
+        try:
+            delete_where(spark, p, filters={"id": {"gte": 0, "lte": 9}})
+        except Exception as e:
+            errs.append(e)
+
+    threads = (
+        [threading.Thread(target=appender, args=(lo,)) for lo in (100, 200, 300, 400)]
+        + [threading.Thread(target=merger), threading.Thread(target=deleter)]
+    )
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs
+    versions = [r["version"] for r in table_versions(spark, p).collect()]
+    assert versions == list(range(7))  # create + 6 ops, none lost
+    got = {r["id"]: (r["tag"], r["v"]) for r in read_table(spark, p).collect()}
+    want = {900 + i: ("merged", 7) for i in range(5)}
+    for lo in (100, 200, 300, 400):
+        want.update({lo + i: (f"a{lo}", 1) for i in range(10)})
+    assert got == want
+    rep = fsck(spark, p).collect()
+    assert all(r["readable"] for r in rep)

@@ -653,30 +653,21 @@ def build_ivfpq(
     return centroids, codebooks, index
 
 
-def ivfpq_topk(
+def _ivfpq_adc_shortlist(
     centroids,
     codebooks,
     index: DataFrame,
-    emb: DataFrame,
     query_vector,
-    k: int = 10,
-    n_probe: int = 4,
-    shortlist: int = 100,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
+    n_probe: int,
+    shortlist: int,
+    id_col: str,
 ) -> DataFrame:
-    """Serve a query against the IVF-PQ index: probe the ``n_probe``
-    nearest cells, ADC-score their codes, exact-rerank the ``shortlist``
-    survivors against raw vectors (semi-join point reads).
-
-    The inner-product ADC decomposes exactly: with ``x = c_cell + r``,
-    ``dot(q, x) = dot(q, c_cell) + dot(q, r)``. The per-subspace table
-    ``dot(q_j, codebook_j[·])`` is CELL-INDEPENDENT (codebooks are
-    shared across cells), so ONE flat literal array serves every probed
-    cell; the per-cell constant ``dot(q, c)`` rides in as a second tiny
-    literal indexed by ``ivf_cell``. Scoring a row is therefore m array
-    lookups + adds + one bias lookup — no vector math, no raw-vector
-    read — and compiles to whole-stage codegen + TakeOrderedAndProject."""
+    """Probe + ADC-score + shortlist against an IVF-PQ index, in the
+    SPACE THE INDEX WAS BUILT IN (caller rotates the query first for an
+    OPQ-pretransformed index). Returns the shortlist ids with their ADC
+    scores; the exact rerank is the caller's (it may score in a
+    different-but-inner-product-equivalent space, e.g. raw vectors for
+    a rotated index)."""
     import numpy as np
 
     q = np.asarray(list(query_vector), dtype=np.float64)
@@ -701,11 +692,40 @@ def ivfpq_topk(
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    short = (
+    return (
         index.where(F.col("ivf_cell").isin(probe))
         .select(F.col(id_col), adc.alias("adc"))
         .orderBy(F.desc("adc"), F.col(id_col))
         .limit(shortlist)
+    )
+
+
+def ivfpq_topk(
+    centroids,
+    codebooks,
+    index: DataFrame,
+    emb: DataFrame,
+    query_vector,
+    k: int = 10,
+    n_probe: int = 4,
+    shortlist: int = 100,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Serve a query against the IVF-PQ index: probe the ``n_probe``
+    nearest cells, ADC-score their codes, exact-rerank the ``shortlist``
+    survivors against raw vectors (semi-join point reads).
+
+    The inner-product ADC decomposes exactly: with ``x = c_cell + r``,
+    ``dot(q, x) = dot(q, c_cell) + dot(q, r)``. The per-subspace table
+    ``dot(q_j, codebook_j[·])`` is CELL-INDEPENDENT (codebooks are
+    shared across cells), so ONE flat literal array serves every probed
+    cell; the per-cell constant ``dot(q, c)`` rides in as a second tiny
+    literal indexed by ``ivf_cell``. Scoring a row is therefore m array
+    lookups + adds + one bias lookup — no vector math, no raw-vector
+    read — and compiles to whole-stage codegen + TakeOrderedAndProject."""
+    short = _ivfpq_adc_shortlist(
+        centroids, codebooks, index, query_vector, n_probe, shortlist, id_col
     )
     qvec = F.lit([float(x) for x in query_vector])
     return (
@@ -754,6 +774,107 @@ def pq_topk(
     )
     return (
         codes.select(F.col(id_col), F.round(score, 6).alias("score"))
+        .orderBy(F.desc("score"), F.col(id_col))
+        .limit(k)
+    )
+
+
+def rotate_embeddings(
+    emb: DataFrame,
+    R,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, vec·R) — apply a learned orthogonal rotation to the corpus,
+    one Arrow-batched matmul per batch (the OPQ pretransform; FAISS's
+    OPQMatrix apply). Partitioning carries through — no shuffle."""
+    import numpy as np
+
+    spark = emb.sparkSession
+    bc_r = spark.sparkContext.broadcast(np.asarray(R, dtype=np.float64))
+
+    @F.pandas_udf("array<double>")
+    def _rotate(batch):
+        import pandas as pd
+
+        mat = np.array(batch.tolist(), dtype=np.float64) @ bc_r.value
+        return pd.Series(list(mat))
+
+    return emb.select(F.col(id_col), _rotate(F.col(vec_col)).alias(vec_col))
+
+
+def build_opq_ivfpq(
+    emb: DataFrame,
+    n_cells: int = 8,
+    m: int = 8,
+    ksub: int = 16,
+    opq_iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+):
+    """OPQ-pretransformed IVF-PQ (FAISS's ``OPQ{m},IVF{n},PQ{m}``
+    factory string): learn the orthogonal rotation R on global PQ error
+    (how FAISS trains OPQMatrix — independent of the coarse quantizer),
+    rotate the corpus once, then build the IVF-PQ composed index in the
+    ROTATED space — coarse cells and residual codebooks both live
+    there. Rotation preserves inner products between co-rotated
+    vectors, so serving stays exact-rerank-compatible with the RAW
+    corpus (``opq_ivfpq_topk``).
+
+    100 TB shape: training touches a bounded driver-side sample; the
+    corpus-scale work is one Arrow-batched rotate + the build_ivfpq
+    encode — both single-pass, no shuffle added.
+
+    Returns (R, centroids, codebooks, index) — centroids/codebooks/
+    index exactly as build_ivfpq, all in rotated space."""
+    R, _cb, _codes, _hist = build_opq(
+        emb, m=m, ksub=ksub, iters=opq_iters,
+        id_col=id_col, vec_col=vec_col, seed=seed,
+    )
+    rotated = rotate_embeddings(emb, R, id_col=id_col, vec_col=vec_col)
+    centroids, codebooks, index = build_ivfpq(
+        rotated, n_cells=n_cells, m=m, ksub=ksub,
+        id_col=id_col, vec_col=vec_col, seed=seed,
+    )
+    return R, centroids, codebooks, index
+
+
+def opq_ivfpq_topk(
+    R,
+    centroids,
+    codebooks,
+    index: DataFrame,
+    emb: DataFrame,
+    query_vector,
+    k: int = 10,
+    n_probe: int = 4,
+    shortlist: int = 100,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Serve against an OPQ+IVF-PQ index: rotate the query driver-side
+    (one d×d matvec), probe/ADC/shortlist in the rotated space, then
+    exact-rerank the shortlist against the RAW corpus with the RAW
+    query — valid because dot(q·R, x·R) = dot(q, x) for orthogonal R,
+    so the rotated-space ADC approximates exactly the raw-space score
+    the rerank computes. No rotated copy of the corpus is needed at
+    serve time; only the code table is hot."""
+    import numpy as np
+
+    q_rot = np.asarray(list(query_vector), dtype=np.float64) @ np.asarray(
+        R, dtype=np.float64
+    )
+    short = _ivfpq_adc_shortlist(
+        centroids, codebooks, index, q_rot, n_probe, shortlist, id_col
+    )
+    qvec = F.lit([float(x) for x in query_vector])
+    return (
+        emb.join(short.select(id_col), id_col, "left_semi")
+        .select(
+            F.col(id_col),
+            F.round(dot_product(F.col(vec_col), qvec), 6).alias("score"),
+        )
         .orderBy(F.desc("score"), F.col(id_col))
         .limit(k)
     )

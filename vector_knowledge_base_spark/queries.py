@@ -12630,6 +12630,107 @@ def q_txlog_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TXLOG_REPLACE_ORACLE = """
+WITH replaced AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderstatus = 'P' THEN 1.0 ELSE o_totalprice END
+           AS o_totalprice,
+         o_orderstatus
+  FROM orders
+  UNION ALL
+  SELECT 900000002 AS o_orderkey, 1.0 AS o_totalprice, 'P' AS o_orderstatus
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) FILTER (o_orderstatus = 'P') AS BIGINT) AS n_region,
+       ROUND(SUM(o_totalprice), 2) AS total_value
+FROM replaced
+"""
+
+
+@query("txlog_replace_where", oracle=_TXLOG_REPLACE_ORACLE)
+def q_txlog_replace_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate-scoped transactional overwrite (Delta replaceWhere /
+    dynamic partition overwrite), driver-checked: orders lands as a
+    txlog table, then the entire o_orderstatus='P' region is atomically
+    swapped for a rewritten copy (price := 1.0) plus one inserted 'P'
+    order — a single op='replace_where' commit that validates every
+    inserted row lies inside the declared region. The post-replace
+    snapshot's aggregate must equal the oracle's CASE-rewritten table
+    plus the insert, so region scoping, out-of-region validation,
+    copy-on-write of only the hit files, and carried-by-reference
+    bookkeeping are all hash-checked.
+
+    Scale shape: the delete side prunes candidate files via manifest
+    min/max stats before its one affected-file scan; the new region is
+    written once. Cost ∝ region churn, never table size.
+    """
+    import re
+    import shutil
+
+    from vector_knowledge_base_spark.sources.txlog import (
+        create_table,
+        read_table,
+        replace_where,
+    )
+
+    tag = re.sub(r"[^A-Za-z0-9.]", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1])
+    path = f"/tmp/vkb_txlog_replace_{_session_tag(spark)}_{tag}"
+    shutil.rmtree(path, ignore_errors=True)
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    create_table(spark, path, orders)
+    region = orders.where(F.col("o_orderstatus") == "P").select(
+        "o_orderkey", F.lit(1.0).alias("o_totalprice"), "o_orderstatus"
+    ).unionAll(
+        spark.createDataFrame(
+            [(900000002, 1.0, "P")],
+            "o_orderkey long, o_totalprice double, o_orderstatus string",
+        )
+    )
+    replace_where(spark, path, {"o_orderstatus": "P"}, region)
+    return read_table(spark, path).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum((F.col("o_orderstatus") == "P").cast("long")).alias("n_region"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_value"),
+    )
+
+
+@query("opq_ivfpq_exact_topk", oracle=_KNN_ORACLE)
+def q_opq_ivfpq_exact_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPQ-pretransformed IVF-PQ (the FAISS ``OPQ8,IVF8,PQ8`` factory
+    composition; operators/ann.py build_opq_ivfpq/opq_ivfpq_topk),
+    driver-checked in the strongest form: learn the rotation, build the
+    coarse-cell + residual-PQ index entirely in ROTATED space, then
+    serve rotate-query → rotated-space ADC shortlist → exact rerank on
+    RAW vectors. With every cell probed and a corpus-covering shortlist
+    the output must hash-equal the plain exact-kNN SQL oracle — a
+    corpus rotated with a stale R, a query rotated on one side only,
+    residuals computed against raw-space centroids, or a dropped row
+    anywhere in the pretransform all mismatch. (Pruned-setting recall
+    for this composition is pinned by pytest; the un-rotated pruning
+    claims are the ivfpq_serving_invariants row.)
+
+    100 TB shape: identical hot path to IVF-PQ (codes-only probe scan,
+    ADC in codegen); the pretransform adds one Arrow-batched matmul at
+    BUILD time and one d×d matvec per query at serve time."""
+    from vector_knowledge_base_spark.operators.ann import (
+        build_opq_ivfpq,
+        opq_ivfpq_topk,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    n = emb.count()
+    qvec = emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
+    R, centroids, codebooks, index = build_opq_ivfpq(
+        emb, n_cells=8, m=8, ksub=16, opq_iters=2
+    )
+    return opq_ivfpq_topk(
+        R, centroids, codebooks, index, emb, qvec,
+        k=10, n_probe=len(centroids), shortlist=n,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Wave 72 (r5) — tokenizer vocabulary induction: the first BPE merge
 # round (Sennrich et al. 2016) as a corpus-scale aggregation — the
@@ -13247,4 +13348,193 @@ def q_opq_shortlist_exact_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     R, codebooks, codes, _hist = build_opq(emb, m=8, ksub=16, iters=3)
     return opq_shortlist_rerank(
         R, codebooks, codes, emb, qvec, k=10, shortlist=1000
+    )
+
+
+# ---------------------------------------------------------------------------
+# Wave 78 (r6) — C4-style span-level deduplication (Raffel et al. 2020,
+# §2.2: "discard all but one of any three-sentence span occurring more
+# than once in the data set"). The synthetic corpus has no sentence
+# boundaries, so the span unit is a fixed non-overlapping 3-TOKEN window
+# — same operator shape, deterministic in both engines. Completes the
+# dedup granularity ladder: document (dedup_exact/MinHash), substring
+# (exact_substring_spans), and now SPAN — the C4/Dolma boilerplate lane.
+# ---------------------------------------------------------------------------
+
+_SPAN_W = 3  # tokens per span (C4's three-sentence span, token-ized)
+
+# Occurrence ordering key: C4 keeps the FIRST occurrence; "first" here is
+# (doc_id, span_idx) lexicographic, encoded arithmetically so both
+# engines compare identically. Bound: span_idx < 100000 (docs are ~50
+# tokens; the suite asserts the bound on real data).
+_SPAN_LINES_SQL = f"""
+t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+l AS (
+  SELECT doc_id,
+         CAST(i AS BIGINT) - 1 AS span_idx,
+         array_to_string(ts[(i-1)*{_SPAN_W}+1:(i-1)*{_SPAN_W}+{_SPAN_W}], ' ') AS span
+  FROM t, UNNEST(range(1, CAST(CEIL(LEN(ts) / {_SPAN_W}.0) AS BIGINT) + 1)) AS u(i)
+),
+o AS (SELECT doc_id, span_idx, span, md5(span) AS h,
+             doc_id * 100000 + span_idx AS occ_key
+      FROM l),
+g AS (SELECT h, COUNT(*) AS cnt, MIN(occ_key) AS keeper_key
+      FROM o GROUP BY h)
+"""
+
+
+def _span_occurrences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, span_idx, span, h, occ_key) — every non-overlapping
+    3-token span in the corpus, entirely JVM-side (split → sequence →
+    slice → concat_ws → posexplode; no Python in the loop)."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n_spans = F.ceil(F.size(toks) / F.lit(float(_SPAN_W))).cast("bigint")
+    spans = F.transform(
+        F.sequence(F.lit(0).cast("bigint"), n_spans - 1),
+        lambda i: F.concat_ws(
+            " ", F.slice(toks, (i * _SPAN_W + 1).cast("int"), _SPAN_W)
+        ),
+    )
+    return (
+        docs.select("doc_id", F.posexplode(spans).alias("span_idx", "span"))
+        .withColumn("h", F.md5(F.col("span").cast("binary")))
+        .withColumn(
+            "occ_key", F.col("doc_id") * 100000 + F.col("span_idx")
+        )
+    )
+
+
+def _annotated_span_occurrences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span occurrences annotated with corpus-wide duplicate count and
+    the canonical (first) occurrence key, via an unordered window over
+    the span hash — one corpus scan instead of the groupBy+join-back
+    two-scan shape."""
+    w = Window.partitionBy("h")
+    return _span_occurrences(spark, sf_dir).select(
+        "doc_id",
+        "span_idx",
+        "span",
+        "occ_key",
+        F.count(F.lit(1)).over(w).alias("cnt"),
+        F.min("occ_key").over(w).alias("keeper_key"),
+    )
+
+
+_C4_SPAN_DEDUP_ORACLE = f"""
+WITH {_SPAN_LINES_SQL}
+SELECT o.doc_id,
+       COUNT(*) AS n_spans,
+       CAST(SUM(CASE WHEN g.cnt > 1 AND o.occ_key <> g.keeper_key
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+       CAST(COUNT(*) - SUM(CASE WHEN g.cnt > 1 AND o.occ_key <> g.keeper_key
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+FROM o JOIN g ON o.h = g.h
+GROUP BY o.doc_id
+"""
+
+
+@query("c4_span_dedup", oracle=_C4_SPAN_DEDUP_ORACLE)
+def q_c4_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 span dedup, per-doc audit: for every doc, how many 3-token
+    spans it holds, how many are non-canonical duplicates (the span
+    occurs elsewhere and this is not its first occurrence), and how
+    many survive. At sf0.01 this removes ~19% of spans — the operator
+    is exercised, not vacuous.
+
+    100 TB shape: ONE corpus scan — the per-span duplicate count and
+    canonical key come from an unordered window over the 16-byte md5
+    (groupBy+join-back would re-scan and re-decompress the text a
+    second time), so the whole query is scan → shuffle-on-hash →
+    shuffle-on-doc. The window partitions on the high-cardinality span
+    hash, never a single partition. No driver collect."""
+    occ = _annotated_span_occurrences(spark, sf_dir)
+    removed = (F.col("cnt") > 1) & (F.col("occ_key") != F.col("keeper_key"))
+    return (
+        occ.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(removed.cast("bigint")).alias("n_removed"),
+            (
+                F.count(F.lit(1)) - F.sum(removed.cast("bigint"))
+            ).alias("n_kept"),
+        )
+    )
+
+
+_BOILERPLATE_ORACLE = f"""
+WITH {_SPAN_LINES_SQL}
+SELECT span,
+       COUNT(*) AS n_occurrences,
+       COUNT(DISTINCT doc_id) AS n_docs
+FROM o
+GROUP BY span
+ORDER BY n_occurrences DESC, span
+LIMIT 20
+"""
+
+
+@query("boilerplate_spans_top", oracle=_BOILERPLATE_ORACLE)
+def q_boilerplate_spans_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate detection: the 20 most-repeated spans corpus-wide
+    with occurrence and document frequency — the report a curation team
+    reads before deciding removal thresholds (the Dolma/RefinedWeb
+    boilerplate audit). Deterministic cut: (count desc, span text) is a
+    total order because span is the group key.
+
+    100 TB shape: one hash-agg on the span (bounded 3-token strings),
+    then TakeOrderedAndProject — the top-20 never materializes the full
+    group table on the driver."""
+    occ = _span_occurrences(spark, sf_dir)
+    return (
+        occ.groupBy("span")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .orderBy(F.desc("n_occurrences"), "span")
+        .limit(20)
+    )
+
+
+_SPAN_REWRITE_ORACLE = f"""
+WITH {_SPAN_LINES_SQL}
+SELECT o.doc_id,
+       md5(string_agg(o.span, ' ' ORDER BY o.span_idx)) AS clean_fingerprint,
+       CAST(SUM(LENGTH(o.span)) + COUNT(*) - 1 AS BIGINT) AS n_chars_clean
+FROM o JOIN g ON o.h = g.h
+WHERE NOT (g.cnt > 1 AND o.occ_key <> g.keeper_key)
+GROUP BY o.doc_id
+"""
+
+
+@query("c4_span_dedup_rewrite", oracle=_SPAN_REWRITE_ORACLE)
+def q_c4_span_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The actual C4 rewrite, not just the audit: drop every
+    non-canonical duplicate span, stitch the survivors back in original
+    span order, and fingerprint the cleaned text. Hash-checking the
+    md5 of the REBUILT string pins the whole pipeline — span slicing,
+    canonical selection, order-preserving reassembly — to the oracle's
+    independent reconstruction. (Docs whose every span was removed drop
+    out in both engines, the same way a C4 pass drops fully-boilerplate
+    pages.)
+
+    100 TB shape: same one-scan window-on-hash shape as the audit plus
+    one per-doc agg; the reassembly is array_sort over (span_idx, span)
+    structs inside the agg — no global sort."""
+    occ = _annotated_span_occurrences(spark, sf_dir)
+    removed = (F.col("cnt") > 1) & (F.col("occ_key") != F.col("keeper_key"))
+    kept = occ.where(~removed)
+    rebuilt = F.concat_ws(
+        " ",
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct("span_idx", "span"))
+            ),
+            lambda s: s["span"],
+        ),
+    )
+    return kept.groupBy("doc_id").agg(
+        F.md5(rebuilt.cast("binary")).alias("clean_fingerprint"),
+        F.length(rebuilt).cast("bigint").alias("n_chars_clean"),
     )

@@ -732,6 +732,130 @@ def merge_table(
     )
 
 
+def replace_where(
+    spark: SparkSession,
+    path: str,
+    filters: Mapping[str, Any],
+    df: DataFrame,
+) -> int:
+    """Predicate-scoped transactional overwrite (Delta's
+    ``replaceWhere``, the declarative form of dynamic partition
+    overwrite): atomically delete every row matching ``filters`` and
+    insert ``df`` — one op='replace_where' commit, so readers see
+    either the old region or the new region, never a mix.
+
+    VALIDATES that every inserted row satisfies ``filters`` (one scan
+    of the new batch, checked before any commit): an overwrite that
+    writes outside its declared region is the classic silent-corruption
+    bug this mode exists to prevent. Schema must match the logged
+    schema (same enforcement as append).
+
+    Cost model: the new batch is written ONCE (outside the retry
+    loop); the delete side uses the manifest's per-file min/max stats
+    to prune stats-disjoint files before the affected-file scan — on a
+    table clustered by the replace key (compact_files order_by), a
+    partition-shaped replace touches O(matching) files and carries the
+    rest by reference. A lost CAS race recomputes the affected set
+    against the winner's snapshot and retries (the re-scan is the
+    conflict re-validation)."""
+    from urllib.parse import unquote, urlparse
+
+    if not filters:
+        raise ValueError(
+            "replace_where: empty filters would overwrite the whole "
+            "table; use overwrite_table for that"
+        )
+    predicate = _filters_to_column(filters)
+    violations = df.where(~F.coalesce(predicate, F.lit(False)))
+    if violations.limit(1).count():
+        bad = violations.limit(3).collect()
+        raise ValueError(
+            f"replace_where: {len(bad)}+ inserted rows violate the "
+            f"replace predicate {dict(filters)!r}; first: {bad[0]}"
+        )
+    new_files: list[str] | None = None
+    for _ in range(_MAX_COMMIT_RETRIES):
+        versions = _list_versions(path)
+        if not versions:
+            raise RuntimeError(f"txlog: no table at {path}")
+        latest = versions[-1]
+        m = _read_manifest(path, latest)
+        logged = m.get("schema")
+        if logged is not None and _schema_key(df.schema) != _logged_schema_key(
+            logged
+        ):
+            raise RuntimeError(
+                f"txlog: replace_where schema {df.schema.simpleString()} "
+                "does not match the table schema"
+            )
+        if new_files is None:
+            new_files = _write_batch(df, path)
+        files = _manifest_files(path, m)
+        candidates = _prune_files(path, m, filters)
+        if candidates:
+            cur = _read_files(spark, m, candidates)
+            hit_files = {
+                unquote(urlparse(r["f"]).path)
+                for r in cur.where(predicate)
+                .select(F.input_file_name().alias("f"))
+                .distinct()
+                .collect()
+            }
+        else:
+            hit_files = set()
+        affected = hit_files & set(files)
+        if hit_files - affected:
+            raise RuntimeError(
+                f"txlog: matching rows in files outside the manifest: "
+                f"{sorted(hit_files - affected)[:3]}"
+            )
+        survivor_files: list[str] = []
+        if affected:
+            survivors = _read_files(spark, m, sorted(affected)).where(
+                ~F.coalesce(predicate, F.lit(False))
+            )
+            if survivors.limit(1).count():
+                survivor_files = _write_batch(survivors, path)
+        kept = [e for e in m["files"] if _resolve(path, e) not in affected]
+        stats = {
+            k: v
+            for k, v in (m.get("stats") or {}).items()
+            if _resolve(path, k) not in affected
+        }
+        all_new = survivor_files + new_files
+        try:
+            return _commit(
+                path,
+                {
+                    "version": latest + 1,
+                    "op": "replace_where",
+                    "files": kept + [_rel(path, f) for f in all_new],
+                    "stats": {**stats, **_file_stats(path, all_new)},
+                    "parent": latest,
+                    "rewritten": sorted(_rel(path, f) for f in affected),
+                    "filters": {k: _json_safe_filter(v) for k, v in filters.items()},
+                    "schema": logged
+                    if logged is not None
+                    else df.schema.jsonValue(),
+                },
+            )
+        except TxConflict:
+            continue  # recompute against the winner's snapshot
+    raise TxConflict(
+        f"txlog: replace_where on {path} lost {_MAX_COMMIT_RETRIES} CAS races"
+    )
+
+
+def _json_safe_filter(v):
+    """Manifest-recordable form of one filter value (audit trail only —
+    never read back for planning)."""
+    if isinstance(v, Mapping):
+        return {k: _json_safe(x) for k, x in v.items()}
+    if isinstance(v, (list, tuple, set)):
+        return [_json_safe(x) for x in v]
+    return _json_safe(v)
+
+
 def fsck(spark: SparkSession, path: str) -> DataFrame:
     """Log/file integrity check (the 'is this table safe to read'
     report a scheduler runs before a big job): for every retained
