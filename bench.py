@@ -323,6 +323,10 @@ HEADLINE = [
     "txlog_replace_where",
     # wave 80 (r6) — OPQ-pretransformed IVF-PQ composed index
     "opq_ivfpq_exact_topk",
+    # wave 81 (r6) — BPE tokenizer apply (train→serve pair)
+    "bpe_encode_apply",
+    # wave 82 (r6) — CDC-maintained incremental materialized view
+    "txlog_incremental_mv",
 ]
 
 # Integration rows whose cost is fixed overhead (streaming runs with

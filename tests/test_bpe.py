@@ -101,3 +101,58 @@ def test_bpe_split_empty_produces_single_chars(spark):
     df = spark.createDataFrame([("abc",)], ["word"])
     got = df.select(F.split("word", "").alias("s")).collect()[0]["s"]
     assert got == ["a", "b", "c"]
+
+
+def test_bpe_apply_matches_python_reference(spark):
+    """Tokenizer APPLY (bpe_apply): encoding words — including unseen
+    ones — under a trained merge list must equal the pure-Python greedy
+    replay, merge by merge in adoption order."""
+    from vector_knowledge_base_spark.operators.bpe import bpe_apply
+
+    texts = [
+        "low low low low low lower lower newest newest",
+        "newest newest newest newest widest lowest lowest new",
+        "lower newest widest widest low new new wider",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    wf = word_frequencies(docs)
+    merges, _ = bpe_train(wf, k=6)
+
+    def py_apply(word):
+        s = list(word)
+        for _r, a, b, _n in merges:
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            s = out
+        return s
+
+    eval_words = ["lowest", "newer", "slow", "widest", "news", "unseen",
+                  "lowlow", "a", "", "wwww"]
+    frame = spark.createDataFrame([(w,) for w in eval_words], "word string")
+    got = {r["word"]: r["syms"] for r in bpe_apply(frame, merges).collect()}
+    for w in eval_words:
+        assert got[w] == py_apply(w), w
+
+
+def test_bpe_apply_accepts_bare_pairs_and_checkpoints(spark):
+    """bpe_apply accepts bare (a, b) pairs (a persisted merge file
+    without counts) and survives lineage truncation mid-list."""
+    from vector_knowledge_base_spark.operators.bpe import bpe_apply
+
+    frame = spark.createDataFrame([("abab",), ("aabb",)], "word string")
+    got = {
+        r["word"]: r["syms"]
+        for r in bpe_apply(
+            frame, [("a", "b"), ("ab", "ab")], checkpoint_every=1
+        ).collect()
+    }
+    assert got["abab"] == ["abab"]
+    assert got["aabb"] == ["a", "ab", "b"]

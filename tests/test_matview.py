@@ -1,0 +1,201 @@
+"""Incrementally-maintained materialized views (sources/matview.py):
+every refresh mode must be indistinguishable from a full recompute of
+the view query over the current base snapshot."""
+
+import os
+import shutil
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from vector_knowledge_base_spark.sources import txlog
+from vector_knowledge_base_spark.sources.matview import (
+    create_matview,
+    matview_info,
+    read_matview,
+    refresh_matview,
+)
+
+@pytest.fixture()
+def tdir():
+    d = f"/tmp/mv_test_{uuid.uuid4().hex[:10]}"
+    os.makedirs(d)
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _rows(df, keys):
+    return sorted(
+        (tuple(r[k] for k in keys), tuple(v for k, v in r.asDict().items() if k not in keys))
+        for r in df.collect()
+    )
+
+
+def _full(spark, base_path, keys, agg_cols):
+    return txlog.read_table(spark, base_path).groupBy(*keys).agg(*agg_cols)
+
+
+AGGS = [("sum", "v"), ("count", "*"), ("count", "v")]
+AGG_COLS = lambda: [  # noqa: E731
+    F.sum("v").alias("sum_v"),
+    F.count(F.lit(1)).cast("long").alias("count_star"),
+    F.count("v").cast("long").alias("count_v"),
+]
+
+
+def _mk(spark, tdir, rows):
+    base = os.path.join(tdir, "base")
+    df = spark.createDataFrame(rows, "k string, id long, v double")
+    txlog.create_table(spark, base, df)
+    return base
+
+
+def test_create_equals_direct_aggregate(spark, tdir):
+    base = _mk(spark, tdir, [("a", 1, 1.0), ("a", 2, 2.0), ("b", 3, 5.0)])
+    mv = os.path.join(tdir, "mv")
+    create_matview(spark, mv, base, ["k"], AGGS)
+    got = _rows(read_matview(spark, mv), ["k"])
+    want = _rows(_full(spark, base, ["k"], AGG_COLS()), ["k"])
+    assert got == want
+    assert matview_info(mv)["base_version"] == 0
+
+
+def test_delta_refresh_after_append_and_delete(spark, tdir):
+    base = _mk(spark, tdir, [(c, i, float(i)) for i, c in enumerate("aabbcc")])
+    mv = os.path.join(tdir, "mv")
+    create_matview(spark, mv, base, ["k"], AGGS)
+    txlog.append_table(
+        spark, base,
+        spark.createDataFrame([("a", 10, 7.0), ("d", 11, 9.0)],
+                              "k string, id long, v double"),
+    )
+    info = refresh_matview(spark, mv)
+    assert info["mode"] == "delta" and (info["from"], info["to"]) == (0, 1)
+    txlog.delete_where(spark, base, filters={"k": "b"})
+    info = refresh_matview(spark, mv)
+    assert info["mode"] == "delta"
+    got = _rows(read_matview(spark, mv), ["k"])
+    want = _rows(_full(spark, base, ["k"], AGG_COLS()), ["k"])
+    assert got == want
+    # group 'b' must have VANISHED, not linger at count 0
+    assert not any(k == ("b",) for k, _ in got)
+
+
+def test_noop_refresh(spark, tdir):
+    base = _mk(spark, tdir, [("a", 1, 1.0)])
+    mv = os.path.join(tdir, "mv")
+    create_matview(spark, mv, base, ["k"], AGGS)
+    assert refresh_matview(spark, mv)["mode"] == "noop"
+
+
+def test_sum_returns_to_null_when_last_nonnull_deleted(spark, tdir):
+    base = os.path.join(tdir, "base")
+    df = spark.createDataFrame(
+        [("a", 1, 3.0), ("a", 2, None), ("a", 3, None)],
+        "k string, id long, v double",
+    )
+    txlog.create_table(spark, base, df)
+    mv = os.path.join(tdir, "mv")
+    create_matview(spark, mv, base, ["k"], AGGS)
+    txlog.delete_where(spark, base, filters={"id": 1})
+    assert refresh_matview(spark, mv)["mode"] == "delta"
+    row = read_matview(spark, mv).collect()[0]
+    assert row["sum_v"] is None  # NOT 0.0
+    assert row["count_star"] == 2 and row["count_v"] == 0
+    want = _rows(_full(spark, base, ["k"], AGG_COLS()), ["k"])
+    assert _rows(read_matview(spark, mv), ["k"]) == want
+
+
+def test_minmax_rescan_after_extremum_delete(spark, tdir):
+    base = _mk(spark, tdir, [("a", 1, 1.0), ("a", 2, 9.0), ("b", 3, 5.0)])
+    mv = os.path.join(tdir, "mv")
+    aggs = [("min", "v"), ("max", "v"), ("count", "*")]
+    create_matview(spark, mv, base, ["k"], aggs)
+    txlog.delete_where(spark, base, filters={"id": 2})  # removes a's max
+    info = refresh_matview(spark, mv)
+    assert info["mode"] == "rescan"
+    got = {r["k"]: (r["min_v"], r["max_v"], r["count_star"])
+           for r in read_matview(spark, mv).collect()}
+    assert got == {"a": (1.0, 1.0, 1), "b": (5.0, 5.0, 1)}
+
+
+def test_refresh_after_merge_and_replace_where(spark, tdir):
+    base = _mk(spark, tdir, [(c, i, float(i)) for i, c in enumerate("aabbcc")])
+    mv = os.path.join(tdir, "mv")
+    create_matview(spark, mv, base, ["k"], AGGS)
+    # CoW MERGE: update one row, insert one
+    txlog.merge_table(
+        spark, base,
+        spark.createDataFrame([("a", 0, 100.0), ("e", 20, 2.0)],
+                              "k string, id long, v double"),
+        key_cols=["id"],
+    )
+    refresh_matview(spark, mv)
+    # predicate-scoped overwrite of k='c'
+    txlog.replace_where(
+        spark, base, {"k": "c"},
+        spark.createDataFrame([("c", 30, 1.5)], "k string, id long, v double"),
+    )
+    refresh_matview(spark, mv)
+    got = _rows(read_matview(spark, mv), ["k"])
+    want = _rows(_full(spark, base, ["k"], AGG_COLS()), ["k"])
+    assert got == want
+
+
+def test_definition_survives_reopen_and_plain_table_rejected(spark, tdir):
+    base = _mk(spark, tdir, [("a", 1, 1.0)])
+    mv = os.path.join(tdir, "mv")
+    create_matview(spark, mv, base, ["k"], [("sum", "v"), ("count", "*")])
+    info = matview_info(mv)  # re-read from disk, no in-memory state
+    assert info["base_path"] == base
+    assert info["aggs"] == [["sum", "v"], ["count", "*"]]
+    with pytest.raises(RuntimeError, match="plain table"):
+        matview_info(base)
+    with pytest.raises(RuntimeError, match="already exists"):
+        create_matview(spark, mv, base, ["k"], [("count", "*")])
+
+
+def test_vacuumed_watermark_raises_named_error(spark, tdir):
+    base = _mk(spark, tdir, [("a", 1, 1.0)])
+    mv = os.path.join(tdir, "mv")
+    create_matview(spark, mv, base, ["k"], [("count", "*")])
+    for i in range(3):
+        txlog.append_table(
+            spark, base,
+            spark.createDataFrame([("a", 10 + i, 1.0)],
+                                  "k string, id long, v double"),
+        )
+    txlog.compact_log(spark, base, keep_versions=1, orphan_grace_s=1e9)
+    with pytest.raises(RuntimeError, match="vacuumed"):
+        refresh_matview(spark, mv)
+
+
+def test_multi_key_and_unsupported_fn(spark, tdir):
+    base = os.path.join(tdir, "base")
+    df = spark.createDataFrame(
+        [("a", "x", 1, 1.0), ("a", "y", 2, 2.0), ("b", "x", 3, 3.0)],
+        "k string, g string, id long, v double",
+    )
+    txlog.create_table(spark, base, df)
+    mv = os.path.join(tdir, "mv")
+    create_matview(spark, mv, base, ["k", "g"], [("sum", "v"), ("count", "*")])
+    txlog.append_table(
+        spark, base,
+        spark.createDataFrame([("b", "y", 9, 4.0)],
+                              "k string, g string, id long, v double"),
+    )
+    refresh_matview(spark, mv)
+    want = _rows(
+        _full(spark, base, ["k", "g"],
+              [F.sum("v").alias("sum_v"),
+               F.count(F.lit(1)).cast("long").alias("count_star")]),
+        ["k", "g"],
+    )
+    assert _rows(read_matview(spark, mv), ["k", "g"]) == want
+    with pytest.raises(ValueError, match="unsupported"):
+        create_matview(spark, os.path.join(tdir, "mv2"), base, ["k"],
+                       [("avg", "v")])
+    with pytest.raises(ValueError, match="not a thing"):
+        create_matview(spark, os.path.join(tdir, "mv3"), base, ["k"],
+                       [("sum", "*")])

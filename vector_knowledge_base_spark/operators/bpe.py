@@ -52,8 +52,13 @@ def word_frequencies(
 
 
 def _segment_chars(word: Column) -> Column:
-    """Initial segmentation: one single-character symbol per position."""
-    return F.split(word, "")
+    """Initial segmentation: one single-character symbol per position.
+    Spark's split('', '') yields [''] where the algorithm needs [] —
+    the empty word must encode to zero tokens (the training path never
+    sees it through the min_len filter, but bpe_apply can)."""
+    return F.when(
+        F.length(word) == 0, F.expr("CAST(array() AS array<string>)")
+    ).otherwise(F.split(word, ""))
 
 
 def _pair_counts(seg: DataFrame) -> DataFrame:
@@ -127,3 +132,28 @@ def bpe_train(
             "word", "n", _merge_pair(F.col("syms"), a, b).alias("syms")
         ).localCheckpoint(eager=True)
     return merges, seg
+
+
+def bpe_apply(
+    words: DataFrame, merges: list, checkpoint_every: int = 4
+) -> DataFrame:
+    """Tokenizer APPLY: segment each ``word`` under an already-trained
+    merge list (adoption order matters — BPE encodes new text by
+    replaying merges in training order, which is what makes the
+    vocabulary stable across corpora). Input: any frame with a ``word``
+    column; output: same frame + ``syms`` (the token array).
+
+    Scale shape: like training, apply runs on the DISTINCT-WORD table
+    and fans back to the corpus with one broadcast/hash join — the k
+    folds never touch corpus-scale data. The k ``aggregate`` folds
+    chain in one plan; lineage is truncated every ``checkpoint_every``
+    rounds so deep vocabularies don't build unbounded expression trees.
+    """
+    seg = words.withColumn("syms", _segment_chars(F.col("word")))
+    for i, m in enumerate(merges):
+        # accept (round, a, b, n) training tuples or bare (a, b) pairs
+        a, b = (m[1], m[2]) if len(m) >= 3 else (m[0], m[1])
+        seg = seg.withColumn("syms", _merge_pair(F.col("syms"), a, b))
+        if (i + 1) % checkpoint_every == 0:
+            seg = seg.localCheckpoint(eager=True)
+    return seg

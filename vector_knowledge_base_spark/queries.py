@@ -833,6 +833,44 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 #       audit family; quantile_sketch_audit, in-window, is the same
 #       audit shape (approx sketch joined against its exact SQL
 #       aggregate); the HLL path stays pytest-oracled at both SFs.
+#
+# r6 continuation rotation (waves 78-80): three promotions so the
+# round's new families carry driver-hash rows; each demotion names its
+# strictly-covering in-window twin:
+#   opq_ivfpq_exact_topk        IN  (OPQ→IVF-PQ composed index; must
+#       hash-equal the exact-kNN SQL oracle with covering settings)
+#     ↔ pq_shortlist_rerank_topk OUT (the composed row BUILDS plain PQ
+#       internally — residual codebooks via the same build_pq — and
+#       serves through the same ADC literal-table + exact-rerank path
+#       against the same oracle; a PQ regression flips the composition.
+#       Plain-PQ serving also stays pinned by opq_shortlist_exact_topk
+#       past the window and the pytest sweep.)
+#   c4_span_dedup_rewrite       IN  (C4 span dedup END-TO-END: md5
+#       content fingerprints, min-occurrence canonical selection,
+#       order-preserving reassembly, rebuilt-text hash)
+#     ↔ dedup_exact             OUT (same md5-fingerprint + min-keeper
+#       canonical machinery, exercised at doc granularity — the rewrite
+#       row runs it at span granularity PLUS reassembly, so a hash/
+#       canonicalization regression flips the promoted row first; the
+#       md5-projection coverage doc_fingerprint's demotion cited now
+#       rides in the rewrite row too. dedup_exact stays pytest-oracled
+#       at sf0.01 and in the cross-SF sweep.)
+#   txlog_replace_where         IN  (predicate-scoped transactional
+#       overwrite: region validation, stats-pruned CoW delete + insert
+#       in one commit)
+#     ↔ txlog_snapshot_read     OUT (txlog_cdc_diff, in-window, reads
+#       TWO historical versions from the same manifest log to diff them
+#       — a time-travel/readback regression flips it; the snapshot-read
+#       row stays pytest-oracled at sf0.01 + the sf0.1 sweep.)
+#   txlog_incremental_mv        IN  (wave 82: CDC-maintained
+#       materialized view — create/append/CoW-delete advance the base,
+#       two pure-delta refreshes fold table_diff output into the
+#       stored state, result hash-equals the from-scratch GROUP BY)
+#     ↔ txlog_cdc_diff          OUT (strictly covered: refresh_matview
+#       CALLS table_diff across both an append and a delete commit and
+#       hash-fails on any CDC sign/row error — plus the create/append/
+#       delete/commit machinery around it; the cdc_diff row itself
+#       stays pytest-oracled at sf0.01 + the cross-SF sweep.)
 # ============================================================================
 _WINDOW_PROMOTE = [
     # r3 promotions
@@ -845,7 +883,7 @@ _WINDOW_PROMOTE = [
     "kmeans_cluster_invariants",   # M5: fitted-labeling balance checks
     "pca_variance_invariants",     # M7: eigen-trace = SQL variance
     "ann_lsh_recall_report",       # LSH recall vs exact, hash-checkable
-    "pq_shortlist_rerank_topk",    # PQ serving == exact top-10 (KNN oracle)
+    # (r6 cont.: pq_shortlist_rerank_topk moved to DEMOTE — twin opq_ivfpq)
     "ann_ivf_adaptive",            # adaptive probe: recall + scan bounds
     # (r6: hll_vs_exact_by_source moved to DEMOTE — twin quantile_sketch_audit)
     # (r5: exact_substring_profile moved to DEMOTE — twin spans)
@@ -863,15 +901,20 @@ _WINDOW_PROMOTE = [
     "knn_batch_filtered",             # batch kNN + per-query predicate
     "events_seasonal_decomposition",  # hourly seasonal split
     "incremental_dedup_equivalence",  # delta×delta closure proof
-    "txlog_snapshot_read",            # transactional time travel (wave 69)
+    # (r6 cont.: txlog_snapshot_read moved to DEMOTE — twin txlog_cdc_diff)
     # r6 promotions — see rotation note above
-    "txlog_cdc_diff",                 # log-derived CDC (changed files only)
+    # (r6 cont.: txlog_cdc_diff moved to DEMOTE — twin txlog_incremental_mv)
     "txlog_merge_upsert",             # copy-on-write MERGE on the log
     "dsir_importance_by_lang",        # DSIR importance weights (wave 70)
     "dsir_topk_selection",            # DSIR top-k corpus selection
     "multimodal_image_pixels_inline",  # known-answer BMP pixel decode
     "bpe_merge_candidates",           # BPE tokenizer-training counts
     "streaming_dedup_ingest_audit",   # streaming+txlog+dedup integration
+    # r6 continuation promotions (waves 78-80) — see rotation note above
+    "opq_ivfpq_exact_topk",           # OPQ→IVF-PQ == exact top-10 (KNN oracle)
+    "c4_span_dedup_rewrite",          # C4 span dedup rewrite, rebuilt-text hash
+    "txlog_replace_where",            # predicate-scoped transactional overwrite
+    "txlog_incremental_mv",           # CDC-maintained materialized view (w82)
 ]
 _WINDOW_DEMOTE = [
     # rows-only registrations (no SQL oracle possible for raw outputs)
@@ -906,12 +949,17 @@ _WINDOW_DEMOTE = [
                                         #   over the same label column)
     # r6 demotions — each twin named in the rotation note above
     "snapshot_diff_orders",             # twin: txlog_cdc_diff
-    "doc_fingerprint",                  # twin: dedup_exact
+    "doc_fingerprint",                  # twin: dedup_exact → now c4_span_dedup_rewrite
     "knn_topk_filtered",                # twin: knn_batch_filtered
     "cluster_stats_noise",              # twin: cluster_stats
     "ann_ivf_exhaustive",               # twin: ann_ivf_adaptive
     "embedding_neardup_cosine",         # twin: mutual_knn_pairs
     "hll_vs_exact_by_source",           # twin: quantile_sketch_audit
+    # r6 continuation demotions (waves 78-80) — twins in rotation note
+    "pq_shortlist_rerank_topk",         # twin: opq_ivfpq_exact_topk
+    "dedup_exact",                      # twin: c4_span_dedup_rewrite
+    "txlog_snapshot_read",              # twin: txlog_cdc_diff → now txlog_incremental_mv
+    "txlog_cdc_diff",                   # twin: txlog_incremental_mv (wave 82)
 ]
 
 
@@ -12965,6 +13013,58 @@ def q_bpe_vocab_train_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BPE_APPLY_ORACLE = """
+SELECT word, tokens, CAST(n_tokens AS BIGINT) AS n_tokens
+FROM (VALUES
+  ('lowest', 'low est', 2),
+  ('newer', 'new e r', 3),
+  ('slow', 's low', 2),
+  ('widest', 'w i d est', 4),
+  ('news', 'new s', 2),
+  ('unseen', 'u n s e e n', 6),
+  ('lowlow', 'low low', 2)
+) AS t(word, tokens, n_tokens)
+"""
+
+
+@query("bpe_encode_apply", oracle=_BPE_APPLY_ORACLE)
+def q_bpe_encode_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tokenizer APPLY side (completes the train→serve pair with
+    bpe_vocab_train_k): train 6 merges on the inline fixture corpus,
+    then encode UNSEEN eval words by replaying the merges in adoption
+    order (operators/bpe.py bpe_apply). Known-answer VALUES oracle
+    frozen from the independent pure-Python derivation tests/test_bpe
+    re-runs live — 'lowest' segments to [low, est] though the training
+    corpus never contained it, 'unseen' stays character-level because
+    no trained merge applies: exactly the open-vocabulary behavior BPE
+    exists to provide.
+
+    100 TB shape: apply runs k folds over the DISTINCT-WORD table and
+    fans back to the corpus with one hash join; encoding cost is
+    vocabulary-sized, not corpus-sized."""
+    from vector_knowledge_base_spark.operators.bpe import (
+        bpe_apply,
+        bpe_train,
+        word_frequencies,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(_BPE_TRAIN_TEXTS)],
+        "doc_id long, text string",
+    )
+    merges, _ = bpe_train(word_frequencies(docs), k=6)
+    eval_words = spark.createDataFrame(
+        [("lowest",), ("newer",), ("slow",), ("widest",), ("news",),
+         ("unseen",), ("lowlow",)],
+        "word string",
+    )
+    return bpe_apply(eval_words, merges).select(
+        "word",
+        F.concat_ws(" ", F.col("syms")).alias("tokens"),
+        F.size("syms").cast("long").alias("n_tokens"),
+    )
+
+
 _NONMONO_ORACLE = """
 SELECT CAST(doc_id AS BIGINT) AS doc_id,
        CAST(canonical_id AS BIGINT) AS canonical_id,
@@ -13537,4 +13637,100 @@ def q_c4_span_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.groupBy("doc_id").agg(
         F.md5(rebuilt.cast("binary")).alias("clean_fingerprint"),
         F.length(rebuilt).cast("bigint").alias("n_chars_clean"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Wave 82 — incrementally-maintained materialized view over the txlog
+# (sources/matview.py): the aggregate state a 100 TB ingest loop reads
+# constantly but mutates in small increments, maintained from CDC
+# deltas without ever rescanning the base table.
+# ---------------------------------------------------------------------------
+
+_TXLOG_MV_ORACLE = """
+WITH final_base AS (
+  SELECT o_orderpriority, o_totalprice, o_orderstatus
+  FROM orders
+  WHERE (o_orderkey % 3 <> 0 OR o_orderkey % 6 = 0)
+    AND o_orderstatus <> 'F'
+)
+SELECT o_orderpriority,
+       ROUND(SUM(o_totalprice), 2) AS sum_price,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM final_base
+GROUP BY o_orderpriority
+"""
+
+
+@query("txlog_incremental_mv", oracle=_TXLOG_MV_ORACLE)
+def q_txlog_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained materialized view (sources/matview.py;
+    Gupta & Mumick 1995 change propagation), driver-checked end-to-end:
+    two-thirds of orders land as a txlog base table and a SUM/COUNT
+    view grouped by o_orderpriority is materialized; then an APPEND
+    (the even multiples of 3) and a copy-on-write DELETE (every 'F'
+    order) each advance the base, and each ``refresh_matview`` folds
+    ONLY the row-level CDC between the maintained and current base
+    versions into the stored state — the function RAISES unless both
+    refreshes ran in pure-delta mode (no base files beyond the diff's
+    changed set were read). The served state must hash-equal the
+    oracle's from-scratch GROUP BY over the final membership algebra,
+    so CDC sign handling, per-group merge arithmetic, group-drop on
+    count-zero, and the atomic state+watermark commit are all pinned
+    by one hash row. (Min/max affected-group rescan mode, null-sum
+    restoration, and merge/replaceWhere mutations are pinned by
+    tests/test_matview.py against full-recompute oracles.)
+
+    100 TB shape: refresh cost ∝ churn (changed files → signed deltas
+    → full-outer merge with aggregate-sized state); the base table's
+    unchanged files are never opened — the property that makes a
+    materialized aggregate worth having at all. Reference parity: the
+    reference rescans its store for every stats request
+    (backend/filesystem_db.py get_stats); this is the transactional,
+    incremental form of the same surface."""
+    import re
+    import shutil
+
+    from vector_knowledge_base_spark.sources.matview import (
+        create_matview,
+        read_matview,
+        refresh_matview,
+    )
+    from vector_knowledge_base_spark.sources.txlog import (
+        append_table,
+        create_table,
+        delete_where,
+    )
+
+    tag = re.sub(r"[^A-Za-z0-9.]", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1])
+    base = f"/tmp/vkb_txlog_mvbase_{_session_tag(spark)}_{tag}"
+    mv = f"/tmp/vkb_txlog_mv_{_session_tag(spark)}_{tag}"
+    shutil.rmtree(base, ignore_errors=True)
+    shutil.rmtree(mv, ignore_errors=True)
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice", "o_orderstatus"
+    )
+    create_table(spark, base, orders.where(F.col("o_orderkey") % 3 != 0))
+    create_matview(
+        spark, mv, base, ["o_orderpriority"],
+        [("sum", "o_totalprice"), ("count", "*")],
+    )
+    append_table(
+        spark, base,
+        orders.where(
+            (F.col("o_orderkey") % 3 == 0) & (F.col("o_orderkey") % 2 == 0)
+        ),
+    )
+    for expected_to in (1, 2):
+        if expected_to == 2:
+            delete_where(spark, base, filters={"o_orderstatus": "F"})
+        info = refresh_matview(spark, mv)
+        if info["mode"] != "delta" or info["to"] != expected_to:
+            raise AssertionError(
+                f"matview refresh was not incremental: {info}"
+            )
+    return read_matview(spark, mv).select(
+        "o_orderpriority",
+        F.round("sum_o_totalprice", 2).alias("sum_price"),
+        F.col("count_star").alias("n_orders"),
     )
