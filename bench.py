@@ -327,6 +327,8 @@ HEADLINE = [
     "bpe_encode_apply",
     # wave 82 (r6) — CDC-maintained incremental materialized view
     "txlog_incremental_mv",
+    # wave 83 (r6) — Count-Min sketch point-query audit
+    "countmin_sketch_audit",
 ]
 
 # Integration rows whose cost is fixed overhead (streaming runs with

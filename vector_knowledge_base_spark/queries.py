@@ -13734,3 +13734,123 @@ def q_txlog_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("sum_o_totalprice", 2).alias("sum_price"),
         F.col("count_star").alias("n_orders"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Wave 83 — Count-Min sketch (Cormode & Muthukrishnan 2005), the
+# point-query frequency sketch the audit family still lacked (HLL =
+# cardinality, KLL = quantiles, Bloom = membership, freqItems =
+# heavy-hitter superset). Engine-portable arithmetic hashing (md5-
+# prefix key + the MinHash (a*k+b) % p family) so the ENTIRE sketch —
+# construction and probe — is reproduced by the DuckDB oracle and the
+# estimates themselves are hash-checked, not just bounds.
+# ---------------------------------------------------------------------------
+
+# width deliberately BELOW the fixture vocabulary (31 distinct tokens)
+# so bucket collisions are guaranteed and the one-sided error bound is
+# actually exercised — a covering width would make no_undercount and
+# overcount vacuous at test scale
+_CMS_D, _CMS_W = 4, 8
+_CMS_HASHES = ", ".join(
+    f"({j}, {_MINHASH_A[j]}, {_MINHASH_B[j]})" for j in range(_CMS_D)
+)
+
+_CMS_ORACLE = f"""
+WITH words AS (
+  SELECT u.word AS w
+  FROM documents, LATERAL (SELECT unnest(string_split(text, ' ')) AS word) u
+), keyed AS (
+  SELECT w, ('0x' || substr(md5(w), 1, 8))::BIGINT AS k FROM words
+), hashes(j, a, b) AS (VALUES {_CMS_HASHES}),
+cms AS (
+  SELECT j, ((a * k + b) % {_MINHASH_P}) % {_CMS_W} AS bucket,
+         COUNT(*) AS c
+  FROM keyed, hashes GROUP BY j, bucket
+), exact AS (
+  SELECT w, ANY_VALUE(k) AS k, COUNT(*) AS cnt
+  FROM keyed GROUP BY w
+  ORDER BY cnt DESC, w LIMIT 20
+), probe AS (
+  SELECT w, cnt, j, ((a * k + b) % {_MINHASH_P}) % {_CMS_W} AS bucket
+  FROM exact, hashes
+)
+SELECT w, CAST(cnt AS BIGINT) AS cnt,
+       CAST(MIN(c) AS BIGINT) AS cms_est,
+       MIN(c) >= cnt AS no_undercount,
+       CAST(MIN(c) - cnt AS BIGINT) AS overcount
+FROM probe JOIN cms USING (j, bucket)
+GROUP BY w, cnt
+"""
+
+
+@query("countmin_sketch_audit", oracle=_CMS_ORACLE)
+def q_countmin_sketch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch over the token stream, audited point queries:
+    build a d=4 × w=256 counter table as ONE hash-aggregation (the
+    sketch is a trivially mergeable partial aggregate — each executor
+    folds its partition into d·w counters and the shuffle moves at
+    most d·w rows per partition, the property that makes CMS the
+    frequency sketch for unbounded vocabularies), then probe the 20
+    true-top tokens: estimate = min over rows of the probed counter.
+    The driver hash pins the exact estimates (portable md5-prefix
+    keys + the MinHash affine hash family, so DuckDB reconstructs the
+    identical sketch) plus the one-sided error guarantee
+    (estimate ≥ truth, never under).
+
+    100 TB shape: counters-sized state (d·w longs) regardless of
+    corpus size; probes broadcast the 1k-row sketch. Contrast
+    heavy_hitters_sketch_audit (freqItems: top-share superset) — CMS
+    answers arbitrary point queries the Misra-Gries shape cannot."""
+    docs = _t(spark, sf_dir, "documents")
+    keyed = docs.select(F.explode(F.split("text", " ")).alias("w")).select(
+        "w",
+        F.conv(F.substring(F.md5(F.col("w").cast("binary")), 1, 8), 16, 10)
+        .cast("bigint")
+        .alias("k"),
+    )
+
+    def bucket(j: int, k: Column) -> Column:
+        from vector_knowledge_base_spark.operators.text_dedup import (
+            MINHASH_A,
+            MINHASH_B,
+            MINHASH_P,
+        )
+
+        return (
+            (F.lit(MINHASH_A[j]) * k + F.lit(MINHASH_B[j])) % F.lit(MINHASH_P)
+        ) % F.lit(_CMS_W)
+
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("j"), bucket(j, F.col("k")).alias("bucket")
+            )
+            for j in range(_CMS_D)
+        ]
+    )
+    cms = (
+        keyed.select(F.explode(rows).alias("e"))
+        .groupBy(F.col("e.j").alias("j"), F.col("e.bucket").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    exact = (
+        keyed.groupBy("w")
+        .agg(F.any_value(F.col("k")).alias("k"), F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("w"))
+        .limit(20)
+    )
+    probe = exact.select(
+        "w", "cnt", F.explode(rows).alias("e")
+    ).select("w", "cnt", F.col("e.j").alias("j"), F.col("e.bucket").alias("bucket"))
+    return (
+        probe.join(F.broadcast(cms), on=["j", "bucket"])
+        .groupBy("w", "cnt")
+        .agg(F.min("c").alias("cms_est"))
+        .select(
+            "w",
+            "cnt",
+            "cms_est",
+            (F.col("cms_est") >= F.col("cnt")).alias("no_undercount"),
+            (F.col("cms_est") - F.col("cnt")).alias("overcount"),
+        )
+    )

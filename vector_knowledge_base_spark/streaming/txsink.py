@@ -254,3 +254,31 @@ def streaming_ingest_dedup_txlog(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def txlog_mv_foreach_batch(table_path: str, mv_paths: list):
+    """foreachBatch callback keeping materialized views CONTINUOUSLY
+    fresh: commit the micro-batch to the txlog table (idempotent on
+    batch_id), then ``refresh_matview`` every registered view — each
+    refresh folds exactly this batch's CDC into the stored state, so
+    the views trail the table by at most one micro-batch.
+
+    Crash windows compose with the append contract: a crash between
+    the table commit and a view refresh leaves the view STALE, never
+    wrong — the replayed batch's append no-ops (batch_id) and the
+    refresh then catches up from the same CDC. The view's own commit
+    is atomic (state + base watermark in one manifest), so a replayed
+    refresh that already landed sees base_version == current and
+    no-ops too. This is the streaming half of the classic summary-
+    table pattern: the base table absorbs appends at ingest speed, and
+    aggregate readers hit O(groups) state instead of rescanning."""
+    from vector_knowledge_base_spark.sources.matview import refresh_matview
+
+    inner = txlog_foreach_batch(table_path)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        inner(batch_df, batch_id)
+        for mv in mv_paths:
+            refresh_matview(batch_df.sparkSession, mv)
+
+    return sink
