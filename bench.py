@@ -329,6 +329,12 @@ HEADLINE = [
     "txlog_incremental_mv",
     # wave 83 (r6) — Count-Min sketch point-query audit
     "countmin_sketch_audit",
+    # wave 84 (r6) — KMV/Theta sketch set-expression cardinality
+    "theta_sketch_set_expressions",
+    # wave 85 (r6) — txlog RESTORE + zero-copy SHALLOW CLONE
+    "txlog_restore_clone",
+    # wave 86 (r6) — deterministic label-propagation communities
+    "label_propagation_communities",
 ]
 
 # Integration rows whose cost is fixed overhead (streaming runs with
@@ -344,6 +350,7 @@ SINGLE_RUN = {
     "txlog_cdc_diff",
     "txlog_merge_upsert",
     "txlog_replace_where",
+    "txlog_restore_clone",
 }
 
 KNN_BATCH_N_QUERIES = 5  # matches the knn_batch query definition

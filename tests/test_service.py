@@ -265,3 +265,33 @@ def test_txlog_upload_after_clustering_keeps_working(spark, tmp_path):
     assert kb.search("gardening compost", k=1).collect()[0].filename == "three.txt"
     kb.run_clustering(k=2)
     assert kb.chunks().where(F.col("cluster").isNull()).count() == 0
+
+
+def test_txlog_restore_and_clone_facade_verbs(spark, tmp_path):
+    """restore() rolls a poisoned upload back metadata-only; clone_to()
+    snapshots the corpus zero-copy for dev/test — both txlog-gated."""
+    kb = KnowledgeBase(spark, str(tmp_path / "ws"), storage="txlog")
+    kb.create_document("good.txt", "alpha beta gamma delta")
+    v_good = kb.history().agg(F.max("version")).first()[0]
+    kb.create_document("poison.txt", "junk junk junk junk junk")
+    assert kb.list_documents().count() == 2
+    # zero-copy clone of the poisoned state diverges independently
+    clone_path = str(tmp_path / "clone")
+    kb.clone_to(clone_path)
+    import os
+
+    assert not os.path.isdir(os.path.join(clone_path, "data"))
+    # rollback: the poisoned doc vanishes, history preserved
+    kb.restore(v_good)
+    assert {r.filename for r in kb.list_documents().collect()} == {"good.txt"}
+    from vector_knowledge_base_spark.sources.txlog import read_table
+
+    assert read_table(spark, clone_path).count() > read_table(
+        spark, kb.chunks_path
+    ).count()
+    # parquet mode refuses both verbs with a named error
+    kb2 = KnowledgeBase(spark, str(tmp_path / "ws2"))
+    with pytest.raises(RuntimeError, match="txlog"):
+        kb2.restore(0)
+    with pytest.raises(RuntimeError, match="txlog"):
+        kb2.clone_to(str(tmp_path / "c2"))

@@ -1187,3 +1187,81 @@ def test_multiwriter_mixed_ops_stress(spark, tmp_path):
     assert got == want
     rep = fsck(spark, p).collect()
     assert all(r["readable"] for r in rep)
+
+
+def test_restore_rolls_back_metadata_only(spark, tmp_path):
+    from vector_knowledge_base_spark.sources.txlog import restore_table
+
+    p = str(tmp_path / "t")
+    create_table(spark, p, spark.range(0, 10).withColumnRenamed("id", "k"))
+    append_table(spark, p, spark.range(10, 20).withColumnRenamed("id", "k"))
+    delete_where(spark, p, predicate=F.col("k") < 5)
+    assert read_table(spark, p).count() == 15
+    v0_files = set(_mfiles(p, 0))
+    inodes_before = {os.stat(f).st_ino for f in v0_files}
+    v = restore_table(spark, p, 0)
+    assert v == 3
+    # restored state == version 0, by reference (same inodes, no data moved)
+    assert read_table(spark, p).count() == 10
+    assert set(_mfiles(p, 3)) == v0_files
+    assert {os.stat(f).st_ino for f in _mfiles(p, 3)} == inodes_before
+    assert _m(p, 3)["op"] == "restore"
+    # bad versions remain time-travelable until compact_log
+    assert read_table(spark, p, version=2).count() == 15
+    # CDC across the restore is the inverse of the undone changes:
+    # net effect vs v2 = +5 restored rows (k<5) and -10 appended rows
+    d = table_diff(spark, p, 2, 3)
+    ins = d.where("change = 'insert'").count()
+    dels = d.where("change = 'delete'").count()
+    assert (ins, dels) == (5, 10)
+    # restore to an unknown version is a named error
+    with pytest.raises(RuntimeError, match="restore"):
+        restore_table(spark, p, 99)
+
+
+def test_shallow_clone_zero_copy_and_divergence(spark, tmp_path):
+    from vector_knowledge_base_spark.sources.txlog import shallow_clone
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    create_table(spark, src, spark.range(0, 100).withColumnRenamed("id", "k"))
+    append_table(spark, src, spark.range(100, 200).withColumnRenamed("id", "k"))
+    shallow_clone(spark, src, dst)
+    # zero data files under the clone's root; reads equal the source
+    assert not os.path.isdir(os.path.join(dst, "data"))
+    assert read_table(spark, dst).count() == 200
+    src_inodes = {os.stat(f).st_ino for f in _mfiles(src, 1)}
+    assert {os.stat(f).st_ino for f in _mfiles(dst, 0)} == src_inodes
+    # divergence: CoW delete on the clone rewrites INTO the clone only
+    delete_where(spark, dst, predicate=F.col("k") >= 150)
+    assert read_table(spark, dst).count() == 150
+    assert read_table(spark, src).count() == 200  # source untouched
+    assert {os.stat(f).st_ino for f in _mfiles(src, 1)} == src_inodes
+    # appends to the source after the clone are invisible to the clone
+    append_table(spark, src, spark.range(200, 210).withColumnRenamed("id", "k"))
+    assert read_table(spark, dst).count() == 150
+    # the clone's stats carried over: a disjoint-range read prunes
+    got = read_table(spark, dst, filters={"k": {"gte": 0, "lte": 9}})
+    assert got.count() == 10
+
+
+def test_clone_vacuum_never_deletes_borrowed_files(spark, tmp_path):
+    from vector_knowledge_base_spark.sources.txlog import shallow_clone
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    create_table(spark, src, spark.range(0, 50).withColumnRenamed("id", "k"))
+    shallow_clone(spark, src, dst)
+    # make the borrowed-file version droppable: overwrite the clone,
+    # then compact its log down to 1 version
+    from vector_knowledge_base_spark.sources.txlog import overwrite_table
+
+    overwrite_table(spark, dst, spark.range(0, 5).withColumnRenamed("id", "k"))
+    compact_log(spark, dst, keep_versions=1, orphan_grace_s=0.0)
+    # the borrowed source files must survive the clone's vacuum
+    assert read_table(spark, src).count() == 50
+    # clone at a PINNED older version reads that snapshot
+    append_table(spark, src, spark.range(50, 60).withColumnRenamed("id", "k"))
+    dst2 = str(tmp_path / "dst2")
+    shallow_clone(spark, src, dst2, version=0)
+    assert read_table(spark, dst2).count() == 50

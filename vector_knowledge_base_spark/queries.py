@@ -13854,3 +13854,446 @@ def q_countmin_sketch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("cms_est") - F.col("cnt")).alias("overcount"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Wave 84 — KMV / Theta sketch set-expression cardinality
+# (Beyer et al. 2007 "On Synopses for Distinct-Value Estimation";
+# Dasgupta et al. 2016 Theta sketch framework — both public)
+# ---------------------------------------------------------------------------
+
+_KMV_K = 64
+_KMV_MAXH = 4294967296  # 2^32: md5-prefix hash range; sentinel theta for
+# exact-mode sketches (group smaller than k holds ALL its hashes)
+
+_THETA_ORACLE = f"""
+WITH d AS (
+  SELECT DISTINCT o_orderpriority AS p, o_custkey AS ck FROM orders
+), h AS (
+  SELECT p, ck, ('0x' || substr(md5(CAST(ck AS VARCHAR)), 1, 8))::BIGINT AS h
+  FROM d
+), rk AS (
+  SELECT p, h, ROW_NUMBER() OVER (PARTITION BY p ORDER BY h, ck) AS rn FROM h
+), sk AS (SELECT p, h FROM rk WHERE rn <= {_KMV_K}),
+theta AS (
+  SELECT p,
+         CASE WHEN COUNT(*) >= {_KMV_K} THEN MAX(h) ELSE {_KMV_MAXH} END AS theta,
+         COUNT(*) AS nk
+  FROM sk GROUP BY p
+), est AS (
+  SELECT p, theta,
+         CASE WHEN theta = {_KMV_MAXH} THEN nk
+              ELSE ({_KMV_K} - 1) * {_KMV_MAXH} // theta END AS est_n
+  FROM theta
+), pairs AS (
+  SELECT a.p AS pa, b.p AS pb, a.est_n AS est_a, b.est_n AS est_b,
+         LEAST(a.theta, b.theta) AS tmin
+  FROM est a JOIN est b ON a.p < b.p
+), merged AS (
+  SELECT pr.pa, pr.pb, s.h
+  FROM pairs pr JOIN sk s ON s.p = pr.pa OR s.p = pr.pb
+  GROUP BY pr.pa, pr.pb, s.h
+), mrk AS (
+  SELECT pa, pb, h,
+         ROW_NUMBER() OVER (PARTITION BY pa, pb ORDER BY h) AS rn
+  FROM merged
+), uth AS (
+  SELECT pa, pb,
+         CASE WHEN COUNT(*) >= {_KMV_K} THEN MAX(h) ELSE {_KMV_MAXH} END AS theta,
+         COUNT(*) AS nk
+  FROM mrk WHERE rn <= {_KMV_K} GROUP BY pa, pb
+), uest AS (
+  SELECT pa, pb,
+         CASE WHEN theta = {_KMV_MAXH} THEN nk
+              ELSE ({_KMV_K} - 1) * {_KMV_MAXH} // theta END AS est_union
+  FROM uth
+), inter AS (
+  SELECT pr.pa, pr.pb,
+         CASE WHEN pr.tmin = {_KMV_MAXH} THEN COUNT(*)
+              ELSE COUNT(*) * {_KMV_MAXH} // pr.tmin END AS est_inter
+  FROM pairs pr
+  JOIN sk sa ON sa.p = pr.pa AND sa.h < pr.tmin
+  JOIN sk sb ON sb.p = pr.pb AND sb.h = sa.h
+  GROUP BY pr.pa, pr.pb, pr.tmin
+), ex AS (
+  SELECT a.p AS pa, b.p AS pb, COUNT(*) AS exact_inter
+  FROM d a JOIN d b ON a.ck = b.ck AND a.p < b.p
+  GROUP BY 1, 2
+), exn AS (SELECT p, COUNT(*) AS n FROM d GROUP BY p)
+SELECT pr.pa, pr.pb,
+       CAST(pr.est_a AS BIGINT) AS est_a,
+       CAST(pr.est_b AS BIGINT) AS est_b,
+       CAST(u.est_union AS BIGINT) AS est_union,
+       CAST(COALESCE(i.est_inter, 0) AS BIGINT) AS est_inter,
+       CAST(na.n AS BIGINT) AS exact_a,
+       CAST(nb.n AS BIGINT) AS exact_b,
+       CAST(na.n + nb.n - ex.exact_inter AS BIGINT) AS exact_union,
+       CAST(ex.exact_inter AS BIGINT) AS exact_inter,
+       ABS(u.est_union - (na.n + nb.n - ex.exact_inter))
+         <= 0.40 * (na.n + nb.n - ex.exact_inter) AS union_ok,
+       ABS(COALESCE(i.est_inter, 0) - ex.exact_inter)
+         <= 0.45 * GREATEST(ex.exact_inter, 1) AS inter_ok
+FROM pairs pr
+JOIN uest u USING (pa, pb)
+LEFT JOIN inter i USING (pa, pb)
+JOIN ex USING (pa, pb)
+JOIN exn na ON na.p = pr.pa
+JOIN exn nb ON nb.p = pr.pb
+ORDER BY pa, pb
+"""
+
+
+@query("theta_sketch_set_expressions", oracle=_THETA_ORACLE)
+def q_theta_sketch_set_expressions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV / Theta sketch cardinality for SET EXPRESSIONS: per-group
+    k-minimum-values sketches of the distinct-buyer sets per order
+    priority, then |A ∪ B| (merge sketches, re-take k smallest) and
+    |A ∩ B| (theta intersection: common hashes below min(θ_A, θ_B),
+    scaled by 1/θ) for every priority pair — the two set operations
+    HLL cannot answer (hll_cardinality_by_source gives per-group and
+    mergeable-union counts; intersection via inclusion-exclusion on
+    HLL explodes the error, which is exactly why the Theta framework
+    exists). Arithmetic is ALL integer (estimate = (k−1)·2³² div h_k
+    on md5-prefix hashes), so the DuckDB oracle reconstructs the
+    IDENTICAL sketches and the driver hash pins the estimates
+    themselves; union_ok/inter_ok additionally pin the accuracy
+    contract (≤40%/45% rel. error at k=64, ~3σ of the 1/√(k−2) bound)
+    against the exact side computed alongside.
+
+    100 TB shape: sketch state is ≤k rows per group REGARDLESS of
+    corpus size; the k-min selection runs two-stage (salted local
+    top-k, then a per-group top-k over ≤16k survivors — provably equal
+    to the single-stage form the oracle computes, the distributed
+    top-k identity); all pair algebra runs on 5×64-row sketch tables,
+    broadcast. The exact audit columns are the test harness, not the
+    operator — at scale you'd emit the estimate columns only."""
+    K, MAXH = _KMV_K, _KMV_MAXH
+    d = (
+        _t(spark, sf_dir, "orders")
+        .select(
+            F.col("o_orderpriority").alias("p"), F.col("o_custkey").alias("ck")
+        )
+        .distinct()
+    )
+    h = d.select(
+        "p",
+        "ck",
+        F.conv(
+            F.substring(F.md5(F.col("ck").cast("string").cast("binary")), 1, 8),
+            16,
+            10,
+        )
+        .cast("bigint")
+        .alias("h"),
+    )
+    # two-stage k-min: salted local top-k, then exact per-group top-k on
+    # the <= 16k survivors (equal to the global top-k by the distributed
+    # top-k identity; the oracle computes the single-stage form)
+    w1 = Window.partitionBy("p", "salt").orderBy("h", "ck")
+    w2 = Window.partitionBy("p").orderBy("h", "ck")
+    sk = (
+        h.withColumn("salt", F.pmod(F.col("ck"), F.lit(16)))
+        .withColumn("rn", F.row_number().over(w1))
+        .where(F.col("rn") <= K)
+        .withColumn("rn", F.row_number().over(w2))
+        .where(F.col("rn") <= K)
+        .select("p", "h")
+        .localCheckpoint(eager=True)
+    )
+    theta = sk.groupBy("p").agg(
+        F.when(F.count("*") >= K, F.max("h")).otherwise(F.lit(MAXH)).alias("theta"),
+        F.count("*").alias("nk"),
+    )
+    est = theta.select(
+        "p",
+        "theta",
+        F.when(F.col("theta") == MAXH, F.col("nk"))
+        .otherwise(F.expr(f"({K} - 1) * cast({MAXH} as bigint) div theta"))
+        .alias("est_n"),
+    )
+    ea = est.select(
+        F.col("p").alias("pa"), F.col("theta").alias("ta"), F.col("est_n").alias("est_a")
+    )
+    eb = est.select(
+        F.col("p").alias("pb"), F.col("theta").alias("tb"), F.col("est_n").alias("est_b")
+    )
+    pairs = ea.join(eb, F.col("pa") < F.col("pb")).select(
+        "pa", "pb", "est_a", "est_b", F.least("ta", "tb").alias("tmin")
+    )
+    # union sketch: merge the two member sketches, re-take k smallest
+    sk_a = F.broadcast(pairs.select("pa", "pb")).join(
+        sk.withColumnRenamed("p", "pa"), "pa"
+    ).select("pa", "pb", "h")
+    sk_b = F.broadcast(pairs.select("pa", "pb")).join(
+        sk.withColumnRenamed("p", "pb"), "pb"
+    ).select("pa", "pb", "h")
+    merged = sk_a.union(sk_b).distinct()
+    wu = Window.partitionBy("pa", "pb").orderBy("h")
+    uth = (
+        merged.withColumn("rn", F.row_number().over(wu))
+        .where(F.col("rn") <= K)
+        .groupBy("pa", "pb")
+        .agg(
+            F.when(F.count("*") >= K, F.max("h"))
+            .otherwise(F.lit(MAXH))
+            .alias("theta"),
+            F.count("*").alias("nk"),
+        )
+    )
+    uest = uth.select(
+        "pa",
+        "pb",
+        F.when(F.col("theta") == MAXH, F.col("nk"))
+        .otherwise(F.expr(f"({K} - 1) * cast({MAXH} as bigint) div theta"))
+        .alias("est_union"),
+    )
+    # theta intersection: common hashes strictly below min(theta_a, theta_b)
+    common = (
+        sk.alias("a")
+        .join(
+            F.broadcast(sk).alias("b"),
+            (F.col("a.h") == F.col("b.h")) & (F.col("a.p") < F.col("b.p")),
+        )
+        .select(
+            F.col("a.p").alias("pa"),
+            F.col("b.p").alias("pb"),
+            F.col("a.h").alias("h"),
+        )
+    )
+    inter = (
+        pairs.select("pa", "pb", "tmin")
+        .join(common, ["pa", "pb"])
+        .where(F.col("h") < F.col("tmin"))
+        .groupBy("pa", "pb", "tmin")
+        .agg(F.count("*").alias("common"))
+        .select(
+            "pa",
+            "pb",
+            F.when(F.col("tmin") == MAXH, F.col("common"))
+            .otherwise(F.expr(f"common * cast({MAXH} as bigint) div tmin"))
+            .alias("est_inter"),
+        )
+    )
+    # exact audit side
+    da = d.select(F.col("p").alias("pa"), "ck")
+    db = d.select(F.col("p").alias("pb"), "ck")
+    ex = (
+        da.join(db, "ck")
+        .where(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count("*").alias("exact_inter"))
+    )
+    exn = d.groupBy("p").agg(F.count("*").alias("n"))
+    out = (
+        pairs.join(uest, ["pa", "pb"])
+        .join(inter, ["pa", "pb"], "left")
+        .join(ex, ["pa", "pb"])
+        .join(exn.withColumnRenamed("p", "pa").withColumnRenamed("n", "na"), "pa")
+        .join(exn.withColumnRenamed("p", "pb").withColumnRenamed("n", "nb"), "pb")
+    )
+    xu = F.col("na") + F.col("nb") - F.col("exact_inter")
+    ei = F.coalesce(F.col("est_inter"), F.lit(0))
+    return out.select(
+        "pa",
+        "pb",
+        F.col("est_a").cast("bigint").alias("est_a"),
+        F.col("est_b").cast("bigint").alias("est_b"),
+        F.col("est_union").cast("bigint").alias("est_union"),
+        ei.cast("bigint").alias("est_inter"),
+        F.col("na").cast("bigint").alias("exact_a"),
+        F.col("nb").cast("bigint").alias("exact_b"),
+        xu.cast("bigint").alias("exact_union"),
+        F.col("exact_inter").cast("bigint").alias("exact_inter"),
+        (F.abs(F.col("est_union") - xu) <= 0.40 * xu).alias("union_ok"),
+        (
+            F.abs(ei - F.col("exact_inter"))
+            <= 0.45 * F.greatest(F.col("exact_inter"), F.lit(1))
+        ).alias("inter_ok"),
+    ).orderBy("pa", "pb")
+
+
+# ---------------------------------------------------------------------------
+# Wave 85 — txlog RESTORE (rollback-as-forward-commit) + SHALLOW CLONE
+# (zero-copy table snapshot). Public concepts: Delta Lake RESTORE and
+# SHALLOW CLONE; both are pure metadata operations here, which is the
+# only acceptable cost at 100 TB.
+# ---------------------------------------------------------------------------
+
+_TXLOG_RESTORE_CLONE_ORACLE = """
+SELECT
+  CAST((SELECT COUNT(*) FROM orders WHERE o_orderkey % 3 IN (0, 1))
+       AS BIGINT) AS src_rows_restored,
+  CAST((SELECT COUNT(*) FROM orders) AS BIGINT) AS src_rows_v2,
+  CAST((SELECT COUNT(*) FROM orders
+        WHERE o_orderkey % 3 IN (0, 1) AND o_orderstatus <> 'F')
+       AS BIGINT) AS clone_rows,
+  TRUE AS clone_zero_copy,
+  TRUE AS restore_by_reference,
+  TRUE AS source_untouched_by_clone
+"""
+
+
+@query("txlog_restore_clone", oracle=_TXLOG_RESTORE_CLONE_ORACLE)
+def q_txlog_restore_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESTORE + SHALLOW CLONE, driver-checked end-to-end: the orders
+    table is committed as src v0 (keys ≡0 mod 3) + v1 append (≡1);
+    a SHALLOW CLONE pins v1 by reference (zero bytes copied — the
+    clone has NO data directory, checked as a boolean); a CoW delete
+    on the clone ('F' rows) rewrites borrowed files INTO the clone
+    while the source's files keep their inodes (source_untouched);
+    src then gains v2 (≡2, invisible to the clone) and is RESTORED to
+    v1 — a forward metadata commit whose file list must be the v1
+    inode set exactly (restore_by_reference). Row counts of the
+    restored source, the time-traveled v2, and the diverged clone are
+    recomputed by the oracle from the raw orders table — so the whole
+    clone/mutate/restore history is hash-checked, and the booleans
+    pin the zero-copy / metadata-only cost model itself.
+
+    100 TB shape: clone = one manifest write regardless of table
+    size; rollback = one manifest write; only the clone's deleted
+    files were rewritten, and only into the clone's root."""
+    import re
+    import shutil
+
+    from vector_knowledge_base_spark.sources.txlog import (
+        _manifest_files,
+        _read_manifest,
+        append_table,
+        create_table,
+        delete_where,
+        read_table,
+        restore_table,
+        shallow_clone,
+    )
+
+    tag = re.sub(r"[^A-Za-z0-9.]", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1])
+    src = f"/tmp/vkb_txlog_rc_src_{_session_tag(spark)}_{tag}"
+    dst = f"/tmp/vkb_txlog_rc_dst_{_session_tag(spark)}_{tag}"
+    shutil.rmtree(src, ignore_errors=True)
+    shutil.rmtree(dst, ignore_errors=True)
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    create_table(spark, src, orders.where(F.col("o_orderkey") % 3 == 0))
+    append_table(spark, src, orders.where(F.col("o_orderkey") % 3 == 1))
+    import os as _os
+
+    shallow_clone(spark, src, dst, version=1)
+    clone_zero_copy = not _os.path.isdir(_os.path.join(dst, "data"))
+
+    def inodes(path: str, v: int) -> set:
+        return {
+            _os.stat(f).st_ino
+            for f in _manifest_files(path, _read_manifest(path, v))
+        }
+
+    src_v1_inodes = inodes(src, 1)
+    delete_where(spark, dst, F.col("o_orderstatus") == "F")
+    source_untouched = inodes(src, 1) == src_v1_inodes and all(
+        _os.path.exists(f)
+        for f in _manifest_files(src, _read_manifest(src, 1))
+    )
+    append_table(spark, src, orders.where(F.col("o_orderkey") % 3 == 2))
+    restore_table(spark, src, 1)
+    restore_by_reference = inodes(src, 3) == src_v1_inodes
+    counts = spark.createDataFrame(
+        [
+            (
+                read_table(spark, src).count(),
+                read_table(spark, src, version=2).count(),
+                read_table(spark, dst).count(),
+            )
+        ],
+        "src_rows_restored long, src_rows_v2 long, clone_rows long",
+    )
+    return counts.select(
+        "src_rows_restored",
+        "src_rows_v2",
+        "clone_rows",
+        F.lit(bool(clone_zero_copy)).alias("clone_zero_copy"),
+        F.lit(bool(restore_by_reference)).alias("restore_by_reference"),
+        F.lit(bool(source_untouched)).alias("source_untouched_by_clone"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Wave 86 — synchronous label propagation communities (Raghavan et al.
+# 2007, deterministic variant: mode-of-neighbor-labels with min-label
+# tie-break). Completes the graph family: connected components (reach-
+# ability), PageRank (centrality), triangle count (cohesion), LPA
+# (community structure — CC merges everything touching, LPA splits a
+# connected graph into dense regions).
+# ---------------------------------------------------------------------------
+
+_LPA_STEP = """
+, m{i} AS (
+  SELECT bi.a AS a, p.l AS l FROM bi JOIN l{p} p ON p.a = bi.b
+), c{i} AS (
+  SELECT a, l, COUNT(*) AS c FROM m{i} GROUP BY a, l
+), l{i} AS (
+  SELECT a, l FROM (
+    SELECT a, l, ROW_NUMBER() OVER (PARTITION BY a ORDER BY c DESC, l) AS rn
+    FROM c{i}
+  ) WHERE rn = 1
+)"""
+
+_LPA_ORACLE = (
+    """
+WITH pairs AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb
+  FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
+  JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING COUNT(*) >= 3
+),
+bi AS (SELECT pa AS a, pb AS b FROM pairs
+       UNION ALL SELECT pb, pa FROM pairs),
+l0 AS (SELECT DISTINCT a, a AS l FROM bi)"""
+    + "".join(_LPA_STEP.format(i=i, p=i - 1) for i in range(1, 5))
+    + """
+SELECT a AS part_id, CAST(l AS BIGINT) AS community FROM l4
+"""
+)
+
+
+@query("label_propagation_communities", oracle=_LPA_ORACLE)
+def q_label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by SYNCHRONOUS label propagation over the
+    co-purchase part graph (4 rounds): every node starts as its own
+    label; each round it adopts the most frequent label among its
+    neighbors (ties → smallest label, making the classically-random
+    LPA fully deterministic and therefore oracle-checkable — the fixed
+    round count unrolls into plain SQL exactly like the PageRank
+    oracle). Connected components cannot see this structure: CC merges
+    everything reachable, LPA splits a connected graph into densely
+    linked regions.
+
+    100 TB shape: one shuffle per round (message join + mode count);
+    labels table is O(nodes), messages O(edges); lineage truncated
+    every 2 rounds (iterative-plan discipline shared with pagerank /
+    connected_components). Mode-per-node is a count + row_number
+    window partitioned BY NODE — never a global sort."""
+    edges = QUERIES["copurchase_part_pairs"](spark, sf_dir).select(
+        F.col("part_a").alias("a"), F.col("part_b").alias("b")
+    )
+    bi = edges.union(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    labels = bi.select("a").distinct().withColumn("l", F.col("a"))
+    w = Window.partitionBy("a").orderBy(F.desc("c"), F.asc("l"))
+    for i in range(1, 5):
+        msgs = bi.join(
+            labels.select(F.col("a").alias("b"), "l"), "b"
+        ).select("a", "l")
+        labels = (
+            msgs.groupBy("a", "l")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("a", "l")
+        )
+        if i % 2 == 0:
+            labels = labels.localCheckpoint(eager=True)
+    return labels.select(
+        F.col("a").alias("part_id"), F.col("l").cast("bigint").alias("community")
+    )

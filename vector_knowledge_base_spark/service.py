@@ -129,6 +129,34 @@ class _KnowledgeBaseCore:
             order_by=cluster_by,
         )
 
+    def restore(self, version: int) -> int:
+        """Roll the chunks table back to ``version`` (txlog storage
+        only) as a forward metadata-only commit — the facade's RESTORE
+        verb for 'that batch upload poisoned the corpus' recovery.
+        History stays time-travelable until vacuum."""
+        if self.storage != "txlog":
+            raise RuntimeError("restore requires storage='txlog'")
+        from vector_knowledge_base_spark.sources.txlog import restore_table
+
+        v = restore_table(self.spark, self.chunks_path, version)
+        # derived state follows the corpus: registry rebuilt from the
+        # restored chunks (same contract as delete_document)
+        _rewrite(build_registry(self.chunks()), self.registry_path)
+        return v
+
+    def clone_to(self, dst_path: str, version: int | None = None) -> int:
+        """Zero-copy SHALLOW CLONE of the chunks table into
+        ``dst_path`` (txlog storage only): one manifest write, no data
+        copied — the dev/test-snapshot verb. The clone diverges
+        independently (its deletes copy-on-write into its own root);
+        vacuuming THIS table can orphan the clone (Delta's shallow-
+        clone contract)."""
+        if self.storage != "txlog":
+            raise RuntimeError("clone_to requires storage='txlog'")
+        from vector_knowledge_base_spark.sources.txlog import shallow_clone
+
+        return shallow_clone(self.spark, self.chunks_path, dst_path, version)
+
     def list_documents(self) -> DataFrame:
         """O(1)-style listing from the materialized registry (A2)."""
         return self.spark.read.parquet(self.registry_path)

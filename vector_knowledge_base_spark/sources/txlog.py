@@ -133,6 +133,22 @@ def _manifest_files(path: str, m: dict) -> list[str]:
     return [_resolve(path, e) for e in m["files"]]
 
 
+def _owned(path: str, f: str) -> bool:
+    """True iff ``f`` lives under this table's root. A shallow clone
+    references the source table's files by ABSOLUTE path; those are
+    borrowed, not owned — the clone's vacuum/compact must never delete
+    them (the Delta shallow-clone ownership rule)."""
+    root = os.path.realpath(path)
+    return os.path.realpath(f).startswith(root + os.sep)
+
+
+def _entry(path: str, f: str) -> str:
+    """Manifest entry for a data file: root-relative when owned (the
+    table stays relocatable), absolute when borrowed from another
+    table (shallow-clone references)."""
+    return _rel(path, f) if _owned(path, f) else f
+
+
 def _commit(path: str, manifest: dict) -> int:
     """Compare-and-swap commit: write to a dot-temp in _txlog, fsync,
     then claim the numbered slot with ``os.link`` — atomic create-
@@ -719,7 +735,7 @@ def merge_table(
                     "stats": {**stats, **_file_stats(path, new_files)},
                     "parent": latest,
                     "batch_id": batch_id,
-                    "rewritten": sorted(_rel(path, f) for f in affected),
+                    "rewritten": sorted(_entry(path, f) for f in affected),
                     "schema": logged
                     if logged is not None
                     else updates.schema.jsonValue(),
@@ -832,7 +848,7 @@ def replace_where(
                     "files": kept + [_rel(path, f) for f in all_new],
                     "stats": {**stats, **_file_stats(path, all_new)},
                     "parent": latest,
-                    "rewritten": sorted(_rel(path, f) for f in affected),
+                    "rewritten": sorted(_entry(path, f) for f in affected),
                     "filters": {k: _json_safe_filter(v) for k, v in filters.items()},
                     "schema": logged
                     if logged is not None
@@ -1029,7 +1045,7 @@ def delete_where(
                     "files": kept + [_rel(path, f) for f in new_files],
                     "stats": {**stats, **_file_stats(path, new_files)},
                     "parent": latest,
-                    "rewritten": sorted(_rel(path, f) for f in affected),
+                    "rewritten": sorted(_entry(path, f) for f in affected),
                     "schema": m.get("schema"),
                 },
             )
@@ -1171,7 +1187,9 @@ def compact_log(
         live.update(_manifest_files(path, _read_manifest(path, v)))
     for v in drop:
         for f in _manifest_files(path, _read_manifest(path, v)):
-            if f not in live and os.path.exists(f):
+            # never delete borrowed files (shallow-clone references):
+            # they are owned by the source table, not this log
+            if f not in live and _owned(path, f) and os.path.exists(f):
                 os.remove(f)
                 removed += 1
         os.remove(_manifest_file(path, v))
@@ -1185,3 +1203,94 @@ def compact_log(
             ):
                 shutil.rmtree(full, ignore_errors=True)
     return removed
+
+
+def restore_table(spark: SparkSession, path: str, version: int) -> int:
+    """Delta-style RESTORE: roll the table back to ``version`` as a
+    NEW forward commit whose file list, stats and schema are the
+    target's — a pure metadata operation (zero data files move; at
+    100 TB a rollback that rewrote data would be unusable). History is
+    preserved: the bad versions stay time-travelable until compact_log
+    drops them, and ``table_diff(latest-1, latest)`` across the restore
+    commit is exactly the inverse of the changes being undone (the CDC
+    consumers see the rollback as ordinary changes). A lost CAS race
+    rebases onto the winner's version number and retries — the restore
+    still pins the table to the TARGET's file set."""
+    if version not in _list_versions(path):
+        raise RuntimeError(
+            f"txlog: cannot restore {path} to version {version}: "
+            f"not in the retained log {_list_versions(path)}"
+        )
+    target = _read_manifest(path, version)
+    for _ in range(_MAX_COMMIT_RETRIES):
+        latest = _list_versions(path)[-1]
+        try:
+            return _commit(
+                path,
+                {
+                    "version": latest + 1,
+                    "op": "restore",
+                    "files": target["files"],
+                    "stats": target.get("stats") or {},
+                    "parent": latest,
+                    "restored_from": version,
+                    "schema": target.get("schema"),
+                },
+            )
+        except TxConflict:
+            continue
+    raise TxConflict(
+        f"txlog: restore of {path} lost {_MAX_COMMIT_RETRIES} CAS races"
+    )
+
+
+def shallow_clone(
+    spark: SparkSession,
+    src_path: str,
+    dst_path: str,
+    version: int | None = None,
+) -> int:
+    """Delta-style SHALLOW CLONE: create ``dst_path`` as a new table
+    whose version-0 manifest references the source's data files by
+    ABSOLUTE path — zero bytes copied, O(manifest) cost regardless of
+    table size. The clone then diverges independently: appends land
+    under the clone's own root; copy-on-write delete/merge rewrite
+    affected borrowed files INTO the clone (the source is never
+    touched); the clone's vacuum/compact never deletes borrowed files
+    (``_owned`` guard). Contract shared with Delta shallow clones:
+    vacuuming/compacting the SOURCE can remove files the clone still
+    references — ``fsck(dst)`` reports them as missing. Use clones for
+    zero-cost dev/test snapshots of a production table, not as
+    long-lived forks."""
+    if _list_versions(dst_path):
+        raise RuntimeError(f"txlog: table already exists at {dst_path}")
+    src_versions = _list_versions(src_path)
+    if not src_versions:
+        raise RuntimeError(f"txlog: no table at {src_path}")
+    v = src_versions[-1] if version is None else version
+    if v not in src_versions:
+        raise RuntimeError(f"txlog: version {v} not in {src_versions}")
+    m = _read_manifest(src_path, v)
+    files_abs = _manifest_files(src_path, m)
+    src_stats = m.get("stats") or {}
+    stats = {}
+    for e, f in zip(m["files"], files_abs):
+        if e in src_stats:
+            stats[f] = src_stats[e]
+    try:
+        return _commit(
+            dst_path,
+            {
+                "version": 0,
+                "op": "clone",
+                "files": files_abs,
+                "stats": stats,
+                "parent": None,
+                "cloned_from": {"path": os.path.abspath(src_path), "version": v},
+                "schema": m.get("schema"),
+            },
+        )
+    except TxConflict:
+        raise RuntimeError(
+            f"txlog: table already exists at {dst_path} (lost create race)"
+        ) from None
