@@ -1265,3 +1265,46 @@ def test_clone_vacuum_never_deletes_borrowed_files(spark, tmp_path):
     dst2 = str(tmp_path / "dst2")
     shallow_clone(spark, src, dst2, version=0)
     assert read_table(spark, dst2).count() == 50
+
+
+def test_zorder_compaction_prunes_both_dimensions(spark, tmp_path):
+    """compact_files(zorder_by=[x, y]): Morton-interleaved layout gives
+    BOTH columns file-level locality — a range predicate on either
+    dimension alone prunes a real fraction of files, where the 1-D
+    clustered rewrite gives its second column no locality at all."""
+    from vector_knowledge_base_spark.sources.txlog import (
+        _prune_files,
+        _read_manifest,
+        compact_files,
+    )
+
+    # 64×64 grid, rows shuffled across 4 interleaved appends so no
+    # pre-compaction file has any locality in x OR y
+    rows = [(x, y, x * 64 + y) for x in range(64) for y in range(64)]
+    pz = str(tmp_path / "tz")
+    p1 = str(tmp_path / "t1")
+    for p in (pz, p1):
+        for k in range(4):
+            df = spark.createDataFrame(
+                [r for i, r in enumerate(rows) if i % 4 == k],
+                "x long, y long, v long",
+            )
+            (create_table if k == 0 else append_table)(spark, p, df.coalesce(1))
+    with pytest.raises(ValueError, match="at most one"):
+        compact_files(spark, pz, order_by=["x"], zorder_by=["x", "y"])
+    vz = compact_files(spark, pz, target_files=16, zorder_by=["x", "y"])
+    v1 = compact_files(spark, p1, target_files=16, order_by=["x"])
+    mz, m1 = _read_manifest(pz, vz), _read_manifest(p1, v1)
+    assert len(mz["files"]) == 16 and len(m1["files"]) == 16
+    # predicate on x alone: both layouts prune
+    fx = {"x": {"gte": 0, "lte": 7}}
+    assert len(_prune_files(pz, mz, fx)) <= 8
+    assert len(_prune_files(p1, m1, fx)) <= 4  # exact 1-D is tighter on x
+    # predicate on y alone: ONLY the z-ordered layout prunes
+    fy = {"y": {"gte": 0, "lte": 7}}
+    assert len(_prune_files(pz, mz, fy)) <= 8
+    assert len(_prune_files(p1, m1, fy)) == 16  # x-sorted: y spans every file
+    # contents unchanged; filtered reads correct through the pruning
+    got = read_table(spark, pz, filters={"x": 3, "y": 5})
+    assert [r["v"] for r in got.collect()] == [3 * 64 + 5]
+    assert read_table(spark, pz).count() == 64 * 64

@@ -538,11 +538,46 @@ def overwrite_table(spark: SparkSession, path: str, df: DataFrame) -> int:
     )
 
 
+def _zvalue(df: DataFrame, cols: list[str], bits: int = 8) -> Column:
+    """Z-order (Morton) key over ``cols``: each column is linearly
+    scaled to a ``bits``-bit bucket between its observed min and max
+    (ONE tiny agg job — no global sort, the property that keeps this
+    viable at 100 TB), then the bucket bits are interleaved so that
+    files covering contiguous z-ranges are approximately contiguous in
+    EVERY dimension at once (Morton 1966; the Delta/Databricks OPTIMIZE
+    ZORDER BY layout). All codegen arithmetic — no UDF."""
+    n = len(cols)
+    bounds = df.agg(
+        *[F.min(F.col(c).cast("double")).alias(f"mn_{i}") for i, c in enumerate(cols)],
+        *[F.max(F.col(c).cast("double")).alias(f"mx_{i}") for i, c in enumerate(cols)],
+    ).first()
+    top = (1 << bits) - 1
+    buckets = []
+    for i, c in enumerate(cols):
+        mn, mx = bounds[f"mn_{i}"], bounds[f"mx_{i}"]
+        if mn is None or mx is None or mx <= mn:
+            buckets.append(F.lit(0))
+            continue
+        scaled = (F.col(c).cast("double") - F.lit(mn)) / F.lit(mx - mn) * top
+        buckets.append(
+            F.least(
+                F.greatest(F.floor(scaled).cast("int"), F.lit(0)), F.lit(top)
+            )
+        )
+    z = F.lit(0).cast("long")
+    for b in range(bits):
+        for i, bucket in enumerate(buckets):
+            bit = F.shiftright(bucket, b).bitwiseAND(F.lit(1)).cast("long")
+            z = z.bitwiseOR(F.shiftleft(bit, b * n + i))
+    return z
+
+
 def compact_files(
     spark: SparkSession,
     path: str,
     target_files: int = 8,
     order_by: list[str] | None = None,
+    zorder_by: list[str] | None = None,
 ) -> int:
     """Small-file compaction as a TRANSACTION: rewrite the current
     contents into ``target_files`` files and commit op='compact'. The
@@ -566,11 +601,22 @@ def compact_files(
     rewrite is applied even when the file count is already small —
     clustering, not file count, is the point then.
 
+    ``zorder_by`` (r6, wave 87) is the MULTI-dimensional form: a
+    Morton (bit-interleaved) key over the given numeric columns,
+    range-partitioned + sorted, so a predicate on ANY of the columns
+    prunes roughly a √F fraction of F files — the trade 1-D
+    clustering cannot make (its second column gets no locality at
+    all). Use order_by for one dominant predicate column (exact
+    disjointness beats approximate), zorder_by when queries filter on
+    several. Mutually exclusive.
+
     0-ROW files (empty shuffle partitions a writer carried — e.g. a
     1-row frame written at parallelism 8) are dropped WITHOUT a
     rewrite: the stats prove them empty, so removing their references
     is a pure metadata commit; the real rewrite (if still needed)
     reads only the non-empty files."""
+    if order_by is not None and zorder_by is not None:
+        raise ValueError("compact_files: pass at most one of order_by/zorder_by")
     for _ in range(_MAX_COMMIT_RETRIES):
         versions = _list_versions(path)
         if not versions:
@@ -582,10 +628,11 @@ def compact_files(
         nonempty = [
             e for e in m["files"] if stats.get(e, {}).get("rows") != 0
         ]
+        clustered = order_by is not None or zorder_by is not None
         if not m["files"] or (
             len(nonempty) == len(m["files"])
             and len(m["files"]) <= target_files
-            and order_by is None
+            and not clustered
         ):
             # files == [] is the legal fully-deleted state: nothing to
             # compact OR cluster (same empty-read guard as delete/merge)
@@ -593,7 +640,7 @@ def compact_files(
         if not nonempty or (
             len(nonempty) < len(m["files"])
             and len(nonempty) <= target_files
-            and order_by is None
+            and not clustered
         ):
             # dropping provably-empty references alone reaches the
             # target (or empties the table): metadata-only compaction
@@ -617,6 +664,13 @@ def compact_files(
             df = df.repartitionByRange(
                 target_files, *order_by
             ).sortWithinPartitions(*order_by)
+        elif zorder_by is not None:
+            df = (
+                df.withColumn("_zorder", _zvalue(df, zorder_by))
+                .repartitionByRange(target_files, "_zorder")
+                .sortWithinPartitions("_zorder")
+                .drop("_zorder")
+            )
         else:
             df = df.coalesce(target_files)
         new_files = _write_batch(df, path)
