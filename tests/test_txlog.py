@@ -26,8 +26,17 @@ from vector_knowledge_base_spark.sources.txlog import (
 )
 
 
-def _m(p: str, v: int) -> dict:
+def _raw(p: str, v: int) -> dict:
+    """The manifest exactly as stored on disk (may be delta-encoded)."""
     return json.load(open(p + "/_txlog/%08d.json" % v))
+
+
+def _m(p: str, v: int) -> dict:
+    """The manifest MATERIALIZED (files/stats resolved through any
+    delta chain) — what every reader sees."""
+    from vector_knowledge_base_spark.sources.txlog import _read_manifest
+
+    return _read_manifest(p, v)
 
 
 def _mfiles(p: str, v: int) -> list[str]:
@@ -110,10 +119,13 @@ def test_delete_where_no_match_is_metadata_only(spark, orders, tmp_path):
     p = str(tmp_path / "t")
     create_table(spark, p, orders)
     v1 = delete_where(spark, p, F.col("o_orderkey") < 0)
-    m0 = json.load(open(p + "/_txlog/00000000.json"))
-    m1 = json.load(open(p + "/_txlog/%08d.json" % v1))
+    m0, m1 = _m(p, 0), _m(p, v1)
     assert m1["files"] == m0["files"]
     assert m1["rewritten"] == []
+    # and the no-op delete is stored as an EMPTY delta (no file list)
+    assert _raw(p, v1)["delta"] == {
+        "base": 0, "add": [], "remove": [], "stats_add": {}
+    }
 
 
 def test_delete_where_null_predicate_rows_survive(spark, tmp_path):
@@ -310,12 +322,12 @@ def test_compact_files_transactional(spark, orders, tmp_path):
             ).repartition(6),
         )
     pre_v = table_versions(spark, p).agg(F.max("version")).first()[0]
-    n_files_pre = json.load(open(p + "/_txlog/%08d.json" % pre_v))["files"]
+    n_files_pre = _m(p, pre_v)["files"]
     assert len(n_files_pre) >= 10
     n_rows = read_table(spark, p).count()
 
     v = compact_files(spark, p, target_files=4)
-    m = json.load(open(p + "/_txlog/%08d.json" % v))
+    m = _m(p, v)
     assert m["op"] == "compact" and len(m["files"]) <= 4
     got = read_table(spark, p)
     assert got.count() == n_rows == orders.count()
@@ -1308,3 +1320,62 @@ def test_zorder_compaction_prunes_both_dimensions(spark, tmp_path):
     got = read_table(spark, pz, filters={"x": 3, "y": 5})
     assert [r["v"] for r in got.collect()] == [3 * 64 + 5]
     assert read_table(spark, pz).count() == 64 * 64
+
+
+def test_delta_manifest_commit_cost_is_o_touched_files(spark, tmp_path):
+    """Commit metadata is O(touched files): appends store a 1-entry
+    delta against their parent, not the whole file list; every 8th
+    version is a FULL checkpoint bounding the chain; a copy-on-write
+    delete stores only its removed/rewritten entries; resolution is
+    lossless (reads + time travel + stats pruning unchanged); and
+    compact_log materializes retained deltas before vacuuming their
+    bases so retention never breaks a chain."""
+    from vector_knowledge_base_spark.sources.txlog import (
+        _FULL_MANIFEST_INTERVAL,
+        fsck,
+    )
+
+    p = str(tmp_path / "t")
+    create_table(
+        spark, p, spark.range(0, 10).withColumnRenamed("id", "k").coalesce(1)
+    )
+    for i in range(1, 13):
+        append_table(
+            spark,
+            p,
+            spark.range(10 * i, 10 * (i + 1))
+            .withColumnRenamed("id", "k")
+            .coalesce(1),
+        )
+    assert _FULL_MANIFEST_INTERVAL == 8
+    for v in range(13):
+        raw, resolved = _raw(p, v), _m(p, v)
+        assert len(resolved["files"]) == v + 1  # lossless materialization
+        assert set(resolved["stats"]) == set(resolved["files"])
+        if v == 0 or v % 8 == 0:
+            assert "delta" not in raw and len(raw["files"]) == v + 1
+        else:
+            d = raw["delta"]
+            assert "files" not in raw and "stats" not in raw
+            assert d["base"] == v - 1 and d["remove"] == []
+            assert len(d["add"]) == 1 == len(d["stats_add"])  # O(touched)
+    assert read_table(spark, p).count() == 130
+    assert read_table(spark, p, version=5).count() == 60  # delta time travel
+    # stats pruning works through a resolved chain: point read on the
+    # clustered-by-construction k opens exactly one file
+    from vector_knowledge_base_spark.sources.txlog import _prune_files
+
+    assert len(_prune_files(p, _m(p, 12), {"k": 125})) == 1
+    # CoW delete of one file's rows: delta stores 1 remove, ≤1 add
+    v = delete_where(spark, p, filters={"k": {"gte": 40, "lte": 44}})
+    d = _raw(p, v)["delta"]
+    assert len(d["remove"]) == 1 and len(d["add"]) <= 1
+    assert read_table(spark, p).count() == 125
+    # retention: v13's base chain reaches back past the cut; survivors
+    # are materialized, reads stay correct, fsck stays clean
+    compact_log(spark, p, keep_versions=2, orphan_grace_s=0.0)
+    assert "delta" not in _raw(p, 12) or _raw(p, 12)["delta"]["base"] >= 12
+    assert read_table(spark, p).count() == 125
+    assert read_table(spark, p, version=12).count() == 130
+    bad = fsck(spark, p).where(~F.col("readable")).count()
+    assert bad == 0

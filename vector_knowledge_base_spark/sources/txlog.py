@@ -16,7 +16,9 @@ Layout::
     table/
       _txlog/
         00000000.json     {"version":0,"op":"create","files":[...],...}
-        00000001.json     {"version":1,"op":"delete_where", ...}
+        00000001.json     {"version":1,"op":"append",
+                           "delta":{"base":0,"add":[...],"remove":[],
+                                    "stats_add":{...}}}
         _batchids.json    batch ids whose manifests were vacuumed
       data/
         b0/part-*.parquet  (immutable once committed)
@@ -60,8 +62,19 @@ Guarantees:
   retention window still lands exactly once — the Delta txn app-id
   retention idea.
 
+- Commit metadata is O(TOUCHED files), not O(table files): a manifest
+  is stored as a DELTA against its parent ({base, add, remove,
+  stats_add}) whenever that is smaller, with every 8th version stored
+  FULL to bound the resolution chain (the Delta-Lake action-log +
+  checkpoint idea; Iceberg's manifest reuse). A 1-file append to a
+  million-file table writes a 1-entry manifest. ``_read_manifest``
+  materializes transparently — no caller ever sees the delta form —
+  and ``compact_log`` rewrites retained deltas to full before vacuuming
+  their bases, so retention never breaks a chain.
+
 Scale notes: version resolution is one directory listing of _txlog —
-O(versions), kept small by compact_log.
+O(versions), kept small by compact_log; manifest resolution walks at
+most _FULL_MANIFEST_INTERVAL files.
 """
 
 from __future__ import annotations
@@ -79,6 +92,9 @@ _LOG_DIR = "_txlog"
 _DATA_DIR = "data"
 _BATCHIDS_FILE = "_batchids.json"
 _MAX_COMMIT_RETRIES = 20
+
+
+_FULL_MANIFEST_INTERVAL = 8
 
 
 class TxConflict(RuntimeError):
@@ -113,8 +129,35 @@ def _list_versions(path: str) -> list[int]:
 
 
 def _read_manifest(path: str, version: int) -> dict:
+    """Read manifest ``version`` with its file list MATERIALIZED.
+
+    A manifest is stored either FULL (explicit ``files`` + ``stats``)
+    or as a DELTA against an earlier version (``delta`` = {base, add,
+    remove, stats_add}) — the Delta-Lake/Iceberg log idea that keeps a
+    commit's metadata cost O(touched files), not O(table files): a
+    1-file append to a million-file table must not rewrite a
+    million-entry list. Resolution walks the base chain (bounded by
+    ``_FULL_MANIFEST_INTERVAL`` — every interval-th version is stored
+    full, the checkpoint role of Delta's _last_checkpoint) and returns
+    the same dict shape every caller has always seen: ``files`` and
+    ``stats`` fully materialized, per-commit fields (op, batch_id,
+    schema, parent) untouched."""
     with open(_manifest_file(path, version)) as f:
-        return json.load(f)
+        m = json.load(f)
+    d = m.get("delta")
+    if d is None:
+        return m
+    base = _read_manifest(path, d["base"])  # chain ≤ interval deep
+    removed = set(d["remove"])
+    files = [e for e in base["files"] if e not in removed] + d["add"]
+    fileset = set(files)
+    stats = {
+        e: s
+        for e, s in {**(base.get("stats") or {}), **d["stats_add"]}.items()
+        if e in fileset
+    }
+    m["files"], m["stats"] = files, stats
+    return m
 
 
 def _rel(path: str, f: str) -> str:
@@ -149,15 +192,66 @@ def _entry(path: str, f: str) -> str:
     return _rel(path, f) if _owned(path, f) else f
 
 
+def _delta_encode(path: str, manifest: dict) -> dict:
+    """Shrink a commit's stored form to a DELTA against its parent when
+    that is smaller than the full file list — the property that keeps a
+    commit O(touched files) at 100 TB (a 1-file append to a million-file
+    table stores 1 entry, a 0.1% delete stores 0.2%). Every
+    ``_FULL_MANIFEST_INTERVAL``-th version stays full, bounding the
+    resolution chain (the checkpoint role). Encoding is lossless:
+    ``_read_manifest`` materializes back to the identical dict. Falls
+    back to full whenever the parent is unreadable or the delta would
+    not be smaller (rewrites, compactions, the empty-table state)."""
+    parent = manifest.get("parent")
+    if (
+        not isinstance(parent, int)
+        or manifest["version"] % _FULL_MANIFEST_INTERVAL == 0
+    ):
+        return manifest
+    try:
+        base = _read_manifest(path, parent)
+    except (OSError, KeyError, ValueError):
+        return manifest
+    prev_files, new_files = base.get("files"), manifest["files"]
+    if prev_files is None:
+        return manifest
+    prev_set, new_set = set(prev_files), set(new_files)
+    add = [e for e in new_files if e not in prev_set]
+    remove = [e for e in prev_files if e not in new_set]
+    if len(add) + len(remove) >= len(new_files):
+        return manifest
+    stats = manifest.get("stats") or {}
+    base_stats = base.get("stats") or {}
+    # carry only stats the base cannot supply (new files, plus any
+    # carried entry whose value differs — stats are footer-derived and
+    # files immutable, so in practice that is just the adds)
+    stats_add = {
+        e: s for e, s in stats.items() if base_stats.get(e) != s
+    }
+    stored = {
+        k: v for k, v in manifest.items() if k not in ("files", "stats")
+    }
+    stored["delta"] = {
+        "base": parent,
+        "add": add,
+        "remove": remove,
+        "stats_add": stats_add,
+    }
+    return stored
+
+
 def _commit(path: str, manifest: dict) -> int:
     """Compare-and-swap commit: write to a dot-temp in _txlog, fsync,
     then claim the numbered slot with ``os.link`` — atomic create-
     exclusive, so exactly one writer wins a given version. Readers see
     the old latest or the new latest, never a partial file. Raises
     ``TxConflict`` if the slot is already taken (caller retries against
-    the new snapshot)."""
+    the new snapshot). Pure-metadata-wise the stored form may be a
+    delta against the parent (``_delta_encode``); callers and readers
+    only ever see the materialized shape."""
     os.makedirs(_log_path(path), exist_ok=True)
     version = manifest["version"]
+    manifest = _delta_encode(path, manifest)
     final = _manifest_file(path, version)
     tmp = os.path.join(_log_path(path), f".{uuid.uuid4().hex}.tmp")
     with open(tmp, "w") as f:
@@ -937,7 +1031,14 @@ def fsck(spark: SparkSession, path: str) -> DataFrame:
     referenced: set[str] = set()
     rows = []
     for v in versions:
-        m = _read_manifest(path, v)
+        try:
+            m = _read_manifest(path, v)
+        except (OSError, KeyError, ValueError):
+            # a delta manifest whose base chain is broken (manually
+            # deleted manifest, torn copy) is unreadable but must not
+            # crash the integrity REPORT
+            rows.append((v, "unresolvable", 0, 0, False))
+            continue
         files = _manifest_files(path, m)
         missing = [f for f in files if not os.path.exists(f)]
         referenced.update(files)
@@ -1236,11 +1337,32 @@ def compact_log(
             f.flush()
             os.fsync(f.fileno())
         os.rename(tmp, os.path.join(_log_path(path), _BATCHIDS_FILE))
+    # materialize any RETAINED delta manifest whose base is about to be
+    # vacuumed (atomic in-place replace: readers see the delta or the
+    # identical materialized form, never a broken chain); then snapshot
+    # every dropped version's file list BEFORE deleting any manifest —
+    # a dropped delta may chain onto an earlier dropped base
+    dropset = set(drop)
+    for v in keep:
+        with open(_manifest_file(path, v)) as f:
+            raw = json.load(f)
+        if "delta" in raw and raw["delta"]["base"] in dropset:
+            full = _read_manifest(path, v)
+            full.pop("delta", None)
+            tmp = os.path.join(_log_path(path), f".{uuid.uuid4().hex}.tmp")
+            with open(tmp, "w") as f:
+                json.dump(full, f)
+                f.flush()
+                os.fsync(f.fileno())
+            os.replace(tmp, _manifest_file(path, v))
+    dropped_files = {
+        v: _manifest_files(path, _read_manifest(path, v)) for v in drop
+    }
     live: set[str] = set()
     for v in keep:
         live.update(_manifest_files(path, _read_manifest(path, v)))
     for v in drop:
-        for f in _manifest_files(path, _read_manifest(path, v)):
+        for f in dropped_files[v]:
             # never delete borrowed files (shallow-clone references):
             # they are owned by the source table, not this log
             if f not in live and _owned(path, f) and os.path.exists(f):
