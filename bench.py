@@ -351,6 +351,8 @@ SINGLE_RUN = {
     "txlog_merge_upsert",
     "txlog_replace_where",
     "txlog_restore_clone",
+    "txlog_zorder_pruning",
+    "txlog_delta_manifest_audit",
 }
 
 KNN_BATCH_N_QUERIES = 5  # matches the knn_batch query definition

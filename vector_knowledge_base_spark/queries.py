@@ -14297,3 +14297,180 @@ def q_label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFra
     return labels.select(
         F.col("a").alias("part_id"), F.col("l").cast("bigint").alias("community")
     )
+
+
+# ---------------------------------------------------------------------------
+# Wave 87-88 (r6) — z-order multi-dimensional clustering + delta-encoded
+# manifests, both as driver-visible known-answer rows over the txlog
+# layer (sources/txlog.py compact_files(zorder_by=...), _delta_encode).
+# ---------------------------------------------------------------------------
+
+_TXLOG_ZORDER_ORACLE = """
+SELECT 16 AS n_files,
+       TRUE AS pruned_on_orderkey,
+       TRUE AS pruned_on_custkey,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       ROUND(SUM(o_totalprice), 2) AS total_value
+FROM orders
+WHERE o_custkey <= (SELECT MIN(o_custkey) + (MAX(o_custkey) - MIN(o_custkey)) // 8
+                    FROM orders)
+"""
+
+
+@query("txlog_zorder_pruning", oracle=_TXLOG_ZORDER_ORACLE)
+def q_txlog_zorder_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-ORDER (Morton) clustered compaction, driver-checked (r6 wave
+    87: compact_files(zorder_by=[k1, k2]) — the multi-dimensional form
+    of Delta's OPTIMIZE ZORDER BY): four appends interleaved on BOTH
+    o_orderkey and o_custkey (no file has locality in either key) are
+    rewritten into 16 files range-partitioned on the bit-interleaved
+    Morton key, after which a bottom-1/8 range predicate on EITHER
+    column alone prunes at least half the files via manifest min/max
+    stats — the property 1-D clustering cannot give its second column.
+    The filtered read's row count and money total are hash-checked
+    against the raw table under the same predicate, proving pruning
+    never drops a matching row.
+
+    100 TB shape: z-ordering costs one min/max agg + one range shuffle
+    (never a global sort); it converts footer stats into a multi-
+    column file index, which is the difference between a two-predicate
+    scan touching every file and touching ~√F of them."""
+    import re
+    import shutil
+
+    from vector_knowledge_base_spark.sources.txlog import (
+        _prune_files,
+        _read_manifest,
+        append_table,
+        compact_files,
+        create_table,
+        read_table,
+    )
+
+    tag = re.sub(r"[^A-Za-z0-9.]", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1])
+    path = f"/tmp/vkb_txlog_zorder_{_session_tag(spark)}_{tag}"
+    shutil.rmtree(path, ignore_errors=True)
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    for k in range(4):
+        part = orders.where(
+            (F.col("o_orderkey") + F.col("o_custkey")) % 4 == k
+        ).coalesce(1)
+        if k == 0:
+            create_table(spark, path, part)
+        else:
+            append_table(spark, path, part)
+    v = compact_files(
+        spark, path, target_files=16, zorder_by=["o_orderkey", "o_custkey"]
+    )
+    m = _read_manifest(path, v)
+    n_files = len(m["files"])
+    lo = orders.agg(
+        F.min("o_orderkey"), F.max("o_orderkey"),
+        F.min("o_custkey"), F.max("o_custkey"),
+    ).first()
+    okey_lim = lo[0] + (lo[1] - lo[0]) // 8
+    ckey_lim = lo[2] + (lo[3] - lo[2]) // 8
+    pruned_ok = len(
+        _prune_files(path, m, {"o_orderkey": {"lte": okey_lim}})
+    ) <= n_files // 2
+    pruned_ck = len(
+        _prune_files(path, m, {"o_custkey": {"lte": ckey_lim}})
+    ) <= n_files // 2
+    return (
+        read_table(spark, path, filters={"o_custkey": {"lte": ckey_lim}})
+        .agg(
+            F.lit(n_files).alias("n_files"),
+            F.lit(pruned_ok).alias("pruned_on_orderkey"),
+            F.lit(pruned_ck).alias("pruned_on_custkey"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_value"),
+        )
+        .select(
+            "n_files", "pruned_on_orderkey", "pruned_on_custkey",
+            "n_rows", "total_value",
+        )
+    )
+
+
+_TXLOG_DELTA_ORACLE = """
+SELECT TRUE AS append_stores_one_entry,
+       TRUE AS checkpoint_full_at_interval,
+       TRUE AS delete_stores_touched_only,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+        WHERE o_orderkey % 13 <= 5) AS n_rows_v5,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       ROUND(SUM(o_totalprice), 2) AS total_value
+FROM orders WHERE o_orderkey % 13 <> 5
+"""
+
+
+@query("txlog_delta_manifest_audit", oracle=_TXLOG_DELTA_ORACLE)
+def q_txlog_delta_manifest_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELTA-ENCODED manifest commits, driver-checked (r6 wave 88: the
+    Delta-Lake action-log + checkpoint idea): 13 single-file commits
+    build a chain where every stored append manifest carries exactly
+    ONE file entry (commit metadata is O(touched files), never O(table
+    files)), every 8th version is a FULL checkpoint bounding chain
+    resolution, and a copy-on-write delete of one file's rows stores
+    only its removed/rewritten entries. Losslessness is the hashed
+    part: time travel to mid-chain v5 and the post-delete latest are
+    both recomputed by the oracle from raw orders.
+
+    100 TB shape: without delta encoding a 1-file append to a
+    million-file table rewrites a million-entry manifest — the log
+    itself becomes the write bottleneck; with it, commit cost follows
+    the change, and the every-8th full manifest caps read-side chain
+    walks."""
+    import json
+    import os
+    import re
+    import shutil
+
+    from vector_knowledge_base_spark.sources.txlog import (
+        _manifest_file,
+        append_table,
+        create_table,
+        delete_where,
+        read_table,
+    )
+
+    tag = re.sub(r"[^A-Za-z0-9.]", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1])
+    path = f"/tmp/vkb_txlog_delta_{_session_tag(spark)}_{tag}"
+    shutil.rmtree(path, ignore_errors=True)
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    for k in range(13):
+        part = orders.where(F.col("o_orderkey") % 13 == k).coalesce(1)
+        if k == 0:
+            create_table(spark, path, part)
+        else:
+            append_table(spark, path, part)
+    raws = {
+        v: json.load(open(_manifest_file(path, v))) for v in range(13)
+    }
+    append_one = all(
+        "files" not in raws[v]
+        and len(raws[v]["delta"]["add"]) == 1
+        and raws[v]["delta"]["remove"] == []
+        for v in range(1, 13)
+        if v % 8 != 0
+    )
+    checkpoint_full = "delta" not in raws[8] and len(raws[8]["files"]) == 9
+    vdel = delete_where(spark, path, F.col("o_orderkey") % 13 == 5)
+    ddel = json.load(open(_manifest_file(path, vdel)))["delta"]
+    delete_touched = len(ddel["remove"]) == 1 and len(ddel["add"]) <= 1
+    n_v5 = read_table(spark, path, version=5).count()
+    return read_table(spark, path).agg(
+        F.lit(append_one).alias("append_stores_one_entry"),
+        F.lit(checkpoint_full).alias("checkpoint_full_at_interval"),
+        F.lit(delete_touched).alias("delete_stores_touched_only"),
+        F.lit(n_v5).cast("bigint").alias("n_rows_v5"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_value"),
+    ).select(
+        "append_stores_one_entry", "checkpoint_full_at_interval",
+        "delete_stores_touched_only", "n_rows_v5", "n_rows", "total_value",
+    )
