@@ -353,6 +353,7 @@ SINGLE_RUN = {
     "txlog_restore_clone",
     "txlog_zorder_pruning",
     "txlog_delta_manifest_audit",
+    "txlog_stream_multihop",
 }
 
 KNN_BATCH_N_QUERIES = 5  # matches the knn_batch query definition

@@ -1,0 +1,191 @@
+"""Streaming SOURCE over the txlog (sources/txstream.py): offsets are
+log versions, partitions are the files a commit added, replay is
+deterministic because manifests + data files are immutable.
+
+Together with streaming/txsink.py (streams INTO the log) this closes
+the exactly-once loop: txlog tables compose into multi-hop streaming
+pipelines, which the reference (poll-the-collection listings,
+backend/document_registry.py) cannot express at all."""
+
+from __future__ import annotations
+
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from vector_knowledge_base_spark.sources.txlog import (
+    append_table,
+    compact_log,
+    create_table,
+    delete_where,
+    read_table,
+)
+from vector_knowledge_base_spark.sources.txstream import (
+    TxlogStreamReader,
+    stream_txlog_table,
+)
+
+
+def _run_until(spark, q, table_name: str, target: int, timeout_s: int = 120):
+    deadline = time.time() + timeout_s
+    while time.time() < deadline:
+        if spark.table(table_name).count() >= target:
+            return
+        time.sleep(0.4)
+    raise AssertionError(
+        f"stream never reached {target} rows in {table_name} "
+        f"(got {spark.table(table_name).count()})"
+    )
+
+
+def test_tail_live_appends(spark, tmp_path):
+    """Initial snapshot + live tail: the stream delivers v0's full
+    contents, then picks up an append committed WHILE running — every
+    key exactly once (restart recovery is covered by the multi-hop
+    test; the memory sink cannot recover from a checkpoint)."""
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+    create_table(spark, src, spark.range(0, 20).withColumnRenamed("id", "k"))
+    append_table(spark, src, spark.range(20, 35).withColumnRenamed("id", "k"))
+
+    q = (
+        stream_txlog_table(spark, src)
+        .writeStream.format("memory")
+        .queryName("txtail")
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        _run_until(spark, q, "txtail", 35)
+        append_table(spark, src, spark.range(35, 50).withColumnRenamed("id", "k"))
+        _run_until(spark, q, "txtail", 50)
+    finally:
+        q.stop()
+    got = {r["k"] for r in spark.table("txtail").collect()}
+    assert got == set(range(50))
+    assert spark.table("txtail").count() == 50  # no duplicates
+
+
+def test_partitions_reject_nonappend_unless_ignore_changes(spark, tmp_path):
+    """The append-only contract (Delta streaming-source semantics): a
+    delete commit in the tailed range raises; ignore_changes=true
+    re-emits the rewritten files instead."""
+    src = str(tmp_path / "src")
+    create_table(
+        spark,
+        src,
+        spark.range(0, 30).withColumnRenamed("id", "k").coalesce(2),
+    )
+    delete_where(spark, src, F.col("k") < 5)  # v1: CoW rewrite
+    cols = ["k"]
+    r = TxlogStreamReader(src, cols, ignore_changes=False, start_version=0)
+    with pytest.raises(ValueError, match="appends only"):
+        r.partitions({"version": -1}, {"version": 1})
+    # versions BEFORE the delete still plan fine
+    assert len(r.partitions({"version": -1}, {"version": 0})) >= 1
+    r2 = TxlogStreamReader(src, cols, ignore_changes=True, start_version=0)
+    parts = r2.partitions({"version": 0}, {"version": 1})
+    rows = [row for p in parts for row in r2.read(p)]
+    # the rewritten survivor file re-emits its rows (k >= 5 only)
+    assert rows and all(k >= 5 for (k,) in rows)
+
+
+def test_schema_evolution_null_fills_through_stream(spark, tmp_path):
+    """Files written before a merge_schema append physically lack the
+    evolved column; the stream read null-fills them (same contract as
+    the batch read path)."""
+    src = str(tmp_path / "src")
+    create_table(
+        spark, src, spark.createDataFrame([(1, "a")], "k long, tag string")
+    )
+    append_table(
+        spark,
+        src,
+        spark.createDataFrame([(2, "b", "en")], "k long, tag string, lang string"),
+        merge_schema=True,
+    )
+    cols = ["k", "tag", "lang"]
+    r = TxlogStreamReader(src, cols, ignore_changes=False, start_version=0)
+    rows = sorted(
+        row
+        for p in r.partitions({"version": -1}, {"version": 1})
+        for row in r.read(p)
+    )
+    assert rows == [(1, "a", None), (2, "b", "en")]
+
+
+def test_vacuumed_version_gives_clear_error(spark, tmp_path):
+    """A consumer whose checkpoint lags past the retention window gets
+    the named retention error, not a stray FileNotFoundError."""
+    src = str(tmp_path / "src")
+    create_table(spark, src, spark.range(0, 5).withColumnRenamed("id", "k"))
+    for i in range(1, 6):
+        append_table(
+            spark, src, spark.range(5 * i, 5 * (i + 1)).withColumnRenamed("id", "k")
+        )
+    compact_log(spark, src, keep_versions=2, orphan_grace_s=0.0)
+    r = TxlogStreamReader(src, ["k"], ignore_changes=False, start_version=0)
+    with pytest.raises(ValueError, match="vacuumed"):
+        r.partitions({"version": 0}, {"version": 5})
+    # the retained window still plans and reads
+    parts = r.partitions({"version": 4}, {"version": 5})
+    assert sorted(k for p in parts for (k,) in r.read(p)) == list(range(25, 30))
+
+
+def _wait_rows(spark, table_path: str, target: int, deadline: float) -> None:
+    while time.time() < deadline:
+        try:
+            if read_table(spark, table_path).count() >= target:
+                return
+        except RuntimeError:
+            pass  # table not created yet
+        time.sleep(0.4)
+    raise AssertionError(f"{table_path} never reached {target} rows")
+
+
+def test_multi_hop_txlog_to_txlog_exactly_once_with_restart(spark, tmp_path):
+    """The closed loop: tail table A as a stream, land every micro-
+    batch into table B through the exactly-once txlog sink — B
+    converges to A's contents with no duplicates (bronze→silver), and
+    a RESTART from the same checkpoint delivers only the commits made
+    while the stream was down (offsets = versions survive recovery;
+    the sink's batch_id idempotence absorbs any replayed batch)."""
+    from vector_knowledge_base_spark.streaming.txsink import (
+        txlog_foreach_batch,
+    )
+
+    a, b, ckpt = str(tmp_path / "a"), str(tmp_path / "b"), str(tmp_path / "ck")
+    create_table(spark, a, spark.range(0, 40).withColumnRenamed("id", "k"))
+    q = (
+        stream_txlog_table(spark, a)
+        .writeStream.foreachBatch(txlog_foreach_batch(b))
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    deadline = time.time() + 150
+    try:
+        _wait_rows(spark, b, 40, deadline)
+        append_table(spark, a, spark.range(40, 55).withColumnRenamed("id", "k"))
+        _wait_rows(spark, b, 55, deadline)
+    finally:
+        q.stop()
+    # commits made while the stream is DOWN, then a checkpoint restart
+    append_table(spark, a, spark.range(55, 70).withColumnRenamed("id", "k"))
+    q2 = (
+        stream_txlog_table(spark, a)
+        .writeStream.foreachBatch(txlog_foreach_batch(b))
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        _wait_rows(spark, b, 70, deadline)
+        time.sleep(1.5)  # would-be duplicates need a beat to land
+    finally:
+        q2.stop()
+    got = read_table(spark, b)
+    assert got.count() == 70
+    assert got.select("k").distinct().count() == 70
+    assert {r["k"] for r in got.collect()} == set(range(70))

@@ -14474,3 +14474,124 @@ def q_txlog_delta_manifest_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "append_stores_one_entry", "checkpoint_full_at_interval",
         "delete_stores_touched_only", "n_rows_v5", "n_rows", "total_value",
     )
+
+
+# ---------------------------------------------------------------------------
+# Wave 89 (r6) — txlog STREAMING SOURCE (sources/txstream.py): tail the
+# manifest log as a structured stream; offsets ARE log versions. Closes
+# the exactly-once loop with streaming/txsink.py: txlog tables compose
+# into multi-hop (bronze→silver) pipelines.
+# ---------------------------------------------------------------------------
+
+_TXLOG_STREAM_ORACLE = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       ROUND(SUM(o_totalprice), 2) AS total_value,
+       5 AS n_src_versions,
+       TRUE AS live_tailed,
+       TRUE AS exactly_once
+FROM orders
+"""
+
+
+@query("txlog_stream_multihop", oracle=_TXLOG_STREAM_ORACLE)
+def q_txlog_stream_multihop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-hop exactly-once streaming over the txlog, driver-checked
+    (r6 wave 89, sources/txstream.py — the Delta streaming-source idea
+    on the Python DataSource API): table A holds orders committed in 5
+    waves; a stream TAILS A's manifest log (offsets are log versions,
+    partitions are the files each commit added, read on executors) and
+    lands every micro-batch into table B through the exactly-once
+    txlog sink. Waves 0-2 arrive as the initial snapshot, wave 3 is
+    committed WHILE the stream runs (live tail), wave 4 while it is
+    DOWN — the checkpoint restart delivers it exactly once. B's row
+    count and money total are recomputed by the oracle from raw
+    orders; exactly_once pins distinct keys == rows == orders.
+
+    100 TB shape: offset planning is a manifest diff (no data read on
+    the driver); per-micro-batch work ∝ newly added files, never table
+    size; replay is deterministic because manifests and data files are
+    immutable — the recovery contract checkpointing requires."""
+    import re
+    import shutil
+    import time as _time
+
+    from vector_knowledge_base_spark.sources.txlog import (
+        _list_versions,
+        append_table,
+        create_table,
+        read_table,
+    )
+    from vector_knowledge_base_spark.sources.txstream import (
+        stream_txlog_table,
+    )
+    from vector_knowledge_base_spark.streaming.txsink import (
+        txlog_foreach_batch,
+    )
+
+    tag = re.sub(r"[^A-Za-z0-9.]", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1])
+    base = f"/tmp/vkb_txstream_{_session_tag(spark)}_{tag}"
+    shutil.rmtree(base, ignore_errors=True)
+    a, b, ckpt = f"{base}/a", f"{base}/b", f"{base}/ckpt"
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    wave = [orders.where(F.col("o_orderkey") % 5 == k) for k in range(5)]
+    counts = [w.count() for w in wave]
+    create_table(spark, a, wave[0].coalesce(1))
+    append_table(spark, a, wave[1].coalesce(1))
+    append_table(spark, a, wave[2].coalesce(1))
+
+    def _wait(target: int, deadline: float) -> bool:
+        while _time.time() < deadline:
+            try:
+                if read_table(spark, b).count() >= target:
+                    return True
+            except RuntimeError:
+                pass  # B not created yet
+            _time.sleep(0.4)
+        return False
+
+    q = (
+        stream_txlog_table(spark, a)
+        .writeStream.foreachBatch(txlog_foreach_batch(b))
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    deadline = _time.time() + 240
+    live_tailed = False
+    try:
+        if _wait(sum(counts[:3]), deadline):
+            append_table(spark, a, wave[3].coalesce(1))  # while RUNNING
+            live_tailed = _wait(sum(counts[:4]), deadline)
+    finally:
+        q.stop()
+    append_table(spark, a, wave[4].coalesce(1))  # while DOWN
+    q2 = (
+        stream_txlog_table(spark, a)
+        .writeStream.foreachBatch(txlog_foreach_batch(b))
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        _wait(sum(counts), deadline)
+        _time.sleep(1.0)  # would-be duplicates need a beat to land
+    finally:
+        q2.stop()
+    n_src_versions = len(_list_versions(a))
+    got = read_table(spark, b)
+    n_keys = got.select("o_orderkey").distinct().count()
+    return got.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_value"),
+        F.lit(n_src_versions).alias("n_src_versions"),
+        F.lit(live_tailed).alias("live_tailed"),
+        F.count(F.lit(1)).alias("_n"),
+    ).select(
+        "n_rows",
+        "total_value",
+        "n_src_versions",
+        "live_tailed",
+        (F.col("_n") == F.lit(n_keys)).alias("exactly_once"),
+    )
