@@ -189,3 +189,45 @@ def test_multi_hop_txlog_to_txlog_exactly_once_with_restart(spark, tmp_path):
     assert got.count() == 70
     assert got.select("k").distinct().count() == 70
     assert {r["k"] for r in got.collect()} == set(range(70))
+
+
+def test_read_yields_arrow_batches_and_null_fills(spark, tmp_path):
+    """The executor read path hands Spark Arrow RecordBatches (zero
+    per-row conversion), null-filling pre-evolution files to the
+    logged schema's Arrow types — a silent regression to the row-tuple
+    fallback would fail the isinstance check."""
+    import json
+
+    import pyarrow as pa
+
+    src = str(tmp_path / "src")
+    create_table(
+        spark, src, spark.createDataFrame([(1, "a")], "k long, tag string")
+    )
+    append_table(
+        spark,
+        src,
+        spark.createDataFrame(
+            [(2, "b", "en")], "k long, tag string, lang string"
+        ),
+        merge_schema=True,
+    )
+    from vector_knowledge_base_spark.sources.txlog import table_schema
+
+    schema_json = json.dumps(table_schema(src).jsonValue())
+    r = TxlogStreamReader(
+        src, ["k", "tag", "lang"], ignore_changes=False, start_version=0,
+        schema_json=schema_json,
+    )
+    batches = [
+        b
+        for p in r.partitions({"version": -1}, {"version": 1})
+        for b in r.read(p)
+    ]
+    assert batches and all(isinstance(b, pa.RecordBatch) for b in batches)
+    rows = sorted(
+        tuple(row[c] for c in ("k", "tag", "lang"))
+        for b in batches
+        for row in b.to_pylist()
+    )
+    assert rows == [(1, "a", None), (2, "b", "en")]

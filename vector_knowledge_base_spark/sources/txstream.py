@@ -23,11 +23,12 @@ ignoreChanges semantics — deduplicate downstream on a key). Versions
 vacuumed by ``compact_log`` cannot replay; keep the retention window
 longer than the longest consumer lag (same trade as Delta).
 
-Scale notes: read() yields plain tuples (pyarrow decode per file) —
-honest for the tested scales; a production connector yields Arrow
-RecordBatches to skip per-row conversion. Everything else is already
-the 100 TB shape: per-microbatch work ∝ newly-added files, never table
-size, and the driver touches only manifests.
+Scale notes: read() hands Spark Arrow RecordBatches (the logged Spark
+schema fixes the Arrow types; pre-evolution files null-fill, columns
+cast to declared types) — zero per-row Python conversion; a row-tuple
+fallback covers exotic types Arrow conversion rejects. Per-microbatch
+work ∝ newly-added files, never table size, and the driver touches
+only manifests.
 """
 
 from __future__ import annotations
@@ -52,9 +53,10 @@ _APPEND_OPS = {"create", "append"}
 
 
 class _AddedFilePartition(InputPartition):
-    def __init__(self, file: str | None, columns: list[str]):
+    def __init__(self, file: str | None, columns: list[str], schema_json: str = ""):
         self.file = file
         self.columns = columns
+        self.schema_json = schema_json
 
 
 def _added_files(path: str, version: int) -> tuple[dict, list[str]]:
@@ -102,9 +104,12 @@ class TxlogStreamDataSource(DataSource):
         return T.StructType.fromJson(logged)
 
     def streamReader(self, schema) -> "TxlogStreamReader":
+        import json as _json
+
         return TxlogStreamReader(
             path=self.options["path"],
             columns=[f.name for f in schema.fields],
+            schema_json=_json.dumps(schema.jsonValue()),
             ignore_changes=str(
                 self.options.get("ignore_changes", "false")
             ).lower()
@@ -127,9 +132,11 @@ class TxlogStreamReader(DataSourceStreamReader):
         columns: list[str],
         ignore_changes: bool,
         start_version: int,
+        schema_json: str = "",
     ):
         self.path = path
         self.columns = columns
+        self.schema_json = schema_json
         self.ignore_changes = ignore_changes
         self.start_version = start_version
 
@@ -153,25 +160,55 @@ class TxlogStreamReader(DataSourceStreamReader):
                     "source tails appends only; pass ignore_changes=true "
                     "to re-emit rewritten files (dedup downstream on a key)"
                 )
-            out.extend(_AddedFilePartition(f, self.columns) for f in added)
+            out.extend(
+                _AddedFilePartition(f, self.columns, self.schema_json)
+                for f in added
+            )
         if not out:  # engine requires ≥1 partition per (possibly empty) batch
-            out.append(_AddedFilePartition(None, self.columns))
+            out.append(_AddedFilePartition(None, self.columns, self.schema_json))
         return out
 
-    def read(self, partition: _AddedFilePartition) -> Iterator[tuple]:
+    def read(self, partition: _AddedFilePartition):
         if partition.file is None:
             return iter(())
+        import pyarrow as pa
         import pyarrow.parquet as pq
 
         tbl = pq.read_table(partition.file)
         n = tbl.num_rows
-        cols = [
-            tbl.column(name).to_pylist()
-            if name in tbl.column_names
-            else [None] * n  # pre-schema-evolution file: null-fill
-            for name in partition.columns
-        ]
-        return iter(zip(*cols))
+        try:
+            # fast path: hand Spark Arrow RecordBatches (zero per-row
+            # Python conversion — the 100 TB shape). The logged Spark
+            # schema defines the exact Arrow types; files written
+            # before a schema evolution null-fill, every column casts
+            # to the declared type.
+            from pyspark.sql import types as T
+            from pyspark.sql.pandas.types import to_arrow_schema
+
+            import json as _json
+
+            if not partition.schema_json:
+                raise ValueError("no logged schema shipped")
+            arrow_schema = to_arrow_schema(
+                T.StructType.fromJson(_json.loads(partition.schema_json))
+            )
+            arrays = [
+                tbl.column(f.name).combine_chunks().cast(f.type)
+                if f.name in tbl.column_names
+                else pa.nulls(n, type=f.type)
+                for f in arrow_schema
+            ]
+            out = pa.Table.from_arrays(arrays, schema=arrow_schema)
+            return iter(out.to_batches(max_chunksize=65536))
+        except Exception:
+            # conversion fallback (exotic types): row tuples
+            cols = [
+                tbl.column(name).to_pylist()
+                if name in tbl.column_names
+                else [None] * n
+                for name in partition.columns
+            ]
+            return iter(zip(*cols))
 
     def commit(self, end: dict) -> None:
         pass  # offsets are durable in the engine checkpoint
