@@ -335,6 +335,12 @@ HEADLINE = [
     "txlog_restore_clone",
     # wave 86 (r6) — deterministic label-propagation communities
     "label_propagation_communities",
+    # wave 87 (r6) — z-order (Morton) clustered compaction + pruning
+    "txlog_zorder_pruning",
+    # wave 88 (r6) — delta-encoded manifests (O(touched-files) commits)
+    "txlog_delta_manifest_audit",
+    # wave 89 (r6) — txlog streaming source, multi-hop exactly-once
+    "txlog_stream_multihop",
 ]
 
 # Integration rows whose cost is fixed overhead (streaming runs with
