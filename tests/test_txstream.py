@@ -231,3 +231,177 @@ def test_read_yields_arrow_batches_and_null_fills(spark, tmp_path):
         for row in b.to_pylist()
     )
     assert rows == [(1, "a", None), (2, "b", "en")]
+
+
+def _planned_end_versions(ckpt: str) -> list[int]:
+    """The end offset (txlog version) each planned micro-batch covered,
+    parsed from the query's offset log (last line of each offset file
+    is the source-0 offset JSON)."""
+    import json
+    import os
+
+    odir = os.path.join(ckpt, "offsets")
+    out = []
+    for name in sorted(
+        (n for n in os.listdir(odir) if n.isdigit()), key=int
+    ):
+        with open(os.path.join(odir, name)) as fh:
+            lines = [ln.strip() for ln in fh if ln.strip()]
+        out.append(int(json.loads(lines[-1])["version"]))
+    return out
+
+
+def test_backlog_catchup_bounded_micro_batches(spark, tmp_path):
+    """Admission control (VERDICT r6 #2): a fresh consumer facing a
+    9-version backlog with max_versions_per_trigger=3 drains it in
+    MULTIPLE micro-batches, each covering at most 3 versions — never
+    the whole backlog as one batch (the 100 TB OOM cliff) — with
+    exactly-once intact."""
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ck")
+    create_table(spark, src, spark.range(0, 10).withColumnRenamed("id", "k"))
+    for i in range(1, 9):  # versions 1..8 — a 9-version backlog
+        append_table(
+            spark,
+            src,
+            spark.range(10 * i, 10 * (i + 1)).withColumnRenamed("id", "k"),
+        )
+    q = (
+        stream_txlog_table(spark, src, max_versions_per_trigger=3)
+        .writeStream.format("memory")
+        .queryName("txbacklog")
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    deadline = time.time() + 150
+    try:
+        while time.time() < deadline:
+            if spark.table("txbacklog").count() >= 90:
+                break
+            time.sleep(0.3)
+    finally:
+        q.stop()
+    got = spark.table("txbacklog")
+    assert got.count() == 90
+    assert {r["k"] for r in got.collect()} == set(range(90))  # exactly once
+    ends = _planned_end_versions(ckpt)
+    # capped catch-up: -1→2→5→8 — at least 3 data batches, and no
+    # single batch spans more than 3 versions
+    covered = [b - a for a, b in zip([-1] + ends, ends)]
+    assert sum(1 for c in covered if c > 0) >= 3, (ends, covered)
+    assert max(covered) <= 3, (ends, covered)
+
+
+def test_backlog_catchup_capped_across_restart(spark, tmp_path):
+    """A STOPPED consumer misses 6 commits; the checkpoint restart
+    catches up in capped micro-batches (the engine's re-plan of the
+    committed batch restores the admission-control floor before the
+    first latestOffset — no whole-backlog batch, no duplicates)."""
+    from vector_knowledge_base_spark.streaming.txsink import (
+        txlog_foreach_batch,
+    )
+
+    src, dst, ckpt = (
+        str(tmp_path / "src"),
+        str(tmp_path / "dst"),
+        str(tmp_path / "ck"),
+    )
+    create_table(spark, src, spark.range(0, 10).withColumnRenamed("id", "k"))
+
+    def _run_until(target: int):
+        q = (
+            stream_txlog_table(spark, src, max_versions_per_trigger=2)
+            .writeStream.foreachBatch(txlog_foreach_batch(dst))
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+        deadline = time.time() + 150
+        try:
+            _wait_rows(spark, dst, target, deadline)
+            time.sleep(1.0)  # let any would-be duplicate batch land
+        finally:
+            q.stop()
+
+    _run_until(10)
+    for i in range(1, 7):  # 6 commits while DOWN
+        append_table(
+            spark,
+            src,
+            spark.range(10 * i, 10 * (i + 1)).withColumnRenamed("id", "k"),
+        )
+    _run_until(70)
+    got = read_table(spark, dst)
+    assert got.count() == 70
+    assert {r["k"] for r in got.collect()} == set(range(70))
+    ends = _planned_end_versions(ckpt)
+    assert ends == sorted(ends)  # offsets never regress
+    covered = [b - a for a, b in zip([-1] + ends, ends)]
+    assert max(covered) <= 2, (ends, covered)
+    # the 6 missed versions took >= 3 capped batches after restart
+    assert sum(1 for c in covered if c > 0) >= 4, (ends, covered)
+
+
+def test_remove_only_commit_trips_append_guard(spark, tmp_path):
+    """ADVICE r6: a delete that removes a whole file with NO rewritten
+    survivors must still trip the append-only guard — otherwise
+    downstream silently keeps deleted rows. With ignore_changes=true
+    the removal is skipped (Delta's documented semantics)."""
+    src = str(tmp_path / "src")
+    create_table(
+        spark, src, spark.range(0, 10).withColumnRenamed("id", "k").coalesce(1)
+    )
+    # v1 adds a second file wholly k>=10; v2 deletes it entirely —
+    # every row matches, so the rewrite has no survivors: remove-only
+    append_table(
+        spark, src, spark.range(10, 20).withColumnRenamed("id", "k").coalesce(1)
+    )
+    delete_where(spark, src, F.col("k") >= 10)
+    from vector_knowledge_base_spark.sources.txstream import _added_files
+
+    m, added, removed = _added_files(src, 2)
+    assert m["op"] == "delete_where" and added == [] and removed
+    r = TxlogStreamReader(src, ["k"], ignore_changes=False, start_version=0)
+    with pytest.raises(ValueError, match="changed the file set"):
+        r.partitions({"version": 1}, {"version": 2})
+    r2 = TxlogStreamReader(src, ["k"], ignore_changes=True, start_version=0)
+    parts = r2.partitions({"version": 1}, {"version": 2})
+    assert [row for p in parts for row in r2.read(p)] == []
+
+
+def test_latest_offset_capped_and_monotone(spark, tmp_path):
+    """Unit-level pin of the admission-control contract: latestOffset
+    advances at most max_versions_per_trigger past the floor, the
+    floor follows partitions()/commit() (the restart path), and the
+    returned offset never regresses."""
+    src = str(tmp_path / "src")
+    create_table(spark, src, spark.range(0, 5).withColumnRenamed("id", "k"))
+    for i in range(1, 10):  # versions 1..9
+        append_table(
+            spark, src, spark.range(5 * i, 5 * (i + 1)).withColumnRenamed("id", "k")
+        )
+    r = TxlogStreamReader(
+        src, ["k"], ignore_changes=False, start_version=0,
+        max_versions_per_trigger=4,
+    )
+    assert r.latestOffset() == {"version": 3}
+    assert r.latestOffset() == {"version": 7}
+    assert r.latestOffset() == {"version": 9}  # clamped at the log head
+    assert r.latestOffset() == {"version": 9}
+    # restart path: a fresh reader learns the floor from the engine's
+    # re-plan of the committed batch, not from initialOffset
+    r2 = TxlogStreamReader(
+        src, ["k"], ignore_changes=False, start_version=0,
+        max_versions_per_trigger=4,
+    )
+    r2.partitions({"version": 6}, {"version": 6})
+    assert r2.latestOffset() == {"version": 9}  # 6+4 clamped to head
+    r3 = TxlogStreamReader(
+        src, ["k"], ignore_changes=False, start_version=0,
+        max_versions_per_trigger=2,
+    )
+    r3.commit({"version": 5})
+    assert r3.latestOffset() == {"version": 7}
+    # uncapped reader keeps the old contract
+    r4 = TxlogStreamReader(src, ["k"], ignore_changes=False, start_version=0)
+    assert r4.latestOffset() == {"version": 9}

@@ -16,12 +16,31 @@ determinism the engine's checkpoint-recovery contract requires.
 Partitions are the files ADDED per version, read on EXECUTORS (one
 task per file).
 
-Contract: APPEND-ONLY tailing. A non-append commit (delete / merge /
-compact / rewrite / restore) raises unless ``ignore_changes=true``,
-which re-emits the rewritten files' rows (Delta's documented
-ignoreChanges semantics — deduplicate downstream on a key). Versions
-vacuumed by ``compact_log`` cannot replay; keep the retention window
-longer than the longest consumer lag (same trade as Delta).
+Contract: APPEND-ONLY tailing. A non-append commit that changed the
+file set AT ALL (delete / merge / compact / rewrite / restore —
+whether it added rewritten files or only removed files) raises unless
+``ignore_changes=true``, which re-emits any rewritten files' rows and
+silently skips pure removals (Delta's documented ignoreChanges
+semantics — deduplicate downstream on a key). Versions vacuumed by
+``compact_log`` cannot replay; keep the retention window longer than
+the longest consumer lag (same trade as Delta).
+
+Backlog admission control (``max_versions_per_trigger``, like Delta's
+maxFilesPerTrigger): a consumer restarting after long downtime must
+not replan the whole backlog as ONE micro-batch — at 100 TB that is
+an OOM/latency cliff. With the cap set, ``latestOffset`` advances at
+most N versions past the planning floor per trigger, so catch-up
+splits into bounded micro-batches. The floor needs no persisted
+consumer state: a fresh query knows it from ``start_version``, and on
+restart the engine re-plans the committed batch via
+``partitions(committed, committed)`` BEFORE its first ``latestOffset``
+call (verified empirically on Spark 4.1 for both processingTime and
+availableNow triggers), which restores the floor. ``latestOffset`` is
+additionally clamped to never regress below the floor, so a capped
+offset can never rewind the checkpoint (no duplicate replay). Note:
+``Trigger.AvailableNow`` falls back to single-batch execution for
+Python sources, so with a cap it drains at most N versions per RUN —
+loop runs (or use a processingTime trigger) to drain a backlog.
 
 Scale notes: read() hands Spark Arrow RecordBatches (the logged Spark
 schema fixes the Arrow types; pre-evolution files null-fill, columns
@@ -59,9 +78,12 @@ class _AddedFilePartition(InputPartition):
         self.schema_json = schema_json
 
 
-def _added_files(path: str, version: int) -> tuple[dict, list[str]]:
-    """(manifest, files added by ``version``) — the file-level commit
-    delta, resolved to absolute paths. version 0 adds everything."""
+def _added_files(path: str, version: int) -> tuple[dict, list[str], bool]:
+    """(manifest, files added by ``version``, any file removed) — the
+    file-level commit delta, resolved to absolute paths. version 0
+    adds everything. The removed flag matters for the append-only
+    guard: a delete that removes whole files with no rewritten
+    survivors still changes what downstream sees."""
     if not os.path.exists(_manifest_file(path, version)) or (
         version > 0 and not os.path.exists(_manifest_file(path, version - 1))
     ):
@@ -72,9 +94,11 @@ def _added_files(path: str, version: int) -> tuple[dict, list[str]]:
         )
     m = _read_manifest(path, version)
     if version == 0:
-        return m, [_resolve(path, e) for e in m["files"]]
+        return m, [_resolve(path, e) for e in m["files"]], False
     prev = set(_read_manifest(path, version - 1)["files"])
-    return m, [_resolve(path, e) for e in m["files"] if e not in prev]
+    cur = set(m["files"])
+    added = [_resolve(path, e) for e in m["files"] if e not in prev]
+    return m, added, bool(prev - cur)
 
 
 class TxlogStreamDataSource(DataSource):
@@ -83,7 +107,9 @@ class TxlogStreamDataSource(DataSource):
     the ``stream_txlog_table`` helper). Options: ``path`` (table
     root), ``ignore_changes`` (accept non-append commits by re-
     emitting their rewritten files), ``start_version`` (skip history
-    before it; default 0 = initial snapshot + tail)."""
+    before it; default 0 = initial snapshot + tail),
+    ``max_versions_per_trigger`` (bound how many log versions one
+    micro-batch may cover; 0 = unbounded)."""
 
     @classmethod
     def name(cls) -> str:
@@ -115,6 +141,9 @@ class TxlogStreamDataSource(DataSource):
             ).lower()
             == "true",
             start_version=int(self.options.get("start_version", 0)),
+            max_versions_per_trigger=int(
+                self.options.get("max_versions_per_trigger", 0)
+            ),
         )
 
 
@@ -133,32 +162,54 @@ class TxlogStreamReader(DataSourceStreamReader):
         ignore_changes: bool,
         start_version: int,
         schema_json: str = "",
+        max_versions_per_trigger: int = 0,
     ):
         self.path = path
         self.columns = columns
         self.schema_json = schema_json
         self.ignore_changes = ignore_changes
         self.start_version = start_version
+        self.max_versions_per_trigger = max_versions_per_trigger
+        # Planning floor for admission control: the highest version
+        # known planned/committed. Fresh queries know it from
+        # start_version; on restart the engine's re-plan of the
+        # committed batch (partitions(committed, committed) — fires
+        # before the first latestOffset) and/or its commit() call
+        # restore it. Driver-side only (never pickled to executors
+        # for read(), which gets _AddedFilePartition objects).
+        self._floor = start_version - 1
 
     def initialOffset(self) -> dict:
         return {"version": self.start_version - 1}
 
     def latestOffset(self) -> dict:
         versions = _list_versions(self.path)
-        # monotone by construction: versions only grow; an empty log
-        # (dropped table) keeps the last floor via max()
-        return {"version": max(versions) if versions else -1}
+        latest = max(versions) if versions else -1
+        if self.max_versions_per_trigger > 0:
+            latest = min(latest, self._floor + self.max_versions_per_trigger)
+        # never regress below the floor: a capped (or vacuumed/dropped)
+        # offset must not rewind the checkpoint — monotone offsets are
+        # what make capping safe against duplicate replay
+        latest = max(latest, self._floor)
+        self._floor = latest
+        return {"version": latest}
 
     def partitions(self, start: dict, end: dict):
         lo, hi = int(start["version"]), int(end["version"])
+        self._floor = max(self._floor, lo, hi)
         out: list[_AddedFilePartition] = []
         for v in range(lo + 1, hi + 1):
-            m, added = _added_files(self.path, v)
-            if m["op"] not in _APPEND_OPS and added and not self.ignore_changes:
+            m, added, removed = _added_files(self.path, v)
+            if (
+                m["op"] not in _APPEND_OPS
+                and (added or removed)
+                and not self.ignore_changes
+            ):
                 raise ValueError(
-                    f"txlog_stream: version {v} is op={m['op']!r} — the "
-                    "source tails appends only; pass ignore_changes=true "
-                    "to re-emit rewritten files (dedup downstream on a key)"
+                    f"txlog_stream: version {v} is op={m['op']!r} and "
+                    "changed the file set — the source tails appends "
+                    "only; pass ignore_changes=true to re-emit rewritten "
+                    "files and skip removals (dedup downstream on a key)"
                 )
             out.extend(
                 _AddedFilePartition(f, self.columns, self.schema_json)
@@ -211,7 +262,9 @@ class TxlogStreamReader(DataSourceStreamReader):
             return iter(zip(*cols))
 
     def commit(self, end: dict) -> None:
-        pass  # offsets are durable in the engine checkpoint
+        # offsets are durable in the engine checkpoint; keep the
+        # admission-control floor in sync (restart path)
+        self._floor = max(self._floor, int(end["version"]))
 
     def stop(self) -> None:
         pass
@@ -222,6 +275,7 @@ def stream_txlog_table(
     path: str,
     ignore_changes: bool = False,
     start_version: int = 0,
+    max_versions_per_trigger: int = 0,
 ):
     """Register the source (idempotent) and open the table as a
     streaming DataFrame."""
@@ -231,5 +285,6 @@ def stream_txlog_table(
         .option("path", path)
         .option("ignore_changes", str(ignore_changes).lower())
         .option("start_version", start_version)
+        .option("max_versions_per_trigger", max_versions_per_trigger)
     )
     return reader.load()
