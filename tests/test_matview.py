@@ -195,7 +195,7 @@ def test_multi_key_and_unsupported_fn(spark, tdir):
     assert _rows(read_matview(spark, mv), ["k", "g"]) == want
     with pytest.raises(ValueError, match="unsupported"):
         create_matview(spark, os.path.join(tdir, "mv2"), base, ["k"],
-                       [("avg", "v")])
+                       [("median", "v")])
     with pytest.raises(ValueError, match="not a thing"):
         create_matview(spark, os.path.join(tdir, "mv3"), base, ["k"],
                        [("sum", "*")])
@@ -293,3 +293,285 @@ def test_delta_refresh_across_restore_commit(spark, tdir):
     want = _rows(_full(spark, base, ["k"], AGG_COLS()), ["k"])
     assert got == want  # the 'c' group vanished, 'b' rolled back
     assert [t[0] for t in got] == [("a",), ("b",)]
+
+
+def _nrows(df, keys):
+    """Like _rows but NULL-key tolerant: sort on (is-null, value) per
+    key so None never compares against str."""
+    out = [
+        (
+            tuple(r[k] for k in keys),
+            tuple(v for k, v in r.asDict().items() if k not in keys),
+        )
+        for r in df.collect()
+    ]
+    return sorted(
+        out, key=lambda p: tuple((x is None, x) for x in p[0])
+    )
+
+
+def test_null_group_key_survives_delta_refresh(spark, tdir):
+    """ADVICE r6: NULL group keys must merge NULL-SAFELY — with plain
+    equality the NULL group duplicates into two rows on delta refresh.
+    Pin: after churn ON the NULL group, the view equals a full
+    recompute (one NULL row, right totals)."""
+    base = os.path.join(tdir, "base")
+    txlog.create_table(
+        spark,
+        base,
+        spark.createDataFrame(
+            [(None, 1, 1.0), (None, 2, 2.0), ("a", 3, 3.0)],
+            "k string, id long, v double",
+        ),
+    )
+    mv = os.path.join(tdir, "mv")
+    create_matview(spark, mv, base, ["k"], AGGS)
+    txlog.append_table(
+        spark,
+        base,
+        spark.createDataFrame(
+            [(None, 4, 10.0), ("b", 5, 5.0)], "k string, id long, v double"
+        ),
+    )
+    txlog.delete_where(spark, base, F.col("id") == 1)
+    assert refresh_matview(spark, mv)["mode"] == "delta"
+    got = _nrows(read_matview(spark, mv), ["k"])
+    want = _nrows(_full(spark, base, ["k"], AGG_COLS()), ["k"])
+    assert got == want
+    assert sum(1 for kt, _ in got if kt == (None,)) == 1  # no dup NULL row
+
+
+def test_null_group_key_survives_rescan_refresh(spark, tdir):
+    """Same NULL-key pin for the min/max rescan path: with null-unsafe
+    semi/anti joins the NULL group goes permanently stale."""
+    base = os.path.join(tdir, "base")
+    txlog.create_table(
+        spark,
+        base,
+        spark.createDataFrame(
+            [(None, 1, 9.0), (None, 2, 2.0), ("a", 3, 3.0)],
+            "k string, id long, v double",
+        ),
+    )
+    mv = os.path.join(tdir, "mv")
+    create_matview(spark, mv, base, ["k"], [("min", "v"), ("max", "v")])
+    txlog.delete_where(spark, base, F.col("id") == 1)  # NULL group's max
+    assert refresh_matview(spark, mv)["mode"] == "rescan"
+    got = _nrows(read_matview(spark, mv), ["k"])
+    want = _nrows(
+        _full(
+            spark,
+            base,
+            ["k"],
+            [F.min("v").alias("min_v"), F.max("v").alias("max_v")],
+        ),
+        ["k"],
+    )
+    assert got == want  # NULL group now (2.0, 2.0), not stale (2.0, 9.0)
+
+
+def test_avg_served_from_sum_and_nn_counter(spark, tdir):
+    """avg is pure plumbing over sum + the hidden non-null counter:
+    incrementally maintained through append and delete, NULL when the
+    last non-null value is deleted, coexists with an explicit sum."""
+    base = os.path.join(tdir, "base")
+    txlog.create_table(
+        spark,
+        base,
+        spark.createDataFrame(
+            [("a", 1, 2.0), ("a", 2, 4.0), ("b", 3, None), ("b", 4, 6.0)],
+            "k string, id long, v double",
+        ),
+    )
+    mv = os.path.join(tdir, "mv")
+    create_matview(
+        spark, mv, base, ["k"], [("avg", "v"), ("sum", "v"), ("count", "*")]
+    )
+    cols = read_matview(spark, mv).columns
+    assert cols == ["k", "avg_v", "sum_v", "count_star"]
+    txlog.append_table(
+        spark,
+        base,
+        spark.createDataFrame([("a", 5, 6.0)], "k string, id long, v double"),
+    )
+    # deleting b's only non-null v → avg_v and sum_v return to NULL
+    txlog.delete_where(spark, base, F.col("id") == 4)
+    assert refresh_matview(spark, mv)["mode"] == "delta"
+    got = _nrows(read_matview(spark, mv), ["k"])
+    want = _nrows(
+        _full(
+            spark,
+            base,
+            ["k"],
+            [
+                F.avg("v").alias("avg_v"),
+                F.sum("v").alias("sum_v"),
+                F.count(F.lit(1)).cast("long").alias("count_star"),
+            ],
+        ),
+        ["k"],
+    )
+    assert got == want
+    by_k = dict(got)
+    assert by_k[("a",)][0] == 4.0  # (2+4+6)/3
+    assert by_k[("b",)][0] is None and by_k[("b",)][1] is None
+
+
+def test_rollup_view_incremental_equals_full_recompute(spark, tdir):
+    """A rollup view maintains EVERY grouping set in one state table
+    (disambiguated by gid) and stays delta-maintainable: after append
+    + delete, each grouping set — including the grand total — equals
+    the full rollup recompute. NULL-safe merging is load-bearing here:
+    rollup totals carry NULL key values by construction."""
+    base = os.path.join(tdir, "base")
+    txlog.create_table(
+        spark,
+        base,
+        spark.createDataFrame(
+            [("a", "x", 1, 1.0), ("a", "y", 2, 2.0), ("b", "x", 3, 4.0)],
+            "k string, g string, id long, v double",
+        ),
+    )
+    mv = os.path.join(tdir, "mv")
+    create_matview(
+        spark,
+        mv,
+        base,
+        ["k", "g"],
+        [("sum", "v"), ("count", "*"), ("avg", "v")],
+        grouping="rollup",
+    )
+    txlog.append_table(
+        spark,
+        base,
+        spark.createDataFrame(
+            [("b", "y", 4, 8.0), ("a", "x", 5, 16.0)],
+            "k string, g string, id long, v double",
+        ),
+    )
+    txlog.delete_where(spark, base, F.col("id") == 2)
+    assert refresh_matview(spark, mv)["mode"] == "delta"
+    served = read_matview(spark, mv)
+    assert served.columns == ["k", "g", "gid", "sum_v", "count_star", "avg_v"]
+    want_df = (
+        txlog.read_table(spark, base)
+        .rollup("k", "g")
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.sum("v").alias("sum_v"),
+            F.count(F.lit(1)).cast("long").alias("count_star"),
+            F.avg("v").alias("avg_v"),
+        )
+        .select("k", "g", "gid", "sum_v", "count_star", "avg_v")
+    )
+    assert _nrows(served, ["k", "g", "gid"]) == _nrows(
+        want_df, ["k", "g", "gid"]
+    )
+    # the grand total row exists exactly once and is right
+    totals = [p for p in _nrows(served, ["k", "g", "gid"]) if p[0][2] == 3]
+    assert len(totals) == 1 and totals[0][1][0] == 29.0  # 1+4+8+16
+
+
+def test_cube_view_and_minmax_grouping_rejected(spark, tdir):
+    base = os.path.join(tdir, "base")
+    txlog.create_table(
+        spark,
+        base,
+        spark.createDataFrame(
+            [("a", "x", 1, 1.0), ("b", "y", 2, 2.0)],
+            "k string, g string, id long, v double",
+        ),
+    )
+    mv = os.path.join(tdir, "mv")
+    create_matview(
+        spark, mv, base, ["k", "g"], [("count", "*")], grouping="cube"
+    )
+    txlog.append_table(
+        spark,
+        base,
+        spark.createDataFrame(
+            [("a", "y", 3, 3.0)], "k string, g string, id long, v double"
+        ),
+    )
+    refresh_matview(spark, mv)
+    want = (
+        txlog.read_table(spark, base)
+        .cube("k", "g")
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.count(F.lit(1)).cast("long").alias("count_star"),
+        )
+        .select("k", "g", "gid", "count_star")
+    )
+    assert _nrows(read_matview(spark, mv), ["k", "g", "gid"]) == _nrows(
+        want, ["k", "g", "gid"]
+    )
+    with pytest.raises(ValueError, match="invertible"):
+        create_matview(
+            spark,
+            os.path.join(tdir, "mv2"),
+            base,
+            ["k"],
+            [("min", "v")],
+            grouping="rollup",
+        )
+    with pytest.raises(ValueError, match="grouping"):
+        create_matview(
+            spark,
+            os.path.join(tdir, "mv3"),
+            base,
+            ["k"],
+            [("count", "*")],
+            grouping="sets",
+        )
+
+
+def test_concurrent_refreshes_recompute_on_lost_cas(spark, tdir):
+    """ADVICE r6: a refresh that loses the CAS race must re-read the
+    winner's watermark and recompute — never re-commit stale state at
+    a later version. Pin the invariants under real contention: the
+    final state equals a full recompute, and the maintained
+    base_version never DECREASES across mv versions."""
+    import threading
+
+    base = os.path.join(tdir, "base")
+    txlog.create_table(
+        spark,
+        base,
+        spark.createDataFrame([("a", 1, 1.0)], "k string, id long, v double"),
+    )
+    mv = os.path.join(tdir, "mv")
+    create_matview(spark, mv, base, ["k"], AGGS)
+    errs = []
+
+    def _churn(i):
+        try:
+            txlog.append_table(
+                spark,
+                base,
+                spark.createDataFrame(
+                    [("a", 10 + i, float(i)), ("b", 20 + i, 2.0 * i)],
+                    "k string, id long, v double",
+                ),
+            )
+            refresh_matview(spark, mv)
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    threads = [threading.Thread(target=_churn, args=(i,)) for i in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs
+    refresh_matview(spark, mv)  # settle to the final base version
+    assert matview_info(mv)["base_version"] == txlog._list_versions(base)[-1]
+    got = _nrows(read_matview(spark, mv), ["k"])
+    want = _nrows(_full(spark, base, ["k"], AGG_COLS()), ["k"])
+    assert got == want
+    # base_version monotone across the mv's own history
+    vs = txlog._list_versions(mv)
+    watermarks = [
+        txlog._read_manifest(mv, v)["mv"]["base_version"] for v in vs
+    ]
+    assert watermarks == sorted(watermarks)

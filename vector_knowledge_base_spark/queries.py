@@ -13786,7 +13786,10 @@ GROUP BY w, cnt
 @query("countmin_sketch_audit", oracle=_CMS_ORACLE)
 def q_countmin_sketch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-Min sketch over the token stream, audited point queries:
-    build a d=4 × w=256 counter table as ONE hash-aggregation (the
+    build a d×w counter table (_CMS_D=4 × _CMS_W=8 here — the width is
+    deliberately SUB-vocabulary so collisions are guaranteed and the
+    one-sided overcount is exercised, not dodged) as ONE
+    hash-aggregation (the
     sketch is a trivially mergeable partial aggregate — each executor
     folds its partition into d·w counters and the shuffle moves at
     most d·w rows per partition, the property that makes CMS the
@@ -13798,7 +13801,9 @@ def q_countmin_sketch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     (estimate ≥ truth, never under).
 
     100 TB shape: counters-sized state (d·w longs) regardless of
-    corpus size; probes broadcast the 1k-row sketch. Contrast
+    corpus size; probes broadcast the d·w-row sketch (32 rows at the
+    test parameters; a production 4×2048 sketch is still ~8k rows —
+    broadcast either way). Contrast
     heavy_hitters_sketch_audit (freqItems: top-share superset) — CMS
     answers arbitrary point queries the Misra-Gries shape cannot."""
     docs = _t(spark, sf_dir, "documents")
