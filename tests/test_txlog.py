@@ -1379,3 +1379,96 @@ def test_delta_manifest_commit_cost_is_o_touched_files(spark, tmp_path):
     assert read_table(spark, p, version=12).count() == 130
     bad = fsck(spark, p).where(~F.col("readable")).count()
     assert bad == 0
+
+
+def test_storm_8_appenders_delete_compact(spark, tmp_path):
+    """r7 storm (VERDICT r6 #6, beyond the 6-writer mixed test): EIGHT
+    concurrent appenders (each with a batch_id) + one predicate delete
+    + one file compaction, all racing the same log. Invariants that
+    must hold under ANY interleaving: every commit survives or retries
+    cleanly (no exceptions), no version lost (create + 10 ops = 11
+    slots, contiguous), content equals the deterministic expectation
+    (key spaces are disjoint, compaction is content-neutral), fsck
+    fully readable, and a full REPLAY of all eight appends with their
+    original batch_ids afterwards is a no-op (idempotence held across
+    interleaved retries — a retry loser must re-check committed ids
+    against the winner's snapshot, not its stale one)."""
+    import threading
+
+    from vector_knowledge_base_spark.sources.txlog import compact_files, fsck
+
+    p = str(tmp_path / "t")
+    seed = [(i, "doomed") for i in range(10)] + [
+        (1000 + i, "stable") for i in range(5)
+    ]
+    create_table(spark, p, spark.createDataFrame(seed, "id long, tag string"))
+    errs = []
+
+    def appender(lo):
+        try:
+            df = spark.createDataFrame(
+                [(lo + i, f"a{lo}") for i in range(10)], "id long, tag string"
+            )
+            append_table(spark, p, df, batch_id=lo)
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    def deleter():
+        try:
+            delete_where(spark, p, filters={"id": {"gte": 0, "lte": 9}})
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    def compactor():
+        try:
+            compact_files(spark, p, target_files=2)
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    threads = (
+        [
+            threading.Thread(target=appender, args=(lo,))
+            for lo in range(100, 900, 100)
+        ]
+        + [threading.Thread(target=deleter), threading.Thread(target=compactor)]
+    )
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs, errs
+    versions = [r["version"] for r in table_versions(spark, p).collect()]
+    assert versions == list(range(11))  # create + 10 ops, none lost
+    got = {r["id"]: r["tag"] for r in read_table(spark, p).collect()}
+    want = {1000 + i: "stable" for i in range(5)}
+    for lo in range(100, 900, 100):
+        want.update({lo + i: f"a{lo}" for i in range(10)})
+    assert got == want
+    assert all(r["readable"] for r in fsck(spark, p).collect())
+    # interleaved-replay idempotence: same batch_ids land as no-ops
+    before = len(table_versions(spark, p).collect())
+    for lo in range(100, 900, 100):
+        append_table(
+            spark,
+            p,
+            spark.createDataFrame([(lo, "dup")], "id long, tag string"),
+            batch_id=lo,
+        )
+    assert len(table_versions(spark, p).collect()) == before
+    assert read_table(spark, p).count() == len(want)
+
+
+def test_retry_exhaustion_raises_named_error(spark, tmp_path, monkeypatch):
+    """When a writer loses every CAS retry it must surface the NAMED
+    TxConflict ('lost N CAS races'), never silently drop the commit."""
+    from vector_knowledge_base_spark.sources import txlog as txmod
+
+    p = str(tmp_path / "t")
+    create_table(spark, p, spark.createDataFrame([(1, "a")], "id long, tag string"))
+    monkeypatch.setattr(txmod, "_MAX_COMMIT_RETRIES", 0)
+    with pytest.raises(txmod.TxConflict, match="lost 0 CAS races"):
+        txmod.append_table(
+            spark, p, spark.createDataFrame([(2, "b")], "id long, tag string")
+        )
+    with pytest.raises(txmod.TxConflict, match="CAS races"):
+        txmod.delete_where(spark, p, filters={"id": 1})

@@ -14600,3 +14600,108 @@ def q_txlog_stream_multihop(spark: SparkSession, sf_dir: str) -> DataFrame:
         "live_tailed",
         (F.col("_n") == F.lit(n_keys)).alias("exactly_once"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Wave 90 (r7) — hive-partitioned txlog tables: per-file partition
+# values in the manifest (definitional pruning) + dynamic partition
+# overwrite (VERDICT r6 #4, closing ROADMAP known-gap #1).
+# ---------------------------------------------------------------------------
+
+_TXLOG_PARTITION_ORACLE = """
+WITH replaced AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderstatus = 'P' THEN 2.0 ELSE o_totalprice END
+           AS o_totalprice,
+         o_orderstatus
+  FROM orders
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) FILTER (o_orderstatus = 'P') AS BIGINT) AS n_replaced,
+       ROUND(SUM(o_totalprice), 2) AS total_value,
+       TRUE AS untouched_carried,
+       TRUE AS prune_exact
+FROM replaced
+"""
+
+
+@query("txlog_partition_overwrite", oracle=_TXLOG_PARTITION_ORACLE)
+def q_txlog_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-partitioned txlog table + DYNAMIC PARTITION OVERWRITE
+    (r7 wave 90, sources/txlog.py partition_by/overwrite_partitions —
+    Spark's partitionOverwriteMode=dynamic as one atomic commit;
+    reference has no partitioning at all, its Qdrant payloads filter
+    row-by-row): orders lands partitioned by o_orderstatus (each
+    file's partition value is recorded in the manifest at write time —
+    membership is definitional, not footer-inferred), then the entire
+    'P' partition is atomically swapped for a rewritten copy
+    (price := 2.0) via overwrite_partitions. The audit hash-pins the
+    post-overwrite aggregate against the oracle's CASE-rewritten
+    orders, plus two invariants computed from the manifests:
+    ``untouched_carried`` — every file of the untouched 'F'/'O'
+    partitions is carried BY REFERENCE into the new version (file
+    identity, zero bytes moved), and ``prune_exact`` — an eq filter on
+    the partition column prunes to exactly the files whose recorded
+    partition value matches (including provably skipping all files for
+    a value that does not exist).
+
+    100 TB shape: refreshing one partition of a date-partitioned table
+    rewrites that partition only; commit metadata stays O(touched
+    files) through the delta-encoded manifests; eq/IN partition
+    pruning needs no footer stats and is immune to string-stat
+    truncation."""
+    import os
+    import re
+    import shutil
+
+    from vector_knowledge_base_spark.sources.txlog import (
+        _list_versions,
+        _prune_files,
+        _read_manifest,
+        create_table,
+        overwrite_partitions,
+        read_table,
+    )
+
+    tag = re.sub(r"[^A-Za-z0-9.]", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1])
+    path = f"/tmp/vkb_txlog_part_{_session_tag(spark)}_{tag}"
+    shutil.rmtree(path, ignore_errors=True)
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    create_table(spark, path, orders, partition_by=["o_orderstatus"])
+    m0 = _read_manifest(path, 0)
+    replacement = orders.where(F.col("o_orderstatus") == "P").select(
+        "o_orderkey", F.lit(2.0).alias("o_totalprice"), "o_orderstatus"
+    )
+    v = overwrite_partitions(spark, path, replacement)
+    m1 = _read_manifest(path, v)
+
+    # invariant 1: untouched partitions' files carried by reference
+    untouched = {
+        e
+        for e in m0["files"]
+        if (m0["stats"][e].get("pvals") or {}).get("o_orderstatus") != "P"
+    }
+    carried = untouched <= set(m1["files"])
+
+    # invariant 2: definitional pruning — an eq filter selects exactly
+    # the matching partition's files; a nonexistent value selects none
+    def _pv(f):
+        e = os.path.relpath(f, path)
+        return (m1["stats"][e].get("pvals") or {}).get("o_orderstatus")
+
+    pruned = _prune_files(path, m1, {"o_orderstatus": "O"})
+    all_o = all(_pv(f) == "O" for f in pruned) and len(pruned) > 0
+    none_x = len(_prune_files(path, m1, {"o_orderstatus": "X"})) == 0
+    prune_exact = all_o and none_x and len(_list_versions(path)) == 2
+
+    return read_table(spark, path).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum((F.col("o_orderstatus") == "P").cast("long")).alias(
+            "n_replaced"
+        ),
+        F.round(F.sum("o_totalprice"), 2).alias("total_value"),
+        F.lit(bool(carried)).alias("untouched_carried"),
+        F.lit(bool(prune_exact)).alias("prune_exact"),
+    )

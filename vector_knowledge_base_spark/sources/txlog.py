@@ -176,13 +176,31 @@ def _manifest_files(path: str, m: dict) -> list[str]:
     return [_resolve(path, e) for e in m["files"]]
 
 
+def _data_files(path: str) -> list[str]:
+    """Every .parquet under the table's data/ dir, recursive —
+    partitioned batches nest ``_pt_*=...`` hive dirs inside the batch
+    dir, so a 2-level listdir misses their files."""
+    data = os.path.join(path, _DATA_DIR)
+    if not os.path.isdir(data):
+        return []
+    return [
+        os.path.join(r, n)
+        for r, _dirs, names in os.walk(data)
+        for n in names
+        if n.endswith(".parquet")
+    ]
+
+
 def _owned(path: str, f: str) -> bool:
-    """True iff ``f`` lives under this table's root. A shallow clone
-    references the source table's files by ABSOLUTE path; those are
-    borrowed, not owned — the clone's vacuum/compact must never delete
-    them (the Delta shallow-clone ownership rule)."""
-    root = os.path.realpath(path)
-    return os.path.realpath(f).startswith(root + os.sep)
+    """True iff ``f`` lives under this table's OWN data/ directory. A
+    shallow clone references the source table's files by ABSOLUTE
+    path; those are borrowed, not owned — the clone's vacuum/compact
+    must never delete them (the Delta shallow-clone ownership rule).
+    Scoped to data/ (not the whole root) so a table whose root nests
+    another table's directory tree never claims the inner table's
+    files as its own (ADVICE r6)."""
+    data_root = os.path.join(os.path.realpath(path), _DATA_DIR)
+    return os.path.realpath(f).startswith(data_root + os.sep)
 
 
 def _entry(path: str, f: str) -> str:
@@ -251,6 +269,17 @@ def _commit(path: str, manifest: dict) -> int:
     only ever see the materialized shape."""
     os.makedirs(_log_path(path), exist_ok=True)
     version = manifest["version"]
+    # partitioning is a create-time table property: carry it forward
+    # automatically so no commit path can silently drop it
+    if "partition_by" not in manifest and isinstance(
+        manifest.get("parent"), int
+    ):
+        try:
+            manifest["partition_by"] = _read_manifest(
+                path, manifest["parent"]
+            ).get("partition_by")
+        except (OSError, KeyError, ValueError):
+            manifest["partition_by"] = None
     manifest = _delta_encode(path, manifest)
     final = _manifest_file(path, version)
     tmp = os.path.join(_log_path(path), f".{uuid.uuid4().hex}.tmp")
@@ -270,19 +299,93 @@ def _commit(path: str, manifest: dict) -> int:
     return version
 
 
-def _write_batch(df: DataFrame, path: str) -> list[str]:
+def _write_batch(
+    df: DataFrame, path: str, partition_by: list[str] | None = None
+) -> list[str]:
     """Write a new immutable data batch; return its parquet file list
     (absolute). The batch dir is invisible to readers until a manifest
     references it (crash → orphan files, never a visible partial
     write; a conflict-retry loser's abandoned batch is the same kind
-    of orphan and compact_log vacuums it)."""
+    of orphan and compact_log vacuums it).
+
+    Partitioned tables write hive-style ``_pt_<col>=<value>`` dirs
+    INSIDE the batch dir, but the partition columns are DUPLICATED
+    into the dir key (``_pt_`` copies) rather than stripped from the
+    file contents — so every file remains self-contained and the
+    explicit-file-list read path (time travel, CDC, the streaming
+    source) needs no basePath reconstruction. The dirs cost bytes in
+    paths only; what they buy is a per-file partition VALUE recorded
+    in the manifest (``_file_stats`` parses it back), which makes
+    partition-predicate pruning and dynamic partition overwrite EXACT
+    by construction instead of inferred from footer min/max."""
     batch = os.path.join(path, _DATA_DIR, f"b{uuid.uuid4().hex[:12]}")
+    if partition_by:
+        out = df
+        for c in partition_by:
+            out = out.withColumn(f"_pt_{c}", F.col(c))
+        out.write.mode("error").partitionBy(
+            *[f"_pt_{c}" for c in partition_by]
+        ).parquet(batch)
+        return sorted(
+            os.path.join(r, n)
+            for r, _dirs, names in os.walk(batch)
+            for n in names
+            if n.endswith(".parquet")
+        )
     df.write.mode("error").parquet(batch)
     return sorted(
         os.path.join(batch, n)
         for n in os.listdir(batch)
         if n.endswith(".parquet")
     )
+
+
+_HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+
+
+def _pvals_from_path(f: str) -> dict:
+    """Partition values encoded in a file's path (``_pt_<col>=<val>``
+    segments, hive escaping) → {col: string-value-or-None}. Empty for
+    unpartitioned files."""
+    from urllib.parse import unquote
+
+    out = {}
+    for seg in f.split(os.sep):
+        if seg.startswith("_pt_") and "=" in seg:
+            k, v = seg[4:].split("=", 1)
+            v = unquote(v)
+            out[k] = None if v == _HIVE_NULL else v
+    return out
+
+
+def _pval_str(v, json_type) -> str | None:
+    """Normalize a filter value to the path-string form Spark writes
+    for that column type, or None when it cannot be normalized (then
+    pvals pruning abstains and footer stats decide)."""
+    try:
+        if json_type in ("byte", "short", "integer", "long"):
+            return str(int(v))
+        if json_type in ("float", "double"):
+            return str(float(v))
+        if json_type == "boolean":
+            if isinstance(v, bool):
+                return "true" if v else "false"
+            s = str(v).lower()
+            return s if s in ("true", "false") else None
+        return str(v)
+    except (TypeError, ValueError):
+        return None
+
+
+def _partition_types(m: dict) -> dict:
+    """{partition_col: schema-json type} for exact pvals pruning; empty
+    when the table is unpartitioned or pre-schema."""
+    pby = m.get("partition_by") or []
+    logged = m.get("schema")
+    if not pby or not logged:
+        return {}
+    types = {f["name"]: f["type"] for f in logged.get("fields", [])}
+    return {c: types[c] for c in pby if c in types and isinstance(types[c], str)}
 
 
 def _json_safe(v):
@@ -335,6 +438,9 @@ def _file_stats(path: str, files: list[str]) -> dict:
             "max": maxs,
             "cols": cols,
         }
+        pvals = _pvals_from_path(f)
+        if pvals:  # partitioned batch: record the EXACT per-file values
+            out[_rel(path, f)]["pvals"] = pvals
     return out
 
 
@@ -370,17 +476,42 @@ def _filters_to_column(filters: Mapping[str, Any]) -> Column:
     return cond
 
 
-def _file_can_skip(stats: dict, filters: Mapping[str, Any]) -> bool:
+def _file_can_skip(
+    stats: dict, filters: Mapping[str, Any], ptypes: Mapping[str, str] | None = None
+) -> bool:
     """True iff the filters PROVE the file holds no matching row (its
     [min,max] is disjoint from the filter on some ANDed key). Missing
     stats → cannot skip. Comparisons across unlike types → cannot skip.
     A column PHYSICALLY ABSENT from the file (written before a schema
     evolution added it) reads as all-NULL, and NULL never satisfies an
-    eq/IN/range filter — provably skippable."""
+    eq/IN/range filter — provably skippable.
+
+    Partition columns additionally check the EXACT per-file partition
+    value (``pvals``) for eq/IN filters — definitional membership, not
+    footer inference: it covers the two cases stats cannot (a NULL
+    partition value, where footers record nothing, and string columns
+    whose footer min/max an implementation may truncate). Range
+    filters stay on the typed footer stats (a single-valued partition
+    column has min == max == value, so they are exact there too)."""
     cols = stats.get("cols")
+    pvals = stats.get("pvals") or {}
     for key, value in filters.items():
         if cols is not None and key not in cols:
             return True
+        if key in pvals and not isinstance(value, Mapping):
+            pv = pvals[key]
+            if pv is None:
+                return True  # eq/IN never matches a NULL partition
+            jt = (ptypes or {}).get(key)
+            if jt is not None:
+                cand = (
+                    list(value)
+                    if isinstance(value, (list, tuple, set))
+                    else [value]
+                )
+                norm = {_pval_str(v, jt) for v in cand} - {None}
+                if norm and pv not in norm:
+                    return True
         mn = stats.get("min", {}).get(key)
         mx = stats.get("max", {}).get(key)
         if mn is None or mx is None:
@@ -412,10 +543,11 @@ def _prune_files(
     if not filters:
         return _manifest_files(path, m)
     stats = m.get("stats") or {}
+    ptypes = _partition_types(m)
     return [
         _resolve(path, e)
         for e in m["files"]
-        if e not in stats or not _file_can_skip(stats[e], filters)
+        if e not in stats or not _file_can_skip(stats[e], filters, ptypes)
     ]
 
 
@@ -464,13 +596,33 @@ def _committed_batch_ids(path: str) -> set:
 
 
 def create_table(
-    spark: SparkSession, path: str, df: DataFrame, batch_id: int | None = None
+    spark: SparkSession,
+    path: str,
+    df: DataFrame,
+    batch_id: int | None = None,
+    partition_by: list[str] | None = None,
 ) -> int:
     """Create version 0 from ``df``. Fails if the table exists (a lost
-    CAS race against another creator surfaces as the same error)."""
+    CAS race against another creator surfaces as the same error).
+
+    ``partition_by`` makes the table hive-partitioned (a CREATE-time
+    property carried by every later commit): each batch lays its files
+    out one-partition-value-per-file, the manifest records the exact
+    per-file values, eq/IN filters on partition columns prune files
+    definitionally, and ``overwrite_partitions`` gains dynamic
+    partition overwrite. Partition columns stay present in the data
+    files, so every read path (time travel, CDC, streaming source) is
+    unchanged."""
     if _list_versions(path):
         raise RuntimeError(f"txlog: table already exists at {path}")
-    files = _write_batch(df, path)
+    if partition_by:
+        missing = [c for c in partition_by if c not in df.columns]
+        if missing:
+            raise ValueError(
+                f"txlog: partition_by columns {missing} not in the "
+                f"dataframe columns {df.columns}"
+            )
+    files = _write_batch(df, path, partition_by)
     try:
         return _commit(
             path,
@@ -482,6 +634,7 @@ def create_table(
                 "parent": None,
                 "batch_id": batch_id,
                 "schema": df.schema.jsonValue(),
+                "partition_by": list(partition_by) if partition_by else None,
             },
         )
     except TxConflict:
@@ -574,7 +727,7 @@ def append_table(
                         )
                 commit_schema = T.StructType(union).jsonValue()
         if new_files is None:
-            new_files = _write_batch(df, path)
+            new_files = _write_batch(df, path, m.get("partition_by"))
         try:
             return _commit(
                 path,
@@ -610,7 +763,8 @@ def overwrite_table(spark: SparkSession, path: str, df: DataFrame) -> int:
     versions = _list_versions(path)
     if not versions:
         return create_table(spark, path, df)
-    new_files = _write_batch(df, path)
+    pby = _read_manifest(path, versions[-1]).get("partition_by")
+    new_files = _write_batch(df, path, pby)
     for _ in range(_MAX_COMMIT_RETRIES):
         latest = _list_versions(path)[-1]
         try:
@@ -629,6 +783,90 @@ def overwrite_table(spark: SparkSession, path: str, df: DataFrame) -> int:
             continue
     raise TxConflict(
         f"txlog: overwrite of {path} lost {_MAX_COMMIT_RETRIES} CAS races"
+    )
+
+
+def overwrite_partitions(spark: SparkSession, path: str, df: DataFrame) -> int:
+    """DYNAMIC PARTITION OVERWRITE (Spark's
+    ``partitionOverwriteMode=dynamic`` / Hive INSERT OVERWRITE
+    semantics, as one atomic commit): replace EXACTLY the partitions
+    present in ``df``; every untouched partition's files are carried
+    by reference — zero bytes of them move, the only acceptable cost
+    for refreshing one day of a 100 TB date-partitioned table.
+
+    The replaced set is derived from the files the write itself
+    produced (their manifest ``pvals``), so membership is definitional
+    — no predicate scan, no stats inference. Requires a table created
+    with ``partition_by``. A lost CAS race recomputes the kept set
+    against the winner's snapshot (a concurrent append into an
+    untouched partition survives; one into a replaced partition is
+    overwritten, the documented last-writer-wins of INSERT
+    OVERWRITE)."""
+    versions = _list_versions(path)
+    if not versions:
+        raise RuntimeError(f"txlog: no table at {path}")
+    m0 = _read_manifest(path, versions[-1])
+    pby = m0.get("partition_by")
+    if not pby:
+        raise RuntimeError(
+            "txlog: overwrite_partitions requires a partitioned table "
+            "(create_table(..., partition_by=[...])); use replace_where "
+            "for predicate-scoped overwrites of unpartitioned tables"
+        )
+    logged = m0.get("schema")
+    if logged is not None and _schema_key(df.schema) != _logged_schema_key(
+        logged
+    ):
+        raise RuntimeError(
+            f"txlog: overwrite_partitions schema "
+            f"{df.schema.simpleString()} does not match the table schema"
+        )
+    new_files = _write_batch(df, path, pby)
+    new_stats = _file_stats(path, new_files)
+    touched = {
+        tuple((st.get("pvals") or {}).get(c) for c in pby)
+        for st in new_stats.values()
+    }
+
+    def _entry_pvals(m: dict, e: str) -> tuple:
+        st = (m.get("stats") or {}).get(e) or {}
+        pv = st.get("pvals")
+        if pv is None:
+            raise RuntimeError(
+                f"txlog: manifest entry {e} has no partition values — "
+                "the table's partition invariant is broken (fsck it)"
+            )
+        return tuple(pv.get(c) for c in pby)
+
+    for _ in range(_MAX_COMMIT_RETRIES):
+        latest = _list_versions(path)[-1]
+        m = _read_manifest(path, latest)
+        kept = [e for e in m["files"] if _entry_pvals(m, e) not in touched]
+        kept_set = set(kept)
+        stats = {
+            k: v for k, v in (m.get("stats") or {}).items() if k in kept_set
+        }
+        try:
+            return _commit(
+                path,
+                {
+                    "version": latest + 1,
+                    "op": "overwrite_partitions",
+                    "files": kept + [_rel(path, f) for f in new_files],
+                    "stats": {**stats, **new_stats},
+                    "parent": latest,
+                    "rewritten": sorted(
+                        e for e in m["files"] if e not in kept_set
+                    ),
+                    "schema": m.get("schema"),
+                    "partition_by": pby,
+                },
+            )
+        except TxConflict:
+            continue  # recompute the kept set against the winner
+    raise TxConflict(
+        f"txlog: overwrite_partitions of {path} lost "
+        f"{_MAX_COMMIT_RETRIES} CAS races"
     )
 
 
@@ -767,7 +1005,7 @@ def compact_files(
             )
         else:
             df = df.coalesce(target_files)
-        new_files = _write_batch(df, path)
+        new_files = _write_batch(df, path, m.get("partition_by"))
         try:
             return _commit(
                 path,
@@ -866,7 +1104,7 @@ def merge_table(
                 if survivors is not None
                 else updates
             )
-        new_files = _write_batch(merged, path)
+        new_files = _write_batch(merged, path, m.get("partition_by"))
         kept = [e for e in m["files"] if _resolve(path, e) not in affected]
         stats = {
             k: v
@@ -953,7 +1191,7 @@ def replace_where(
                 "does not match the table schema"
             )
         if new_files is None:
-            new_files = _write_batch(df, path)
+            new_files = _write_batch(df, path, m.get("partition_by"))
         files = _manifest_files(path, m)
         candidates = _prune_files(path, m, filters)
         if candidates:
@@ -979,7 +1217,9 @@ def replace_where(
                 ~F.coalesce(predicate, F.lit(False))
             )
             if survivors.limit(1).count():
-                survivor_files = _write_batch(survivors, path)
+                survivor_files = _write_batch(
+                    survivors, path, m.get("partition_by")
+                )
         kept = [e for e in m["files"] if _resolve(path, e) not in affected]
         stats = {
             k: v
@@ -1043,18 +1283,7 @@ def fsck(spark: SparkSession, path: str) -> DataFrame:
         missing = [f for f in files if not os.path.exists(f)]
         referenced.update(files)
         rows.append((v, m["op"], len(files), len(missing), not missing))
-    data = os.path.join(path, _DATA_DIR)
-    n_orphans = 0
-    if os.path.isdir(data):
-        for d in os.listdir(data):
-            full = os.path.join(data, d)
-            if os.path.isdir(full):
-                n_orphans += sum(
-                    1
-                    for n in os.listdir(full)
-                    if n.endswith(".parquet")
-                    and os.path.join(full, n) not in referenced
-                )
+    n_orphans = sum(1 for f in _data_files(path) if f not in referenced)
     rows.append((-1, "orphans", n_orphans, 0, True))
     return spark.createDataFrame(
         rows, "version int, op string, n_files int, n_missing int, readable boolean"
@@ -1183,7 +1412,9 @@ def delete_where(
             ~F.coalesce(predicate, F.lit(False))
         )
         new_files = (
-            _write_batch(survivors, path) if survivors.limit(1).count() else []
+            _write_batch(survivors, path, m.get("partition_by"))
+            if survivors.limit(1).count()
+            else []
         )
         kept = [e for e in m["files"] if _resolve(path, e) not in affected]
         stats = {
@@ -1275,19 +1506,10 @@ def _vacuum_orphans(
         return 0
     cutoff = time.time() - orphan_grace_s
     removed = 0
-    for d in os.listdir(data):
-        full = os.path.join(data, d)
-        if not os.path.isdir(full):
-            continue
-        for n in os.listdir(full):
-            fp = os.path.join(full, n)
-            if (
-                n.endswith(".parquet")
-                and fp not in referenced
-                and os.path.getmtime(fp) < cutoff
-            ):
-                os.remove(fp)
-                removed += 1
+    for fp in _data_files(path):
+        if fp not in referenced and os.path.getmtime(fp) < cutoff:
+            os.remove(fp)
+            removed += 1
     return removed
 
 
@@ -1369,15 +1591,18 @@ def compact_log(
                 os.remove(f)
                 removed += 1
         os.remove(_manifest_file(path, v))
-    # prune empty batch dirs
+    # prune batch dirs whose subtree holds no parquet anymore
+    # (bottom-up: a child dir that still exists after its own visit
+    # has live parquet; marker files like _SUCCESS die with the dir)
     data = os.path.join(path, _DATA_DIR)
     if os.path.isdir(data):
-        for d in os.listdir(data):
-            full = os.path.join(data, d)
-            if os.path.isdir(full) and not any(
-                n.endswith(".parquet") for n in os.listdir(full)
-            ):
-                shutil.rmtree(full, ignore_errors=True)
+        for r, dirs, names in os.walk(data, topdown=False):
+            if r == data:
+                continue
+            live_child = any(os.path.isdir(os.path.join(r, d)) for d in dirs)
+            has_parquet = any(n.endswith(".parquet") for n in names)
+            if not live_child and not has_parquet:
+                shutil.rmtree(r, ignore_errors=True)
     return removed
 
 
@@ -1411,6 +1636,7 @@ def restore_table(spark: SparkSession, path: str, version: int) -> int:
                     "parent": latest,
                     "restored_from": version,
                     "schema": target.get("schema"),
+                    "partition_by": target.get("partition_by"),
                 },
             )
         except TxConflict:
@@ -1464,6 +1690,7 @@ def shallow_clone(
                 "parent": None,
                 "cloned_from": {"path": os.path.abspath(src_path), "version": v},
                 "schema": m.get("schema"),
+                "partition_by": m.get("partition_by"),
             },
         )
     except TxConflict:
