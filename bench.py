@@ -18,7 +18,12 @@ spawns the Python worker pool.
 Also reported: ``knn_batch_qps`` — batch-kNN throughput in queries/sec,
 the honest BASELINE.md comparison (the reference's per-query HNSW
 latency is a regime Spark job dispatch can't match; batch throughput at
-the same corpus scale is the apples-to-apples number).
+the same corpus scale is the apples-to-apples number). The qps and
+serving-latency anchors are the round-over-round regression signal, so
+they run ≥5 dedicated repetitions and record ``*_band`` =
+{median,min,max} alongside the scalar median — one contended run must
+not be able to fake a regression or mask a recovery (the r6 lesson:
+recorded 9.5 qps vs quiet-host 13.3 on the same build).
 """
 
 from __future__ import annotations
@@ -373,6 +378,44 @@ def _materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def _band(samples: list) -> dict:
+    """{median,min,max} over ≥5 samples — the r6 lesson: a single
+    contended run can fake a regression (recorded 9.5 qps) or mask a
+    recovery (quiet-host 13.3); the record must carry its own error
+    bar so the driver snapshot is self-adjudicating."""
+    return {
+        "median": round(statistics.median(samples), 3),
+        "min": round(min(samples), 3),
+        "max": round(max(samples), 3),
+    }
+
+
+def _qps_anchor(spark, sf_dir, extra, errors) -> None:
+    """Dedicated ≥5-run loops for the two batch-kNN qps anchors (r6
+    verdict #3). These are the round-over-round regression signal, so
+    they get their own repetitions + bands instead of inheriting the
+    main loop's budget-cut median-of-3. The scalar keys stay (median)
+    for cross-round comparability; the *_band keys carry the bar."""
+    try:
+        import vector_knowledge_base_spark.queries as q
+
+        for name, n_queries, key in (
+            ("knn_batch", KNN_BATCH_N_QUERIES, "knn_batch_qps"),
+            ("knn_batch_100", 100, "knn_batch100_qps"),
+        ):
+            samples = []
+            for _ in range(5):
+                t0 = time.time()
+                _materialize(q.QUERIES[name](spark, sf_dir))
+                samples.append(n_queries / (time.time() - t0))
+            extra[key] = round(statistics.median(samples), 3)
+            extra[f"{key}_band"] = _band(samples)
+    except Exception as e:  # noqa: BLE001
+        errors["qps_anchor"] = (
+            f"{type(e).__name__}: {str(e).splitlines()[0][:200]}"
+        )
+
+
 def _scale_anchor(spark, sf_dir, extra, errors) -> None:
     """Scale-up anchor (r3 verdict #6): batch-100 kNN against a 10×
     self-replicated corpus (lazy union of 10 offset-id scans — real
@@ -572,24 +615,31 @@ def _serving_latency_anchor(spark, sf_dir, extra, errors) -> None:
                 write_ivf_corpus(idx, tmpd)
                 base = spark.read.parquet(tmpd)  # held open, like a server
                 full_lat, lat = [], []
-                for r in qrows:
-                    qv = [float(x) for x in r["embedding"]]
-                    t0 = time.time()
-                    cosine_topk(corpus, qv, k=10).collect()
-                    full_lat.append(time.time() - t0)
-                for r in qrows:
-                    qv = [float(x) for x in r["embedding"]]
-                    d = ((centroids - np.asarray(qv)) ** 2).sum(axis=1)
-                    probe = [int(c) for c in np.argsort(d)[:4]]
-                    t0 = time.time()
-                    sub = base.where(SF.col("ivf_cell").isin(probe))
-                    cosine_topk(sub, qv, k=10).collect()
-                    lat.append(time.time() - t0)
+                for _pass in range(2):  # 5 queries × 2 passes = 10 samples
+                    for r in qrows:
+                        qv = [float(x) for x in r["embedding"]]
+                        t0 = time.time()
+                        cosine_topk(corpus, qv, k=10).collect()
+                        full_lat.append(time.time() - t0)
+                    for r in qrows:
+                        qv = [float(x) for x in r["embedding"]]
+                        d = ((centroids - np.asarray(qv)) ** 2).sum(axis=1)
+                        probe = [int(c) for c in np.argsort(d)[:4]]
+                        t0 = time.time()
+                        sub = base.where(SF.col("ivf_cell").isin(probe))
+                        cosine_topk(sub, qv, k=10).collect()
+                        lat.append(time.time() - t0)
                 extra[f"knn_single_fullscan{label}_ms"] = round(
                     1000 * statistics.median(full_lat), 1
                 )
                 extra[f"knn_single_ivf_persisted{label}_ms"] = round(
                     1000 * statistics.median(lat), 1
+                )
+                extra[f"knn_single_fullscan{label}_ms_band"] = _band(
+                    [1000 * s for s in full_lat]
+                )
+                extra[f"knn_single_ivf_persisted{label}_ms_band"] = _band(
+                    [1000 * s for s in lat]
                 )
             finally:
                 shutil.rmtree(tmpd, ignore_errors=True)
@@ -700,6 +750,7 @@ def main() -> None:
     # end-of-run placement fell past the 80% budget cut and the anchor
     # silently vanished from BENCH_r; they are the round's key empirical
     # scale claims, so they spend their ~20 s before the loop).
+    _qps_anchor(spark, sf_dir, extra, errors)
     _scale_anchor(spark, sf_dir, extra, errors)
     _dedup_scale_anchor(spark, sf_dir, extra, errors)
     _chunker_scale_anchor(spark, sf_dir, extra, errors)
@@ -735,9 +786,11 @@ def main() -> None:
         "runs_per_query": RUNS_PER_QUERY,
         "errors": errors,
     }
-    if timings.get("knn_batch"):
+    # the dedicated 5-run _qps_anchor bands are authoritative; derive
+    # from the main-loop timing only if the anchor itself errored
+    if "knn_batch_qps" not in extra and timings.get("knn_batch"):
         out["knn_batch_qps"] = round(KNN_BATCH_N_QUERIES / timings["knn_batch"], 3)
-    if timings.get("knn_batch_100"):
+    if "knn_batch100_qps" not in extra and timings.get("knn_batch_100"):
         out["knn_batch100_qps"] = round(100 / timings["knn_batch_100"], 3)
     out.update(extra)
 
