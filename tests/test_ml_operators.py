@@ -697,3 +697,38 @@ def test_rotate_embeddings_preserves_inner_products(spark, emb):
             assert abs(
                 float(raw[a] @ raw[b]) - float(rot[a] @ rot[b])
             ) < 1e-9
+
+
+def test_opq_beats_pq_on_anisotropic(spark):
+    """VERDICT r6 #5: on a correlated (anisotropic) corpus — the
+    geometry OPQ exists for — the learned rotation must deliver
+    recall >= plain PQ at EQUAL code bytes, and strictly lower
+    training reconstruction MSE. (On the hash-uniform testdata both
+    are indistinguishable; this fixture is the regime that separates
+    them.)"""
+    from pyspark.sql import functions as F
+
+    from vector_knowledge_base_spark.operators.ann import (
+        anisotropic_embeddings,
+        pq_opq_recall_curve,
+    )
+
+    ids = spark.range(0, 400).select(F.col("id").alias("vec_id"))
+    emb = anisotropic_embeddings(ids).localCheckpoint(eager=True)
+    rows = pq_opq_recall_curve(emb, budgets=(8,), n_queries=4)
+    recall = {(r[0], r[1]): r[2] for r in rows}
+    mse = {(r[0], r[1]): r[3] for r in rows}
+    assert recall[(32, "opq")] >= recall[(32, "pq")], rows
+    assert mse[(32, "opq")] < mse[(32, "pq")], rows
+    # the covariance really is anisotropic — in its EIGENVALUES, not
+    # the per-axis variances (the dense rotation deliberately mixes
+    # those: that misalignment is exactly what OPQ corrects)
+    import numpy as np
+
+    mat = np.array(
+        [r["embedding"] for r in emb.limit(200).collect()], dtype=np.float64
+    )
+    eig = np.linalg.eigvalsh(np.cov(mat.T))
+    assert eig.max() / max(eig.min(), 1e-12) > 20.0
+    axis_var = mat.var(axis=0)
+    assert axis_var.max() / axis_var.min() < 20.0  # skew hidden from axes
