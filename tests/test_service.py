@@ -9,6 +9,7 @@ import zipfile
 import pytest
 from pyspark.sql import functions as F
 
+from vector_knowledge_base_spark.pipeline.ingest import build_registry
 from vector_knowledge_base_spark.service import KnowledgeBase
 
 
@@ -295,3 +296,47 @@ def test_txlog_restore_and_clone_facade_verbs(spark, tmp_path):
         kb2.restore(0)
     with pytest.raises(RuntimeError, match="txlog"):
         kb2.clone_to(str(tmp_path / "c2"))
+
+
+def test_txlog_registry_listing_served_by_matview(spark, tmp_path):
+    """VERDICT r6 #7: in txlog mode the A2 listing is served by an
+    incrementally-maintained matview that follows EVERY mutation
+    through the CDC — upload, MCP create, delete, restore — with no
+    ad-hoc rebuild. After each verb the listing must equal a full
+    recompute of the registry aggregate over the current chunks."""
+    src = tmp_path / "up"
+    src.mkdir()
+    (src / "a.txt").write_text("alpha bravo charlie delta echo")
+    (src / "b.txt").write_text("foxtrot golf hotel india juliet")
+    kb = KnowledgeBase(spark, str(tmp_path / "ws"), storage="txlog")
+    kb.upload_directory(str(src))
+
+    def _listing():
+        return {
+            (r["doc_id"], r["filename"], r["total_chunks"], r["n_chunks"])
+            for r in kb.list_documents().collect()
+        }
+
+    def _recompute():
+        return {
+            (r["doc_id"], r["filename"], r["total_chunks"], r["n_chunks"])
+            for r in build_registry(kb.chunks()).collect()
+        }
+
+    assert _listing() == _recompute()
+    from vector_knowledge_base_spark.sources.txlog import _list_versions
+
+    assert _list_versions(str(tmp_path / "ws" / "registry_mv"))  # mv exists
+    kb.create_document("c.txt", "kilo lima mike november oscar papa")
+    assert _listing() == _recompute()
+    assert {f for _, f, _, _ in _listing()} == {"a.txt", "b.txt", "c.txt"}
+    pre = kb.history().agg(F.max("version")).first()[0]
+    kb.delete_document("b.txt")
+    assert _listing() == _recompute()
+    assert "b.txt" not in {f for _, f, _, _ in _listing()}
+    kb.restore(pre)  # b.txt comes back; the view follows the CDC
+    assert _listing() == _recompute()
+    assert "b.txt" in {f for _, f, _, _ in _listing()}
+    # reset drops the view with the corpus; listing is empty after
+    kb.reset()
+    assert kb.list_documents().count() == 0

@@ -71,6 +71,7 @@ class _KnowledgeBaseCore:
         self.dim = embedding_dim
         self.chunks_path = os.path.join(workspace_dir, "chunks")
         self.registry_path = os.path.join(workspace_dir, "registry")
+        self.registry_mv_path = os.path.join(workspace_dir, "registry_mv")
         self.coords_path = os.path.join(workspace_dir, "coords3d")
         self.model_path = os.path.join(workspace_dir, "pca_model")
         self.folders_path = os.path.join(workspace_dir, "folders")
@@ -158,7 +159,55 @@ class _KnowledgeBaseCore:
         return shallow_clone(self.spark, self.chunks_path, dst_path, version)
 
     def list_documents(self) -> DataFrame:
-        """O(1)-style listing from the materialized registry (A2)."""
+        """O(1)-style listing from the materialized registry (A2).
+
+        txlog storage serves it from an incrementally-maintained
+        MATERIALIZED VIEW over the chunks table (sources/matview.py,
+        r7 — VERDICT r6 #7): created lazily on first call, refreshed
+        before serving (a metadata no-op when the base is unchanged;
+        churn-proportional otherwise — min/filename aggregates put it
+        in affected-group-rescan mode). The view definition rides the
+        txlog manifests, so it needs no ad-hoc rebuild after delete /
+        restore / merge: every mutation is picked up through the CDC.
+        ``first(filename)`` is served as ``min(filename)`` — chunks of
+        one doc share the filename, so the aggregates agree. Parquet
+        storage keeps the eager-rebuilt registry table."""
+        if self.storage == "txlog":
+            from vector_knowledge_base_spark.sources.matview import (
+                create_matview,
+                read_matview,
+                refresh_matview,
+            )
+            from vector_knowledge_base_spark.sources.txlog import (
+                _list_versions,
+            )
+
+            if not _list_versions(self.chunks_path):
+                # nothing ingested (or just reset): serve the emptied
+                # parquet registry rather than creating a baseless view
+                return self.spark.read.parquet(self.registry_path)
+            if not _list_versions(self.registry_mv_path):
+                create_matview(
+                    self.spark,
+                    self.registry_mv_path,
+                    self.chunks_path,
+                    ["doc_id"],
+                    [
+                        ("min", "filename"),
+                        ("min", "upload_date"),
+                        ("max", "total_chunks"),
+                        ("count", "*"),
+                    ],
+                )
+            else:
+                refresh_matview(self.spark, self.registry_mv_path)
+            return read_matview(self.spark, self.registry_mv_path).select(
+                F.col("doc_id"),
+                F.col("min_filename").alias("filename"),
+                F.col("min_upload_date").alias("upload_date"),
+                F.col("max_total_chunks").alias("total_chunks"),
+                F.col("count_star").alias("n_chunks"),
+            )
         return self.spark.read.parquet(self.registry_path)
 
     # -- ingest ------------------------------------------------------------
@@ -318,6 +367,11 @@ class _KnowledgeBaseCore:
             from vector_knowledge_base_spark.sources.txlog import drop_table
 
             drop_table(self.chunks_path)
+        if os.path.exists(self.registry_mv_path):
+            # the registry matview is a txlog table, not plain parquet
+            from vector_knowledge_base_spark.sources.txlog import drop_table
+
+            drop_table(self.registry_mv_path)
         for p in (
             self.chunks_path,
             self.registry_path,

@@ -437,7 +437,18 @@ def refresh_matview(spark: SparkSession, mv_path: str) -> dict:
                 "to": v0,
                 "mv_version": mv_parent,
             }
-        cdc = table_diff(spark, base_path, v0, v1).localCheckpoint(eager=True)
+        # diff only the columns the view reads: the projected multiset
+        # delta is exactly what aggregate maintenance needs, the scan is
+        # column-pruned, and non-comparable base columns (MAP) never
+        # enter the set operation
+        need = list(
+            dict.fromkeys(
+                keys + [c for _fn, c in _physical(aggs) if c != "*"]
+            )
+        )
+        cdc = table_diff(
+            spark, base_path, v0, v1, columns=need
+        ).localCheckpoint(eager=True)
         old = read_table(spark, mv_path, mv_parent)
         invertible = all(fn in _INVERTIBLE for fn, _ in aggs)
         if invertible:

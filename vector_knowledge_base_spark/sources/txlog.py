@@ -1460,14 +1460,25 @@ def table_versions(spark: SparkSession, path: str) -> DataFrame:
 
 
 def table_diff(
-    spark: SparkSession, path: str, v_from: int, v_to: int
+    spark: SparkSession,
+    path: str,
+    v_from: int,
+    v_to: int,
+    columns: list[str] | None = None,
 ) -> DataFrame:
     """Row-level CDC between two versions, computed from CHANGED FILES
     ONLY: files present in both manifests carry identical immutable
     rows and are never read — inserts = rows(files added) EXCEPT ALL
     rows(files removed), deletes the reverse. At 100 TB the diff cost
     is proportional to the churn, not the table. Returns the union with
-    a ``change`` column ('insert' | 'delete')."""
+    a ``change`` column ('insert' | 'delete').
+
+    ``columns`` diffs the PROJECTION only: the multiset delta of the
+    projected tuples — exactly what an aggregate consumer (matview
+    refresh) needs, since a row whose projection is unchanged nets to
+    zero there. Also the only way to diff past non-comparable columns
+    (Spark refuses set operations over MAP types) and a column-pruned
+    scan besides."""
     m_to = _read_manifest(path, v_to)
     a = set(_manifest_files(path, _read_manifest(path, v_from)))
     b = set(_manifest_files(path, m_to))
@@ -1485,6 +1496,8 @@ def table_diff(
         if added
         else schema_src.limit(0)
     )
+    if columns is not None:
+        old, new = old.select(*columns), new.select(*columns)
     return new.exceptAll(old).withColumn(
         "change", F.lit("insert")
     ).unionAll(old.exceptAll(new).withColumn("change", F.lit("delete")))
