@@ -346,6 +346,16 @@ HEADLINE = [
     "txlog_delta_manifest_audit",
     # wave 89 (r6) — txlog streaming source, multi-hop exactly-once
     "txlog_stream_multihop",
+    # wave 90 (r7) — hive partition_by + dynamic partition overwrite
+    "txlog_partition_overwrite",
+    # wave 90 (r7) — A2 listing served by the rescan-mode matview
+    "registry_matview_listing",
+    # wave 90 (r7) — PQ/OPQ/IVF-PQ recall-per-byte curve (anisotropic)
+    "opq_recall_per_byte_curve",
+    # wave 90 (r7) — incrementally-maintained ROLLUP matview
+    "matview_rollup_incremental",
+    # wave 90 (r7) — txstream backlog admission control audit
+    "txlog_stream_backpressure",
 ]
 
 # Integration rows whose cost is fixed overhead (streaming runs with
@@ -365,6 +375,11 @@ SINGLE_RUN = {
     "txlog_zorder_pruning",
     "txlog_delta_manifest_audit",
     "txlog_stream_multihop",
+    "txlog_partition_overwrite",
+    "registry_matview_listing",
+    "opq_recall_per_byte_curve",
+    "matview_rollup_incremental",
+    "txlog_stream_backpressure",
 }
 
 KNN_BATCH_N_QUERIES = 5  # matches the knn_batch query definition
