@@ -356,6 +356,8 @@ HEADLINE = [
     "matview_rollup_incremental",
     # wave 90 (r7) — txstream backlog admission control audit
     "txlog_stream_backpressure",
+    # wave 91 (r7) — Delta-style CHECK constraints on the txlog
+    "txlog_check_constraints",
 ]
 
 # Integration rows whose cost is fixed overhead (streaming runs with
@@ -380,6 +382,7 @@ SINGLE_RUN = {
     "opq_recall_per_byte_curve",
     "matview_rollup_incremental",
     "txlog_stream_backpressure",
+    "txlog_check_constraints",
 }
 
 KNN_BATCH_N_QUERIES = 5  # matches the knn_batch query definition

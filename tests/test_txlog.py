@@ -1472,3 +1472,119 @@ def test_retry_exhaustion_raises_named_error(spark, tmp_path, monkeypatch):
         )
     with pytest.raises(txmod.TxConflict, match="CAS races"):
         txmod.delete_where(spark, p, filters={"id": 1})
+
+
+def test_check_constraints_enforced_on_every_writer(spark, tmp_path):
+    """Delta-style CHECK constraints (r7): add-time validation of the
+    existing table, enforcement on append / merge / replace_where /
+    overwrite with the NAMED error, SQL NULL-passes semantics, carried
+    by every commit (even ops that never mention constraints), and
+    droppable."""
+    from vector_knowledge_base_spark.sources.txlog import (
+        TxConstraintViolation,
+        add_constraint,
+        drop_constraint,
+        merge_table,
+        overwrite_table,
+        replace_where,
+    )
+
+    p = str(tmp_path / "t")
+    create_table(
+        spark,
+        p,
+        spark.createDataFrame(
+            [(1, 10.0, "a"), (2, None, "b")], "id long, v double, tag string"
+        ),
+    )
+    # add-time validation refuses a constraint existing rows violate
+    with pytest.raises(TxConstraintViolation, match="existing rows"):
+        add_constraint(spark, p, "v_big", "v >= 100")
+    add_constraint(spark, p, "v_nonneg", "v >= 0")  # NULL v passes (SQL)
+    v_before = table_versions(spark, p).count()
+
+    # append: violating batch refused with the named error, no version
+    with pytest.raises(TxConstraintViolation, match="v_nonneg"):
+        append_table(
+            spark,
+            p,
+            spark.createDataFrame([(3, -1.0, "c")], "id long, v double, tag string"),
+        )
+    assert table_versions(spark, p).count() == v_before
+    # NULL evaluates the check to NULL -> passes
+    append_table(
+        spark,
+        p,
+        spark.createDataFrame([(4, None, "d")], "id long, v double, tag string"),
+    )
+    # the carry test: delete_where never mentions constraints, yet the
+    # NEXT append is still checked (commit-level inheritance)
+    delete_where(spark, p, filters={"id": 1})
+    with pytest.raises(TxConstraintViolation, match="v_nonneg"):
+        append_table(
+            spark,
+            p,
+            spark.createDataFrame([(5, -2.0, "e")], "id long, v double, tag string"),
+        )
+    # merge and replace_where validate their incoming rows
+    with pytest.raises(TxConstraintViolation, match="merge"):
+        merge_table(
+            spark,
+            p,
+            spark.createDataFrame([(2, -5.0, "b")], "id long, v double, tag string"),
+            key_cols=["id"],
+        )
+    with pytest.raises(TxConstraintViolation, match="replace_where"):
+        replace_where(
+            spark,
+            p,
+            {"tag": "b"},
+            spark.createDataFrame([(2, -5.0, "b")], "id long, v double, tag string"),
+        )
+    with pytest.raises(TxConstraintViolation, match="overwrite"):
+        overwrite_table(
+            spark,
+            p,
+            spark.createDataFrame([(9, -9.0, "z")], "id long, v double, tag string"),
+        )
+    # drop -> previously-refused rows land
+    drop_constraint(spark, p, "v_nonneg")
+    append_table(
+        spark,
+        p,
+        spark.createDataFrame([(6, -3.0, "f")], "id long, v double, tag string"),
+    )
+    got = {r["id"] for r in read_table(spark, p).collect()}
+    assert got == {2, 4, 6}
+    with pytest.raises(RuntimeError, match="no constraint"):
+        drop_constraint(spark, p, "v_nonneg")
+
+
+def test_check_constraint_on_partitioned_overwrite(spark, tmp_path):
+    from vector_knowledge_base_spark.sources.txlog import (
+        TxConstraintViolation,
+        add_constraint,
+        overwrite_partitions,
+    )
+
+    p = str(tmp_path / "t")
+    create_table(
+        spark,
+        p,
+        spark.createDataFrame([("a", 1, 1.0), ("b", 2, 2.0)], "k string, id long, v double"),
+        partition_by=["k"],
+    )
+    add_constraint(spark, p, "v_pos", "v > 0")
+    with pytest.raises(TxConstraintViolation, match="v_pos"):
+        overwrite_partitions(
+            spark,
+            p,
+            spark.createDataFrame([("a", 9, -1.0)], "k string, id long, v double"),
+        )
+    overwrite_partitions(
+        spark,
+        p,
+        spark.createDataFrame([("a", 9, 9.0)], "k string, id long, v double"),
+    )
+    got = {(r["k"], r["id"]) for r in read_table(spark, p).collect()}
+    assert got == {("a", 9), ("b", 2)}

@@ -15177,3 +15177,102 @@ def q_txlog_stream_backpressure(spark: SparkSession, sf_dir: str) -> DataFrame:
         "capped",
         (F.col("_n") == F.lit(n_keys)).alias("exactly_once"),
     )
+
+
+_TXLOG_CONSTRAINT_ORACLE = """
+WITH final AS (
+  SELECT o_orderkey, o_totalprice FROM orders
+  UNION ALL
+  SELECT o_orderkey + 1000000000, o_totalprice + 1.0
+  FROM orders WHERE o_orderkey % 9 = 0
+  UNION ALL
+  SELECT 2000000001, NULL
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       ROUND(SUM(o_totalprice), 2) AS total_value,
+       TRUE AS violation_rejected,
+       TRUE AS null_passes,
+       TRUE AS no_version_burned
+FROM final
+"""
+
+
+@query("txlog_check_constraints", oracle=_TXLOG_CONSTRAINT_ORACLE)
+def q_txlog_check_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-style CHECK constraints on the txlog (r7 wave 91,
+    sources/txlog.py add_constraint — the reference validates nothing
+    on write; a 100 TB ingest loop needs declarative write-time
+    contracts or garbage compounds silently): orders lands as a txlog
+    table, ``price_nonneg CHECK (o_totalprice >= 0)`` is added with
+    add-time validation, then three writes probe the contract — a
+    valid append LANDS, an append carrying one negative price is
+    REFUSED with the named TxConstraintViolation before any manifest
+    changes (``no_version_burned`` pins the log length), and a
+    NULL-price row PASSES (SQL CHECK semantics: NULL is not FALSE).
+    The surviving table hash-equals the oracle built from exactly the
+    admitted writes. The constraint rides the manifests through the
+    same commit-inheritance as partition_by, so every later writer
+    process enforces it (multi-writer safe by construction).
+
+    100 TB shape: enforcement is ONE early-exit predicate scan of the
+    incoming batch (never the table); add-time validation is one
+    pruned scan of the current snapshot."""
+    import re
+    import shutil
+
+    from vector_knowledge_base_spark.sources.txlog import (
+        TxConstraintViolation,
+        add_constraint,
+        create_table,
+        read_table,
+        table_versions,
+    )
+    from vector_knowledge_base_spark.sources.txlog import (
+        append_table as tx_append,
+    )
+
+    tag = re.sub(r"[^A-Za-z0-9.]", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1])
+    base = f"/tmp/vkb_txcheck_{_session_tag(spark)}_{tag}"
+    shutil.rmtree(base, ignore_errors=True)
+    tbl = f"{base}/orders"
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    create_table(spark, tbl, orders)
+    add_constraint(spark, tbl, "price_nonneg", "o_totalprice >= 0")
+    tx_append(  # valid: prices shifted up, keys shifted out of range
+        spark,
+        tbl,
+        orders.where(F.col("o_orderkey") % 9 == 0).select(
+            (F.col("o_orderkey") + 1000000000).alias("o_orderkey"),
+            (F.col("o_totalprice") + 1.0).alias("o_totalprice"),
+        ),
+    )
+    n_before = table_versions(spark, tbl).count()
+    rejected = False
+    try:
+        tx_append(
+            spark,
+            tbl,
+            spark.createDataFrame(
+                [(2000000000, -1.0)], "o_orderkey long, o_totalprice double"
+            ),
+        )
+    except TxConstraintViolation as e:
+        rejected = "price_nonneg" in str(e)
+    no_burn = table_versions(spark, tbl).count() == n_before
+    tx_append(  # NULL evaluates the CHECK to NULL → passes (SQL)
+        spark,
+        tbl,
+        spark.createDataFrame(
+            [(2000000001, None)], "o_orderkey long, o_totalprice double"
+        ),
+    )
+    return read_table(spark, tbl).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_value"),
+        F.lit(bool(rejected)).alias("violation_rejected"),
+        # exactly ONE NULL-price row must have been admitted
+        (
+            F.sum(F.col("o_totalprice").isNull().cast("long")) == 1
+        ).alias("null_passes"),
+        F.lit(bool(no_burn)).alias("no_version_burned"),
+    )

@@ -106,6 +106,12 @@ class TxConflict(RuntimeError):
     """
 
 
+class TxConstraintViolation(RuntimeError):
+    """A write batch carried rows violating a table CHECK constraint
+    (``add_constraint``); the commit was refused before any manifest
+    changed. Carries the constraint name and a sample violating row."""
+
+
 def _log_path(path: str) -> str:
     return os.path.join(path, _LOG_DIR)
 
@@ -271,15 +277,15 @@ def _commit(path: str, manifest: dict) -> int:
     version = manifest["version"]
     # partitioning is a create-time table property: carry it forward
     # automatically so no commit path can silently drop it
-    if "partition_by" not in manifest and isinstance(
-        manifest.get("parent"), int
+    if isinstance(manifest.get("parent"), int) and (
+        "partition_by" not in manifest or "constraints" not in manifest
     ):
         try:
-            manifest["partition_by"] = _read_manifest(
-                path, manifest["parent"]
-            ).get("partition_by")
+            parent_m = _read_manifest(path, manifest["parent"])
         except (OSError, KeyError, ValueError):
-            manifest["partition_by"] = None
+            parent_m = {}
+        manifest.setdefault("partition_by", parent_m.get("partition_by"))
+        manifest.setdefault("constraints", parent_m.get("constraints"))
     manifest = _delta_encode(path, manifest)
     final = _manifest_file(path, version)
     tmp = os.path.join(_log_path(path), f".{uuid.uuid4().hex}.tmp")
@@ -595,6 +601,23 @@ def _committed_batch_ids(path: str) -> set:
     return ids
 
 
+def _enforce_constraints(m: dict, df: DataFrame, op: str) -> None:
+    """Refuse the write if any batch row VIOLATES a CHECK constraint
+    (SQL semantics: a violation is the expression evaluating FALSE —
+    NULL passes, as in the standard and Delta). One predicate scan of
+    the batch with an early-exit limit(1); rows already in the table
+    were validated when written, so only the incoming batch is read."""
+    constraints = m.get("constraints") or {}
+    for name, expr in constraints.items():
+        bad = df.where(~F.coalesce(F.expr(expr), F.lit(True))).limit(1)
+        rows = bad.collect()
+        if rows:
+            raise TxConstraintViolation(
+                f"txlog: {op} violates CHECK constraint {name!r} "
+                f"({expr}); sample row: {rows[0].asDict()}"
+            )
+
+
 def create_table(
     spark: SparkSession,
     path: str,
@@ -675,6 +698,7 @@ def append_table(
     just rebases onto the winner's file list and retries (data files
     are written once; only the manifest is recommitted)."""
     new_files: list[str] | None = None
+    validated_constraints: dict | None = None
     for _ in range(_MAX_COMMIT_RETRIES):
         versions = _list_versions(path)
         if not versions:
@@ -683,6 +707,12 @@ def append_table(
             return versions[-1]  # already committed: replay is a no-op
         latest = versions[-1]
         m = _read_manifest(path, latest)
+        # CHECK constraints: validate the batch once, re-validate only
+        # if a concurrent add_constraint changed the set mid-retry
+        cons = m.get("constraints") or {}
+        if cons != validated_constraints:
+            _enforce_constraints(m, df, "append")
+            validated_constraints = cons
         # schema ENFORCEMENT (not evolution): an append whose columns or
         # types drift from the logged schema is refused — silent drift
         # poisons every future read (parquet takes the first file's
@@ -763,7 +793,9 @@ def overwrite_table(spark: SparkSession, path: str, df: DataFrame) -> int:
     versions = _list_versions(path)
     if not versions:
         return create_table(spark, path, df)
-    pby = _read_manifest(path, versions[-1]).get("partition_by")
+    m_latest = _read_manifest(path, versions[-1])
+    _enforce_constraints(m_latest, df, "overwrite")
+    pby = m_latest.get("partition_by")
     new_files = _write_batch(df, path, pby)
     for _ in range(_MAX_COMMIT_RETRIES):
         latest = _list_versions(path)[-1]
@@ -821,6 +853,7 @@ def overwrite_partitions(spark: SparkSession, path: str, df: DataFrame) -> int:
             f"txlog: overwrite_partitions schema "
             f"{df.schema.simpleString()} does not match the table schema"
         )
+    _enforce_constraints(m0, df, "overwrite_partitions")
     new_files = _write_batch(df, path, pby)
     new_stats = _file_stats(path, new_files)
     touched = {
@@ -867,6 +900,99 @@ def overwrite_partitions(spark: SparkSession, path: str, df: DataFrame) -> int:
     raise TxConflict(
         f"txlog: overwrite_partitions of {path} lost "
         f"{_MAX_COMMIT_RETRIES} CAS races"
+    )
+
+
+def add_constraint(
+    spark: SparkSession, path: str, name: str, expr: str
+) -> int:
+    """Delta-style CHECK constraint (ALTER TABLE ADD CONSTRAINT ...
+    CHECK): validates that the CURRENT table satisfies ``expr`` (one
+    scan with an early-exit limit — exactly Delta's add-time
+    validation), then commits a metadata-only op recording it. Every
+    subsequent append / merge / overwrite / replace_where /
+    overwrite_partitions validates its incoming batch and REFUSES the
+    commit (named ``TxConstraintViolation``) if any row evaluates the
+    expression to FALSE — NULL passes, per SQL CHECK semantics. The
+    constraint rides the manifests (carried by ``_commit`` itself like
+    partition_by, so no op can drop it silently) and is enforced by
+    every writer process that reads the log — multi-writer safe by
+    construction."""
+    for _ in range(_MAX_COMMIT_RETRIES):
+        versions = _list_versions(path)
+        if not versions:
+            raise RuntimeError(f"txlog: no table at {path}")
+        latest = versions[-1]
+        m = _read_manifest(path, latest)
+        cons = dict(m.get("constraints") or {})
+        if name in cons:
+            raise RuntimeError(
+                f"txlog: constraint {name!r} already exists on {path}"
+            )
+        existing = read_table(spark, path, latest)
+        bad = existing.where(
+            ~F.coalesce(F.expr(expr), F.lit(True))
+        ).limit(1).collect()
+        if bad:
+            raise TxConstraintViolation(
+                f"txlog: cannot add CHECK constraint {name!r} ({expr}) — "
+                f"existing rows violate it; sample: {bad[0].asDict()}"
+            )
+        cons[name] = expr
+        try:
+            return _commit(
+                path,
+                {
+                    "version": latest + 1,
+                    "op": "add_constraint",
+                    "files": m["files"],
+                    "stats": m.get("stats") or {},
+                    "parent": latest,
+                    "schema": m.get("schema"),
+                    "partition_by": m.get("partition_by"),
+                    "constraints": cons,
+                },
+            )
+        except TxConflict:
+            continue  # re-validate against the winner's snapshot
+    raise TxConflict(
+        f"txlog: add_constraint on {path} lost {_MAX_COMMIT_RETRIES} CAS races"
+    )
+
+
+def drop_constraint(spark: SparkSession, path: str, name: str) -> int:
+    """Metadata-only removal of a CHECK constraint."""
+    for _ in range(_MAX_COMMIT_RETRIES):
+        versions = _list_versions(path)
+        if not versions:
+            raise RuntimeError(f"txlog: no table at {path}")
+        latest = versions[-1]
+        m = _read_manifest(path, latest)
+        cons = dict(m.get("constraints") or {})
+        if name not in cons:
+            raise RuntimeError(
+                f"txlog: no constraint {name!r} on {path} "
+                f"(have {sorted(cons)})"
+            )
+        cons.pop(name)
+        try:
+            return _commit(
+                path,
+                {
+                    "version": latest + 1,
+                    "op": "drop_constraint",
+                    "files": m["files"],
+                    "stats": m.get("stats") or {},
+                    "parent": latest,
+                    "schema": m.get("schema"),
+                    "partition_by": m.get("partition_by"),
+                    "constraints": cons,
+                },
+            )
+        except TxConflict:
+            continue
+    raise TxConflict(
+        f"txlog: drop_constraint on {path} lost {_MAX_COMMIT_RETRIES} CAS races"
     )
 
 
@@ -1052,6 +1178,7 @@ def merge_table(
     version and rewrite the touched files again.)"""
     from urllib.parse import unquote, urlparse
 
+    validated_constraints: dict | None = None
     for _ in range(_MAX_COMMIT_RETRIES):
         versions = _list_versions(path)
         if not versions:
@@ -1061,6 +1188,10 @@ def merge_table(
         latest = versions[-1]
         m = _read_manifest(path, latest)
         files = _manifest_files(path, m)
+        cons = m.get("constraints") or {}
+        if cons != validated_constraints:
+            _enforce_constraints(m, updates, "merge")
+            validated_constraints = cons
         logged = m.get("schema")
         if logged is not None and _schema_key(
             updates.schema
@@ -1191,6 +1322,7 @@ def replace_where(
                 "does not match the table schema"
             )
         if new_files is None:
+            _enforce_constraints(m, df, "replace_where")
             new_files = _write_batch(df, path, m.get("partition_by"))
         files = _manifest_files(path, m)
         candidates = _prune_files(path, m, filters)
