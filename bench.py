@@ -358,6 +358,8 @@ HEADLINE = [
     "txlog_stream_backpressure",
     # wave 91 (r7) — Delta-style CHECK constraints on the txlog
     "txlog_check_constraints",
+    # wave 91 (r7) — merge-on-read deletion vectors
+    "txlog_deletion_vectors",
 ]
 
 # Integration rows whose cost is fixed overhead (streaming runs with
@@ -383,6 +385,7 @@ SINGLE_RUN = {
     "matview_rollup_incremental",
     "txlog_stream_backpressure",
     "txlog_check_constraints",
+    "txlog_deletion_vectors",
 }
 
 KNN_BATCH_N_QUERIES = 5  # matches the knn_batch query definition

@@ -1,0 +1,241 @@
+"""Deletion vectors (sources/txlog.py delete_where(mode='dv') — the
+public Delta merge-on-read idea, r7): a delete writes one churn-sized
+(entry, row_index) sidecar batch instead of rewriting data files;
+DV-aware reads anti-join the hidden rows away; any rewrite of a file
+MATERIALIZES its vectors. The invariant every test defends: a DV
+table is OBSERVATIONALLY IDENTICAL to the same table maintained with
+copy-on-write deletes — readers, CDC, time travel, matviews, vacuum,
+and the streaming guard must all agree."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from vector_knowledge_base_spark.sources import txlog as tx
+
+
+def _ks(spark, path, version=None):
+    return sorted(r["k"] for r in tx.read_table(spark, path, version).collect())
+
+
+def test_dv_delete_hides_rows_without_moving_files(spark, tmp_path):
+    p = str(tmp_path / "t")
+    tx.create_table(
+        spark, p, spark.range(0, 60).withColumnRenamed("id", "k").coalesce(3)
+    )
+    files0 = set(tx._read_manifest(p, 0)["files"])
+    v = tx.delete_where(spark, p, F.col("k") % 4 == 0, mode="dv")
+    m = tx._read_manifest(p, v)
+    assert m["op"] == "delete_where_dv"
+    assert set(m["files"]) == files0  # zero data files moved
+    assert _ks(spark, p) == [k for k in range(60) if k % 4 != 0]
+    # filters + DV compose (pruned scan still DV-aware)
+    got = tx.read_table(spark, p, filters={"k": {"gte": 0, "lte": 9}})
+    assert sorted(r["k"] for r in got.collect()) == [1, 2, 3, 5, 6, 7, 9]
+    # time travel: pre-delete snapshot still full
+    assert len(_ks(spark, p, 0)) == 60
+
+
+def test_dv_redelete_idempotent_and_accumulates(spark, tmp_path):
+    p = str(tmp_path / "t")
+    tx.create_table(
+        spark, p, spark.range(0, 40).withColumnRenamed("id", "k").coalesce(2)
+    )
+    v1 = tx.delete_where(spark, p, F.col("k") < 5, mode="dv")
+    dv1 = tx._read_manifest(p, v1)["dv"]
+    # re-deleting already-hidden rows nets ZERO new vectors (the scan
+    # is DV-aware) — a pure-metadata commit
+    v2 = tx.delete_where(spark, p, F.col("k") < 5, mode="dv")
+    assert tx._read_manifest(p, v2)["dv"] == dv1
+    # a second real delete ACCUMULATES per-file vector lists
+    tx.delete_where(spark, p, F.col("k") >= 38, mode="dv")
+    assert _ks(spark, p) == list(range(5, 38))
+
+
+def test_dv_cdc_and_matview_follow_soft_deletes(spark, tmp_path):
+    """table_diff must surface DV-hidden rows as deletes (file set
+    unchanged!), and therefore a matview refresh follows them."""
+    from vector_knowledge_base_spark.sources.matview import (
+        create_matview,
+        read_matview,
+        refresh_matview,
+    )
+
+    p, mv = str(tmp_path / "t"), str(tmp_path / "mv")
+    df = spark.createDataFrame(
+        [("a", i, float(i)) for i in range(10)]
+        + [("b", 10 + i, 10.0 + i) for i in range(10)],
+        "g string, k long, v double",
+    )
+    tx.create_table(spark, p, df.coalesce(2))
+    create_matview(spark, mv, p, ["g"], [("sum", "v"), ("count", "*")])
+    v = tx.delete_where(spark, p, F.col("k") < 5, mode="dv")
+    d = tx.table_diff(spark, p, v - 1, v)
+    assert sorted((r["change"], r["k"]) for r in d.collect()) == [
+        ("delete", i) for i in range(5)
+    ]
+    assert refresh_matview(spark, mv)["mode"] == "delta"
+    got = {r["g"]: (r["sum_v"], r["count_star"])
+           for r in read_matview(spark, mv).collect()}
+    assert got == {"a": (sum(map(float, range(5, 10))), 5),
+                   "b": (sum(10.0 + i for i in range(10)), 10)}
+
+
+def test_rewrites_materialize_vectors_no_resurrection(spark, tmp_path):
+    """CoW delete / merge / compact over DV'd files must read
+    DV-aware (no hidden row resurrects) and drop the materialized
+    entries from the dv map."""
+    p = str(tmp_path / "t")
+    tx.create_table(
+        spark, p, spark.range(0, 30).withColumnRenamed("id", "k").coalesce(1)
+    )
+    tx.delete_where(spark, p, F.col("k") < 10, mode="dv")
+    # CoW delete touching the SAME file: survivors must exclude the
+    # dv-hidden rows, and the file's dv entry disappears
+    v = tx.delete_where(spark, p, F.col("k").between(10, 14))
+    m = tx._read_manifest(p, v)
+    assert (m.get("dv") or {}) == {}
+    assert _ks(spark, p) == list(range(15, 30))
+    # merge over a dv'd file
+    p2 = str(tmp_path / "t2")
+    tx.create_table(
+        spark,
+        p2,
+        spark.createDataFrame(
+            [(i, "old") for i in range(10)], "k long, tag string"
+        ).coalesce(1),
+    )
+    tx.delete_where(spark, p2, F.col("k") < 3, mode="dv")
+    tx.merge_table(
+        spark,
+        p2,
+        spark.createDataFrame([(5, "new"), (99, "ins")], "k long, tag string"),
+        key_cols=["k"],
+    )
+    got = {r["k"]: r["tag"] for r in tx.read_table(spark, p2).collect()}
+    assert got == {**{i: "old" for i in range(3, 10) if i != 5},
+                   5: "new", 99: "ins"}
+    assert (tx._read_manifest(p2, tx._list_versions(p2)[-1]).get("dv") or {}) == {}
+    # compaction materializes
+    p3 = str(tmp_path / "t3")
+    tx.create_table(
+        spark, p3, spark.range(0, 20).withColumnRenamed("id", "k").coalesce(4)
+    )
+    tx.delete_where(spark, p3, F.col("k") % 2 == 0, mode="dv")
+    tx.compact_files(spark, p3, target_files=1)
+    ml = tx._read_manifest(p3, tx._list_versions(p3)[-1])
+    assert (ml.get("dv") or {}) == {}
+    assert _ks(spark, p3) == list(range(1, 20, 2))
+
+
+def test_dv_on_partitioned_table_and_restore(spark, tmp_path):
+    p = str(tmp_path / "t")
+    tx.create_table(
+        spark,
+        p,
+        spark.createDataFrame(
+            [("x", i) for i in range(6)] + [("y", 10 + i) for i in range(6)],
+            "g string, k long",
+        ),
+        partition_by=["g"],
+    )
+    v = tx.delete_where(spark, p, F.col("k").isin(0, 1, 10), mode="dv")
+    assert _ks(spark, p) == [2, 3, 4, 5, 11, 12, 13, 14, 15]
+    # restore to pre-delete brings the rows back (dv rides manifests)
+    tx.restore_table(spark, p, v - 1)
+    assert len(_ks(spark, p)) == 12
+    # and restoring forward to the dv version hides them again
+    tx.restore_table(spark, p, v)
+    assert _ks(spark, p) == [2, 3, 4, 5, 11, 12, 13, 14, 15]
+
+
+def test_dv_clone_borrows_vectors_and_vacuum_keeps_live_dv(spark, tmp_path):
+    src, dst = str(tmp_path / "src"), str(tmp_path / "clone")
+    tx.create_table(
+        spark, src, spark.range(0, 20).withColumnRenamed("id", "k").coalesce(1)
+    )
+    tx.delete_where(spark, src, F.col("k") < 5, mode="dv")
+    tx.shallow_clone(spark, src, dst)
+    assert _ks(spark, dst) == list(range(5, 20))  # clone sees the DV
+    # the clone's own dv delete lands in ITS dv map, source untouched
+    tx.delete_where(spark, dst, F.col("k") >= 18, mode="dv")
+    assert _ks(spark, dst) == list(range(5, 18))
+    assert _ks(spark, src) == list(range(5, 20))
+    # vacuum on the source must never remove a LIVE dv batch
+    for i in range(6):
+        tx.append_table(
+            spark, src, spark.range(100 + i, 101 + i).withColumnRenamed("id", "k")
+        )
+    tx.compact_log(spark, src, keep_versions=2, orphan_grace_s=0.0)
+    assert _ks(spark, src)[:3] == [5, 6, 7]  # dv still applied
+    assert tx.fsck(spark, src).where("readable = false").count() == 0
+
+
+def test_dv_vacuumed_when_materialized_and_history_dropped(spark, tmp_path):
+    p = str(tmp_path / "t")
+    tx.create_table(
+        spark, p, spark.range(0, 20).withColumnRenamed("id", "k").coalesce(4)
+    )
+    tx.delete_where(spark, p, F.col("k") < 5, mode="dv")
+    tx.compact_files(spark, p, target_files=1)  # materializes, dv cleared
+    assert (
+        tx._read_manifest(p, tx._list_versions(p)[-1]).get("dv") or {}
+    ) == {}
+    for i in range(4):
+        tx.append_table(
+            spark, p, spark.range(50 + i, 51 + i).withColumnRenamed("id", "k")
+        )
+    tx.compact_log(spark, p, keep_versions=2, orphan_grace_s=0.0)
+    # the dv batch is unreferenced by every retained manifest → gone
+    leftover = [
+        f
+        for f in tx._data_files(p)
+        if os.path.basename(os.path.dirname(f)).startswith("dv")
+    ]
+    assert leftover == []
+    assert tx.fsck(spark, p).where("version = -1").collect()[0]["n_files"] == 0
+    assert sorted(
+        r["k"] for r in tx.read_table(spark, p).collect()
+    ) == list(range(5, 20)) + list(range(50, 54))
+
+
+def test_txstream_guard_trips_on_dv_commit(spark, tmp_path):
+    """A DV commit hides rows WITHOUT touching the file set — the
+    streaming source must treat it as a non-append change."""
+    from vector_knowledge_base_spark.sources.txstream import TxlogStreamReader
+
+    p = str(tmp_path / "t")
+    tx.create_table(
+        spark, p, spark.range(0, 10).withColumnRenamed("id", "k").coalesce(1)
+    )
+    tx.delete_where(spark, p, F.col("k") < 3, mode="dv")
+    r = TxlogStreamReader(p, ["k"], ignore_changes=False, start_version=0)
+    with pytest.raises(ValueError, match="changed the file set"):
+        r.partitions({"version": 0}, {"version": 1})
+    r2 = TxlogStreamReader(p, ["k"], ignore_changes=True, start_version=0)
+    parts = r2.partitions({"version": 0}, {"version": 1})
+    assert [row for pt in parts for row in r2.read(pt)] == []
+
+
+def test_dv_equals_cow_observationally(spark, tmp_path):
+    """The defining property: the same delete sequence via DV and via
+    CoW yields identical readable state at every version offset."""
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    base = spark.range(0, 50).withColumnRenamed("id", "k").coalesce(2)
+    tx.create_table(spark, a, base)
+    tx.create_table(spark, b, base)
+    for pred in (F.col("k") % 3 == 0, F.col("k") > 40, F.col("k") == 1):
+        tx.delete_where(spark, a, pred, mode="dv")
+        tx.delete_where(spark, b, pred)  # cow
+    assert _ks(spark, a) == _ks(spark, b)
+    for v in range(4):
+        assert _ks(spark, a, v) == _ks(spark, b, v), f"version {v}"
+    # and the cumulative CDC agrees
+    da = tx.table_diff(spark, a, 0, 3).groupBy("change").count().collect()
+    db = tx.table_diff(spark, b, 0, 3).groupBy("change").count().collect()
+    assert {(r["change"], r["count"]) for r in da} == {
+        (r["change"], r["count"]) for r in db
+    }

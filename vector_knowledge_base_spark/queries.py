@@ -15276,3 +15276,90 @@ def q_txlog_check_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("null_passes"),
         F.lit(bool(no_burn)).alias("no_version_burned"),
     )
+
+
+_TXLOG_DV_ORACLE = """
+WITH survivors AS (
+  SELECT * FROM orders
+  WHERE o_orderstatus <> 'P' AND o_orderkey % 13 <> 0
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       ROUND(SUM(o_totalprice), 2) AS total_value,
+       CAST((SELECT COUNT(*) FROM orders) - COUNT(*) AS BIGINT)
+         AS n_soft_deleted,
+       TRUE AS files_unmoved,
+       TRUE AS materialized_equal
+FROM survivors
+"""
+
+
+@query("txlog_deletion_vectors", oracle=_TXLOG_DV_ORACLE)
+def q_txlog_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-ON-READ deletes via deletion vectors (r7 wave 91,
+    sources/txlog.py delete_where(mode='dv') — the public Delta
+    deletion-vector idea; the reference deletes row-by-row through
+    Qdrant with no undo): orders lands as a txlog table, then TWO
+    soft deletes run — the whole 'P' status (declarative filters, so
+    manifest stats prune the candidate scan) and every 13th order key
+    (arbitrary predicate) — each writing one churn-sized
+    (entry, row_index) sidecar batch and MOVING ZERO DATA FILES
+    (``files_unmoved`` pins file-set identity across both commits).
+    The DV-aware read must hash-equal the oracle's survivor
+    recomputation; ``n_soft_deleted`` cross-checks the CDC — a
+    file-set diff would see NOTHING (files unchanged), so table_diff's
+    deletion-vector awareness is what makes the count come out. Then
+    ``compact_files`` MATERIALIZES the vectors (rows they hide are not
+    rewritten, dv map cleared) and ``materialized_equal`` pins that
+    the compacted table still reads identically.
+
+    100 TB shape: a 0.001% delete writes O(matched rows) bytes instead
+    of rewriting O(affected file bytes) — the GDPR-trickle regime CoW
+    handles badly; reads pay one churn-sized broadcast anti-join until
+    the next compaction materializes."""
+    import re
+    import shutil
+
+    from vector_knowledge_base_spark.sources.txlog import (
+        _list_versions,
+        _read_manifest,
+        compact_files,
+        create_table,
+        delete_where,
+        read_table,
+        table_diff,
+    )
+
+    tag = re.sub(r"[^A-Za-z0-9.]", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1])
+    tbl = f"/tmp/vkb_txdv_{_session_tag(spark)}_{tag}/orders"
+    shutil.rmtree(tbl, ignore_errors=True)
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    create_table(spark, tbl, orders)
+    files0 = list(_read_manifest(tbl, 0)["files"])
+    v1 = delete_where(spark, tbl, filters={"o_orderstatus": "P"}, mode="dv")
+    v2 = delete_where(spark, tbl, F.col("o_orderkey") % 13 == 0, mode="dv")
+    m2 = _read_manifest(tbl, v2)
+    files_unmoved = list(m2["files"]) == files0 and bool(m2.get("dv"))
+    # CDC across BOTH dv commits: deletes only, counted
+    diff = table_diff(spark, tbl, 0, v2)
+    n_del = diff.where(F.col("change") == "delete").count()
+    n_ins = diff.where(F.col("change") == "insert").count()
+    # materialization: compaction must not change what readers see —
+    # compared in exact integer CENTS (a rounded double sum at 1e10
+    # drifts in the last cent when compaction reorders accumulation)
+    _cents = F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+    before = read_table(spark, tbl).agg(F.count(F.lit(1)), _cents).first()
+    compact_files(spark, tbl, target_files=4)
+    mc = _read_manifest(tbl, _list_versions(tbl)[-1])
+    after = read_table(spark, tbl).agg(F.count(F.lit(1)), _cents).first()
+    materialized_equal = (
+        tuple(before) == tuple(after) and (mc.get("dv") or {}) == {}
+    )
+    return read_table(spark, tbl).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_value"),
+        (F.lit(n_del) - F.lit(n_ins)).cast("long").alias("n_soft_deleted"),
+        F.lit(bool(files_unmoved)).alias("files_unmoved"),
+        F.lit(bool(materialized_equal)).alias("materialized_equal"),
+    )

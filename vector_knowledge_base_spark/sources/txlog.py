@@ -197,6 +197,138 @@ def _data_files(path: str) -> list[str]:
     ]
 
 
+def _dv_kept(path: str, m: dict, removed_abs: set) -> dict:
+    """The manifest ``dv`` map minus entries for files a rewrite
+    removed — their deletions are MATERIALIZED by the rewrite."""
+    return {
+        e: v
+        for e, v in (m.get("dv") or {}).items()
+        if _resolve(path, e) not in removed_abs
+    }
+
+
+def _dv_dirs(path: str, m: dict) -> list[str]:
+    """Absolute deletion-vector batch dirs a manifest references."""
+    dv = m.get("dv") or {}
+    return sorted({_resolve(path, d) for lst in dv.values() for d in lst})
+
+
+def _dv_files(path: str, m: dict) -> list[str]:
+    """Absolute parquet files of every DV batch a manifest references
+    (for fsck/vacuum liveness — a live DV file must never be collected
+    as an orphan)."""
+    out: list[str] = []
+    for d in _dv_dirs(path, m):
+        if os.path.isdir(d):
+            out.extend(
+                os.path.join(d, n)
+                for n in os.listdir(d)
+                if n.endswith(".parquet")
+            )
+    return out
+
+
+def _entry_expr(path: str) -> Column:
+    """Manifest-entry column computed from ``_metadata.file_path`` —
+    the join key between physical rows and deletion-vector rows.
+    ``file_path`` is a ``file:`` URI with the on-disk name
+    percent-encoded (a literal ``%`` re-encodes to ``%25``), so one
+    url_decode after stripping the scheme recovers the on-disk path
+    exactly; stripping the table root then yields the relative entry.
+    Borrowed (shallow-clone) files live outside the root, so the strip
+    is a no-op and the absolute path remains — which is exactly how a
+    clone's manifest keys them."""
+    root = os.path.abspath(path)
+    fp = F.url_decode(
+        F.regexp_replace(F.col("_metadata.file_path"), "^file:(//)?", "")
+    )
+    return F.replace(fp, F.lit(root + os.sep), F.lit(""))
+
+
+def _file_abs_expr() -> Column:
+    """The normalized ABSOLUTE on-disk path of the file behind each
+    row (``_metadata.file_path`` minus scheme, percent-decoded) — the
+    portable join key between physical rows and deletion vectors:
+    relative entries resolve differently for a table and its shallow
+    clone, but the absolute path is one identity."""
+    return F.url_decode(
+        F.regexp_replace(F.col("_metadata.file_path"), "^file:(//)?", "")
+    )
+
+
+def _dv_deleted_df(
+    spark: SparkSession, path: str, m: dict, files: list[str]
+):
+    """The (abs_file, row_index) soft-delete pairs covering ``files``,
+    or None when no deletion vector applies to them. DV rows store
+    entries RELATIVE to the table that wrote them (relocatability);
+    each batch's base root is derivable from its own location
+    (``<root>/data/dvX``), so a clone reading borrowed vectors
+    resolves them against the SOURCE root — no translation stored."""
+    dv = m.get("dv") or {}
+    if not dv:
+        return None
+    fileset = set(files)
+    dirs = sorted(
+        {
+            os.path.abspath(_resolve(path, d))
+            for e, lst in dv.items()
+            if _resolve(path, e) in fileset
+            for d in lst
+        }
+    )
+    if not dirs:
+        return None
+    from functools import reduce as _reduce
+
+    parts = []
+    for d in dirs:
+        base = os.path.dirname(os.path.dirname(d))  # <root>/data/dvX
+        parts.append(
+            spark.read.parquet(d).select(
+                F.when(
+                    F.col("entry").startswith(os.sep), F.col("entry")
+                )
+                .otherwise(F.concat(F.lit(base + os.sep), F.col("entry")))
+                .alias("abs_file"),
+                "row_index",
+            )
+        )
+    return _reduce(lambda x, y: x.unionAll(y), parts)
+
+
+def _anti_join_dv(tagged: DataFrame, deleted: DataFrame) -> DataFrame:
+    """Drop rows whose (_dv_abs, _dv_ri) appear in the deletion
+    vectors. The DV side is churn-sized and broadcast; no shuffle."""
+    return tagged.join(
+        F.broadcast(deleted),
+        on=(F.col("_dv_abs") == F.col("abs_file"))
+        & (F.col("_dv_ri") == F.col("row_index")),
+        how="left_anti",
+    )
+
+
+def _apply_dv(
+    spark: SparkSession,
+    path: str,
+    m: dict,
+    df: DataFrame,
+    files: list[str],
+) -> DataFrame:
+    """Filter out deletion-vector rows (merge-on-read): anti-join the
+    scan against the (abs_file, row_index) pairs of every DV batch
+    covering the files in scope. The scan side adds two derived
+    columns; no DV in scope → the plan is untouched."""
+    deleted = _dv_deleted_df(spark, path, m, files)
+    if deleted is None:
+        return df
+    out_cols = df.columns
+    tagged = df.withColumn("_dv_abs", _file_abs_expr()).withColumn(
+        "_dv_ri", F.col("_metadata.row_index")
+    )
+    return _anti_join_dv(tagged, deleted).select(*out_cols)
+
+
 def _owned(path: str, f: str) -> bool:
     """True iff ``f`` lives under this table's OWN data/ directory. A
     shallow clone references the source table's files by ABSOLUTE
@@ -278,7 +410,9 @@ def _commit(path: str, manifest: dict) -> int:
     # partitioning is a create-time table property: carry it forward
     # automatically so no commit path can silently drop it
     if isinstance(manifest.get("parent"), int) and (
-        "partition_by" not in manifest or "constraints" not in manifest
+        "partition_by" not in manifest
+        or "constraints" not in manifest
+        or "dv" not in manifest
     ):
         try:
             parent_m = _read_manifest(path, manifest["parent"])
@@ -286,6 +420,10 @@ def _commit(path: str, manifest: dict) -> int:
             parent_m = {}
         manifest.setdefault("partition_by", parent_m.get("partition_by"))
         manifest.setdefault("constraints", parent_m.get("constraints"))
+        # deletion vectors carry by default (append/metadata commits);
+        # every op that REWRITES files sets "dv" explicitly (cleared or
+        # kept-files-only) — inheriting would resurrect deleted rows
+        manifest.setdefault("dv", parent_m.get("dv"))
     manifest = _delta_encode(path, manifest)
     final = _manifest_file(path, version)
     tmp = os.path.join(_log_path(path), f".{uuid.uuid4().hex}.tmp")
@@ -450,18 +588,33 @@ def _file_stats(path: str, files: list[str]) -> dict:
     return out
 
 
-def _read_files(spark: SparkSession, m: dict, files: list[str]) -> DataFrame:
+def _read_files(
+    spark: SparkSession,
+    m: dict,
+    files: list[str],
+    path: str | None = None,
+) -> DataFrame:
     """Read manifest data files WITH the logged schema (when recorded):
     files written before a schema evolution physically lack the evolved
     columns, and supplying the schema makes Spark null-fill them — the
     read-side half of merge_schema appends. Also skips footer schema
-    inference (one less listing pass). Pre-schema manifests read plain."""
+    inference (one less listing pass). Pre-schema manifests read plain.
+
+    With ``path`` given, DELETION VECTORS apply (merge-on-read): rows a
+    ``delete_where(mode='dv')`` soft-deleted are anti-joined away. Every
+    consumer that can observe deleted rows must pass ``path``; the
+    raw form (path=None) exists for readers of freshly-ADDED files only
+    (the streaming source), which can carry no DV by construction."""
     logged = m.get("schema")
     if logged is None:
-        return spark.read.parquet(*files)
-    from pyspark.sql import types as T
+        df = spark.read.parquet(*files)
+    else:
+        from pyspark.sql import types as T
 
-    return spark.read.schema(T.StructType.fromJson(logged)).parquet(*files)
+        df = spark.read.schema(T.StructType.fromJson(logged)).parquet(*files)
+    if path is not None:
+        df = _apply_dv(spark, path, m, df, files)
+    return df
 
 
 def _filters_to_column(filters: Mapping[str, Any]) -> Column:
@@ -805,6 +958,7 @@ def overwrite_table(spark: SparkSession, path: str, df: DataFrame) -> int:
                 {
                     "version": latest + 1,
                     "op": "rewrite",
+                    "dv": {},
                     "files": [_rel(path, f) for f in new_files],
                     "stats": _file_stats(path, new_files),
                     "parent": latest,
@@ -885,6 +1039,15 @@ def overwrite_partitions(spark: SparkSession, path: str, df: DataFrame) -> int:
                 {
                     "version": latest + 1,
                     "op": "overwrite_partitions",
+                    "dv": _dv_kept(
+                        path,
+                        m,
+                        {
+                            _resolve(path, e)
+                            for e in m["files"]
+                            if e not in kept_set
+                        },
+                    ),
                     "files": kept + [_rel(path, f) for f in new_files],
                     "stats": {**stats, **new_stats},
                     "parent": latest,
@@ -1087,10 +1250,14 @@ def compact_files(
             e for e in m["files"] if stats.get(e, {}).get("rows") != 0
         ]
         clustered = order_by is not None or zorder_by is not None
+        # deletion vectors make compaction REAL work even under the
+        # file-count target: materializing them is the point
+        has_dv = bool(m.get("dv"))
         if not m["files"] or (
             len(nonempty) == len(m["files"])
             and len(m["files"]) <= target_files
             and not clustered
+            and not has_dv
         ):
             # files == [] is the legal fully-deleted state: nothing to
             # compact OR cluster (same empty-read guard as delete/merge)
@@ -1099,6 +1266,7 @@ def compact_files(
             len(nonempty) < len(m["files"])
             and len(nonempty) <= target_files
             and not clustered
+            and not has_dv
         ):
             # dropping provably-empty references alone reaches the
             # target (or empties the table): metadata-only compaction
@@ -1108,6 +1276,7 @@ def compact_files(
                     {
                         "version": latest + 1,
                         "op": "compact",
+                        "dv": {},
                         "files": nonempty,
                         "stats": {k: v for k, v in stats.items() if k in nonempty},
                         "parent": latest,
@@ -1117,7 +1286,9 @@ def compact_files(
             except TxConflict:
                 continue
         files = [_resolve(path, e) for e in nonempty]
-        df = _read_files(spark, m, files)
+        # DV-aware: compaction MATERIALIZES deletion vectors (rows they
+        # hide are not rewritten) and the new manifest clears them
+        df = _read_files(spark, m, files, path)
         if order_by is not None:
             df = df.repartitionByRange(
                 target_files, *order_by
@@ -1138,6 +1309,7 @@ def compact_files(
                 {
                     "version": latest + 1,
                     "op": "compact",
+                    "dv": {},  # deletions materialized by the rewrite
                     "files": [_rel(path, f) for f in new_files],
                     "stats": _file_stats(path, new_files),
                     "parent": latest,
@@ -1224,7 +1396,7 @@ def merge_table(
                     f"{sorted(hit_files - affected)[:3]}"
                 )
             survivors = (
-                _read_files(spark, m, sorted(affected)).join(
+                _read_files(spark, m, sorted(affected), path).join(
                     F.broadcast(keys), key_cols, "left_anti"
                 )
                 if affected
@@ -1248,6 +1420,7 @@ def merge_table(
                 {
                     "version": latest + 1,
                     "op": "merge",
+                    "dv": _dv_kept(path, m, affected),
                     "files": kept + [_rel(path, f) for f in new_files],
                     "stats": {**stats, **_file_stats(path, new_files)},
                     "parent": latest,
@@ -1345,9 +1518,9 @@ def replace_where(
             )
         survivor_files: list[str] = []
         if affected:
-            survivors = _read_files(spark, m, sorted(affected)).where(
-                ~F.coalesce(predicate, F.lit(False))
-            )
+            survivors = _read_files(
+                spark, m, sorted(affected), path
+            ).where(~F.coalesce(predicate, F.lit(False)))
             if survivors.limit(1).count():
                 survivor_files = _write_batch(
                     survivors, path, m.get("partition_by")
@@ -1365,6 +1538,7 @@ def replace_where(
                 {
                     "version": latest + 1,
                     "op": "replace_where",
+                    "dv": _dv_kept(path, m, affected),
                     "files": kept + [_rel(path, f) for f in all_new],
                     "stats": {**stats, **_file_stats(path, all_new)},
                     "parent": latest,
@@ -1413,8 +1587,18 @@ def fsck(spark: SparkSession, path: str) -> DataFrame:
             continue
         files = _manifest_files(path, m)
         missing = [f for f in files if not os.path.exists(f)]
+        missing_dv = [d for d in _dv_dirs(path, m) if not os.path.isdir(d)]
         referenced.update(files)
-        rows.append((v, m["op"], len(files), len(missing), not missing))
+        referenced.update(_dv_files(path, m))
+        rows.append(
+            (
+                v,
+                m["op"],
+                len(files),
+                len(missing) + len(missing_dv),
+                not missing and not missing_dv,
+            )
+        )
     n_orphans = sum(1 for f in _data_files(path) if f not in referenced)
     rows.append((-1, "orphans", n_orphans, 0, True))
     return spark.createDataFrame(
@@ -1460,8 +1644,105 @@ def read_table(
         from pyspark.sql import types as T
 
         return spark.createDataFrame([], T.StructType.fromJson(m["schema"]))
-    df = _read_files(spark, m, files)
+    df = _read_files(spark, m, files, path)
     return df.where(_filters_to_column(filters)) if filters else df
+
+
+def _delete_where_dv(
+    spark: SparkSession,
+    path: str,
+    predicate: Column,
+    filters: Mapping[str, Any] | None,
+) -> int:
+    """Merge-on-read delete (see ``delete_where(mode='dv')``): write
+    one (entry, row_index) parquet batch for the matching LIVE rows
+    and commit a manifest whose ``dv`` map points the touched files at
+    it — zero data files move. Positions come from
+    ``_metadata.row_index`` on a DV-aware scan of the stats-pruned
+    candidates, so re-deleting already-hidden rows nets zero."""
+    for _ in range(_MAX_COMMIT_RETRIES):
+        versions = _list_versions(path)
+        if not versions:
+            raise RuntimeError(f"txlog: no table at {path}")
+        latest = versions[-1]
+        m = _read_manifest(path, latest)
+        candidates = _prune_files(path, m, filters)
+        hits = None
+        if candidates:
+            # tag positions BEFORE any projection (the hidden _metadata
+            # column stops resolving after one), then drop rows already
+            # soft-deleted so a re-delete nets zero
+            tagged = _read_files(spark, m, candidates).select(
+                "*",
+                _entry_expr(path).alias("_dv_entry"),
+                _file_abs_expr().alias("_dv_abs"),
+                F.col("_metadata.row_index").alias("_dv_ri"),
+            )
+            deleted = _dv_deleted_df(spark, path, m, candidates)
+            if deleted is not None:
+                tagged = _anti_join_dv(tagged, deleted)
+            hits = (
+                tagged.where(predicate)
+                .select(
+                    F.col("_dv_entry").alias("entry"),
+                    F.col("_dv_ri").alias("row_index"),
+                )
+                .localCheckpoint(eager=True)
+            )
+        if hits is None or not hits.limit(1).count():
+            try:  # nothing matched: pure-metadata idempotent commit
+                return _commit(
+                    path,
+                    {
+                        "version": latest + 1,
+                        "op": "delete_where_dv",
+                        "files": m["files"],
+                        "stats": m.get("stats") or {},
+                        "parent": latest,
+                        "rewritten": [],
+                        "schema": m.get("schema"),
+                    },
+                )
+            except TxConflict:
+                continue
+        dv_batch = os.path.join(path, _DATA_DIR, f"dv{uuid.uuid4().hex[:12]}")
+        hits.write.mode("error").parquet(dv_batch)
+        dv_entry = _rel(path, dv_batch)
+        touched = [
+            r["entry"]
+            for r in spark.read.parquet(dv_batch)
+            .select("entry")
+            .distinct()
+            .collect()
+        ]  # O(touched files), the same driver cost as the CoW hit list
+        known = set(m["files"])
+        stray = [e for e in touched if e not in known]
+        if stray:
+            raise RuntimeError(
+                f"txlog: DV rows name files outside the manifest: {stray[:3]}"
+            )
+        new_dv = dict(m.get("dv") or {})
+        for e in touched:
+            new_dv[e] = list(new_dv.get(e, [])) + [dv_entry]
+        try:
+            return _commit(
+                path,
+                {
+                    "version": latest + 1,
+                    "op": "delete_where_dv",
+                    "files": m["files"],
+                    "stats": m.get("stats") or {},
+                    "parent": latest,
+                    "dv": new_dv,
+                    "dv_added": dv_entry,
+                    "schema": m.get("schema"),
+                },
+            )
+        except TxConflict:
+            continue  # recompute against the winner (its dv may differ)
+    raise TxConflict(
+        f"txlog: dv-delete from {path} lost {_MAX_COMMIT_RETRIES} CAS races"
+    )
 
 
 def delete_where(
@@ -1469,6 +1750,7 @@ def delete_where(
     path: str,
     predicate: Column | None = None,
     filters: Mapping[str, Any] | None = None,
+    mode: str = "cow",
 ) -> int:
     """Copy-on-write delete: only files CONTAINING matching rows are
     rewritten (without those rows); everything else is carried by
@@ -1483,11 +1765,27 @@ def delete_where(
     clustered key scans O(matching files), not the table. Deleting from
     an already-empty table is a metadata no-op (delete stays
     idempotent). A lost CAS race recomputes the affected set against
-    the winner's snapshot and retries."""
+    the winner's snapshot and retries.
+
+    ``mode="dv"`` deletes MERGE-ON-READ instead (the public Delta
+    deletion-vector idea): no data file is rewritten — one sidecar
+    batch of (entry, row_index) pairs records the soft-deleted rows
+    and every DV-aware read anti-joins them away. Write cost goes from
+    O(affected file bytes) to O(matched rows): the right trade for a
+    0.001% delete over wide files, for GDPR-style trickle deletes, and
+    for delete-heavy churn between compactions. Reads pay a
+    churn-sized broadcast anti-join until ``compact_files`` (or any
+    rewrite of the file) MATERIALIZES the vectors and clears them.
+    Deleting already-DV-deleted rows is a no-op (the scan is DV-aware,
+    so they can no longer match)."""
     if (predicate is None) == (filters is None):
         raise ValueError("delete_where: pass exactly one of predicate/filters")
+    if mode not in ("cow", "dv"):
+        raise ValueError(f"delete_where: unknown mode {mode!r}")
     if predicate is None:
         predicate = _filters_to_column(filters)
+    if mode == "dv":
+        return _delete_where_dv(spark, path, predicate, filters)
     from urllib.parse import unquote, urlparse
 
     for _ in range(_MAX_COMMIT_RETRIES):
@@ -1540,7 +1838,7 @@ def delete_where(
                 continue
         # SQL DELETE semantics: remove rows where the predicate is TRUE;
         # NULL-evaluating rows survive (plain ~predicate would drop them)
-        survivors = _read_files(spark, m, sorted(affected)).where(
+        survivors = _read_files(spark, m, sorted(affected), path).where(
             ~F.coalesce(predicate, F.lit(False))
         )
         new_files = (
@@ -1560,6 +1858,7 @@ def delete_where(
                 {
                     "version": latest + 1,
                     "op": "delete_where",
+                    "dv": _dv_kept(path, m, affected),
                     "files": kept + [_rel(path, f) for f in new_files],
                     "stats": {**stats, **_file_stats(path, new_files)},
                     "parent": latest,
@@ -1612,22 +1911,30 @@ def table_diff(
     (Spark refuses set operations over MAP types) and a column-pruned
     scan besides."""
     m_to = _read_manifest(path, v_to)
-    a = set(_manifest_files(path, _read_manifest(path, v_from)))
-    b = set(_manifest_files(path, m_to))
-    removed, added = sorted(a - b), sorted(b - a)
+    m_from = _read_manifest(path, v_from)
+    a, b = set(m_from["files"]), set(m_to["files"])
+    removed_e, added_e = sorted(a - b), sorted(b - a)
+    # deletion vectors: a file present in BOTH versions whose DV set
+    # changed contributes rows too — its old side reads with v_from's
+    # vectors, its new side with v_to's, and exceptAll yields exactly
+    # the newly-hidden (or restored) rows
+    dv_f, dv_t = m_from.get("dv") or {}, m_to.get("dv") or {}
+    dv_changed_e = sorted(
+        e for e in (a & b) if (dv_f.get(e) or []) != (dv_t.get(e) or [])
+    )
     schema_src = read_table(spark, path, v_to)
-    # both sides read with v_to's schema: across a schema evolution the
-    # old files null-fill the evolved columns, keeping exceptAll typed
-    old = (
-        _read_files(spark, m_to, removed)
-        if removed
-        else schema_src.limit(0)
-    )
-    new = (
-        _read_files(spark, m_to, added)
-        if added
-        else schema_src.limit(0)
-    )
+
+    def _side(entries: list, dv_manifest: dict):
+        files = [_resolve(path, e) for e in entries]
+        if not files:
+            return schema_src.limit(0)
+        # read with v_to's schema: across a schema evolution the old
+        # files null-fill the evolved columns, keeping exceptAll typed
+        df = _read_files(spark, m_to, files)
+        return _apply_dv(spark, path, dv_manifest, df, files)
+
+    old = _side(removed_e + dv_changed_e, m_from)
+    new = _side(added_e + dv_changed_e, m_to)
     if columns is not None:
         old, new = old.select(*columns), new.select(*columns)
     return new.exceptAll(old).withColumn(
@@ -1645,7 +1952,9 @@ def _vacuum_orphans(
 
     referenced: set[str] = set()
     for v in versions:
-        referenced.update(_manifest_files(path, _read_manifest(path, v)))
+        mv = _read_manifest(path, v)
+        referenced.update(_manifest_files(path, mv))
+        referenced.update(_dv_files(path, mv))  # live DVs are not orphans
     data = os.path.join(path, _DATA_DIR)
     if not os.path.isdir(data):
         return 0
@@ -1722,12 +2031,17 @@ def compact_log(
                 f.flush()
                 os.fsync(f.fileno())
             os.replace(tmp, _manifest_file(path, v))
-    dropped_files = {
-        v: _manifest_files(path, _read_manifest(path, v)) for v in drop
-    }
+    dropped_files = {}
+    for v in drop:
+        mv = _read_manifest(path, v)
+        # a dropped version's DV batches go with it (unless retained
+        # manifests still reference them — the live guard below)
+        dropped_files[v] = _manifest_files(path, mv) + _dv_files(path, mv)
     live: set[str] = set()
     for v in keep:
-        live.update(_manifest_files(path, _read_manifest(path, v)))
+        mv = _read_manifest(path, v)
+        live.update(_manifest_files(path, mv))
+        live.update(_dv_files(path, mv))
     for v in drop:
         for f in dropped_files[v]:
             # never delete borrowed files (shallow-clone references):
@@ -1782,6 +2096,7 @@ def restore_table(spark: SparkSession, path: str, version: int) -> int:
                     "restored_from": version,
                     "schema": target.get("schema"),
                     "partition_by": target.get("partition_by"),
+                    "dv": target.get("dv"),
                 },
             )
         except TxConflict:
@@ -1824,6 +2139,10 @@ def shallow_clone(
     for e, f in zip(m["files"], files_abs):
         if e in src_stats:
             stats[f] = src_stats[e]
+    dv_abs = {
+        _resolve(src_path, e): [_resolve(src_path, d) for d in lst]
+        for e, lst in (m.get("dv") or {}).items()
+    }
     try:
         return _commit(
             dst_path,
@@ -1836,6 +2155,7 @@ def shallow_clone(
                 "cloned_from": {"path": os.path.abspath(src_path), "version": v},
                 "schema": m.get("schema"),
                 "partition_by": m.get("partition_by"),
+                "dv": dv_abs,
             },
         )
     except TxConflict:

@@ -79,11 +79,12 @@ class _AddedFilePartition(InputPartition):
 
 
 def _added_files(path: str, version: int) -> tuple[dict, list[str], bool]:
-    """(manifest, files added by ``version``, any file removed) — the
-    file-level commit delta, resolved to absolute paths. version 0
-    adds everything. The removed flag matters for the append-only
-    guard: a delete that removes whole files with no rewritten
-    survivors still changes what downstream sees."""
+    """(manifest, files added by ``version``, anything-hidden flag) —
+    the file-level commit delta, resolved to absolute paths. version 0
+    adds everything. The flag matters for the append-only guard: a
+    delete that removes whole files with no rewritten survivors, or a
+    deletion-vector commit that hides rows without touching the file
+    set, still changes what downstream sees."""
     if not os.path.exists(_manifest_file(path, version)) or (
         version > 0 and not os.path.exists(_manifest_file(path, version - 1))
     ):
@@ -95,10 +96,15 @@ def _added_files(path: str, version: int) -> tuple[dict, list[str], bool]:
     m = _read_manifest(path, version)
     if version == 0:
         return m, [_resolve(path, e) for e in m["files"]], False
-    prev = set(_read_manifest(path, version - 1)["files"])
+    prev_m = _read_manifest(path, version - 1)
+    prev = set(prev_m["files"])
     cur = set(m["files"])
     added = [_resolve(path, e) for e in m["files"] if e not in prev]
-    return m, added, bool(prev - cur)
+    # a deletion-vector change hides rows WITHOUT touching the file
+    # set — downstream consumers must treat it like any other
+    # non-append change (raise, or skip under ignore_changes)
+    dv_changed = (prev_m.get("dv") or {}) != (m.get("dv") or {})
+    return m, added, bool(prev - cur) or dv_changed
 
 
 class TxlogStreamDataSource(DataSource):
