@@ -360,6 +360,8 @@ HEADLINE = [
     "txlog_check_constraints",
     # wave 91 (r7) — merge-on-read deletion vectors
     "txlog_deletion_vectors",
+    # wave 91 (r7) — SQL UPDATE as a merge-on-read commit
+    "txlog_update_where",
 ]
 
 # Integration rows whose cost is fixed overhead (streaming runs with
@@ -386,6 +388,7 @@ SINGLE_RUN = {
     "txlog_stream_backpressure",
     "txlog_check_constraints",
     "txlog_deletion_vectors",
+    "txlog_update_where",
 }
 
 KNN_BATCH_N_QUERIES = 5  # matches the knn_batch query definition

@@ -239,3 +239,96 @@ def test_dv_equals_cow_observationally(spark, tmp_path):
     assert {(r["change"], r["count"]) for r in da} == {
         (r["change"], r["count"]) for r in db
     }
+
+
+def test_update_where_cow_and_dv_equal_and_atomic(spark, tmp_path):
+    """SQL UPDATE in both modes: identical observable result; dv mode
+    moves no pre-existing files (old files untouched, updated copies
+    appended + old rows vectored out in ONE commit); CDC reads the
+    update as delete(old)+insert(new); constraints check the UPDATED
+    rows; casts pin the schema."""
+    from vector_knowledge_base_spark.sources.txlog import (
+        TxConstraintViolation,
+        add_constraint,
+        update_where,
+    )
+
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    base = spark.createDataFrame(
+        [(i, float(i), "x" if i % 2 else "y") for i in range(20)],
+        "k long, v double, tag string",
+    ).coalesce(2)
+    tx.create_table(spark, a, base)
+    tx.create_table(spark, b, base)
+    files_before = set(tx._read_manifest(a, 0)["files"])
+    va = update_where(
+        spark, a, F.col("tag") == "y", {"v": F.col("v") * 10}, mode="dv"
+    )
+    update_where(spark, b, F.col("tag") == "y", {"v": "v * 10"})  # cow, SQL str
+    want = sorted(
+        (i, float(i) * (10 if i % 2 == 0 else 1)) for i in range(20)
+    )
+    got_a = sorted(
+        (r["k"], r["v"]) for r in tx.read_table(spark, a).collect()
+    )
+    got_b = sorted(
+        (r["k"], r["v"]) for r in tx.read_table(spark, b).collect()
+    )
+    assert got_a == want and got_b == want
+    ma = tx._read_manifest(a, va)
+    assert ma["op"] == "update_where_dv"
+    assert files_before <= set(ma["files"])  # old files untouched
+    assert ma.get("dv")  # and vectored
+    # CDC: delete(old y rows) + insert(new y rows). k=0 updates
+    # 0.0 → 0.0, an IDENTICAL tuple, so it correctly nets to zero in
+    # the multiset diff — 9 of the 10 matched rows actually changed.
+    d = tx.table_diff(spark, a, 0, va)
+    counts = {r["change"]: r["count"] for r in d.groupBy("change").count().collect()}
+    assert counts == {"delete": 9, "insert": 9}
+    # updated value type is CAST back to the column type (no drift)
+    assert (
+        tx.table_schema(a).simpleString()
+        == tx.table_schema(b).simpleString()
+    )
+    # constraints see the POST-update rows
+    add_constraint(spark, a, "v_small", "v < 1000")
+    with pytest.raises(TxConstraintViolation, match="v_small"):
+        update_where(spark, a, F.col("k") == 2, {"v": F.lit(5000.0)}, mode="dv")
+    with pytest.raises(TxConstraintViolation, match="v_small"):
+        update_where(spark, a, F.col("k") == 2, {"v": F.lit(5000.0)})
+    # unknown SET column is a named error; no-op UPDATE commits metadata
+    with pytest.raises(ValueError, match="unknown columns"):
+        update_where(spark, a, F.col("k") == 2, {"nope": F.lit(1)})
+    n_before = len(tx._list_versions(a))
+    update_where(spark, a, F.col("k") == 99999, {"v": F.lit(1.0)}, mode="dv")
+    assert len(tx._list_versions(a)) == n_before + 1  # idempotent no-op op
+    assert tx.read_table(spark, a).count() == 20
+
+
+def test_update_where_dv_on_partitioned_respects_layout(spark, tmp_path):
+    from vector_knowledge_base_spark.sources.txlog import update_where
+
+    p = str(tmp_path / "t")
+    tx.create_table(
+        spark,
+        p,
+        spark.createDataFrame(
+            [("a", 1, 1.0), ("a", 2, 2.0), ("b", 3, 3.0)],
+            "g string, k long, v double",
+        ),
+        partition_by=["g"],
+    )
+    update_where(spark, p, F.col("g") == "a", {"v": F.col("v") + 0.5}, mode="dv")
+    m = tx._read_manifest(p, tx._list_versions(p)[-1])
+    # the appended updated copies keep the hive layout + pvals
+    new = [e for e in m["files"] if e not in tx._read_manifest(p, 0)["files"]]
+    assert new and all("_pt_g=" in e for e in new)
+    assert all("pvals" in m["stats"][e] for e in new)
+    got = sorted((r["g"], r["k"], r["v"]) for r in tx.read_table(spark, p).collect())
+    assert got == [("a", 1, 1.5), ("a", 2, 2.5), ("b", 3, 3.0)]
+    # partition pruning still exact post-update
+    pruned = tx._prune_files(p, m, {"g": "b"})
+    assert all(
+        (m["stats"][tx._rel(p, f)]["pvals"] or {}).get("g") == "b"
+        for f in pruned
+    )

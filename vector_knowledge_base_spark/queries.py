@@ -15363,3 +15363,83 @@ def q_txlog_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(bool(files_unmoved)).alias("files_unmoved"),
         F.lit(bool(materialized_equal)).alias("materialized_equal"),
     )
+
+
+_TXLOG_UPDATE_ORACLE = """
+WITH updated AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderstatus = 'P'
+              THEN o_totalprice * 2 + 1 ELSE o_totalprice END
+           AS o_totalprice,
+         o_orderstatus
+  FROM orders
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       ROUND(SUM(o_totalprice), 2) AS total_value,
+       CAST((SELECT COUNT(*) FROM orders WHERE o_orderstatus = 'P')
+            AS BIGINT) AS n_updated,
+       TRUE AS old_files_untouched,
+       TRUE AS cdc_balanced
+FROM updated
+"""
+
+
+@query("txlog_update_where", oracle=_TXLOG_UPDATE_ORACLE)
+def q_txlog_update_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL UPDATE as a merge-on-read commit (r7 wave 91,
+    sources/txlog.py update_where(mode='dv') — completes the DML
+    surface: INSERT/DELETE/UPDATE/MERGE/OVERWRITE all transactional):
+    every 'P' order's price is rewritten to 2x+1 in ONE atomic commit
+    that soft-deletes the old rows via a churn-sized deletion-vector
+    batch and appends their updated copies as new files — ZERO
+    pre-existing files move (``old_files_untouched`` pins set
+    inclusion). The updated table hash-equals the oracle's CASE
+    rewrite; ``n_updated`` comes from the CDC's delete side (the
+    deletion-vector-aware table_diff), and ``cdc_balanced`` pins
+    delete count == insert count — SQL UPDATE's multiset semantics
+    read as delete(old)+insert(new). Values change for every matched
+    row (2x+1 ≠ x for x ≥ 0), so the CDC count equals the matched
+    count exactly.
+
+    100 TB shape: an UPDATE touching 0.1% of rows writes O(matched
+    rows) — vectors plus updated copies — instead of rewriting every
+    affected wide file; constraints validate the post-update rows
+    before the commit exists."""
+    import re
+    import shutil
+
+    from vector_knowledge_base_spark.sources.txlog import (
+        create_table,
+        read_table,
+        table_diff,
+        update_where,
+        _read_manifest,
+    )
+
+    tag = re.sub(r"[^A-Za-z0-9.]", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1])
+    tbl = f"/tmp/vkb_txupd_{_session_tag(spark)}_{tag}/orders"
+    shutil.rmtree(tbl, ignore_errors=True)
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    create_table(spark, tbl, orders)
+    files0 = set(_read_manifest(tbl, 0)["files"])
+    v = update_where(
+        spark,
+        tbl,
+        F.col("o_orderstatus") == "P",
+        {"o_totalprice": F.col("o_totalprice") * 2 + 1},
+        mode="dv",
+    )
+    m = _read_manifest(tbl, v)
+    untouched = files0 <= set(m["files"]) and bool(m.get("dv"))
+    d = table_diff(spark, tbl, 0, v)
+    n_del = d.where(F.col("change") == "delete").count()
+    n_ins = d.where(F.col("change") == "insert").count()
+    return read_table(spark, tbl).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_value"),
+        F.lit(n_del).cast("long").alias("n_updated"),
+        F.lit(bool(untouched)).alias("old_files_untouched"),
+        F.lit(n_del == n_ins).alias("cdc_balanced"),
+    )

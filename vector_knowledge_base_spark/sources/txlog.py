@@ -1745,6 +1745,177 @@ def _delete_where_dv(
     )
 
 
+def update_where(
+    spark: SparkSession,
+    path: str,
+    predicate: Column,
+    set_exprs: Mapping[str, Any],
+    mode: str = "cow",
+) -> int:
+    """SQL UPDATE ... SET ... WHERE as one atomic commit — the last
+    DML verb (append=INSERT, delete_where, merge_table=MERGE,
+    overwrite*=INSERT OVERWRITE already exist). ``set_exprs`` maps
+    column → Column expression (or SQL string); each value is cast to
+    the column's existing type, so an update can never drift the
+    schema. CHECK constraints validate the UPDATED rows.
+
+    ``mode="cow"``: affected files are rewritten once with survivors
+    untouched and matched rows transformed — cost ∝ affected file
+    bytes, like delete_where.
+    ``mode="dv"``: merge-on-read — matched rows are soft-deleted via
+    one churn-sized deletion-vector batch and their UPDATED copies
+    append as new files, in the SAME commit (files += new, dv +=
+    batch; a reader sees the old or the new version, never both).
+    Write cost ∝ matched rows — the upsert-heavy regime rewriting
+    wide files cannot afford. CDC reads the update as
+    delete(old)+insert(new), exactly SQL UPDATE's multiset semantics.
+    """
+    if mode not in ("cow", "dv"):
+        raise ValueError(f"update_where: unknown mode {mode!r}")
+    for _ in range(_MAX_COMMIT_RETRIES):
+        versions = _list_versions(path)
+        if not versions:
+            raise RuntimeError(f"txlog: no table at {path}")
+        latest = versions[-1]
+        m = _read_manifest(path, latest)
+        logged_cols = (
+            [f["name"] for f in (m.get("schema") or {}).get("fields", [])]
+            or None
+        )
+        bad_cols = [
+            c for c in set_exprs if logged_cols and c not in logged_cols
+        ]
+        if bad_cols:
+            raise ValueError(
+                f"update_where: SET names unknown columns {bad_cols}"
+            )
+        files = _manifest_files(path, m)
+        if not files:
+            return latest  # fully-deleted state: nothing to update
+        # DV-aware tagged scan (an already-hidden row must not update)
+        tagged = _read_files(spark, m, files).select(
+            "*",
+            _entry_expr(path).alias("_dv_entry"),
+            _file_abs_expr().alias("_dv_abs"),
+            F.col("_metadata.row_index").alias("_dv_ri"),
+        )
+        deleted = _dv_deleted_df(spark, path, m, files)
+        if deleted is not None:
+            tagged = _anti_join_dv(tagged, deleted)
+        matched = tagged.where(predicate).localCheckpoint(eager=True)
+        if not matched.limit(1).count():
+            try:  # no-op UPDATE: pure-metadata idempotent commit
+                return _commit(
+                    path,
+                    {
+                        "version": latest + 1,
+                        "op": f"update_where_{mode}",
+                        "files": m["files"],
+                        "stats": m.get("stats") or {},
+                        "parent": latest,
+                        "rewritten": [],
+                        "schema": m.get("schema"),
+                    },
+                )
+            except TxConflict:
+                continue
+        data_cols = [
+            c for c in tagged.columns
+            if c not in ("_dv_entry", "_dv_abs", "_dv_ri")
+        ]
+        def _set_col(c: str) -> Column:
+            if c not in set_exprs:
+                return F.col(c)
+            v = set_exprs[c]
+            expr = F.expr(v) if isinstance(v, str) else v
+            # cast to the column's existing type: UPDATE never drifts
+            # the schema
+            return expr.cast(matched.schema[c].dataType)
+
+        updated = matched.select(*[_set_col(c).alias(c) for c in data_cols])
+        _enforce_constraints(m, updated, "update_where")
+        pby = m.get("partition_by")
+        if mode == "dv":
+            new_files = _write_batch(updated, path, pby)
+            dv_batch = os.path.join(
+                path, _DATA_DIR, f"dv{uuid.uuid4().hex[:12]}"
+            )
+            matched.select(
+                F.col("_dv_entry").alias("entry"),
+                F.col("_dv_ri").alias("row_index"),
+            ).write.mode("error").parquet(dv_batch)
+            dv_entry = _rel(path, dv_batch)
+            touched = [
+                r["entry"]
+                for r in spark.read.parquet(dv_batch)
+                .select("entry")
+                .distinct()
+                .collect()
+            ]
+            new_dv = dict(m.get("dv") or {})
+            for e in touched:
+                new_dv[e] = list(new_dv.get(e, [])) + [dv_entry]
+            try:
+                return _commit(
+                    path,
+                    {
+                        "version": latest + 1,
+                        "op": "update_where_dv",
+                        "files": m["files"]
+                        + [_rel(path, f) for f in new_files],
+                        "stats": {
+                            **(m.get("stats") or {}),
+                            **_file_stats(path, new_files),
+                        },
+                        "parent": latest,
+                        "dv": new_dv,
+                        "dv_added": dv_entry,
+                        "schema": m.get("schema"),
+                    },
+                )
+            except TxConflict:
+                continue
+        # cow: rewrite only the affected files (survivors + updates) —
+        # _dv_abs is already the decoded on-disk absolute path
+        hit_files = {
+            r["f"]
+            for r in matched.select(F.col("_dv_abs").alias("f"))
+            .distinct()
+            .collect()
+        }
+        affected = hit_files & set(files)
+        survivors = _read_files(spark, m, sorted(affected), path).where(
+            ~F.coalesce(predicate, F.lit(False))
+        )
+        rewritten = survivors.unionByName(updated)
+        new_files = _write_batch(rewritten, path, pby)
+        kept = [e for e in m["files"] if _resolve(path, e) not in affected]
+        stats = {
+            k: v
+            for k, v in (m.get("stats") or {}).items()
+            if _resolve(path, k) not in affected
+        }
+        try:
+            return _commit(
+                path,
+                {
+                    "version": latest + 1,
+                    "op": "update_where",
+                    "dv": _dv_kept(path, m, affected),
+                    "files": kept + [_rel(path, f) for f in new_files],
+                    "stats": {**stats, **_file_stats(path, new_files)},
+                    "parent": latest,
+                    "rewritten": sorted(_entry(path, f) for f in affected),
+                    "schema": m.get("schema"),
+                },
+            )
+        except TxConflict:
+            continue
+    raise TxConflict(
+        f"txlog: update of {path} lost {_MAX_COMMIT_RETRIES} CAS races"
+    )
+
+
 def delete_where(
     spark: SparkSession,
     path: str,
