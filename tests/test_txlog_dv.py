@@ -332,3 +332,46 @@ def test_update_where_dv_on_partitioned_respects_layout(spark, tmp_path):
         (m["stats"][tx._rel(p, f)]["pvals"] or {}).get("g") == "b"
         for f in pruned
     )
+
+
+def test_merge_dv_equals_cow_and_moves_no_files(spark, tmp_path):
+    """MERGE in dv mode: observationally identical to the CoW merge,
+    zero pre-existing files moved, batch_id idempotent, CDC reads it
+    as delete(old matched)+insert(updates)."""
+    from vector_knowledge_base_spark.sources.txlog import merge_table
+
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    base = spark.createDataFrame(
+        [(i, "old", float(i)) for i in range(20)], "k long, tag string, v double"
+    ).coalesce(2)
+    tx.create_table(spark, a, base)
+    tx.create_table(spark, b, base)
+    ups = spark.createDataFrame(
+        [(3, "upd", 33.0), (7, "upd", 77.0), (100, "ins", 1.0)],
+        "k long, tag string, v double",
+    )
+    files0 = set(tx._read_manifest(a, 0)["files"])
+    va = merge_table(spark, a, ups, key_cols=["k"], batch_id=42, mode="dv")
+    merge_table(spark, b, ups, key_cols=["k"])
+    got_a = sorted((r["k"], r["tag"], r["v"]) for r in tx.read_table(spark, a).collect())
+    got_b = sorted((r["k"], r["tag"], r["v"]) for r in tx.read_table(spark, b).collect())
+    assert got_a == got_b and len(got_a) == 21
+    ma = tx._read_manifest(a, va)
+    assert ma["op"] == "merge_dv"
+    assert files0 <= set(ma["files"]) and ma.get("dv")
+    # batch_id replay is a no-op
+    assert merge_table(spark, a, ups, ["k"], batch_id=42, mode="dv") == va
+    assert tx.read_table(spark, a).count() == 21
+    # CDC: matched old rows deleted, all update rows inserted
+    d = tx.table_diff(spark, a, 0, va)
+    counts = {r["change"]: r["count"] for r in d.groupBy("change").count().collect()}
+    assert counts == {"delete": 2, "insert": 3}
+    # merging on top of existing vectors: hidden rows cannot re-match
+    merge_table(spark, a, spark.createDataFrame(
+        [(3, "upd2", 34.0)], "k long, tag string, v double"), ["k"], mode="dv")
+    rows3 = [r for r in tx.read_table(spark, a).collect() if r["k"] == 3]
+    assert len(rows3) == 1 and rows3[0]["tag"] == "upd2"
+    # compaction materializes everything
+    tx.compact_files(spark, a, target_files=2)
+    assert (tx._read_manifest(a, tx._list_versions(a)[-1]).get("dv") or {}) == {}
+    assert tx.read_table(spark, a).count() == 21

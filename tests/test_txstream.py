@@ -405,3 +405,82 @@ def test_latest_offset_capped_and_monotone(spark, tmp_path):
     # uncapped reader keeps the old contract
     r4 = TxlogStreamReader(src, ["k"], ignore_changes=False, start_version=0)
     assert r4.latestOffset() == {"version": 9}
+
+
+def test_partition_filter_prunes_at_planning_time(spark, tmp_path):
+    """r7: a consumer of ONE partition schedules tasks for exactly its
+    own files — non-matching added files are pruned from the plan via
+    the manifest's recorded partition values (no task, no read), and a
+    commit that only touches other partitions yields an empty batch."""
+    from vector_knowledge_base_spark.sources.txlog import (
+        append_table,
+        create_table,
+    )
+    from vector_knowledge_base_spark.sources.txstream import (
+        TxlogStreamReader,
+    )
+
+    src = str(tmp_path / "src")
+    create_table(
+        spark,
+        src,
+        spark.createDataFrame(
+            [("a", 1), ("a", 2), ("b", 10), (None, 99)], "g string, k long"
+        ),
+        partition_by=["g"],
+    )
+    append_table(
+        spark, src, spark.createDataFrame([("a", 3)], "g string, k long")
+    )
+    append_table(  # v2: only partition b — must plan to NOTHING
+        spark, src, spark.createDataFrame([("b", 11)], "g string, k long")
+    )
+    import json
+
+    from vector_knowledge_base_spark.sources.txlog import table_schema
+
+    r = TxlogStreamReader(
+        src,
+        ["g", "k"],
+        ignore_changes=False,
+        start_version=0,
+        schema_json=json.dumps(table_schema(src).jsonValue()),
+        partition_filter=json.dumps({"g": "a"}),
+    )
+    def _rows(lo, hi):
+        out = []
+        for p in r.partitions({"version": lo}, {"version": hi}):
+            for b in [r.read(p)]:
+                out.extend(
+                    t["k"] for rb in b for t in rb.to_pylist()
+                ) if not isinstance(b, tuple) else None
+        return sorted(out)
+
+    assert _rows(-1, 0) == [1, 2]  # b and the NULL partition pruned
+    assert _rows(0, 1) == [3]
+    parts_v2 = [p for p in r.partitions({"version": 1}, {"version": 2}) if p.file]
+    assert parts_v2 == []  # planning-time: zero tasks for partition b
+    # IN-list filter and the full stream path
+    q = (
+        __import__(
+            "vector_knowledge_base_spark.sources.txstream",
+            fromlist=["stream_txlog_table"],
+        ).stream_txlog_table(
+            spark, src, partition_filter={"g": ["a", "b"]}
+        )
+        .writeStream.format("memory")
+        .queryName("txpartfilter")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            if spark.table("txpartfilter").count() >= 6:
+                break
+            time.sleep(0.3)
+    finally:
+        q.stop()
+    got = sorted(r["k"] for r in spark.table("txpartfilter").collect())
+    assert got == [1, 2, 3, 10, 11]  # NULL partition excluded, a+b in

@@ -1323,12 +1323,116 @@ def compact_files(
     )
 
 
+def _merge_dv(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    key_cols: list[str],
+    batch_id: int | None,
+) -> int:
+    """Merge-on-read MERGE (see ``merge_table(mode='dv')``): matched
+    LIVE rows are soft-deleted via one churn-sized deletion-vector
+    batch and ALL update rows append as new files — one atomic commit,
+    zero pre-existing files moved. The upsert-heavy CDC-apply regime
+    this exists for: applying a 0.01% update feed to wide files must
+    not rewrite them."""
+    validated_constraints: dict | None = None
+    for _ in range(_MAX_COMMIT_RETRIES):
+        versions = _list_versions(path)
+        if not versions:
+            raise RuntimeError(f"txlog: no table at {path}")
+        if batch_id is not None and batch_id in _committed_batch_ids(path):
+            return versions[-1]
+        latest = versions[-1]
+        m = _read_manifest(path, latest)
+        cons = m.get("constraints") or {}
+        if cons != validated_constraints:
+            _enforce_constraints(m, updates, "merge")
+            validated_constraints = cons
+        logged = m.get("schema")
+        if logged is not None and _schema_key(
+            updates.schema
+        ) != _logged_schema_key(logged):
+            raise RuntimeError(
+                f"txlog: merge schema {updates.schema.simpleString()} does "
+                "not match the table schema"
+            )
+        files = _manifest_files(path, m)
+        new_dv = dict(m.get("dv") or {})
+        dv_entry = None
+        if files:
+            keys = updates.select(*key_cols).distinct()
+            tagged = _read_files(spark, m, files).select(
+                _entry_expr(path).alias("entry"),
+                _file_abs_expr().alias("_dv_abs"),
+                F.col("_metadata.row_index").alias("row_index"),
+                *key_cols,
+            )
+            deleted = _dv_deleted_df(spark, path, m, files)
+            if deleted is not None:  # already-hidden rows cannot match
+                tagged = _anti_join_dv(
+                    tagged.withColumnRenamed("row_index", "_dv_ri"), deleted
+                ).withColumnRenamed("_dv_ri", "row_index")
+            hits = (
+                tagged.join(F.broadcast(keys), key_cols, "left_semi")
+                .select("entry", "row_index")
+                .localCheckpoint(eager=True)
+            )
+            if hits.limit(1).count():
+                dv_batch = os.path.join(
+                    path, _DATA_DIR, f"dv{uuid.uuid4().hex[:12]}"
+                )
+                hits.write.mode("error").parquet(dv_batch)
+                dv_entry = _rel(path, dv_batch)
+                touched = [
+                    r["entry"]
+                    for r in spark.read.parquet(dv_batch)
+                    .select("entry")
+                    .distinct()
+                    .collect()
+                ]
+                known = set(m["files"])
+                stray = [e for e in touched if e not in known]
+                if stray:
+                    raise RuntimeError(
+                        "txlog: merge DV rows name files outside the "
+                        f"manifest: {stray[:3]}"
+                    )
+                for e in touched:
+                    new_dv[e] = list(new_dv.get(e, [])) + [dv_entry]
+        new_files = _write_batch(updates, path, m.get("partition_by"))
+        try:
+            return _commit(
+                path,
+                {
+                    "version": latest + 1,
+                    "op": "merge_dv",
+                    "files": m["files"] + [_rel(path, f) for f in new_files],
+                    "stats": {
+                        **(m.get("stats") or {}),
+                        **_file_stats(path, new_files),
+                    },
+                    "parent": latest,
+                    "dv": new_dv,
+                    "dv_added": dv_entry,
+                    "batch_id": batch_id,
+                    "schema": m.get("schema"),
+                },
+            )
+        except TxConflict:
+            continue  # recompute against the winner's snapshot
+    raise TxConflict(
+        f"txlog: dv-merge into {path} lost {_MAX_COMMIT_RETRIES} CAS races"
+    )
+
+
 def merge_table(
     spark: SparkSession,
     path: str,
     updates: DataFrame,
     key_cols: list[str],
     batch_id: int | None = None,
+    mode: str = "cow",
 ) -> int:
     """Copy-on-write MERGE (upsert): rows whose ``key_cols`` match an
     update row are REPLACED by it; update rows matching nothing are
@@ -1347,9 +1451,18 @@ def merge_table(
     (retained manifest or the carried-forward vacuum set) is a no-op —
     same contract as append_table. (A MERGE replay is already
     state-idempotent by key, but without the id it would burn a log
-    version and rewrite the touched files again.)"""
+    version and rewrite the touched files again.)
+
+    ``mode="dv"`` merges MERGE-ON-READ: matched rows are soft-deleted
+    via a deletion-vector batch and all update rows append — zero
+    pre-existing files moved, cost ∝ update batch. The natural mode
+    for a CDC-apply sink on wide tables; compaction materializes."""
     from urllib.parse import unquote, urlparse
 
+    if mode not in ("cow", "dv"):
+        raise ValueError(f"merge_table: unknown mode {mode!r}")
+    if mode == "dv":
+        return _merge_dv(spark, path, updates, key_cols, batch_id)
     validated_constraints: dict | None = None
     for _ in range(_MAX_COMMIT_RETRIES):
         versions = _list_versions(path)

@@ -62,8 +62,11 @@ from pyspark.sql.datasource import (
 )
 
 from vector_knowledge_base_spark.sources.txlog import (
+    _entry,
     _list_versions,
     _manifest_file,
+    _partition_types,
+    _pval_str,
     _read_manifest,
     _resolve,
 )
@@ -115,7 +118,13 @@ class TxlogStreamDataSource(DataSource):
     emitting their rewritten files), ``start_version`` (skip history
     before it; default 0 = initial snapshot + tail),
     ``max_versions_per_trigger`` (bound how many log versions one
-    micro-batch may cover; 0 = unbounded)."""
+    micro-batch may cover; 0 = unbounded),
+    ``partition_filter`` (JSON object of eq/IN conditions on
+    PARTITION columns: added files of non-matching partitions are
+    pruned at PLANNING time from the manifest's recorded partition
+    values — no task is ever scheduled for them; the per-file value
+    is definitional, so the filter is exact. Non-partition columns or
+    files without recorded values are conservatively kept)."""
 
     @classmethod
     def name(cls) -> str:
@@ -150,6 +159,7 @@ class TxlogStreamDataSource(DataSource):
             max_versions_per_trigger=int(
                 self.options.get("max_versions_per_trigger", 0)
             ),
+            partition_filter=self.options.get("partition_filter", ""),
         )
 
 
@@ -169,13 +179,19 @@ class TxlogStreamReader(DataSourceStreamReader):
         start_version: int,
         schema_json: str = "",
         max_versions_per_trigger: int = 0,
+        partition_filter: str = "",
     ):
+        import json as _json
+
         self.path = path
         self.columns = columns
         self.schema_json = schema_json
         self.ignore_changes = ignore_changes
         self.start_version = start_version
         self.max_versions_per_trigger = max_versions_per_trigger
+        self.partition_filter = (
+            _json.loads(partition_filter) if partition_filter else None
+        )
         # Planning floor for admission control: the highest version
         # known planned/committed. Fresh queries know it from
         # start_version; on restart the engine's re-plan of the
@@ -220,6 +236,7 @@ class TxlogStreamReader(DataSourceStreamReader):
             out.extend(
                 _AddedFilePartition(f, self.columns, self.schema_json)
                 for f in added
+                if self._partition_match(m, f)
             )
         if not out:  # engine requires ≥1 partition per (possibly empty) batch
             out.append(_AddedFilePartition(None, self.columns, self.schema_json))
@@ -267,6 +284,33 @@ class TxlogStreamReader(DataSourceStreamReader):
             ]
             return iter(zip(*cols))
 
+    def _partition_match(self, m: dict, f: str) -> bool:
+        """Planning-time partition pruning: keep the file unless its
+        RECORDED partition value provably fails an eq/IN condition
+        (values normalized through the logged schema types, same rule
+        as the batch reader's _file_can_skip)."""
+        if not self.partition_filter:
+            return True
+        st = (m.get("stats") or {}).get(_entry(self.path, f)) or {}
+        pvals = st.get("pvals") or {}
+        ptypes = _partition_types(m)
+        for key, value in self.partition_filter.items():
+            if key not in pvals:
+                continue  # not a recorded partition value: keep
+            pv = pvals[key]
+            if pv is None:
+                return False  # eq/IN never matches a NULL partition
+            jt = ptypes.get(key)
+            if jt is None:
+                continue
+            cand = (
+                list(value) if isinstance(value, (list, tuple)) else [value]
+            )
+            norm = {_pval_str(v, jt) for v in cand} - {None}
+            if norm and pv not in norm:
+                return False
+        return True
+
     def commit(self, end: dict) -> None:
         # offsets are durable in the engine checkpoint; keep the
         # admission-control floor in sync (restart path)
@@ -282,9 +326,15 @@ def stream_txlog_table(
     ignore_changes: bool = False,
     start_version: int = 0,
     max_versions_per_trigger: int = 0,
+    partition_filter: dict | None = None,
 ):
     """Register the source (idempotent) and open the table as a
-    streaming DataFrame."""
+    streaming DataFrame. ``partition_filter`` ({col: value-or-list})
+    prunes added files of non-matching partitions at planning time —
+    a consumer of one partition of a 100 TB feed schedules tasks for
+    exactly its own files."""
+    import json as _json
+
     spark.dataSource.register(TxlogStreamDataSource)
     reader = (
         spark.readStream.format("txlog_stream")
@@ -293,4 +343,8 @@ def stream_txlog_table(
         .option("start_version", start_version)
         .option("max_versions_per_trigger", max_versions_per_trigger)
     )
+    if partition_filter:
+        reader = reader.option(
+            "partition_filter", _json.dumps(partition_filter)
+        )
     return reader.load()
