@@ -340,3 +340,31 @@ def test_txlog_registry_listing_served_by_matview(spark, tmp_path):
     # reset drops the view with the corpus; listing is empty after
     kb.reset()
     assert kb.list_documents().count() == 0
+
+
+def test_update_chunks_facade_verb(spark, tmp_path):
+    """S16 payload update as a facade verb: one atomic commit updates
+    matching chunk rows (dv mode: zero chunk files rewritten), history
+    records it, time travel serves the pre-update state, and chunks()
+    reads the updated values."""
+    src = tmp_path / "up"
+    src.mkdir()
+    (src / "a.txt").write_text("alpha bravo charlie delta")
+    kb = KnowledgeBase(spark, str(tmp_path / "ws"), storage="txlog")
+    kb.upload_directory(str(src), category="old")
+    pre = kb.history().agg(F.max("version")).first()[0]
+    kb.update_chunks(
+        F.col("filename") == "a.txt", {"category": F.lit("reviewed")},
+        mode="dv",
+    )
+    cats = {r["category"] for r in kb.chunks().collect()}
+    assert cats == {"reviewed"}
+    assert {
+        r["category"] for r in kb.chunks_at(pre).collect()
+    } == {"old"}  # time travel pre-update
+    ops = [r["op"] for r in kb.history().orderBy("version").collect()]
+    assert ops[-1] == "update_where_dv"
+    with pytest.raises(RuntimeError, match="storage='txlog'"):
+        KnowledgeBase(spark, str(tmp_path / "ws2")).update_chunks(
+            F.col("filename") == "x", {"category": F.lit("y")}
+        )

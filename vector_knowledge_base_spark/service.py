@@ -333,6 +333,29 @@ class _KnowledgeBaseCore:
 
     # -- mutation ----------------------------------------------------------
 
+    def update_chunks(
+        self,
+        predicate,
+        set_exprs: Mapping[str, Any],
+        mode: str = "cow",
+    ) -> int:
+        """Transactional UPDATE over the chunks table (txlog storage
+        only) — the S16 payload-update verb as one atomic commit
+        (sources/txlog.py update_where): SET expressions cast to the
+        existing column types, CHECK constraints validate the updated
+        rows, and ``mode='dv'`` applies the update merge-on-read
+        (soft-delete + appended copies, zero chunk files rewritten —
+        the right cost for fixing one document's category in a wide
+        corpus). The registry matview follows through the CDC on the
+        next listing."""
+        if self.storage != "txlog":
+            raise RuntimeError("update_chunks requires storage='txlog'")
+        from vector_knowledge_base_spark.sources.txlog import update_where
+
+        return update_where(
+            self.spark, self.chunks_path, predicate, set_exprs, mode=mode
+        )
+
     def delete_document(self, filename: str) -> None:
         """Predicate delete (S17) + registry rebuild from the surviving
         chunks — the set-oriented form of the reference's
