@@ -375,3 +375,35 @@ def test_merge_dv_equals_cow_and_moves_no_files(spark, tmp_path):
     tx.compact_files(spark, a, target_files=2)
     assert (tx._read_manifest(a, tx._list_versions(a)[-1]).get("dv") or {}) == {}
     assert tx.read_table(spark, a).count() == 21
+
+
+def test_dv_stats_and_ratio_triggered_compaction(spark, tmp_path):
+    """DV accounting + the maintenance policy: dv_stats reports the
+    soft-deleted fraction from footers only; compact_if_dv_ratio
+    no-ops below threshold and materializes above it."""
+    from vector_knowledge_base_spark.sources.txlog import (
+        compact_if_dv_ratio,
+        dv_stats,
+    )
+
+    p = str(tmp_path / "t")
+    tx.create_table(
+        spark, p, spark.range(0, 100).withColumnRenamed("id", "k").coalesce(4)
+    )
+    s0 = dv_stats(spark, p)
+    assert s0["hidden_rows"] == 0 and s0["hidden_ratio"] == 0.0
+    tx.delete_where(spark, p, F.col("k") < 5, mode="dv")  # 5%
+    s1 = dv_stats(spark, p)
+    assert s1["hidden_rows"] == 5 and abs(s1["hidden_ratio"] - 0.05) < 1e-9
+    assert s1["physical_rows"] == 100 and s1["n_dv_batches"] == 1
+    assert compact_if_dv_ratio(spark, p, threshold=0.10) is None  # below
+    tx.delete_where(spark, p, F.col("k") >= 90, mode="dv")  # now 15%
+    assert dv_stats(spark, p)["hidden_rows"] == 15
+    v = compact_if_dv_ratio(spark, p, threshold=0.10)
+    assert v is not None
+    s2 = dv_stats(spark, p)
+    assert s2["hidden_rows"] == 0 and s2["n_dv_files"] == 0
+    assert s2["physical_rows"] == 85
+    assert _ks(spark, p) == list(range(5, 90))
+    # time-travel accounting: the pre-compact snapshot still reports
+    assert dv_stats(spark, p, version=v - 1)["hidden_rows"] == 15

@@ -2446,3 +2446,62 @@ def shallow_clone(
         raise RuntimeError(
             f"txlog: table already exists at {dst_path} (lost create race)"
         ) from None
+
+
+def dv_stats(spark: SparkSession, path: str, version: int | None = None) -> dict:
+    """Deletion-vector accounting for a snapshot: how much of the
+    table is soft-deleted and how much read-side work the vectors add.
+    Returns {version, n_files, n_dv_files, n_dv_batches, hidden_rows,
+    physical_rows, hidden_ratio}. Costs O(dv batches) parquet FOOTER
+    reads (row counts only — no data) plus the manifest; physical row
+    counts come from the manifest stats. The 100 TB maintenance
+    signal: schedule compaction when hidden_ratio crosses a threshold
+    (``compact_if_dv_ratio``) instead of on a timer."""
+    import pyarrow.parquet as pq
+
+    versions = _list_versions(path)
+    if not versions:
+        raise RuntimeError(f"txlog: no table at {path}")
+    v = versions[-1] if version is None else version
+    m = _read_manifest(path, v)
+    dv = m.get("dv") or {}
+    dv_dirs = _dv_dirs(path, m)
+    hidden = 0
+    for d in dv_dirs:
+        if os.path.isdir(d):
+            for n in os.listdir(d):
+                if n.endswith(".parquet"):
+                    hidden += pq.ParquetFile(os.path.join(d, n)).metadata.num_rows
+    stats = m.get("stats") or {}
+    physical = sum(
+        (stats.get(e) or {}).get("rows") or 0 for e in m["files"]
+    )
+    return {
+        "version": v,
+        "n_files": len(m["files"]),
+        "n_dv_files": len(dv),
+        "n_dv_batches": len(dv_dirs),
+        "hidden_rows": hidden,
+        "physical_rows": physical,
+        "hidden_ratio": (hidden / physical) if physical else 0.0,
+    }
+
+
+def compact_if_dv_ratio(
+    spark: SparkSession,
+    path: str,
+    threshold: float = 0.1,
+    target_files: int = 8,
+) -> int | None:
+    """Ratio-triggered DV materialization: compact (rewriting hidden
+    rows away and clearing the vectors) only when the soft-deleted
+    fraction crosses ``threshold`` — the maintenance policy that keeps
+    the read-side anti-join bounded without rewriting a 100 TB table
+    on a timer. Returns the new version, or None when below
+    threshold. NOTE: ``hidden_rows`` counts DV entries, which may
+    OVERLAP across batches for re-deleted rows — the ratio is an
+    upper bound, i.e. the trigger errs toward compacting."""
+    s = dv_stats(spark, path)
+    if s["hidden_ratio"] < threshold or s["n_dv_batches"] == 0:
+        return None
+    return compact_files(spark, path, target_files=target_files)
