@@ -1588,3 +1588,179 @@ def test_check_constraint_on_partitioned_overwrite(spark, tmp_path):
     )
     got = {(r["k"], r["id"]) for r in read_table(spark, p).collect()}
     assert got == {("a", 9), ("b", 2)}
+
+
+# ---------------------------------------------------------------------------
+# ADVICE r7 fixes: '+'-safe row↔file identity, float partition pvals,
+# constraint re-validation on overwrite retry, RESTORE metadata semantics
+# ---------------------------------------------------------------------------
+
+
+def test_plus_in_table_path_dv_and_update_identity(spark, tmp_path):
+    """ADVICE r7 (medium): F.url_decode implements form-urlencoding and
+    turns a literal '+' into a space, while the CoW paths decode with
+    the plus-safe urllib unquote. A table path containing '+' broke the
+    row↔file identity join: update_where(mode='cow') silently kept the
+    old rows AND appended updated copies (duplicates); DV deletes
+    failed loudly with 'stray entries'. The %XX-only decode must
+    round-trip '+' through both paths."""
+    from vector_knowledge_base_spark.sources.txlog import update_where
+
+    p = str(tmp_path / "c+d+e" / "t")
+    create_table(
+        spark,
+        p,
+        spark.createDataFrame(
+            [(i, i * 10) for i in range(20)], "id long, v long"
+        ).coalesce(2),
+    )
+    # CoW update: exactly one row changes and the count stays 20 —
+    # the pre-fix bug would have yielded 21 rows (silent duplicate)
+    update_where(spark, p, F.col("id") == 3, {"v": F.lit(999)})
+    got = read_table(spark, p)
+    assert got.count() == 20
+    assert got.where("id = 3").collect()[0]["v"] == 999
+    # DV delete: row hidden, no stray-entries error
+    delete_where(spark, p, F.col("id") == 7, mode="dv")
+    got = read_table(spark, p)
+    assert got.count() == 19 and got.where("id = 7").count() == 0
+    # DV update on top (soft-delete + append in one commit)
+    update_where(spark, p, F.col("id") == 8, {"v": F.lit(-1)}, mode="dv")
+    got = read_table(spark, p)
+    assert got.count() == 19
+    assert got.where("id = 8").collect()[0]["v"] == -1
+
+
+def test_plus_in_string_partition_value_roundtrips(spark, tmp_path):
+    """The same '+' hazard via a string PARTITION value: the hive dir
+    key embeds the value in the file path, so the DV identity join and
+    the pvals parse must both round-trip it."""
+    p = str(tmp_path / "t")
+    create_table(
+        spark,
+        p,
+        spark.createDataFrame(
+            [("a+b", 1), ("a+b", 2), ("c", 3)], "g string, id long"
+        ),
+        partition_by=["g"],
+    )
+    delete_where(spark, p, F.col("id") == 1, mode="dv")
+    got = read_table(spark, p)
+    assert {r["id"] for r in got.collect()} == {2, 3}
+    # eq filter on the partitioned value still matches (pvals pruning
+    # must not normalize '+' away)
+    got = read_table(spark, p, filters={"g": "a+b"})
+    assert {r["id"] for r in got.collect()} == {2}
+
+
+def test_float_partition_eq_filter_scientific_notation(spark, tmp_path):
+    """ADVICE r7 (medium): Java Double.toString writes '1.0E-7' into
+    the hive dir name where Python str() writes '1e-07' — the string-
+    normalized pvals compare concluded 'provably no match' and pruned
+    a file that MATCHES, silently dropping rows. float/double
+    partition columns must compare numerically."""
+    from vector_knowledge_base_spark.sources.txlog import _pval_matches
+
+    p = str(tmp_path / "t")
+    create_table(
+        spark,
+        p,
+        spark.createDataFrame(
+            [(1e-07, 1), (0.5, 2), (1234567890.123, 3)],
+            "rate double, id long",
+        ),
+        partition_by=["rate"],
+    )
+    for val, want in [(1e-07, {1}), (0.5, {2}), (1234567890.123, {3})]:
+        got = read_table(spark, p, filters={"rate": val})
+        assert {r["id"] for r in got.collect()} == want, val
+    # IN-list form
+    got = read_table(spark, p, filters={"rate": [1e-07, 0.5]})
+    assert {r["id"] for r in got.collect()} == {1, 2}
+    # unit pins: numeric equality across the two notations; abstain
+    # (None) on an unparseable recorded value, never a false skip
+    assert _pval_matches("1.0E-7", [1e-07], "double") is True
+    assert _pval_matches("1.0E-7", [2e-07], "double") is False
+    assert _pval_matches("not-a-float", [1.0], "double") is None
+
+
+def test_overwrite_revalidates_constraints_on_cas_retry(
+    spark, tmp_path, monkeypatch
+):
+    """ADVICE r7 (low): overwrite_table used to validate CHECK
+    constraints once before its retry loop — a concurrent
+    add_constraint landing mid-retry was never re-checked, so a
+    violating overwrite could commit after the constraint existed.
+    Validation now runs inside the loop (same caching as append)."""
+    import vector_knowledge_base_spark.sources.txlog as tx
+
+    p = str(tmp_path / "t")
+    create_table(
+        spark, p, spark.createDataFrame([(1, 5.0)], "id long, v double")
+    )
+    real_write = tx._write_batch
+    fired = {"done": False}
+
+    def hooked(df, path, partition_by=None):
+        out = real_write(df, path, partition_by)
+        if not fired["done"]:
+            # simulate the concurrent writer: the constraint lands
+            # AFTER overwrite validated against the old manifest but
+            # BEFORE its commit — the commit loses the CAS race and
+            # must re-validate against the winner's constraint set
+            fired["done"] = True
+            tx.add_constraint(spark, p, "v_pos", "v > 0")
+        return out
+
+    monkeypatch.setattr(tx, "_write_batch", hooked)
+    with pytest.raises(tx.TxConstraintViolation, match="v_pos"):
+        tx.overwrite_table(
+            spark,
+            p,
+            spark.createDataFrame([(2, -1.0)], "id long, v double"),
+        )
+    # the table still holds the original row and the constraint
+    assert {r["id"] for r in read_table(spark, p).collect()} == {1}
+
+
+def test_restore_restores_constraint_metadata(spark, tmp_path):
+    """ADVICE r7 (low): RESTORE carries the TARGET version's table
+    metadata (Delta RESTORE semantics) — restoring past an
+    add_constraint drops the constraint instead of silently keeping it
+    over restored data it was never validated against; re-adding
+    re-validates via the add-time scan."""
+    from vector_knowledge_base_spark.sources.txlog import (
+        TxConstraintViolation,
+        _read_manifest,
+        add_constraint,
+        restore_table,
+    )
+
+    p = str(tmp_path / "t")
+    create_table(
+        spark, p, spark.createDataFrame([(1, -5.0)], "id long, v double")
+    )  # v0 contains a negative row
+    delete_where(spark, p, filters={"id": 1})  # v1: remove it
+    append_table(
+        spark, p, spark.createDataFrame([(2, 3.0)], "id long, v double")
+    )  # v2
+    add_constraint(spark, p, "v_pos", "v > 0")  # v3: validates v2 fine
+    v = restore_table(spark, p, 0)  # restored data violates v_pos
+    m = _read_manifest(p, v)
+    assert not (m.get("constraints") or {})  # constraint restored away
+    # writes after the restore are governed by the restored (empty)
+    # constraint set — v0 semantics, not v3's
+    append_table(
+        spark, p, spark.createDataFrame([(3, -1.0)], "id long, v double")
+    )
+    # re-adding the constraint re-validates and refuses
+    with pytest.raises(TxConstraintViolation, match="existing rows"):
+        add_constraint(spark, p, "v_pos", "v > 0")
+    # restoring forward to v3 brings the constraint BACK with its data
+    v = restore_table(spark, p, 3)
+    m = _read_manifest(p, v)
+    assert "v_pos" in (m.get("constraints") or {})
+    with pytest.raises(TxConstraintViolation, match="v_pos"):
+        append_table(
+            spark, p, spark.createDataFrame([(4, -2.0)], "id long, v double")
+        )

@@ -484,3 +484,70 @@ def test_partition_filter_prunes_at_planning_time(spark, tmp_path):
         q.stop()
     got = sorted(r["k"] for r in spark.table("txpartfilter").collect())
     assert got == [1, 2, 3, 10, 11]  # NULL partition excluded, a+b in
+
+
+def test_consumer_id_persists_admission_floor(spark, tmp_path):
+    """ADVICE r7 (low): with consumer_id set, the admission-control
+    planning floor persists to a sidecar at every commit, so a
+    restarted capped consumer recovers it WITHOUT relying on the
+    engine re-planning the committed batch before its first
+    latestOffset call (the empirically-pinned Spark 4.1 behavior the
+    in-memory floor alone depends on)."""
+    from vector_knowledge_base_spark.sources.txstream import (
+        _consumer_file,
+        _load_consumer_floor,
+    )
+
+    src = str(tmp_path / "src")
+    create_table(spark, src, spark.range(0, 5).withColumnRenamed("id", "k"))
+    for i in range(1, 10):  # versions 1..9
+        append_table(
+            spark,
+            src,
+            spark.range(5 * i, 5 * (i + 1)).withColumnRenamed("id", "k"),
+        )
+    r = TxlogStreamReader(
+        src, ["k"], ignore_changes=False, start_version=0,
+        max_versions_per_trigger=3, consumer_id="c1",
+    )
+    assert r.latestOffset() == {"version": 2}
+    r.commit({"version": 2})
+    assert _load_consumer_floor(src, "c1") == 2
+    # fresh reader, NO partitions() re-plan, NO prior commit — the
+    # sidecar ALONE restores the floor (the worst-case engine order)
+    r2 = TxlogStreamReader(
+        src, ["k"], ignore_changes=False, start_version=0,
+        max_versions_per_trigger=3, consumer_id="c1",
+    )
+    assert r2.latestOffset() == {"version": 5}  # floor 2 + cap 3
+    # a DIFFERENT consumer id starts from its own scratch floor
+    r3 = TxlogStreamReader(
+        src, ["k"], ignore_changes=False, start_version=0,
+        max_versions_per_trigger=3, consumer_id="c2",
+    )
+    assert r3.latestOffset() == {"version": 2}
+    # the sidecar is monotone: a lagging writer never lowers it
+    r2.commit({"version": 5})
+    r.commit({"version": 2})  # stale peer re-commit
+    assert _load_consumer_floor(src, "c1") == 5
+    # ids are charset-restricted — can never escape _consumers/
+    with pytest.raises(ValueError, match="consumer_id"):
+        _consumer_file(src, "../evil")
+    # e2e: the helper wires the option through; the sidecar lands
+    ckpt = str(tmp_path / "ckpt")
+    q = (
+        stream_txlog_table(
+            spark, src, max_versions_per_trigger=4, consumer_id="e2e"
+        )
+        .writeStream.format("memory")
+        .queryName("txconsumer")
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        _run_until(spark, q, "txconsumer", 50)
+    finally:
+        q.stop()
+    assert spark.table("txconsumer").count() == 50
+    assert (_load_consumer_floor(src, "e2e") or 0) >= 9

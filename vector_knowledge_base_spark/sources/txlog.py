@@ -228,18 +228,29 @@ def _dv_files(path: str, m: dict) -> list[str]:
     return out
 
 
+def _pct_decode(col: Column) -> Column:
+    """Decode %XX escapes ONLY, plus-safe: ``F.url_decode`` implements
+    application/x-www-form-urlencoded and turns a literal ``+`` into a
+    space, but file-path percent-encoding leaves ``+`` unescaped — so a
+    table path (or string partition value) containing ``+`` would break
+    the row↔file identity join (ADVICE r7). Pre-encoding ``+`` as
+    ``%2B`` makes url_decode round-trip it, matching the
+    ``urllib.parse.unquote`` convention the CoW paths use."""
+    return F.url_decode(F.replace(col, F.lit("+"), F.lit("%2B")))
+
+
 def _entry_expr(path: str) -> Column:
     """Manifest-entry column computed from ``_metadata.file_path`` —
     the join key between physical rows and deletion-vector rows.
     ``file_path`` is a ``file:`` URI with the on-disk name
     percent-encoded (a literal ``%`` re-encodes to ``%25``), so one
-    url_decode after stripping the scheme recovers the on-disk path
+    %XX-decode after stripping the scheme recovers the on-disk path
     exactly; stripping the table root then yields the relative entry.
     Borrowed (shallow-clone) files live outside the root, so the strip
     is a no-op and the absolute path remains — which is exactly how a
     clone's manifest keys them."""
     root = os.path.abspath(path)
-    fp = F.url_decode(
+    fp = _pct_decode(
         F.regexp_replace(F.col("_metadata.file_path"), "^file:(//)?", "")
     )
     return F.replace(fp, F.lit(root + os.sep), F.lit(""))
@@ -247,11 +258,11 @@ def _entry_expr(path: str) -> Column:
 
 def _file_abs_expr() -> Column:
     """The normalized ABSOLUTE on-disk path of the file behind each
-    row (``_metadata.file_path`` minus scheme, percent-decoded) — the
+    row (``_metadata.file_path`` minus scheme, %XX-decoded) — the
     portable join key between physical rows and deletion vectors:
     relative entries resolve differently for a table and its shallow
     clone, but the absolute path is one identity."""
-    return F.url_decode(
+    return _pct_decode(
         F.regexp_replace(F.col("_metadata.file_path"), "^file:(//)?", "")
     )
 
@@ -413,6 +424,7 @@ def _commit(path: str, manifest: dict) -> int:
         "partition_by" not in manifest
         or "constraints" not in manifest
         or "dv" not in manifest
+        or "colmap" not in manifest
     ):
         try:
             parent_m = _read_manifest(path, manifest["parent"])
@@ -420,6 +432,9 @@ def _commit(path: str, manifest: dict) -> int:
             parent_m = {}
         manifest.setdefault("partition_by", parent_m.get("partition_by"))
         manifest.setdefault("constraints", parent_m.get("constraints"))
+        # column mapping is a table property like partition_by: carried
+        # by every commit, changed only by rename/drop/add paths
+        manifest.setdefault("colmap", parent_m.get("colmap"))
         # deletion vectors carry by default (append/metadata commits);
         # every op that REWRITES files sets "dv" explicitly (cleared or
         # kept-files-only) — inheriting would resurrect deleted rows
@@ -444,7 +459,10 @@ def _commit(path: str, manifest: dict) -> int:
 
 
 def _write_batch(
-    df: DataFrame, path: str, partition_by: list[str] | None = None
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    colmap: dict | None = None,
 ) -> list[str]:
     """Write a new immutable data batch; return its parquet file list
     (absolute). The batch dir is invisible to readers until a manifest
@@ -462,6 +480,13 @@ def _write_batch(
     in the manifest (``_file_stats`` parses it back), which makes
     partition-predicate pruning and dynamic partition overwrite EXACT
     by construction instead of inferred from footer min/max."""
+    if colmap:
+        # column mapping: files store PHYSICAL names (one select, no
+        # sequential-rename collision hazard); partition columns are
+        # barred from mapping so the _pt_ dir keys stay stable
+        df = df.select(
+            *[F.col(c).alias(colmap.get(c, c)) for c in df.columns]
+        )
     batch = os.path.join(path, _DATA_DIR, f"b{uuid.uuid4().hex[:12]}")
     if partition_by:
         out = df
@@ -519,6 +544,31 @@ def _pval_str(v, json_type) -> str | None:
         return str(v)
     except (TypeError, ValueError):
         return None
+
+
+def _pval_matches(pv: str, cand: list, jt: str) -> bool | None:
+    """Does the RECORDED partition-dir value ``pv`` match any candidate
+    eq/IN filter value? float/double columns compare NUMERICALLY —
+    Java's Double.toString writes ``1.0E-7`` where Python ``str()``
+    writes ``1e-07``, so string normalization would prune a file that
+    actually matches (ADVICE r7). Other types compare on the
+    ``_pval_str``-normalized string. Returns None to ABSTAIN (a value
+    that cannot be normalized/parsed) — the caller then falls back to
+    footer min/max stats."""
+    if jt in ("float", "double"):
+        try:
+            pvf = float(pv)
+        except (TypeError, ValueError):
+            return None
+        hits = []
+        for v in cand:
+            try:
+                hits.append(float(v) == pvf)
+            except (TypeError, ValueError):
+                return None  # one unparseable candidate → abstain
+        return any(hits)
+    norm = {_pval_str(v, jt) for v in cand} - {None}
+    return (pv in norm) if norm else None
 
 
 def _partition_types(m: dict) -> dict:
@@ -588,11 +638,31 @@ def _file_stats(path: str, files: list[str]) -> dict:
     return out
 
 
+def _physical_struct(logged: dict, colmap: dict):
+    """The logged (logical) schema with field names swapped for their
+    PHYSICAL parquet names through the column mapping — what the scan
+    must request so renamed columns resolve in old and new files
+    alike (physical names never change after a column is born)."""
+    from pyspark.sql import types as T
+
+    st = T.StructType.fromJson(logged)
+    return T.StructType(
+        [
+            T.StructField(
+                colmap.get(f.name, f.name), f.dataType, f.nullable, f.metadata
+            )
+            for f in st.fields
+        ]
+    )
+
+
 def _read_files(
     spark: SparkSession,
     m: dict,
     files: list[str],
     path: str | None = None,
+    dv_m: dict | None = None,
+    tag: str | None = None,
 ) -> DataFrame:
     """Read manifest data files WITH the logged schema (when recorded):
     files written before a schema evolution physically lack the evolved
@@ -601,19 +671,64 @@ def _read_files(
     inference (one less listing pass). Pre-schema manifests read plain.
 
     With ``path`` given, DELETION VECTORS apply (merge-on-read): rows a
-    ``delete_where(mode='dv')`` soft-deleted are anti-joined away. Every
-    consumer that can observe deleted rows must pass ``path``; the
-    raw form (path=None) exists for readers of freshly-ADDED files only
-    (the streaming source), which can carry no DV by construction."""
+    ``delete_where(mode='dv')`` soft-deleted are anti-joined away
+    (``dv_m`` overrides WHICH manifest's vectors apply — table_diff
+    reads v_from's files under v_to's schema but v_from's vectors).
+    Every consumer that can observe deleted rows must pass ``path``;
+    the raw form (path=None) exists for readers of freshly-ADDED files
+    only (the streaming source), which can carry no DV by construction.
+
+    With ``tag`` (a table root), the row↔file identity columns
+    ``_dv_entry`` / ``_dv_abs`` / ``_dv_ri`` are attached for DML
+    (update/delete/merge) — attached HERE because ``_metadata`` is
+    only resolvable on the scan output, before any renaming
+    projection.
+
+    COLUMN MAPPING (r8, the Delta columnMapping.mode=name idea): when
+    the manifest carries ``colmap`` ({logical: physical}), the scan
+    requests PHYSICAL names and the result is aliased back to logical
+    — a renamed column reads correctly across files written before
+    and after the rename, because the physical name is immutable."""
     logged = m.get("schema")
+    colmap = m.get("colmap") or {}
     if logged is None:
         df = spark.read.parquet(*files)
     else:
         from pyspark.sql import types as T
 
-        df = spark.read.schema(T.StructType.fromJson(logged)).parquet(*files)
+        schema = (
+            _physical_struct(logged, colmap)
+            if colmap
+            else T.StructType.fromJson(logged)
+        )
+        df = spark.read.schema(schema).parquet(*files)
+    if tag is not None:
+        df = df.select(
+            "*",
+            _entry_expr(tag).alias("_dv_entry"),
+            _file_abs_expr().alias("_dv_abs"),
+            F.col("_metadata.row_index").alias("_dv_ri"),
+        )
     if path is not None:
-        df = _apply_dv(spark, path, m, df, files)
+        use_m = dv_m if dv_m is not None else m
+        if tag is not None:
+            # the identity columns double as the anti-join keys —
+            # _apply_dv would re-derive (and name-clash with) them
+            deleted = _dv_deleted_df(spark, path, use_m, files)
+            if deleted is not None:
+                df = _anti_join_dv(df, deleted)
+        else:
+            df = _apply_dv(spark, path, use_m, df, files)
+    if colmap and logged is not None:
+        from pyspark.sql import types as T
+
+        out = [
+            F.col(colmap.get(f.name, f.name)).alias(f.name)
+            for f in T.StructType.fromJson(logged).fields
+        ]
+        if tag is not None:
+            out += [F.col("_dv_entry"), F.col("_dv_abs"), F.col("_dv_ri")]
+        df = df.select(*out)
     return df
 
 
@@ -668,8 +783,7 @@ def _file_can_skip(
                     if isinstance(value, (list, tuple, set))
                     else [value]
                 )
-                norm = {_pval_str(v, jt) for v in cand} - {None}
-                if norm and pv not in norm:
+                if _pval_matches(pv, cand, jt) is False:
                     return True
         mn = stats.get("min", {}).get(key)
         mx = stats.get("max", {}).get(key)
@@ -703,6 +817,12 @@ def _prune_files(
         return _manifest_files(path, m)
     stats = m.get("stats") or {}
     ptypes = _partition_types(m)
+    colmap = m.get("colmap") or {}
+    if colmap:
+        # stats are keyed by PHYSICAL column names (parquet footers);
+        # translate the logical filter keys before comparing. Partition
+        # columns are barred from mapping, so pvals keys stay logical.
+        filters = {colmap.get(k, k): v for k, v in filters.items()}
     return [
         _resolve(path, e)
         for e in m["files"]
@@ -852,6 +972,7 @@ def append_table(
     are written once; only the manifest is recommitted)."""
     new_files: list[str] | None = None
     validated_constraints: dict | None = None
+    written_colmap: dict | None = None
     for _ in range(_MAX_COMMIT_RETRIES):
         versions = _list_versions(path)
         if not versions:
@@ -909,8 +1030,32 @@ def append_table(
                             T.StructField(fld.name, fld.dataType, True)
                         )
                 commit_schema = T.StructType(union).jsonValue()
+        # column mapping: a merge_schema append that ADDS columns to a
+        # mapped table must give each a physical name that collides
+        # with no LIVE file's physical columns — otherwise re-adding a
+        # previously-dropped name would resurrect its old data
+        commit_colmap = m.get("colmap")
+        cm = dict(commit_colmap or {})
+        if cm and merge_schema:
+            live_phys = set(cm.values())
+            for st_ in (m.get("stats") or {}).values():
+                live_phys.update(st_.get("cols") or [])
+            added_names = [
+                c for c in df.columns if c not in cm
+            ]
+            for c in added_names:
+                phys = c
+                if phys in live_phys:
+                    phys = f"{c}_p{uuid.uuid4().hex[:8]}"
+                cm[c] = phys
+                live_phys.add(phys)
+            if added_names:
+                commit_colmap = cm
+        if new_files is not None and written_colmap != cm:
+            new_files = None  # concurrent rename: stale physical names
         if new_files is None:
-            new_files = _write_batch(df, path, m.get("partition_by"))
+            new_files = _write_batch(df, path, m.get("partition_by"), cm)
+            written_colmap = cm
         try:
             return _commit(
                 path,
@@ -925,6 +1070,11 @@ def append_table(
                     "parent": latest,
                     "batch_id": batch_id,
                     "schema": commit_schema,
+                    **(
+                        {"colmap": commit_colmap}
+                        if commit_colmap is not None
+                        else {}
+                    ),
                 },
             )
         except TxConflict:
@@ -946,12 +1096,28 @@ def overwrite_table(spark: SparkSession, path: str, df: DataFrame) -> int:
     versions = _list_versions(path)
     if not versions:
         return create_table(spark, path, df)
-    m_latest = _read_manifest(path, versions[-1])
-    _enforce_constraints(m_latest, df, "overwrite")
-    pby = m_latest.get("partition_by")
-    new_files = _write_batch(df, path, pby)
+    new_files: list[str] | None = None
+    validated_constraints: dict | None = None
+    written_colmap: dict | None = None
     for _ in range(_MAX_COMMIT_RETRIES):
         latest = _list_versions(path)[-1]
+        m_latest = _read_manifest(path, latest)
+        # re-validate per retry when a concurrent add_constraint changed
+        # the set mid-loop (ADVICE r7) — same caching as append_table
+        cons = m_latest.get("constraints") or {}
+        if cons != validated_constraints:
+            _enforce_constraints(m_latest, df, "overwrite")
+            validated_constraints = cons
+        cm = m_latest.get("colmap") or {}
+        if new_files is not None and written_colmap != cm:
+            new_files = None  # concurrent rename: stale physical names
+        if new_files is None:
+            new_files = _write_batch(df, path, m_latest.get("partition_by"), cm)
+            written_colmap = cm
+        # reconcile the mapping with the NEW schema: persisting logical
+        # names keep their stable physical names, dropped ones leave
+        # the map, brand-new columns map to themselves
+        new_cm = {c: cm.get(c, c) for c in df.columns} if cm else None
         try:
             return _commit(
                 path,
@@ -963,6 +1129,7 @@ def overwrite_table(spark: SparkSession, path: str, df: DataFrame) -> int:
                     "stats": _file_stats(path, new_files),
                     "parent": latest,
                     "schema": df.schema.jsonValue(),
+                    "colmap": new_cm,
                 },
             )
         except TxConflict:
@@ -1008,7 +1175,7 @@ def overwrite_partitions(spark: SparkSession, path: str, df: DataFrame) -> int:
             f"{df.schema.simpleString()} does not match the table schema"
         )
     _enforce_constraints(m0, df, "overwrite_partitions")
-    new_files = _write_batch(df, path, pby)
+    new_files = _write_batch(df, path, pby, m0.get("colmap"))
     new_stats = _file_stats(path, new_files)
     touched = {
         tuple((st.get("pvals") or {}).get(c) for c in pby)
@@ -1159,6 +1326,158 @@ def drop_constraint(spark: SparkSession, path: str, name: str) -> int:
     )
 
 
+def _guard_col_ddl(m: dict, col: str, op: str) -> None:
+    """Shared refusals for column DDL: partition columns anchor the
+    on-disk dir layout and the pvals pruning keys, and CHECK
+    constraint expressions are SQL strings over logical names — both
+    would silently break under a rename/drop (Delta refuses the same
+    two; the workaround is drop-constraint / repartition-overwrite
+    first)."""
+    import re as _re
+
+    if col in (m.get("partition_by") or []):
+        raise RuntimeError(
+            f"txlog: cannot {op} partition column {col!r} — the hive "
+            "dir layout and pvals pruning key it; overwrite the table "
+            "with a new partition spec instead"
+        )
+    for name, expr in (m.get("constraints") or {}).items():
+        if _re.search(rf"\b{_re.escape(col)}\b", expr):
+            raise RuntimeError(
+                f"txlog: cannot {op} column {col!r} — CHECK constraint "
+                f"{name!r} ({expr}) references it; drop the constraint "
+                "first"
+            )
+
+
+def rename_column(
+    spark: SparkSession, path: str, old: str, new: str
+) -> int:
+    """ALTER TABLE ... RENAME COLUMN as a METADATA-ONLY commit — the
+    Delta ``columnMapping.mode=name`` idea (public): the logged schema
+    names are LOGICAL, each mapped to an immutable PHYSICAL parquet
+    name recorded in the manifest's ``colmap``. A rename changes the
+    logical name and remaps it to the same physical name — zero data
+    bytes move (the only acceptable cost at 100 TB), and files written
+    before and after the rename read identically because the scan
+    requests physical names and aliases back. Time travel keeps each
+    version's own naming; CDC across the rename lines columns up via
+    physical identity.
+
+    Refused for partition columns and constraint-referenced columns
+    (same refusals as Delta — see ``_guard_col_ddl``)."""
+    from pyspark.sql import types as T
+
+    for _ in range(_MAX_COMMIT_RETRIES):
+        versions = _list_versions(path)
+        if not versions:
+            raise RuntimeError(f"txlog: no table at {path}")
+        latest = versions[-1]
+        m = _read_manifest(path, latest)
+        logged = m.get("schema")
+        if logged is None:
+            raise RuntimeError(
+                f"txlog: table at {path} has no logged schema — "
+                "rename_column needs one"
+            )
+        st = T.StructType.fromJson(logged)
+        names = [f.name for f in st.fields]
+        if old not in names:
+            raise RuntimeError(
+                f"txlog: no column {old!r} to rename (have {names})"
+            )
+        if new in names:
+            raise RuntimeError(
+                f"txlog: cannot rename {old!r} to {new!r} — column "
+                "exists"
+            )
+        _guard_col_ddl(m, old, "rename")
+        # initialize the mapping lazily (identity for every existing
+        # column — their physical names ARE their current names)
+        cm = dict(m.get("colmap") or {c: c for c in names})
+        cm[new] = cm.pop(old)
+        new_fields = [
+            T.StructField(new, f.dataType, f.nullable, f.metadata)
+            if f.name == old
+            else f
+            for f in st.fields
+        ]
+        try:
+            return _commit(
+                path,
+                {
+                    "version": latest + 1,
+                    "op": "rename_column",
+                    "files": m["files"],
+                    "stats": m.get("stats") or {},
+                    "parent": latest,
+                    "schema": T.StructType(new_fields).jsonValue(),
+                    "colmap": cm,
+                },
+            )
+        except TxConflict:
+            continue
+    raise TxConflict(
+        f"txlog: rename_column on {path} lost {_MAX_COMMIT_RETRIES} CAS races"
+    )
+
+
+def drop_column(spark: SparkSession, path: str, col: str) -> int:
+    """ALTER TABLE ... DROP COLUMN as a METADATA-ONLY commit: the
+    column leaves the logged schema and the mapping; its physical
+    bytes stay in existing files (invisible — the scan requests only
+    mapped physical names) until natural rewrites age them out, which
+    is exactly Delta's drop semantics. Initializes the column mapping
+    if absent, so a LATER merge_schema re-add of the same name gets a
+    fresh physical name and can never resurrect the dropped data."""
+    from pyspark.sql import types as T
+
+    for _ in range(_MAX_COMMIT_RETRIES):
+        versions = _list_versions(path)
+        if not versions:
+            raise RuntimeError(f"txlog: no table at {path}")
+        latest = versions[-1]
+        m = _read_manifest(path, latest)
+        logged = m.get("schema")
+        if logged is None:
+            raise RuntimeError(
+                f"txlog: table at {path} has no logged schema — "
+                "drop_column needs one"
+            )
+        st = T.StructType.fromJson(logged)
+        names = [f.name for f in st.fields]
+        if col not in names:
+            raise RuntimeError(
+                f"txlog: no column {col!r} to drop (have {names})"
+            )
+        if len(names) == 1:
+            raise RuntimeError(
+                f"txlog: cannot drop the only column {col!r}"
+            )
+        _guard_col_ddl(m, col, "drop")
+        cm = dict(m.get("colmap") or {c: c for c in names})
+        cm.pop(col, None)
+        new_fields = [f for f in st.fields if f.name != col]
+        try:
+            return _commit(
+                path,
+                {
+                    "version": latest + 1,
+                    "op": "drop_column",
+                    "files": m["files"],
+                    "stats": m.get("stats") or {},
+                    "parent": latest,
+                    "schema": T.StructType(new_fields).jsonValue(),
+                    "colmap": cm,
+                },
+            )
+        except TxConflict:
+            continue
+    raise TxConflict(
+        f"txlog: drop_column on {path} lost {_MAX_COMMIT_RETRIES} CAS races"
+    )
+
+
 def _zvalue(df: DataFrame, cols: list[str], bits: int = 8) -> Column:
     """Z-order (Morton) key over ``cols``: each column is linearly
     scaled to a ``bits``-bit bucket between its observed min and max
@@ -1302,7 +1621,7 @@ def compact_files(
             )
         else:
             df = df.coalesce(target_files)
-        new_files = _write_batch(df, path, m.get("partition_by"))
+        new_files = _write_batch(df, path, m.get("partition_by"), m.get("colmap"))
         try:
             return _commit(
                 path,
@@ -1362,17 +1681,14 @@ def _merge_dv(
         dv_entry = None
         if files:
             keys = updates.select(*key_cols).distinct()
-            tagged = _read_files(spark, m, files).select(
-                _entry_expr(path).alias("entry"),
-                _file_abs_expr().alias("_dv_abs"),
-                F.col("_metadata.row_index").alias("row_index"),
+            # tag=path attaches the identity columns BEFORE any
+            # projection and drops already-hidden rows (they cannot
+            # match); colmap-aware by construction
+            tagged = _read_files(spark, m, files, path, tag=path).select(
+                F.col("_dv_entry").alias("entry"),
+                F.col("_dv_ri").alias("row_index"),
                 *key_cols,
             )
-            deleted = _dv_deleted_df(spark, path, m, files)
-            if deleted is not None:  # already-hidden rows cannot match
-                tagged = _anti_join_dv(
-                    tagged.withColumnRenamed("row_index", "_dv_ri"), deleted
-                ).withColumnRenamed("_dv_ri", "row_index")
             hits = (
                 tagged.join(F.broadcast(keys), key_cols, "left_semi")
                 .select("entry", "row_index")
@@ -1400,7 +1716,7 @@ def _merge_dv(
                     )
                 for e in touched:
                     new_dv[e] = list(new_dv.get(e, [])) + [dv_entry]
-        new_files = _write_batch(updates, path, m.get("partition_by"))
+        new_files = _write_batch(updates, path, m.get("partition_by"), m.get("colmap"))
         try:
             return _commit(
                 path,
@@ -1520,7 +1836,7 @@ def merge_table(
                 if survivors is not None
                 else updates
             )
-        new_files = _write_batch(merged, path, m.get("partition_by"))
+        new_files = _write_batch(merged, path, m.get("partition_by"), m.get("colmap"))
         kept = [e for e in m["files"] if _resolve(path, e) not in affected]
         stats = {
             k: v
@@ -1609,7 +1925,7 @@ def replace_where(
             )
         if new_files is None:
             _enforce_constraints(m, df, "replace_where")
-            new_files = _write_batch(df, path, m.get("partition_by"))
+            new_files = _write_batch(df, path, m.get("partition_by"), m.get("colmap"))
         files = _manifest_files(path, m)
         candidates = _prune_files(path, m, filters)
         if candidates:
@@ -1636,7 +1952,7 @@ def replace_where(
             ).where(~F.coalesce(predicate, F.lit(False)))
             if survivors.limit(1).count():
                 survivor_files = _write_batch(
-                    survivors, path, m.get("partition_by")
+                    survivors, path, m.get("partition_by"), m.get("colmap")
                 )
         kept = [e for e in m["files"] if _resolve(path, e) not in affected]
         stats = {
@@ -1782,18 +2098,11 @@ def _delete_where_dv(
         candidates = _prune_files(path, m, filters)
         hits = None
         if candidates:
-            # tag positions BEFORE any projection (the hidden _metadata
-            # column stops resolving after one), then drop rows already
-            # soft-deleted so a re-delete nets zero
-            tagged = _read_files(spark, m, candidates).select(
-                "*",
-                _entry_expr(path).alias("_dv_entry"),
-                _file_abs_expr().alias("_dv_abs"),
-                F.col("_metadata.row_index").alias("_dv_ri"),
-            )
-            deleted = _dv_deleted_df(spark, path, m, candidates)
-            if deleted is not None:
-                tagged = _anti_join_dv(tagged, deleted)
+            # tag=path: positions tagged BEFORE any projection (the
+            # hidden _metadata column stops resolving after one) and
+            # already-soft-deleted rows dropped, so a re-delete nets
+            # zero; colmap-aware by construction
+            tagged = _read_files(spark, m, candidates, path, tag=path)
             hits = (
                 tagged.where(predicate)
                 .select(
@@ -1905,16 +2214,9 @@ def update_where(
         files = _manifest_files(path, m)
         if not files:
             return latest  # fully-deleted state: nothing to update
-        # DV-aware tagged scan (an already-hidden row must not update)
-        tagged = _read_files(spark, m, files).select(
-            "*",
-            _entry_expr(path).alias("_dv_entry"),
-            _file_abs_expr().alias("_dv_abs"),
-            F.col("_metadata.row_index").alias("_dv_ri"),
-        )
-        deleted = _dv_deleted_df(spark, path, m, files)
-        if deleted is not None:
-            tagged = _anti_join_dv(tagged, deleted)
+        # DV-aware tagged scan (an already-hidden row must not
+        # update); tag=path attaches identity before any projection
+        tagged = _read_files(spark, m, files, path, tag=path)
         matched = tagged.where(predicate).localCheckpoint(eager=True)
         if not matched.limit(1).count():
             try:  # no-op UPDATE: pure-metadata idempotent commit
@@ -1949,7 +2251,7 @@ def update_where(
         _enforce_constraints(m, updated, "update_where")
         pby = m.get("partition_by")
         if mode == "dv":
-            new_files = _write_batch(updated, path, pby)
+            new_files = _write_batch(updated, path, pby, m.get("colmap"))
             dv_batch = os.path.join(
                 path, _DATA_DIR, f"dv{uuid.uuid4().hex[:12]}"
             )
@@ -2001,7 +2303,7 @@ def update_where(
             ~F.coalesce(predicate, F.lit(False))
         )
         rewritten = survivors.unionByName(updated)
-        new_files = _write_batch(rewritten, path, pby)
+        new_files = _write_batch(rewritten, path, pby, m.get("colmap"))
         kept = [e for e in m["files"] if _resolve(path, e) not in affected]
         stats = {
             k: v
@@ -2126,7 +2428,7 @@ def delete_where(
             ~F.coalesce(predicate, F.lit(False))
         )
         new_files = (
-            _write_batch(survivors, path, m.get("partition_by"))
+            _write_batch(survivors, path, m.get("partition_by"), m.get("colmap"))
             if survivors.limit(1).count()
             else []
         )
@@ -2212,10 +2514,14 @@ def table_diff(
         files = [_resolve(path, e) for e in entries]
         if not files:
             return schema_src.limit(0)
-        # read with v_to's schema: across a schema evolution the old
-        # files null-fill the evolved columns, keeping exceptAll typed
-        df = _read_files(spark, m_to, files)
-        return _apply_dv(spark, path, dv_manifest, df, files)
+        # read with v_to's schema AND column mapping: across a schema
+        # evolution the old files null-fill the evolved columns and a
+        # renamed column lines up via its stable physical name,
+        # keeping exceptAll typed; the side's OWN deletion vectors
+        # apply (dv_m)
+        return _read_files(
+            spark, m_to, files, path=path, dv_m=dv_manifest
+        )
 
     old = _side(removed_e + dv_changed_e, m_from)
     new = _side(added_e + dv_changed_e, m_to)
@@ -2359,7 +2665,15 @@ def restore_table(spark: SparkSession, path: str, version: int) -> int:
     commit is exactly the inverse of the changes being undone (the CDC
     consumers see the rollback as ordinary changes). A lost CAS race
     rebases onto the winner's version number and retries — the restore
-    still pins the table to the TARGET's file set."""
+    still pins the table to the TARGET's file set.
+
+    Table METADATA restores with the data (Delta RESTORE semantics,
+    ADVICE r7): the restored commit carries the TARGET version's
+    CHECK-constraint set (and partition spec / deletion vectors /
+    column mapping), not the current one — restoring past an
+    add_constraint drops the constraint rather than silently
+    reintroducing rows that violate it. Re-adding the constraint
+    afterwards re-validates the restored data (add-time scan)."""
     if version not in _list_versions(path):
         raise RuntimeError(
             f"txlog: cannot restore {path} to version {version}: "
@@ -2381,6 +2695,8 @@ def restore_table(spark: SparkSession, path: str, version: int) -> int:
                     "schema": target.get("schema"),
                     "partition_by": target.get("partition_by"),
                     "dv": target.get("dv"),
+                    "constraints": target.get("constraints"),
+                    "colmap": target.get("colmap"),
                 },
             )
         except TxConflict:

@@ -30,14 +30,16 @@ maxFilesPerTrigger): a consumer restarting after long downtime must
 not replan the whole backlog as ONE micro-batch — at 100 TB that is
 an OOM/latency cliff. With the cap set, ``latestOffset`` advances at
 most N versions past the planning floor per trigger, so catch-up
-splits into bounded micro-batches. The floor needs no persisted
-consumer state: a fresh query knows it from ``start_version``, and on
-restart the engine re-plans the committed batch via
-``partitions(committed, committed)`` BEFORE its first ``latestOffset``
-call (verified empirically on Spark 4.1 for both processingTime and
-availableNow triggers), which restores the floor. ``latestOffset`` is
-additionally clamped to never regress below the floor, so a capped
-offset can never rewind the checkpoint (no duplicate replay). Note:
+splits into bounded micro-batches. The floor recovers three ways,
+most-defensive first: (1) with ``consumer_id`` set it is persisted to
+a sidecar under ``_txlog/_consumers/`` at every commit (survives any
+engine call order); (2) on restart Spark 4.1 re-plans the committed
+batch via ``partitions(committed, committed)`` BEFORE its first
+``latestOffset`` call (verified empirically for both processingTime
+and availableNow triggers); (3) a fresh query knows it from
+``start_version``. ``latestOffset`` is additionally clamped to never
+regress below the floor, so a capped offset can never rewind the
+checkpoint (no duplicate replay). Note:
 ``Trigger.AvailableNow`` falls back to single-batch execution for
 Python sources, so with a cap it drains at most N versions per RUN —
 loop runs (or use a processingTime trigger) to drain a backlog.
@@ -66,7 +68,7 @@ from vector_knowledge_base_spark.sources.txlog import (
     _list_versions,
     _manifest_file,
     _partition_types,
-    _pval_str,
+    _pval_matches,
     _read_manifest,
     _resolve,
 )
@@ -74,11 +76,61 @@ from vector_knowledge_base_spark.sources.txlog import (
 _APPEND_OPS = {"create", "append"}
 
 
+def _consumer_file(path: str, consumer_id: str) -> str:
+    """Sidecar recording a capped consumer's committed planning floor
+    (advisory — see ``consumer_id`` option). The id is restricted to a
+    safe charset so it can never escape ``_txlog/_consumers/``."""
+    import re
+
+    if not re.fullmatch(r"[A-Za-z0-9._-]{1,128}", consumer_id):
+        raise ValueError(
+            f"txlog_stream: consumer_id {consumer_id!r} must match "
+            "[A-Za-z0-9._-]{1,128}"
+        )
+    return os.path.join(path, "_txlog", "_consumers", f"{consumer_id}.json")
+
+
+def _load_consumer_floor(path: str, consumer_id: str) -> int | None:
+    import json as _json
+
+    f = _consumer_file(path, consumer_id)
+    try:
+        with open(f) as fh:
+            return int(_json.load(fh)["floor"])
+    except (OSError, ValueError, KeyError, TypeError):
+        return None
+
+
+def _save_consumer_floor(path: str, consumer_id: str, floor: int) -> None:
+    """Atomic (tmp+rename) and monotone: never lowers a recorded
+    floor, so a lagging writer cannot shrink a peer's recovery."""
+    import json as _json
+
+    f = _consumer_file(path, consumer_id)
+    prev = _load_consumer_floor(path, consumer_id)
+    if prev is not None and prev >= floor:
+        return
+    os.makedirs(os.path.dirname(f), exist_ok=True)
+    tmp = f + ".tmp"
+    with open(tmp, "w") as fh:
+        _json.dump({"floor": floor}, fh)
+    os.replace(tmp, f)
+
+
 class _AddedFilePartition(InputPartition):
-    def __init__(self, file: str | None, columns: list[str], schema_json: str = ""):
+    def __init__(
+        self,
+        file: str | None,
+        columns: list[str],
+        schema_json: str = "",
+        colmap_json: str = "",
+    ):
         self.file = file
         self.columns = columns
         self.schema_json = schema_json
+        # column mapping of the manifest version that ADDED this file:
+        # logical name -> physical parquet name (r8)
+        self.colmap_json = colmap_json
 
 
 def _added_files(path: str, version: int) -> tuple[dict, list[str], bool]:
@@ -119,6 +171,14 @@ class TxlogStreamDataSource(DataSource):
     before it; default 0 = initial snapshot + tail),
     ``max_versions_per_trigger`` (bound how many log versions one
     micro-batch may cover; 0 = unbounded),
+    ``consumer_id`` (optional, recommended with a cap: persists the
+    admission-control planning floor to
+    ``<table>/_txlog/_consumers/<id>.json`` on every commit, so a
+    restarted capped consumer recovers its floor WITHOUT relying on
+    the engine re-planning the committed batch before the first
+    latestOffset — ADVICE r7. The sidecar is advisory only: offsets
+    stay monotone with or without it, it bounds batch SIZE, never
+    correctness. Distinct consumers need distinct ids),
     ``partition_filter`` (JSON object of eq/IN conditions on
     PARTITION columns: added files of non-matching partitions are
     pruned at PLANNING time from the manifest's recorded partition
@@ -160,6 +220,7 @@ class TxlogStreamDataSource(DataSource):
                 self.options.get("max_versions_per_trigger", 0)
             ),
             partition_filter=self.options.get("partition_filter", ""),
+            consumer_id=self.options.get("consumer_id", ""),
         )
 
 
@@ -180,6 +241,7 @@ class TxlogStreamReader(DataSourceStreamReader):
         schema_json: str = "",
         max_versions_per_trigger: int = 0,
         partition_filter: str = "",
+        consumer_id: str = "",
     ):
         import json as _json
 
@@ -192,14 +254,24 @@ class TxlogStreamReader(DataSourceStreamReader):
         self.partition_filter = (
             _json.loads(partition_filter) if partition_filter else None
         )
+        self.consumer_id = consumer_id or None
         # Planning floor for admission control: the highest version
         # known planned/committed. Fresh queries know it from
         # start_version; on restart the engine's re-plan of the
         # committed batch (partitions(committed, committed) — fires
         # before the first latestOffset) and/or its commit() call
-        # restore it. Driver-side only (never pickled to executors
-        # for read(), which gets _AddedFilePartition objects).
+        # restore it. With consumer_id the floor ALSO recovers from a
+        # persisted sidecar written at every commit() (ADVICE r7), so
+        # the cap's effectiveness no longer depends on that engine
+        # call order — defense in depth, not a correctness need
+        # (offsets are clamped monotone either way). Driver-side only
+        # (never pickled to executors for read(), which gets
+        # _AddedFilePartition objects).
         self._floor = start_version - 1
+        if self.consumer_id is not None:
+            persisted = _load_consumer_floor(path, self.consumer_id)
+            if persisted is not None:
+                self._floor = max(self._floor, persisted)
 
     def initialOffset(self) -> dict:
         return {"version": self.start_version - 1}
@@ -217,6 +289,8 @@ class TxlogStreamReader(DataSourceStreamReader):
         return {"version": latest}
 
     def partitions(self, start: dict, end: dict):
+        import json as _json
+
         lo, hi = int(start["version"]), int(end["version"])
         self._floor = max(self._floor, lo, hi)
         out: list[_AddedFilePartition] = []
@@ -233,8 +307,9 @@ class TxlogStreamReader(DataSourceStreamReader):
                     "only; pass ignore_changes=true to re-emit rewritten "
                     "files and skip removals (dedup downstream on a key)"
                 )
+            cm_json = _json.dumps(m.get("colmap") or {})
             out.extend(
-                _AddedFilePartition(f, self.columns, self.schema_json)
+                _AddedFilePartition(f, self.columns, self.schema_json, cm_json)
                 for f in added
                 if self._partition_match(m, f)
             )
@@ -266,9 +341,17 @@ class TxlogStreamReader(DataSourceStreamReader):
             arrow_schema = to_arrow_schema(
                 T.StructType.fromJson(_json.loads(partition.schema_json))
             )
+            # column mapping: the parquet file stores PHYSICAL names;
+            # look each logical field up through the adding commit's
+            # colmap (identity when unmapped)
+            cmap = (
+                _json.loads(partition.colmap_json)
+                if partition.colmap_json
+                else {}
+            )
             arrays = [
-                tbl.column(f.name).combine_chunks().cast(f.type)
-                if f.name in tbl.column_names
+                tbl.column(cmap.get(f.name, f.name)).combine_chunks().cast(f.type)
+                if cmap.get(f.name, f.name) in tbl.column_names
                 else pa.nulls(n, type=f.type)
                 for f in arrow_schema
             ]
@@ -276,9 +359,16 @@ class TxlogStreamReader(DataSourceStreamReader):
             return iter(out.to_batches(max_chunksize=65536))
         except Exception:
             # conversion fallback (exotic types): row tuples
+            import json as _json2
+
+            cmap = (
+                _json2.loads(partition.colmap_json)
+                if partition.colmap_json
+                else {}
+            )
             cols = [
-                tbl.column(name).to_pylist()
-                if name in tbl.column_names
+                tbl.column(cmap.get(name, name)).to_pylist()
+                if cmap.get(name, name) in tbl.column_names
                 else [None] * n
                 for name in partition.columns
             ]
@@ -306,8 +396,7 @@ class TxlogStreamReader(DataSourceStreamReader):
             cand = (
                 list(value) if isinstance(value, (list, tuple)) else [value]
             )
-            norm = {_pval_str(v, jt) for v in cand} - {None}
-            if norm and pv not in norm:
+            if _pval_matches(pv, cand, jt) is False:
                 return False
         return True
 
@@ -315,6 +404,14 @@ class TxlogStreamReader(DataSourceStreamReader):
         # offsets are durable in the engine checkpoint; keep the
         # admission-control floor in sync (restart path)
         self._floor = max(self._floor, int(end["version"]))
+        if self.consumer_id is not None:
+            # best-effort: losing a write only means the next restart
+            # recovers a slightly older floor (or falls back to the
+            # engine re-plan) — batch SIZE, never correctness
+            try:
+                _save_consumer_floor(self.path, self.consumer_id, self._floor)
+            except OSError:
+                pass
 
     def stop(self) -> None:
         pass
@@ -327,6 +424,7 @@ def stream_txlog_table(
     start_version: int = 0,
     max_versions_per_trigger: int = 0,
     partition_filter: dict | None = None,
+    consumer_id: str | None = None,
 ):
     """Register the source (idempotent) and open the table as a
     streaming DataFrame. ``partition_filter`` ({col: value-or-list})
@@ -347,4 +445,6 @@ def stream_txlog_table(
         reader = reader.option(
             "partition_filter", _json.dumps(partition_filter)
         )
+    if consumer_id:
+        reader = reader.option("consumer_id", consumer_id)
     return reader.load()
