@@ -362,6 +362,8 @@ HEADLINE = [
     "txlog_deletion_vectors",
     # wave 91 (r7) — SQL UPDATE as a merge-on-read commit
     "txlog_update_where",
+    # wave 95 (r9) — column mapping: metadata-only RENAME/DROP lifecycle
+    "txlog_column_mapping",
 ]
 
 # Integration rows whose cost is fixed overhead (streaming runs with
@@ -389,6 +391,7 @@ SINGLE_RUN = {
     "txlog_check_constraints",
     "txlog_deletion_vectors",
     "txlog_update_where",
+    "txlog_column_mapping",
 }
 
 KNN_BATCH_N_QUERIES = 5  # matches the knn_batch query definition

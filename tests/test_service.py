@@ -342,6 +342,72 @@ def test_txlog_registry_listing_served_by_matview(spark, tmp_path):
     assert kb.list_documents().count() == 0
 
 
+def test_registry_matview_follows_update_chunks(spark, tmp_path):
+    """VERDICT r8 #6 (carried r7 #3): the registry matview follows an
+    UPDATE through the CDC — update_chunks(mode='dv') rewriting one
+    document's filename (a column the listing aggregates) must show up
+    in list_documents() via an INCREMENTAL refresh (churn-proportional
+    mode, no view drop/recreate), and the listing must equal a full
+    recompute after every step."""
+    from vector_knowledge_base_spark.sources.matview import refresh_matview
+    from vector_knowledge_base_spark.sources.txlog import table_versions
+
+    src = tmp_path / "up"
+    src.mkdir()
+    (src / "a.txt").write_text("alpha bravo charlie delta echo")
+    (src / "b.txt").write_text("foxtrot golf hotel india juliet")
+    kb = KnowledgeBase(spark, str(tmp_path / "ws"), storage="txlog")
+    kb.upload_directory(str(src), category="old")
+
+    def _listing():
+        return {
+            (r["doc_id"], r["filename"], r["total_chunks"], r["n_chunks"])
+            for r in kb.list_documents().collect()
+        }
+
+    def _recompute():
+        return {
+            (r["doc_id"], r["filename"], r["total_chunks"], r["n_chunks"])
+            for r in build_registry(kb.chunks()).collect()
+        }
+
+    before = _listing()  # also creates + refreshes the view
+    assert before == _recompute()
+    mv = str(tmp_path / "ws" / "registry_mv")
+    mv_versions_before = {
+        r["version"] for r in table_versions(spark, mv).collect()
+    }
+    # dv-mode UPDATE on a listed aggregate input: rename b.txt's chunks
+    kb.update_chunks(
+        F.col("filename") == "b.txt",
+        {"filename": F.lit("b2.txt")},
+        mode="dv",
+    )
+    # the refresh is incremental: churn-proportional mode, advancing
+    # the SAME view (no drop/recreate — version history is a superset)
+    r = refresh_matview(spark, mv)
+    assert r["mode"] in ("delta", "rescan")  # never a from-scratch build
+    mv_versions_after = {
+        r2["version"] for r2 in table_versions(spark, mv).collect()
+    }
+    assert mv_versions_before <= mv_versions_after
+    after = _listing()
+    assert after == _recompute()
+    assert {f for _, f, _, _ in after} == {"a.txt", "b2.txt"}
+    # counts/doc ids unchanged — the update replaced rows, not added
+    assert {(d, n) for d, _, _, n in after} == {
+        (d, n) for d, _, _, n in before
+    }
+    # a category-only update (column OUTSIDE the view) must leave the
+    # listing identical while still refreshing cleanly through the CDC
+    kb.update_chunks(
+        F.col("filename") == "a.txt",
+        {"category": F.lit("reviewed")},
+        mode="dv",
+    )
+    assert _listing() == after == _recompute()
+
+
 def test_update_chunks_facade_verb(spark, tmp_path):
     """S16 payload update as a facade verb: one atomic commit updates
     matching chunk rows (dv mode: zero chunk files rewritten), history

@@ -305,6 +305,85 @@ def test_streaming_cdc_apply_upserts_latest_per_key(spark, tmp_path):
     assert got == {1: "a2", 2: "b2", 3: "c1", 4: "d1"}
 
 
+def test_streaming_cdc_apply_dv_mode_zero_rewrite(spark, tmp_path):
+    """r9 (VERDICT r8 #5): the CDC-apply sink in merge-on-read mode —
+    every micro-batch soft-deletes matched rows via a deletion-vector
+    batch and appends updates, so NO pre-existing data file is ever
+    rewritten by a merge batch (the file set only grows); the
+    compact_dv_ratio maintenance hook fires MID-STREAM once the
+    soft-deleted fraction crosses the threshold, materializing the
+    vectors and clearing the dv map without an external scheduler."""
+    from vector_knowledge_base_spark.sources.txlog import _read_manifest
+    from vector_knowledge_base_spark.streaming.txsink import (
+        txlog_merge_foreach_batch,
+    )
+
+    table = str(tmp_path / "table")
+    sink = txlog_merge_foreach_batch(
+        table, ["doc_id"], seq_col="seq", mode="dv"
+    )
+    schema = "doc_id long, seq long, text string, lang string"
+    sink(
+        spark.createDataFrame(
+            [(i, 0, f"v0_{i}", "en") for i in range(8)], schema
+        ),
+        0,
+    )
+    files0 = set(_read_manifest(table, 0)["files"])
+    # batch 1 updates half the keys: dv + append, zero rewrites
+    sink(
+        spark.createDataFrame(
+            [(i, 1, f"v1_{i}", "en") for i in range(4)], schema
+        ),
+        1,
+    )
+    vs = [r["version"] for r in table_versions(spark, table).collect()]
+    m1 = _read_manifest(table, max(vs))
+    assert files0 <= set(m1["files"])  # pre-existing files untouched
+    assert m1.get("dv")  # matched rows soft-deleted, not rewritten
+    got = {r["doc_id"]: r["text"] for r in read_table(spark, table).collect()}
+    assert got == {
+        **{i: f"v1_{i}" for i in range(4)},
+        **{i: f"v0_{i}" for i in range(4, 8)},
+    }
+    # replay of batch 1 is a strict no-op (batch_id gate, dv mode too)
+    sink(
+        spark.createDataFrame(
+            [(i, 1, f"v1_{i}", "en") for i in range(4)], schema
+        ),
+        1,
+    )
+    assert max(
+        r["version"] for r in table_versions(spark, table).collect()
+    ) == max(vs)
+    # with a ratio hook, a heavy-update batch triggers MID-STREAM
+    # materialization: vectors cleared, contents unchanged
+    sink_c = txlog_merge_foreach_batch(
+        table, ["doc_id"], seq_col="seq", mode="dv",
+        compact_dv_ratio=0.25, compact_target_files=2,
+    )
+    sink_c(
+        spark.createDataFrame(
+            [(i, 2, f"v2_{i}", "en") for i in range(6)], schema
+        ),
+        2,
+    )
+    vs2 = [r["version"] for r in table_versions(spark, table).collect()]
+    mc = _read_manifest(table, max(vs2))
+    assert (mc.get("dv") or {}) == {}  # materialized mid-stream
+    assert mc["op"] == "compact"
+    got = {r["doc_id"]: r["text"] for r in read_table(spark, table).collect()}
+    assert got == {
+        **{i: f"v2_{i}" for i in range(6)},
+        **{i: f"v0_{i}" for i in range(6, 8)},
+    }
+    # option validation: the hook is dv-only
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="compact_dv_ratio"):
+        txlog_merge_foreach_batch(table, ["doc_id"], compact_dv_ratio=0.1)
+
+
 def test_compact_files_transactional(spark, orders, tmp_path):
     """Compaction rewrites many small files into few WITHOUT changing
     contents, as a new version (old version still readable), and is a
@@ -1701,8 +1780,8 @@ def test_overwrite_revalidates_constraints_on_cas_retry(
     real_write = tx._write_batch
     fired = {"done": False}
 
-    def hooked(df, path, partition_by=None):
-        out = real_write(df, path, partition_by)
+    def hooked(df, path, partition_by=None, colmap=None):
+        out = real_write(df, path, partition_by, colmap)
         if not fired["done"]:
             # simulate the concurrent writer: the constraint lands
             # AFTER overwrite validated against the old manifest but

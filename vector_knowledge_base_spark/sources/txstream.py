@@ -103,18 +103,35 @@ def _load_consumer_floor(path: str, consumer_id: str) -> int | None:
 
 def _save_consumer_floor(path: str, consumer_id: str, floor: int) -> None:
     """Atomic (tmp+rename) and monotone: never lowers a recorded
-    floor, so a lagging writer cannot shrink a peer's recovery."""
+    floor, so a lagging writer cannot shrink a peer's recovery. The
+    read-compare-write runs under an flock on a sibling lock file so
+    two processes sharing a consumer_id cannot interleave a TOCTOU
+    regression (ADVICE r8 low); the sidecar stays advisory — a lost
+    lock (non-POSIX fs) degrades to the old last-writer-wins."""
     import json as _json
 
     f = _consumer_file(path, consumer_id)
-    prev = _load_consumer_floor(path, consumer_id)
-    if prev is not None and prev >= floor:
-        return
     os.makedirs(os.path.dirname(f), exist_ok=True)
-    tmp = f + ".tmp"
-    with open(tmp, "w") as fh:
-        _json.dump({"floor": floor}, fh)
-    os.replace(tmp, f)
+    lockpath = f + ".lock"
+    lock_fh = None
+    try:
+        try:
+            import fcntl
+
+            lock_fh = open(lockpath, "a")
+            fcntl.flock(lock_fh.fileno(), fcntl.LOCK_EX)
+        except (ImportError, OSError):
+            lock_fh = None
+        prev = _load_consumer_floor(path, consumer_id)
+        if prev is not None and prev >= floor:
+            return
+        tmp = f + ".tmp"
+        with open(tmp, "w") as fh:
+            _json.dump({"floor": floor}, fh)
+        os.replace(tmp, f)
+    finally:
+        if lock_fh is not None:
+            lock_fh.close()
 
 
 class _AddedFilePartition(InputPartition):
@@ -128,8 +145,10 @@ class _AddedFilePartition(InputPartition):
         self.file = file
         self.columns = columns
         self.schema_json = schema_json
-        # column mapping of the manifest version that ADDED this file:
-        # logical name -> physical parquet name (r8)
+        # the reader's registration-time column mapping (logical name
+        # -> physical parquet name), shared by every partition — the
+        # logical schema is the latest manifest's, so its colmap is
+        # the one that resolves it (r9; physical names are immutable)
         self.colmap_json = colmap_json
 
 
@@ -255,6 +274,27 @@ class TxlogStreamReader(DataSourceStreamReader):
             _json.loads(partition_filter) if partition_filter else None
         )
         self.consumer_id = consumer_id or None
+        # Column mapping: the reader's logical schema is the LATEST
+        # manifest's (captured at registration by schema()), so the
+        # matching colmap is the latest one too — captured ONCE here
+        # and used for EVERY partition. Shipping each version's own
+        # colmap (the r8 shape) null-filled renamed columns when
+        # replaying pre-rename versions: the new logical name missed
+        # in the old/empty colmap (ADVICE r8 high). Physical parquet
+        # names are immutable, so the latest mapping resolves files
+        # from all versions; a column dropped then re-added mid-history
+        # gets a fresh physical name, so pre-re-add files null-fill —
+        # Delta columnMapping identity semantics.
+        try:
+            versions = _list_versions(path)
+            latest_cm = (
+                _read_manifest(path, versions[-1]).get("colmap") or {}
+                if versions
+                else {}
+            )
+        except (OSError, KeyError, ValueError):
+            latest_cm = {}
+        self._colmap_json = _json.dumps(latest_cm) if latest_cm else ""
         # Planning floor for admission control: the highest version
         # known planned/committed. Fresh queries know it from
         # start_version; on restart the engine's re-plan of the
@@ -274,6 +314,14 @@ class TxlogStreamReader(DataSourceStreamReader):
                 self._floor = max(self._floor, persisted)
 
     def initialOffset(self) -> dict:
+        # the engine calls this ONLY for a fresh checkpoint — a
+        # persisted floor from a PREVIOUS query reusing this
+        # consumer_id must not apply here, or the first micro-batch
+        # of a from-scratch reprocess spans the whole history uncapped
+        # while offsets silently start at the old query's floor
+        # (ADVICE r8 low). Restarts never reach this method, so their
+        # sidecar recovery is untouched.
+        self._floor = self.start_version - 1
         return {"version": self.start_version - 1}
 
     def latestOffset(self) -> dict:
@@ -289,8 +337,6 @@ class TxlogStreamReader(DataSourceStreamReader):
         return {"version": latest}
 
     def partitions(self, start: dict, end: dict):
-        import json as _json
-
         lo, hi = int(start["version"]), int(end["version"])
         self._floor = max(self._floor, lo, hi)
         out: list[_AddedFilePartition] = []
@@ -307,9 +353,10 @@ class TxlogStreamReader(DataSourceStreamReader):
                     "only; pass ignore_changes=true to re-emit rewritten "
                     "files and skip removals (dedup downstream on a key)"
                 )
-            cm_json = _json.dumps(m.get("colmap") or {})
             out.extend(
-                _AddedFilePartition(f, self.columns, self.schema_json, cm_json)
+                _AddedFilePartition(
+                    f, self.columns, self.schema_json, self._colmap_json
+                )
                 for f in added
                 if self._partition_match(m, f)
             )

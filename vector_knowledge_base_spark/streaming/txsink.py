@@ -78,6 +78,9 @@ def txlog_merge_foreach_batch(
     table_path: str,
     key_cols: list[str],
     seq_col: str | None = None,
+    mode: str = "cow",
+    compact_dv_ratio: float | None = None,
+    compact_target_files: int = 8,
 ):
     """CDC-APPLY foreachBatch callback: upsert each micro-batch into
     the txlog table by key — the streaming-MERGE recipe (Delta's
@@ -95,14 +98,39 @@ def txlog_merge_foreach_batch(
     strict: merge_table records batch_id, so a crash-replayed batch is
     a no-op rather than a second rewrite of the touched files.
 
-    100 TB shape: each micro-batch rewrites only the files containing
-    matched keys (copy-on-write, cost ∝ churn); with the table
-    compacted clustered on the key, the stats-pruned affected-file scan
-    touches O(matching files)."""
+    ``mode="dv"`` (r9, VERDICT r8 #5) merges MERGE-ON-READ: each
+    micro-batch soft-deletes the matched rows via one churn-sized
+    deletion-vector batch and appends the update rows — ZERO
+    pre-existing data files rewritten per batch, the right trade for
+    an update-heavy CDC feed over wide files where per-batch CoW
+    rewrites the same hot files over and over. Reads pay a growing
+    anti-join until compaction materializes; ``compact_dv_ratio``
+    (only meaningful with dv mode) fires ``compact_if_dv_ratio``
+    after each merge, so the maintenance loop runs MID-STREAM — the
+    soft-deleted fraction stays bounded without an external scheduler.
+    (A compaction commit is a non-append change: downstream tailers of
+    this table need ignore_changes, same as after any OPTIMIZE.)
+
+    100 TB shape: cow — each micro-batch rewrites only the files
+    containing matched keys (cost ∝ churn); dv — each micro-batch
+    writes O(batch) bytes regardless of file width, with ratio-
+    triggered materialization amortizing the rewrite across many
+    batches. With the table compacted clustered on the key, the
+    stats-pruned affected-file scan touches O(matching files)."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
-    from vector_knowledge_base_spark.sources.txlog import merge_table
+    from vector_knowledge_base_spark.sources.txlog import (
+        compact_if_dv_ratio,
+        merge_table,
+    )
+
+    if mode not in ("cow", "dv"):
+        raise ValueError(f"txlog_merge_foreach_batch: unknown mode {mode!r}")
+    if compact_dv_ratio is not None and mode != "dv":
+        raise ValueError(
+            "txlog_merge_foreach_batch: compact_dv_ratio requires mode='dv'"
+        )
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -117,7 +145,18 @@ def txlog_merge_foreach_batch(
         if not _list_versions(table_path):
             create_table(spark, table_path, df, batch_id=batch_id)
         else:
-            merge_table(spark, table_path, df, key_cols, batch_id=batch_id)
+            merge_table(
+                spark, table_path, df, key_cols, batch_id=batch_id, mode=mode
+            )
+        if compact_dv_ratio is not None:
+            # not batch_id-gated: compaction is state-idempotent (a
+            # replayed trigger sees ratio below threshold and no-ops)
+            compact_if_dv_ratio(
+                spark,
+                table_path,
+                threshold=compact_dv_ratio,
+                target_files=compact_target_files,
+            )
 
     return sink
 
@@ -130,18 +169,28 @@ def streaming_cdc_apply_txlog(
     key_cols: list[str],
     seq_col: str | None = None,
     schema: str = "doc_id long, seq long, text string, lang string",
+    mode: str = "cow",
+    compact_dv_ratio: float | None = None,
 ):
     """Continuous CDC apply: a stream of keyed change rows MERGEs into
     one transactional table — each micro-batch collapsed to its latest
-    row per key, upserted copy-on-write, exactly-once on batch_id. The
-    streaming twin of the batch merge_table verb (driver row:
-    txlog_merge_upsert); together with streaming_ingest_dedup_txlog it
-    completes the ingest surface: append-only, dedup-gated, and
-    update-in-place streams all landing in the same log."""
+    row per key, upserted copy-on-write (or merge-on-read with
+    ``mode="dv"``; see txlog_merge_foreach_batch), exactly-once on
+    batch_id. The streaming twin of the batch merge_table verb (driver
+    row: txlog_merge_upsert); together with
+    streaming_ingest_dedup_txlog it completes the ingest surface:
+    append-only, dedup-gated, and update-in-place streams all landing
+    in the same log."""
     changes = spark.readStream.schema(schema).parquet(input_dir)
     return (
         changes.writeStream.foreachBatch(
-            txlog_merge_foreach_batch(table_path, key_cols, seq_col=seq_col)
+            txlog_merge_foreach_batch(
+                table_path,
+                key_cols,
+                seq_col=seq_col,
+                mode=mode,
+                compact_dv_ratio=compact_dv_ratio,
+            )
         )
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("append")
