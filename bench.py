@@ -670,6 +670,29 @@ def _serving_latency_anchor(spark, sf_dir, extra, errors) -> None:
                 )
             finally:
                 shutil.rmtree(tmpd, ignore_errors=True)
+        # r9: the in-process serving tier (operators/serving.KnnServer —
+        # Spark builds the IVF artifact, the server answers point
+        # queries from memory; no JVM dispatch in the query path). This
+        # is the regime the reference's <50 ms @10k number lives in:
+        # its Qdrant index IS such a tier. Same 5 queries × 2 passes.
+        from vector_knowledge_base_spark.operators.serving import KnnServer
+
+        srv = KnnServer(centroids, assigned)
+        srv_big = KnnServer(centroids, assigned_big, max_vectors=10_000_000)
+        for label, s in (("", srv), ("_10x", srv_big)):
+            qlat = []
+            for _pass in range(2):
+                for r in qrows:
+                    qv = [float(x) for x in r["embedding"]]
+                    t0 = time.time()
+                    s.query(qv, k=10, n_probe=4)
+                    qlat.append(time.time() - t0)
+            extra[f"knn_single_inproc{label}_ms"] = round(
+                1000 * statistics.median(qlat), 3
+            )
+            extra[f"knn_single_inproc{label}_ms_band"] = _band(
+                [1000 * x for x in qlat]
+            )
         assigned.unpersist()
     except Exception as e:  # noqa: BLE001
         errors["knn_single_serving_anchor"] = (

@@ -575,3 +575,71 @@ def test_concurrent_refreshes_recompute_on_lost_cas(spark, tdir):
         txlog._read_manifest(mv, v)["mv"]["base_version"] for v in vs
     ]
     assert watermarks == sorted(watermarks)
+
+
+def test_matview_follows_base_column_rename(spark, tdir):
+    """r9: views resolve their definition through PHYSICAL identity
+    (the base's colmap), so ALTER TABLE RENAME COLUMN on the base is
+    transparent to refresh in BOTH modes — and the view's OUTPUT
+    schema keeps its creation-time names (SQL view semantics)."""
+    base, mv, mv2 = f"{tdir}/b", f"{tdir}/mv", f"{tdir}/mv2"
+    txlog.create_table(
+        spark,
+        base,
+        spark.createDataFrame([("x", 1), ("y", 2)], "g string, v long"),
+    )
+    create_matview(spark, mv, base, ["g"], [("sum", "v")])
+    txlog.rename_column(spark, base, "v", "w")
+    txlog.append_table(
+        spark, base, spark.createDataFrame([("x", 5)], "g string, w long")
+    )
+    r = refresh_matview(spark, mv)
+    assert r["mode"] == "delta"
+    got = {
+        (row["g"], row["sum_v"]) for row in read_matview(spark, mv).collect()
+    }
+    assert got == {("x", 6), ("y", 2)}  # defn name sum_v, renamed data in
+    # rescan mode (min/max), view created on the ALREADY-renamed base,
+    # then renamed AGAIN — physical identity chains through
+    create_matview(spark, mv2, base, ["g"], [("max", "w")])
+    txlog.rename_column(spark, base, "w", "z")
+    txlog.append_table(
+        spark, base, spark.createDataFrame([("y", 9)], "g string, z long")
+    )
+    r2 = refresh_matview(spark, mv2)
+    assert r2["mode"] == "rescan"
+    got = {
+        (row["g"], row["max_w"])
+        for row in read_matview(spark, mv2).collect()
+    }
+    assert got == {("x", 5), ("y", 9)}
+
+
+def test_matview_refuses_refresh_after_base_column_drop(spark, tdir):
+    """r9: a definition column whose physical identity is gone (drop,
+    or drop + re-add under a fresh physical name) refuses refresh with
+    a named error — the aggregate history is unmaintainable; silent
+    null-folding would serve wrong sums forever."""
+    base, mv = f"{tdir}/b", f"{tdir}/mv"
+    txlog.create_table(
+        spark,
+        base,
+        spark.createDataFrame([("x", 1, 2)], "g string, a long, b long"),
+    )
+    create_matview(spark, mv, base, ["g"], [("sum", "a")])
+    txlog.drop_column(spark, base, "a")
+    txlog.append_table(
+        spark, base, spark.createDataFrame([("x", 7)], "g string, b long")
+    )
+    with pytest.raises(RuntimeError, match="dropped"):
+        refresh_matview(spark, mv)
+    # drop + merge_schema re-add of the same name: STILL refused (the
+    # re-added column is a different physical column)
+    txlog.append_table(
+        spark,
+        base,
+        spark.createDataFrame([("x", 8, 1)], "g string, b long, a long"),
+        merge_schema=True,
+    )
+    with pytest.raises(RuntimeError, match="dropped"):
+        refresh_matview(spark, mv)

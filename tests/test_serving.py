@@ -1,0 +1,131 @@
+"""In-process kNN serving tier (operators/serving.py KnnServer):
+Spark builds the IVF artifact, the server answers point queries from
+memory — the offline-build / online-serve split the reference itself
+embodies (its Qdrant index is the serving tier; BASELINE.md Table 7's
+<50 ms @10k regime). The contract pinned here: at FULL probe coverage
+the server's answers are IDENTICAL to the Spark-exact cosine_topk
+(same rounding, same tie-break), freshness follows the txlog version,
+and the memory bound refuses loudly instead of collecting a corpus the
+driver cannot hold."""
+
+from __future__ import annotations
+
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from vector_knowledge_base_spark.operators.ann import build_ivf
+from vector_knowledge_base_spark.operators.knn import cosine_topk
+from vector_knowledge_base_spark.operators.serving import KnnServer
+from vector_knowledge_base_spark.sources.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return load_table(spark, SF, "embeddings").cache()
+
+
+@pytest.fixture(scope="module")
+def server(spark, emb):
+    centroids, assigned = build_ivf(emb, n_partitions=8)
+    srv = KnnServer(centroids, assigned)
+    assigned.unpersist()
+    return srv
+
+
+def test_full_probe_equals_spark_exact(spark, emb, server):
+    """n_probe=None (every cell) must reproduce cosine_topk exactly —
+    ids, rounded scores, AND (-score, id) tie-break order — for many
+    query vectors."""
+    qs = emb.where(F.col("vec_id") < 8).select("vec_id", "embedding").collect()
+    for r in qs:
+        qv = [float(x) for x in r["embedding"]]
+        want = [
+            (row["vec_id"], row["score"])
+            for row in cosine_topk(emb, qv, k=10).collect()
+        ]
+        got = server.query(qv, k=10, n_probe=None)
+        assert got == want
+
+
+def test_probed_query_invariants(spark, emb, server):
+    """Probed serving is approximate by design: results are a SUBSET
+    of the probed cells, scores sorted by the exact contract, and the
+    querying vector (unit-norm corpus) finds itself at score 1.0 when
+    its own cell is probed widely enough."""
+    r = emb.where(F.col("vec_id") == 3).select("embedding").first()
+    qv = [float(x) for x in r["embedding"]]
+    got = server.query(qv, k=10, n_probe=8)  # all cells -> exact
+    assert got[0][0] == 3 and abs(got[0][1] - 1.0) < 1e-6
+    some = server.query(qv, k=10, n_probe=2)
+    assert len(some) == 10
+    assert all(
+        some[i][1] > some[i + 1][1]
+        or (some[i][1] == some[i + 1][1] and some[i][0] < some[i + 1][0])
+        for i in range(len(some) - 1)
+    )
+    # probed results are drawn from the exact result's universe
+    exact_ids = {i for i, _ in server.query(qv, k=10, n_probe=None)}
+    assert {i for i, _ in some} & exact_ids  # sane recall at 2/8 cells
+
+
+def test_txlog_version_pinned_refresh(spark, tmp_path):
+    """from_txlog records the loaded version; refresh_if_stale is a
+    no-op while the log is unchanged and reloads after an append —
+    new vectors become findable, old snapshot never torn."""
+    from vector_knowledge_base_spark.sources.txlog import (
+        append_table,
+        create_table,
+    )
+
+    p = str(tmp_path / "emb")
+    base = (
+        load_table(spark, SF, "embeddings")
+        .where(F.col("vec_id") < 200)
+        .select("vec_id", "embedding")
+    )
+    create_table(spark, p, base)
+    srv = KnnServer.from_txlog(spark, p, n_partitions=4)
+    assert srv.table_version == 0
+    assert srv.refresh_if_stale(spark) is False
+    # append a known vector far outside the id range, then refresh
+    newrow = (
+        load_table(spark, SF, "embeddings")
+        .where(F.col("vec_id") == 333)
+        .select((F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding")
+    )
+    append_table(spark, p, newrow)
+    qv = [float(x) for x in newrow.first()["embedding"]]
+    pre = {i for i, _ in srv.query(qv, k=5, n_probe=None)}
+    assert 1_000_333 not in pre  # consistent OLD snapshot until refresh
+    assert srv.refresh_if_stale(spark) is True
+    assert srv.table_version == 1
+    post = srv.query(qv, k=5, n_probe=None)
+    assert post[0][0] == 1_000_333  # the vector finds itself
+
+
+def test_memory_bound_refuses_loudly(spark, emb):
+    centroids, assigned = build_ivf(emb, n_partitions=4)
+    with pytest.raises(RuntimeError, match="max_vectors"):
+        KnnServer(centroids, assigned, max_vectors=10)
+    assigned.unpersist()
+
+
+def test_point_query_latency_under_reference_bar(spark, emb, server):
+    """The regime this tier exists for: single-query latency well
+    under the reference's <50 ms @10k bar (no JVM dispatch in the
+    path). Median of 20 queries; generous 25 ms assert so a noisy CI
+    host cannot flake it — real medians are sub-millisecond."""
+    r = emb.where(F.col("vec_id") == 7).select("embedding").first()
+    qv = [float(x) for x in r["embedding"]]
+    server.query(qv, k=10)  # warm
+    lats = []
+    for _ in range(20):
+        t0 = time.perf_counter()
+        server.query(qv, k=10, n_probe=4)
+        lats.append(time.perf_counter() - t0)
+    med = sorted(lats)[len(lats) // 2]
+    assert med < 0.025, f"median {med * 1000:.2f} ms"

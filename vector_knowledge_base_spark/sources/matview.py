@@ -240,6 +240,16 @@ def create_matview(
     state = _aggregate(
         read_table(spark, base_path, base_v), keys, aggs, grouping
     )
+    # record the base's PHYSICAL name for every referenced column
+    # (identity when unmapped): refresh resolves the definition
+    # through physical identity, so ALTER TABLE RENAME on the base
+    # never breaks the view (r9; same principle as CDC across a
+    # rename — the view's OUTPUT keeps its creation-time names, SQL
+    # view semantics)
+    base_cm = _read_manifest(base_path, base_v).get("colmap") or {}
+    referenced = list(
+        dict.fromkeys(list(keys) + [c for _fn, c in aggs if c != "*"])
+    )
     files = _write_batch(state, mv_path)
     try:
         return _mv_commit(
@@ -253,6 +263,7 @@ def create_matview(
                 "keys": list(keys),
                 "aggs": [list(a) for a in aggs],
                 "grouping": grouping,
+                "base_phys": {c: base_cm.get(c, c) for c in referenced},
             },
             "mv_create",
             parent=None,
@@ -372,13 +383,20 @@ def _rescan_merge(
     cdc: DataFrame,
     keys: list,
     aggs: list,
+    colmap: dict | None = None,
 ) -> DataFrame:
     """Affected-group rescan for min/max views: recompute ONLY the
     groups the CDC names from the current base snapshot; carry every
     other group from the old state without reading it from base.
-    NULL-SAFE joins keep a NULL-keyed group from going stale."""
+    NULL-SAFE joins keep a NULL-keyed group from going stale.
+    ``colmap`` (defn name → base's current logical name, r9) aliases
+    the rescan back to definition names across a base-column rename."""
     affected = cdc.select(*keys).distinct().localCheckpoint(eager=True)
     base = read_table(spark, base_path, base_v)
+    if colmap and any(cur != c for c, cur in colmap.items()):
+        base = base.select(
+            *[F.col(cur).alias(c) for c, cur in colmap.items()]
+        )
     recomputed = _aggregate(
         base.alias("b").join(
             F.broadcast(affected.alias("a")),
@@ -440,15 +458,41 @@ def refresh_matview(spark: SparkSession, mv_path: str) -> dict:
         # diff only the columns the view reads: the projected multiset
         # delta is exactly what aggregate maintenance needs, the scan is
         # column-pruned, and non-comparable base columns (MAP) never
-        # enter the set operation
-        need = list(
+        # enter the set operation. Definition columns are resolved to
+        # the base's CURRENT logical names through PHYSICAL identity
+        # (r9): a base-column rename between refreshes is transparent —
+        # the CDC reads the current name and aliases back to the
+        # definition's name, so the view's output schema never moves.
+        # A definition column whose physical identity is GONE (dropped,
+        # or dropped-and-re-added under a fresh physical name) refuses
+        # loudly: its aggregate history is unmaintainable.
+        defn_need = list(
             dict.fromkeys(
-                keys + [c for _fn, c in _physical(aggs) if c != "*"]
+                [c for c in keys]
+                + [c for _fn, c in _physical(aggs) if c != "*"]
             )
         )
-        cdc = table_diff(
-            spark, base_path, v0, v1, columns=need
-        ).localCheckpoint(eager=True)
+        base_cm = _read_manifest(base_path, v1).get("colmap") or {}
+        create_phys = info.get("base_phys") or {}
+        inv = {p: l for l, p in base_cm.items()}
+
+        def _cur(c: str) -> str:
+            phys = create_phys.get(c, c)
+            if not base_cm:
+                return c  # unmapped base: names ARE physical
+            if phys in inv:
+                return inv[phys]
+            raise RuntimeError(
+                f"matview: base column {c!r} (physical {phys!r}) was "
+                f"dropped from {base_path}; the view's aggregate "
+                "history cannot be maintained — recreate the view"
+            )
+
+        need = [_cur(c) for c in defn_need]
+        cdc = table_diff(spark, base_path, v0, v1, columns=need)
+        if need != defn_need:  # rename happened: restore defn names
+            cdc = cdc.toDF(*(defn_need + ["change"]))
+        cdc = cdc.localCheckpoint(eager=True)
         old = read_table(spark, mv_path, mv_parent)
         invertible = all(fn in _INVERTIBLE for fn, _ in aggs)
         if invertible:
@@ -456,7 +500,8 @@ def refresh_matview(spark: SparkSession, mv_path: str) -> dict:
             mode = "delta"
         else:
             new_state = _rescan_merge(
-                spark, base_path, v1, old, cdc, keys, aggs
+                spark, base_path, v1, old, cdc, keys, aggs,
+                colmap={c: _cur(c) for c in defn_need},
             )
             mode = "rescan"
         new_state = new_state.localCheckpoint(eager=True)
