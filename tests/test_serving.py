@@ -129,3 +129,29 @@ def test_point_query_latency_under_reference_bar(spark, emb, server):
         lats.append(time.perf_counter() - t0)
     med = sorted(lats)[len(lats) // 2]
     assert med < 0.025, f"median {med * 1000:.2f} ms"
+
+
+def test_pq_server_matches_spark_adc(spark, emb):
+    """PqKnnServer must reproduce operators/ann.pq_topk exactly — the
+    same asymmetric-distance tables, rounding, and tie-break — for
+    many queries; codes live as m uint8s/vector (the memory-bound
+    shard tier)."""
+    import numpy as np
+
+    from vector_knowledge_base_spark.operators.ann import build_pq, pq_topk
+    from vector_knowledge_base_spark.operators.serving import PqKnnServer
+
+    codebooks, codes = build_pq(emb, m=8, ksub=16)
+    srv = PqKnnServer(codebooks, codes)
+    assert srv.codes.dtype == np.uint8  # ksub=16 fits a byte
+    qs = emb.where(F.col("vec_id") < 6).select("vec_id", "embedding").collect()
+    for r in qs:
+        qv = [float(x) for x in r["embedding"]]
+        want = [
+            (row["vec_id"], row["score"])
+            for row in pq_topk(codebooks, codes, qv, k=10).collect()
+        ]
+        got = srv.query(qv, k=10)
+        assert got == want
+    with pytest.raises(RuntimeError, match="max_vectors"):
+        PqKnnServer(codebooks, codes, max_vectors=10)

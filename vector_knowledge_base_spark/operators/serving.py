@@ -46,6 +46,21 @@ from pyspark.sql import DataFrame, SparkSession
 ROUND_DIGITS = 6  # match operators/knn.py cosine_topk
 
 
+def _topk(ids, scores, k: int) -> list[tuple[int, float]]:
+    """Shared (-score, id) lexicographic top-k over rounded scores,
+    without a full sort: cutoff via partition, keep every boundary tie
+    (ties resolve by ascending id, so none may be dropped early)."""
+    import numpy as np
+
+    if scores.shape[0] == 0:
+        return []
+    kk = min(k, scores.shape[0])
+    cutoff = np.partition(scores, scores.shape[0] - kk)[scores.shape[0] - kk]
+    cand = np.flatnonzero(scores >= cutoff)
+    order = sorted(cand, key=lambda i: (-scores[i], ids[i]))[:kk]
+    return [(int(ids[i]), float(scores[i])) for i in order]
+
+
 class KnnServer:
     """Point-query kNN over an in-memory IVF artifact.
 
@@ -192,17 +207,7 @@ class KnnServer:
         if rows.shape[0] == 0:
             return []
         scores = np.round(rows @ q, ROUND_DIGITS)
-        # (-score, id) lexicographic top-k without a full sort: find
-        # the kth-largest score via argpartition, keep EVERY row tied
-        # at or above it (ties at the boundary must resolve by id, so
-        # none may be dropped early), sort only those
-        kk = min(k, scores.shape[0])
-        cutoff = np.partition(scores, scores.shape[0] - kk)[
-            scores.shape[0] - kk
-        ]
-        cand = np.flatnonzero(scores >= cutoff)
-        order = sorted(cand, key=lambda i: (-scores[i], ids[i]))[:kk]
-        return [(int(ids[i]), float(scores[i])) for i in order]
+        return _topk(ids, scores, k)
 
     def query_batch(
         self,
@@ -214,3 +219,64 @@ class KnnServer:
         set). For LARGE batches use the Spark batch paths instead —
         that regime is theirs."""
         return [self.query(q, k=k, n_probe=n_probe) for q in query_vectors]
+
+
+class PqKnnServer:
+    """Point-query ADC serving over PQ CODES — the memory-bound shard
+    tier the float server's ``max_vectors`` error points at: ``m``
+    bytes per vector (32× smaller than 64-dim float32 here), so one
+    server holds ~10⁹ vectors of codes where the float tier holds
+    ~10⁷. Scoring reproduces ``operators/ann.pq_topk`` exactly (same
+    asymmetric-distance lookup tables, same rounding and tie-break,
+    pinned by tests): per query, one (m × ksub) inner-product table,
+    then m table-lookups + adds per vector — no vector math in the hot
+    loop, all vectorized numpy fancy-indexing.
+
+    Same build/serve split as ``KnnServer``: Spark trains the
+    codebooks and encodes the corpus distributed
+    (``operators/ann.build_pq``); this tier only collects the CODES.
+    Recall is PQ's: serve a shortlist (k ≫ final k) and let a rerank
+    stage (the float tier over the shortlist, or the Spark exact path)
+    finish — the standard two-stage ANN serving topology."""
+
+    def __init__(
+        self,
+        codebooks,
+        codes: DataFrame,
+        id_col: str = "vec_id",
+        max_vectors: int = 200_000_000,
+    ):
+        import numpy as np
+
+        n = codes.count()
+        if n > max_vectors:
+            raise RuntimeError(
+                f"PqKnnServer: corpus has {n} vectors > max_vectors="
+                f"{max_vectors}; shard the corpus and merge top-k "
+                "across servers"
+            )
+        self.codebooks = np.asarray(codebooks, dtype=np.float64)
+        m, ksub, _dsub = self.codebooks.shape
+        rows = codes.select(id_col, "codes").collect()
+        self.ids = np.asarray([r[id_col] for r in rows], dtype=np.int64)
+        dtype = np.uint8 if ksub <= 256 else np.int32
+        self.codes = (
+            np.asarray([r["codes"] for r in rows], dtype=dtype)
+            if rows
+            else np.zeros((0, m), dtype=dtype)
+        )
+
+    def query(
+        self, query_vector: Sequence[float], k: int = 10
+    ) -> list[tuple[int, float]]:
+        import numpy as np
+
+        q = np.asarray(list(query_vector), dtype=np.float64)
+        m, ksub, dsub = self.codebooks.shape
+        # lut[j, c] = dot(q_j, codebook[j][c]) — the ADC table pq_topk
+        # broadcasts as a literal; here it stays a local ndarray
+        lut = (self.codebooks * q.reshape(m, 1, dsub)).sum(axis=2)
+        scores = np.zeros(self.codes.shape[0], dtype=np.float64)
+        for j in range(m):
+            scores += lut[j][self.codes[:, j]]
+        return _topk(self.ids, np.round(scores, ROUND_DIGITS), k)
