@@ -364,6 +364,8 @@ HEADLINE = [
     "txlog_update_where",
     # wave 95 (r9) — column mapping: metadata-only RENAME/DROP lifecycle
     "txlog_column_mapping",
+    # wave 96 (r9) — in-process serving tier parity (exact top-k)
+    "knn_serving_parity",
 ]
 
 # Integration rows whose cost is fixed overhead (streaming runs with
@@ -392,6 +394,7 @@ SINGLE_RUN = {
     "txlog_deletion_vectors",
     "txlog_update_where",
     "txlog_column_mapping",
+    "knn_serving_parity",
 }
 
 KNN_BATCH_N_QUERIES = 5  # matches the knn_batch query definition

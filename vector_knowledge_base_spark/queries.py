@@ -15651,3 +15651,57 @@ def q_txlog_column_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pruning_effective",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Wave 96 (r9) — the in-process serving tier, driver-hashed: the same
+# exact-kNN SQL oracle as knn_topk_cosine, answered by
+# operators/serving.KnnServer at full probe coverage. A serving-tier
+# regression (grouping, score math, rounding, tie-break, top-k
+# selection) hash-fails this row.
+# ---------------------------------------------------------------------------
+
+_KNN_SERVING_ORACLE = """
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+SELECT vec_id,
+       ROUND(list_dot_product(embedding::DOUBLE[], qv), 6) AS score
+FROM embeddings, q
+ORDER BY score DESC, vec_id
+LIMIT 10
+"""
+
+
+@query("knn_serving_parity", oracle=_KNN_SERVING_ORACLE)
+def q_knn_serving_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The r9 serving tier under the driver hash
+    (operators/serving.py KnnServer — reference parity:
+    backend/main.py:185-230 serves point queries from an in-process
+    Qdrant index; this is the same offline-build/online-serve split
+    with Spark as the builder): build the IVF artifact with
+    ``build_ivf``, load it into the in-memory server, answer the
+    vec_id=0 query at FULL probe coverage, and return the answers as a
+    DataFrame — which must hash-equal the exact-kNN SQL oracle
+    (identical score rounding and (-score, id) tie-break). The probed
+    (approximate) mode's invariants are pinned by
+    tests/test_serving.py; latency is benched as
+    ``knn_single_inproc_ms`` (~0.12 ms vs the reference's <50 ms bar).
+
+    100 TB shape: the server holds a BOUNDED shard (max_vectors guard;
+    PQ-code tier past it); Spark stays the system of record and the
+    index builder. The driver row costs one build + one in-process
+    query — the serving path itself never launches a Spark job."""
+    from vector_knowledge_base_spark.operators.ann import build_ivf
+    from vector_knowledge_base_spark.operators.serving import KnnServer
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    qv = [
+        float(x)
+        for x in emb.where(F.col("vec_id") == 0).first()["embedding"]
+    ]
+    centroids, assigned = build_ivf(emb, n_partitions=16)
+    server = KnnServer(centroids, assigned, max_vectors=10_000_000)
+    assigned.unpersist()
+    hits = server.query(qv, k=10, n_probe=None)
+    return spark.createDataFrame(
+        [(int(i), float(s)) for i, s in hits], "vec_id long, score double"
+    )
