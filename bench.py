@@ -829,10 +829,28 @@ def main() -> None:
     # and carry the round's newest evidence, so a budget-exhausted
     # skip can only ever hit redundant cheap relational rows at the
     # tail, never the new rows (r7: the first ordering skipped 25
-    # rows including every wave-90/91 addition)
-    ordered = [n for n in HEADLINE if n in SINGLE_RUN] + [
-        n for n in HEADLINE if n not in SINGLE_RUN
+    # rows including every wave-90/91 addition). TRACKED rows run
+    # second (r9): the CPU-bound kernels compared round-over-round
+    # for drift adjudication — on a slow host the budget skip must
+    # never eat the very rows the comparison needs (it did in three
+    # r9 contended runs; the clean-run numbers existed but only off
+    # the record).
+    tracked = [
+        "label_propagation_communities",
+        "simhash_precision_audit",
+        "countmin_sketch_audit",
+        "bpe_vocab_train_k",
+        "bpe_encode_apply",
+        "incremental_dedup_equivalence",
+        "theta_sketch_set_expressions",
+        "txlog_incremental_mv",
+        "opq_ivfpq_exact_topk",
+        "c4_span_dedup_rewrite",
+        "minhash_lsh_candidates",
     ]
+    _tier = {n: 0 for n in HEADLINE if n in SINGLE_RUN}
+    _tier.update({n: 1 for n in tracked if n in HEADLINE and n not in _tier})
+    ordered = sorted(HEADLINE, key=lambda n: _tier.get(n, 2))
     for name in ordered:
         if name not in q.QUERIES:
             errors[name] = "not_registered"
