@@ -434,3 +434,42 @@ def test_update_chunks_facade_verb(spark, tmp_path):
         KnowledgeBase(spark, str(tmp_path / "ws2")).update_chunks(
             F.col("filename") == "x", {"category": F.lit("y")}
         )
+
+
+def test_registry_matview_survives_chunks_column_rename(spark, tmp_path):
+    """r9 colmap x listing integration: renaming a chunks column the
+    registry view AGGREGATES (filename) is metadata-only on the base
+    and transparent to list_documents() — the view resolves its
+    definition through physical identity and keeps its output names,
+    and a subsequent dv-update on the RENAMED column still flows
+    through the CDC into the listing."""
+    from vector_knowledge_base_spark.sources import txlog
+
+    src = tmp_path / "up"
+    src.mkdir()
+    (src / "a.txt").write_text("alpha bravo charlie delta echo")
+    (src / "b.txt").write_text("foxtrot golf hotel india juliet")
+    kb = KnowledgeBase(spark, str(tmp_path / "ws"), storage="txlog")
+    kb.upload_directory(str(src))
+    before = {
+        (r["doc_id"], r["filename"]) for r in kb.list_documents().collect()
+    }
+    assert {f for _, f in before} == {"a.txt", "b.txt"}
+    # metadata-only rename on the base chunks table
+    txlog.rename_column(spark, kb.chunks_path, "filename", "fname")
+    after = {
+        (r["doc_id"], r["filename"]) for r in kb.list_documents().collect()
+    }
+    assert after == before  # view output names + values unchanged
+    # DML on the renamed column still reaches the listing via the CDC
+    txlog.update_where(
+        spark,
+        kb.chunks_path,
+        F.col("fname") == "b.txt",
+        {"fname": F.lit("b2.txt")},
+        mode="dv",
+    )
+    renamed = {
+        (r["doc_id"], r["filename"]) for r in kb.list_documents().collect()
+    }
+    assert {f for _, f in renamed} == {"a.txt", "b2.txt"}

@@ -155,3 +155,26 @@ def test_pq_server_matches_spark_adc(spark, emb):
         assert got == want
     with pytest.raises(RuntimeError, match="max_vectors"):
         PqKnnServer(codebooks, codes, max_vectors=10)
+
+
+def test_sharded_server_equals_single_shard_exact(spark, emb, server):
+    """The fan-out/merge contract is EXACT for disjoint shards: a
+    2-shard and a 3-shard split must answer full-probe queries
+    identically to the single big server (ids, scores, tie-order),
+    because every row lives in exactly one shard and the merge uses
+    the same (-score, id) ordering."""
+    from vector_knowledge_base_spark.operators.serving import (
+        ShardedKnnServer,
+    )
+
+    centroids, assigned = build_ivf(emb, n_partitions=8)
+    two = ShardedKnnServer.from_dataframe(centroids, assigned, n_shards=2)
+    three = ShardedKnnServer.from_dataframe(centroids, assigned, n_shards=3)
+    assigned.unpersist()
+    assert sum(s.ids.shape[0] for s in two.shards) == emb.count()
+    qs = emb.where(F.col("vec_id") < 6).select("embedding").collect()
+    for r in qs:
+        qv = [float(x) for x in r["embedding"]]
+        want = server.query(qv, k=10, n_probe=None)
+        assert two.query(qv, k=10, n_probe=None) == want
+        assert three.query(qv, k=10, n_probe=None) == want

@@ -280,3 +280,70 @@ class PqKnnServer:
         for j in range(m):
             scores += lut[j][self.codes[:, j]]
         return _topk(self.ids, np.round(scores, ROUND_DIGITS), k)
+
+
+class ShardedKnnServer:
+    """Fan-out front over N shard servers — the last mile of the
+    100 TB serving topology the single-shard docstrings point at: the
+    corpus is split across shards (each a bounded ``KnnServer``), a
+    query fans out to every shard and the per-shard top-k lists merge
+    under the SAME (-score, id) contract, so the sharded answer is
+    IDENTICAL to one giant server's (pinned by tests — merging top-k
+    of disjoint shards is exact, not approximate, because every
+    corpus row lives in exactly one shard and per-shard top-k keeps
+    any row that could reach the global top-k).
+
+    Build with ``ShardedKnnServer.from_dataframe(centroids, assigned,
+    n_shards)`` — shards split by a stable hash of the id so growth
+    rebalances deterministically — or pass pre-built shard servers
+    (the production shape: one per host). ``query`` fans out
+    serially here (shards share this process); a real deployment
+    parallelizes the fan-out over RPC — the merge contract is the
+    part that must be exact, and is."""
+
+    def __init__(self, shards: list):
+        if not shards:
+            raise ValueError("ShardedKnnServer: need at least one shard")
+        self.shards = list(shards)
+
+    @classmethod
+    def from_dataframe(
+        cls,
+        centroids,
+        assigned: DataFrame,
+        n_shards: int = 2,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        max_vectors_per_shard: int = 5_000_000,
+    ) -> "ShardedKnnServer":
+        from pyspark.sql import functions as F
+
+        shards = []
+        sharded = assigned.withColumn(
+            "_shard", F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_shards))
+        )
+        for s in range(n_shards):
+            shards.append(
+                KnnServer(
+                    centroids,
+                    sharded.where(F.col("_shard") == s).drop("_shard"),
+                    id_col=id_col,
+                    vec_col=vec_col,
+                    max_vectors=max_vectors_per_shard,
+                )
+            )
+        return cls(shards)
+
+    def query(
+        self,
+        query_vector: Sequence[float],
+        k: int = 10,
+        n_probe: int | None = 4,
+    ) -> list[tuple[int, float]]:
+        """Fan out, merge: per-shard top-k under the shared contract,
+        then one global (-score, id) sort of ≤ n_shards·k rows."""
+        merged: list[tuple[int, float]] = []
+        for shard in self.shards:
+            merged.extend(shard.query(query_vector, k=k, n_probe=n_probe))
+        merged.sort(key=lambda t: (-t[1], t[0]))
+        return merged[:k]
