@@ -178,3 +178,191 @@ def test_sharded_server_equals_single_shard_exact(spark, emb, server):
         want = server.query(qv, k=10, n_probe=None)
         assert two.query(qv, k=10, n_probe=None) == want
         assert three.query(qv, k=10, n_probe=None) == want
+
+
+# -- r10: freshness contracts across all three tiers ------------------------
+
+
+def _mk_txlog(spark, tmp_path, name="emb", id_col="vec_id", vec_col="embedding",
+              n=200):
+    """A small txlog embeddings table (optionally renamed columns)."""
+    from vector_knowledge_base_spark.sources.txlog import create_table
+
+    p = str(tmp_path / name)
+    base = (
+        load_table(spark, SF, "embeddings")
+        .where(F.col("vec_id") < n)
+        .select(F.col("vec_id").alias(id_col), F.col("embedding").alias(vec_col))
+    )
+    create_table(spark, p, base)
+    return p
+
+
+def _append_far_vector(spark, p, id_col="vec_id", vec_col="embedding"):
+    """Append one vector with an id far outside the base range; returns
+    its query vector."""
+    from vector_knowledge_base_spark.sources.txlog import append_table
+
+    newrow = (
+        load_table(spark, SF, "embeddings")
+        .where(F.col("vec_id") == 333)
+        .select(
+            (F.col("vec_id") + 1_000_000).alias(id_col),
+            F.col("embedding").alias(vec_col),
+        )
+    )
+    append_table(spark, p, newrow)
+    return [float(x) for x in newrow.first()[vec_col]]
+
+
+def test_refresh_forwards_build_params(spark, tmp_path):
+    """r9 ADVICE medium: a server built with non-default id_col/vec_col
+    and a raised max_vectors must survive refresh — the rebuild
+    forwards the instance's params instead of reverting to defaults
+    (which crashed on the column select and silently re-bounded)."""
+    p = _mk_txlog(spark, tmp_path, id_col="doc_id", vec_col="vec")
+    srv = KnnServer.from_txlog(
+        spark, p, n_partitions=4, id_col="doc_id", vec_col="vec",
+        max_vectors=7_777_777,
+    )
+    qv = _append_far_vector(spark, p, id_col="doc_id", vec_col="vec")
+    assert srv.refresh_if_stale(spark) is True  # old code: AnalysisException
+    assert srv.table_version == 1
+    assert srv.max_vectors == 7_777_777  # bound survived the reload
+    assert srv.query(qv, k=3, n_probe=None)[0][0] == 1_000_333
+
+
+def test_refresh_swaps_one_immutable_snapshot(spark, tmp_path):
+    """r9 ADVICE medium: a query in flight reads ONE snapshot
+    reference — refresh must not mutate the old generation's arrays
+    (a torn read mixed old centroids with new offsets/mat). Pin the
+    mechanism: the pre-refresh snapshot object stays fully usable and
+    self-consistent after the swap, and the server now holds a
+    DIFFERENT snapshot object."""
+    import numpy as np
+
+    p = _mk_txlog(spark, tmp_path)
+    srv = KnnServer.from_txlog(spark, p, n_partitions=4)
+    old_snap = srv._snap
+    old_ids = old_snap.ids.copy()
+    old_mat_sum = float(old_snap.mat.sum())
+    qv = _append_far_vector(spark, p)
+    assert srv.refresh_if_stale(spark) is True
+    assert srv._snap is not old_snap
+    # the old generation is untouched: an in-flight query that grabbed
+    # it pre-swap computes exactly what it would have before
+    assert np.array_equal(old_snap.ids, old_ids)
+    assert float(old_snap.mat.sum()) == old_mat_sum
+    assert old_snap.offsets[-1] == old_ids.shape[0]
+    assert 1_000_333 not in set(old_snap.ids.tolist())
+    assert srv.query(qv, k=3, n_probe=None)[0][0] == 1_000_333
+
+
+def test_pq_server_txlog_refresh(spark, tmp_path):
+    """PqKnnServer freshness (r9 VERDICT Missing #2): from_txlog pins
+    the loaded version; refresh_if_stale is a no-op while the log is
+    unchanged, detects the advance, retrains + re-encodes with the
+    SAME build params, and the new corpus row becomes findable."""
+    from vector_knowledge_base_spark.operators.serving import PqKnnServer
+
+    p = _mk_txlog(spark, tmp_path)
+    srv = PqKnnServer.from_txlog(spark, p, m=8, ksub=16)
+    assert srv.table_version == 0
+    assert srv.refresh_if_stale(spark) is False
+    old_n = srv.codes.shape[0]
+    qv = _append_far_vector(spark, p)
+    pre = {i for i, _ in srv.query(qv, k=5)}
+    assert 1_000_333 not in pre  # consistent OLD snapshot until refresh
+    assert srv.refresh_if_stale(spark) is True
+    assert srv.table_version == 1
+    assert srv.codes.shape[0] == old_n + 1
+    assert srv._build_params["m"] == 8 and srv._build_params["ksub"] == 16
+    # ADC is approximate, but the appended vector is its own nearest
+    # codeword reconstruction's best match here at full-list k
+    got = srv.query(qv, k=5)
+    assert got[0][0] == 1_000_333
+
+
+def test_sharded_refuses_mixed_versions(spark, tmp_path):
+    """The torn-snapshot refusal: shard servers pinned to DIFFERENT
+    table versions must not assemble into a front — a cross-shard
+    answer would mix two table states."""
+    from vector_knowledge_base_spark.operators.serving import (
+        ShardedKnnServer,
+    )
+
+    p = _mk_txlog(spark, tmp_path)
+    s0 = KnnServer.from_txlog(spark, p, n_partitions=4)
+    _append_far_vector(spark, p)
+    s1 = KnnServer.from_txlog(spark, p, n_partitions=4)
+    assert (s0.table_version, s1.table_version) == (0, 1)
+    with pytest.raises(ValueError, match="MIXED table versions"):
+        ShardedKnnServer([s0, s1])
+
+
+def test_sharded_txlog_refresh_all_shards_one_version(spark, tmp_path):
+    """Sharded freshness contract: from_txlog builds every shard from
+    ONE pinned version; refresh rebuilds the COMPLETE set at the new
+    version and swaps it as one reference — all shards land on the
+    same version, the old set stays intact for in-flight queries, and
+    the sharded answers still merge exactly."""
+    from vector_knowledge_base_spark.operators.serving import (
+        ShardedKnnServer,
+    )
+
+    p = _mk_txlog(spark, tmp_path)
+    front = ShardedKnnServer.from_txlog(spark, p, n_shards=3, n_partitions=4)
+    assert front.table_version == 0
+    assert {s.table_version for s in front.shards} == {0}
+    assert front.refresh_if_stale(spark) is False
+    old_set = front._set
+    qv = _append_far_vector(spark, p)
+    pre = {i for i, _ in front.query(qv, k=5, n_probe=None)}
+    assert 1_000_333 not in pre
+    assert front.refresh_if_stale(spark) is True
+    # every shard of the NEW set pins the new version; the OLD set is
+    # untouched (an in-flight fan-out completes against it coherently)
+    assert front.table_version == 1
+    assert {s.table_version for s in front.shards} == {1}
+    assert front._set is not old_set
+    assert {s.table_version for s in old_set.shards} == {0}
+    # exactness after refresh: sharded merge equals a single big server
+    single = KnnServer.from_txlog(spark, p, n_partitions=4)
+    got = front.query(qv, k=10, n_probe=None)
+    assert got == single.query(qv, k=10, n_probe=None)
+    assert got[0][0] == 1_000_333
+    assert sum(s.ids.shape[0] for s in front.shards) == single.ids.shape[0]
+
+
+def test_query_batch_matches_single_query_loop(spark, emb, server):
+    """The r10 vectorized query_batch (one matmul over the union of
+    probed cells) must answer EXACTLY like the single-query path —
+    same probe rule, same rounding, same tie-breaks — at probed AND
+    full coverage, including duplicate and empty batches."""
+    qs = emb.where(F.col("vec_id") < 12).select("embedding").collect()
+    vecs = [[float(x) for x in r["embedding"]] for r in qs]
+    vecs.append(vecs[0])  # duplicate query must not confuse the union
+    for n_probe in (2, 4, None):
+        batch = server.query_batch(vecs, k=10, n_probe=n_probe)
+        loop = [server.query(v, k=10, n_probe=n_probe) for v in vecs]
+        assert batch == loop
+    assert server.query_batch([], k=10) == []
+
+
+def test_allowed_ids_prefilter_is_exact_filtered_knn(spark, emb, server):
+    """allowed_ids at full probe = exact FILTERED kNN: equals
+    cosine_topk over the pre-filtered corpus (the Qdrant filtered-
+    search regime — filter inside the walk, not post-filter)."""
+    r = emb.where(F.col("vec_id") == 5).select("embedding").first()
+    qv = [float(x) for x in r["embedding"]]
+    allowed = [row["vec_id"] for row in
+               emb.where(F.col("vec_id") % 3 == 0).select("vec_id").collect()]
+    want = [
+        (row["vec_id"], row["score"])
+        for row in cosine_topk(
+            emb.where(F.col("vec_id") % 3 == 0), qv, k=10
+        ).collect()
+    ]
+    got = server.query(qv, k=10, n_probe=None, allowed_ids=allowed)
+    assert got == want
+    assert server.query(qv, k=10, n_probe=None, allowed_ids=[]) == []

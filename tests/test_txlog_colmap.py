@@ -454,6 +454,17 @@ def test_fresh_checkpoint_ignores_stale_consumer_floor(spark, tmp_path):
         max_versions_per_trigger=3, consumer_id="c1",
     )
     assert r3.initialOffset() == {"version": -1}
+    # r9 ADVICE low: the reset PERSISTS — the sidecar rewinds with the
+    # new consumer epoch, so a RESTART of the reprocessing query (a
+    # fresh reader, no initialOffset call) recovers the reset floor
+    # instead of re-adopting the dead query's floor=2 and silently
+    # uncapping the rest of the reprocess
+    assert _load_consumer_floor(src, "c1") == -1
+    r4 = TxlogStreamReader(
+        src, ["k"], ignore_changes=False, start_version=0,
+        max_versions_per_trigger=3, consumer_id="c1",
+    )
+    assert r4.latestOffset() == {"version": 2}  # capped from the reset
     assert r3.latestOffset() == {"version": 2}
 
 

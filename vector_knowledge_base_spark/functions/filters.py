@@ -23,6 +23,47 @@ from pyspark.sql import functions as F
 ALL_CLUSTERS_SENTINEL = "all"
 
 
+def filter_dsl_to_mask(
+    filters: Mapping[str, Any] | None,
+    pdf,
+    date_column: str = "upload_date",
+):
+    """The SAME filter DSL evaluated against a driver-held pandas
+    payload frame — the serving-tier twin of ``filter_dsl_to_column``,
+    kept in this module so the two translations evolve together (the
+    facade's ``search(mode="serve")`` pre-filters the in-process kNN
+    artifact with this mask; Qdrant's payload-filter-inside-the-walk
+    regime, reference backend/vector_db.py:136-163).
+
+    Semantics mirror the Column form: conditions AND-ed, scalar →
+    equality, list → IN, ``date_range {gte, lte}`` → bounds on
+    ``date_column``, ``cluster == "all"`` skipped, and NULL payload
+    values never match (pandas NaN comparisons are False, same as
+    Spark's null-rejecting predicates)."""
+    import pandas as pd
+
+    mask = pd.Series(True, index=pdf.index)
+    if not filters:
+        return mask
+    for key, value in filters.items():
+        if key == "date_range":
+            if not isinstance(value, Mapping):
+                raise ValueError("date_range filter must be a mapping")
+            gte, lte = value.get("gte"), value.get("lte")
+            col = pd.to_datetime(pdf[date_column])
+            if gte is not None:
+                mask &= col >= pd.to_datetime(gte)
+            if lte is not None:
+                mask &= col <= pd.to_datetime(lte)
+        elif key == "cluster" and value == ALL_CLUSTERS_SENTINEL:
+            continue
+        elif isinstance(value, (list, tuple, set)):
+            mask &= pdf[key].isin(list(value))
+        else:
+            mask &= pdf[key] == value
+    return mask
+
+
 def filter_dsl_to_column(
     filters: Mapping[str, Any] | None,
     date_column: str = "upload_date",

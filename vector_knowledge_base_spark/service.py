@@ -76,6 +76,9 @@ class _KnowledgeBaseCore:
         self.model_path = os.path.join(workspace_dir, "pca_model")
         self.folders_path = os.path.join(workspace_dir, "folders")
         self.file_folders_path = os.path.join(workspace_dir, "file_folders")
+        # serve-mode artifact cache: (version-pinned KnnServer + payload
+        # pandas frame) swapped as ONE reference — see _serve_artifact
+        self._serve_art: dict | None = None
         os.makedirs(workspace_dir, exist_ok=True)
 
     # -- reads -------------------------------------------------------------
@@ -315,21 +318,122 @@ class _KnowledgeBaseCore:
         k: int = 5,
         filters: Mapping[str, Any] | None = None,
         cluster: int | str | None = None,
+        mode: str = "spark",
     ) -> DataFrame:
         """Filtered top-k cosine search; returns (chunk_id, score, text,
         filename, chunk_index) — the reference's hit projection (F7).
         The query embeds driver-side (one vector, exactly as the
-        reference does in-process); scoring + top-k is one Spark job."""
+        reference does in-process).
+
+        ``mode="spark"`` (default): scoring + top-k is one Spark job —
+        the batch/throughput regime. ``mode="serve"``: the query is
+        answered by a cached in-process ``KnnServer`` (txlog storage
+        only) kept fresh against the chunks table's version — the
+        reference's /search regime (backend/main.py:185-230: every
+        query hits the in-process Qdrant index), sub-millisecond
+        instead of per-job JVM dispatch. Filters PRE-filter the
+        artifact (a payload mask computed by the same DSL before
+        scoring — exact filtered kNN, Qdrant's filter-inside-the-walk,
+        NOT a post-filtered shortlist that could come up short). Both
+        modes return the same rows — pinned by tests/test_service.py."""
         f = dict(filters or {})
         if cluster is not None:
             f["cluster"] = cluster  # "all" sentinel handled by the DSL
         qv = embed_texts([query], dim=self.dim)[0].tolist()
+        if mode == "serve":
+            return self._search_serve(qv, k=k, filters=f or None)
+        if mode != "spark":
+            raise ValueError(f"unknown search mode: {mode}")
         hits = cosine_topk(
             self.chunks(), qv, k=k, id_col="chunk_id", filters=f or None
         )
         return hits.join(self.chunks(), "chunk_id", "left").select(
             "chunk_id", "score", "text", "filename", "chunk_index"
         )
+
+    _HIT_SCHEMA = (
+        "chunk_id string, score double, text string, "
+        "filename string, chunk_index int"
+    )
+
+    def _serve_artifact(self) -> dict:
+        """The cached serve-mode artifact: an exact in-process
+        ``KnnServer`` over the chunks table PLUS the driver-held
+        payload frame the filters and hit projection read — both built
+        from ONE pinned txlog version and swapped as one dict
+        reference, so a search never pairs new vectors with old
+        payloads (the same atomicity contract as the server's own
+        ``refresh_if_stale``, widened to cover the payload; the
+        freshness check itself is one manifest listing, no Spark
+        job)."""
+        from vector_knowledge_base_spark.operators.ann import build_ivf
+        from vector_knowledge_base_spark.operators.serving import KnnServer
+        from vector_knowledge_base_spark.sources.txlog import (
+            _list_versions,
+            read_table,
+        )
+
+        latest = _list_versions(self.chunks_path)[-1]
+        art = self._serve_art
+        if art is not None and art["version"] == latest:
+            return art
+        chunks = read_table(self.spark, self.chunks_path, version=latest)
+        payload = chunks.drop("embedding").toPandas()
+        n = len(payload)
+        server = None
+        if n > 0:
+            centroids, assigned = build_ivf(
+                chunks,
+                n_partitions=max(1, min(8, n)),
+                id_col="chunk_id",
+                vec_col="embedding",
+            )
+            server = KnnServer(
+                centroids,
+                assigned,
+                id_col="chunk_id",
+                vec_col="embedding",
+                _table_version=latest,
+                _table_path=self.chunks_path,
+            )
+            assigned.unpersist()
+        art = {
+            "version": latest,
+            "server": server,
+            "payload": payload,
+            "rows_by_id": {
+                r.chunk_id: (r.text, r.filename, int(r.chunk_index))
+                for r in payload.itertuples()
+            },
+        }
+        self._serve_art = art  # one reference swap — never torn
+        return art
+
+    def _search_serve(
+        self, qv: list[float], k: int, filters: Mapping[str, Any] | None
+    ) -> DataFrame:
+        from vector_knowledge_base_spark.functions.filters import (
+            filter_dsl_to_mask,
+        )
+
+        if self.storage != "txlog":
+            raise RuntimeError(
+                "search(mode='serve') requires storage='txlog' — the "
+                "serving artifact pins table versions for freshness"
+            )
+        art = self._serve_artifact()
+        if art["server"] is None:  # empty corpus
+            return self.spark.createDataFrame([], self._HIT_SCHEMA)
+        allowed = None
+        if filters:
+            mask = filter_dsl_to_mask(filters, art["payload"])
+            allowed = art["payload"].loc[mask, "chunk_id"].tolist()
+        hits = art["server"].query(qv, k=k, n_probe=None, allowed_ids=allowed)
+        rows = [
+            (cid, float(score), *art["rows_by_id"][cid])
+            for cid, score in hits
+        ]
+        return self.spark.createDataFrame(rows, self._HIT_SCHEMA)
 
     # -- mutation ----------------------------------------------------------
 

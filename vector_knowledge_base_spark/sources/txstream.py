@@ -134,6 +134,38 @@ def _save_consumer_floor(path: str, consumer_id: str, floor: int) -> None:
             lock_fh.close()
 
 
+def _reset_consumer_floor(path: str, consumer_id: str, floor: int) -> None:
+    """NON-monotone sidecar write for the fresh-checkpoint path (r9
+    ADVICE low): ``initialOffset`` resets the in-memory floor for a
+    from-scratch reprocess, but the monotone save would keep the dead
+    query's higher floor on disk — so the reprocessing query's FIRST
+    RESTART would re-adopt the stale floor and silently disable the
+    catch-up cap. A fresh checkpoint is an explicit new consumer
+    epoch; rewind the persisted floor with it (same flock, same
+    atomic tmp+rename)."""
+    import json as _json
+
+    f = _consumer_file(path, consumer_id)
+    os.makedirs(os.path.dirname(f), exist_ok=True)
+    lockpath = f + ".lock"
+    lock_fh = None
+    try:
+        try:
+            import fcntl
+
+            lock_fh = open(lockpath, "a")
+            fcntl.flock(lock_fh.fileno(), fcntl.LOCK_EX)
+        except (ImportError, OSError):
+            lock_fh = None
+        tmp = f + ".tmp"
+        with open(tmp, "w") as fh:
+            _json.dump({"floor": floor}, fh)
+        os.replace(tmp, f)
+    finally:
+        if lock_fh is not None:
+            lock_fh.close()
+
+
 class _AddedFilePartition(InputPartition):
     def __init__(
         self,
@@ -320,8 +352,15 @@ class TxlogStreamReader(DataSourceStreamReader):
         # of a from-scratch reprocess spans the whole history uncapped
         # while offsets silently start at the old query's floor
         # (ADVICE r8 low). Restarts never reach this method, so their
-        # sidecar recovery is untouched.
+        # sidecar recovery is untouched. The PERSISTED floor rewinds
+        # too (r9 ADVICE low): without it, the reprocessing query's
+        # first restart re-adopts the old query's sidecar floor and
+        # the reset silently dies after one restart.
         self._floor = self.start_version - 1
+        if self.consumer_id is not None:
+            _reset_consumer_floor(
+                self.path, self.consumer_id, self.start_version - 1
+            )
         return {"version": self.start_version - 1}
 
     def latestOffset(self) -> dict:
