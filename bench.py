@@ -366,6 +366,8 @@ HEADLINE = [
     "txlog_column_mapping",
     # wave 96 (r9) — in-process serving tier parity (exact top-k)
     "knn_serving_parity",
+    # wave 97 (r10) — PQ-code serving tier parity (ADC + rerank)
+    "pq_serving_parity",
 ]
 
 # Integration rows whose cost is fixed overhead (streaming runs with
@@ -395,6 +397,7 @@ SINGLE_RUN = {
     "txlog_update_where",
     "txlog_column_mapping",
     "knn_serving_parity",
+    "pq_serving_parity",
 }
 
 KNN_BATCH_N_QUERIES = 5  # matches the knn_batch query definition
@@ -696,9 +699,107 @@ def _serving_latency_anchor(spark, sf_dir, extra, errors) -> None:
             extra[f"knn_single_inproc{label}_ms_band"] = _band(
                 [1000 * x for x in qlat]
             )
+        # r10: vectorized in-process BATCH serving (query_batch — one
+        # matmul over the union of probed cells scores the whole
+        # batch). 100 queries per call, median of 3 calls; the in-proc
+        # twin of knn_batch100_qps, measuring the serving tier's
+        # multi-query throughput rather than Spark's.
+        qrows100 = (
+            emb.where(SF.col("vec_id") < 100)
+            .select("vec_id", "embedding")
+            .collect()
+        )
+        batch_vecs = [[float(x) for x in r["embedding"]] for r in qrows100]
+        for label, s in (("", srv), ("_10x", srv_big)):
+            s.query_batch(batch_vecs[:5], k=10, n_probe=4)  # warm
+            rates = []
+            for _ in range(3):
+                t0 = time.time()
+                s.query_batch(batch_vecs, k=10, n_probe=4)
+                rates.append(len(batch_vecs) / (time.time() - t0))
+            extra[f"knn_batch_inproc{label}_qps"] = round(
+                statistics.median(rates), 1
+            )
+            extra[f"knn_batch_inproc{label}_qps_band"] = _band(rates)
         assigned.unpersist()
     except Exception as e:  # noqa: BLE001
         errors["knn_single_serving_anchor"] = (
+            f"{type(e).__name__}: {str(e).splitlines()[0][:200]}"
+        )
+
+
+def _facade_serve_anchor(spark, sf_dir, extra, errors) -> None:
+    """End-to-end /search latency THROUGH THE SERVICE FACADE in serve
+    mode (r10: KnowledgeBase.search(mode='serve') — the reference's
+    flagship regime, backend/main.py:185-230, <50 ms bar): a 200-doc
+    corpus is uploaded once (offline tier), then each timed search
+    pays query embedding + the in-process KnnServer + the hit
+    projection's collect — everything a caller experiences. The
+    spark-mode twin is recorded alongside as the honest cost of
+    serving the SAME verb from the engine (per-job JVM dispatch)."""
+    try:
+        import shutil
+        import tempfile
+
+        from vector_knowledge_base_spark.service import KnowledgeBase
+        from vector_knowledge_base_spark.sources.tables import load_table
+
+        docs = (
+            load_table(spark, sf_dir, "documents")
+            .select("doc_id", "text")
+            .limit(200)
+            .collect()
+        )
+        srcd = tempfile.mkdtemp(prefix="kb_src_")
+        wsd = tempfile.mkdtemp(prefix="kb_ws_")
+        try:
+            for r in docs:
+                with open(os.path.join(srcd, f"d{r['doc_id']}.txt"), "w") as fh:
+                    fh.write(r["text"] or "empty")
+            kb = KnowledgeBase(spark, os.path.join(wsd, "ws"), storage="txlog")
+            kb.upload_directory(srcd)
+            kb.search("warm up query", k=5, mode="serve").collect()  # artifact
+            qtexts = [
+                "data pipeline orders", "customer analytics report",
+                "spark shuffle partitions", "language model tokens",
+                "hello world example",
+            ]
+            # the serving regime proper: search_hits returns plain rows
+            # (the reference's JSON response shape) — no DataFrame
+            # round-trip in the hot path
+            lats = []
+            for _pass in range(2):
+                for qt in qtexts:
+                    t0 = time.time()
+                    kb.search_hits(qt, k=5)
+                    lats.append(time.time() - t0)
+            extra["facade_search_serve_ms"] = round(
+                1000 * statistics.median(lats), 3
+            )
+            extra["facade_search_serve_ms_band"] = _band(
+                [1000 * x for x in lats]
+            )
+            # the DataFrame forms, recorded as the honest cost of the
+            # composable return type: serve-mode pays the local-relation
+            # JVM round-trip, spark-mode pays a full scoring job
+            for mode in ("serve", "spark"):
+                lats = []
+                for _pass in range(2):
+                    for qt in qtexts:
+                        t0 = time.time()
+                        kb.search(qt, k=5, mode=mode).collect()
+                        lats.append(time.time() - t0)
+                extra[f"facade_search_{mode}_df_ms"] = round(
+                    1000 * statistics.median(lats), 2
+                )
+                extra[f"facade_search_{mode}_df_ms_band"] = _band(
+                    [1000 * x for x in lats]
+                )
+        finally:
+            shutil.rmtree(srcd, ignore_errors=True)
+            shutil.rmtree(wsd, ignore_errors=True)
+    except Exception as e:  # noqa: BLE001
+        errors["facade_serve_anchor"] = (
             f"{type(e).__name__}: {str(e).splitlines()[0][:200]}"
         )
 
@@ -821,6 +922,7 @@ def main() -> None:
         ("chunker_scale_anchor", _chunker_scale_anchor),
         ("dedup_chain_anchor", _dedup_chain_anchor),
         ("serving_latency_anchor", _serving_latency_anchor),
+        ("facade_serve_anchor", _facade_serve_anchor),
     ):
         _fn(spark, sf_dir, extra, errors)
         _trace(f"anchor {_name} done")
@@ -868,10 +970,17 @@ def main() -> None:
             continue
         runs = []
         try:
-            for _ in range(n_runs):
+            for _i in range(n_runs):
                 t0 = time.time()
                 _materialize(q.QUERIES[name](spark, sf_dir))
                 runs.append(time.time() - t0)
+                # r10 (VERDICT r9 #4): sub-second rows don't need a
+                # median-of-3 — the third run buys noise reduction the
+                # band already carries, and across ~150 cheap rows it
+                # is the minute that pushed contended hosts into
+                # budget_exhausted skips. Two runs, keep the band.
+                if _i == 0 and n_runs > 2 and runs[0] < 1.0:
+                    n_runs = 2
         except Exception as e:  # noqa: BLE001 — record and keep benching
             errors[name] = f"{type(e).__name__}: {str(e).splitlines()[0][:200]}"
             continue

@@ -528,10 +528,38 @@ def test_search_serve_mode_parity_and_freshness(spark, tmp_path):
     )
     fresh = kb.search("tomato seedling soil garden", k=2, mode="serve").collect()
     assert fresh and fresh[0].filename == "gardening.txt"
-    assert kb._serve_artifact() is not art1  # new version → new artifact
+    art3 = kb._serve_artifact()
+    assert art3 is not art1  # new version → new artifact
+    # an append-only advance took the DELTA path (r10: refresh ∝ churn
+    # — only the added files were read, no KMeans retrain), and the
+    # OLD artifact stayed internally consistent (its own server
+    # snapshot + payload — a search that grabbed it mid-refresh
+    # completes coherently)
+    assert art3["server"].last_refresh_mode == "delta"
+    assert art1["server"].table_version == art1["version"]
     # parity still holds on the grown corpus
     assert rows(kb.search("tomato recipe", k=4, mode="serve")) == rows(
         kb.search("tomato recipe", k=4, mode="spark")
+    )
+    # a rewriting commit (delete) forces the full-rebuild path; parity
+    # holds and the deleted doc is gone from serve-mode answers
+    kb.delete_document("cooking.md")
+    gone = kb.search("tomato recipe", k=6, mode="serve").collect()
+    assert gone and "cooking.md" not in {h.filename for h in gone}
+    assert rows(kb.search("tomato recipe", k=6, mode="serve")) == rows(
+        kb.search("tomato recipe", k=6, mode="spark")
+    )
+
+    # (e) search_hits — the serving-regime row form — returns the SAME
+    # values as the serve-mode DataFrame, dicts instead of rows
+    hits = kb.search_hits("tomato recipe", k=4)
+    df_rows = rows(kb.search("tomato recipe", k=4, mode="serve"))
+    assert sorted(tuple(h.values()) for h in hits) == df_rows
+    assert list(hits[0]) == ["chunk_id", "score", "text", "filename",
+                             "chunk_index"]
+    flt_hits = kb.search_hits("tomato", k=5, filters=flt)
+    assert sorted(tuple(h.values()) for h in flt_hits) == rows(
+        kb.search("tomato", k=5, filters=flt, mode="serve")
     )
 
     # (d) parquet storage refuses loudly
@@ -540,5 +568,7 @@ def test_search_serve_mode_parity_and_freshness(spark, tmp_path):
     kb2.upload_directory(str(src))
     with pytest.raises(RuntimeError, match="serve"):
         kb2.search("hello", mode="serve")
+    with pytest.raises(RuntimeError, match="serve"):
+        kb2.search_hits("hello")
     with pytest.raises(ValueError, match="unknown search mode"):
         kb.search("hello", mode="bogus")

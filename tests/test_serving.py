@@ -220,6 +220,8 @@ def test_refresh_forwards_build_params(spark, tmp_path):
     and a raised max_vectors must survive refresh — the rebuild
     forwards the instance's params instead of reverting to defaults
     (which crashed on the column select and silently re-bounded)."""
+    from vector_knowledge_base_spark.sources.txlog import delete_where
+
     p = _mk_txlog(spark, tmp_path, id_col="doc_id", vec_col="vec")
     srv = KnnServer.from_txlog(
         spark, p, n_partitions=4, id_col="doc_id", vec_col="vec",
@@ -227,9 +229,18 @@ def test_refresh_forwards_build_params(spark, tmp_path):
     )
     qv = _append_far_vector(spark, p, id_col="doc_id", vec_col="vec")
     assert srv.refresh_if_stale(spark) is True  # old code: AnalysisException
+    assert srv.last_refresh_mode == "delta"  # append-only → delta path
     assert srv.table_version == 1
     assert srv.max_vectors == 7_777_777  # bound survived the reload
     assert srv.query(qv, k=3, n_probe=None)[0][0] == 1_000_333
+    # a rewriting commit forces the FULL-REBUILD path — params must
+    # survive that one too (the r9 ADVICE bug lived here)
+    delete_where(spark, p, F.col("doc_id") < 50)
+    assert srv.refresh_if_stale(spark) is True
+    assert srv.last_refresh_mode == "rebuild"
+    assert srv.max_vectors == 7_777_777
+    assert srv.query(qv, k=3, n_probe=None)[0][0] == 1_000_333
+    assert not {i for i, _ in srv.query(qv, k=500, n_probe=None) if i < 50}
 
 
 def test_refresh_swaps_one_immutable_snapshot(spark, tmp_path):
@@ -366,3 +377,78 @@ def test_allowed_ids_prefilter_is_exact_filtered_knn(spark, emb, server):
     got = server.query(qv, k=10, n_probe=None, allowed_ids=allowed)
     assert got == want
     assert server.query(qv, k=10, n_probe=None, allowed_ids=[]) == []
+
+
+def test_delta_refresh_reads_only_added_files_and_stays_exact(
+    spark, tmp_path
+):
+    """r10 delta refresh — the matview economics on the index artifact:
+    append-only advances extend the snapshot from the ADDED FILES only
+    (no KMeans retrain, no full scan), and the result answers
+    full-probe queries EXACTLY like a from-scratch server over the
+    same corpus. A rewriting commit (delete) flips to rebuild; the
+    max_vectors bound holds across delta growth with the old snapshot
+    left serving."""
+    import numpy as np
+
+    from vector_knowledge_base_spark.sources.txlog import (
+        append_table,
+        delete_where,
+    )
+
+    p = _mk_txlog(spark, tmp_path, n=150)
+    srv = KnnServer.from_txlog(spark, p, n_partitions=4)
+    trained_centroids = srv.centroids.copy()
+    # two append commits (multi-version delta in one refresh)
+    for lo, hi in ((150, 180), (180, 220)):
+        append_table(
+            spark,
+            p,
+            load_table(spark, SF, "embeddings")
+            .where((F.col("vec_id") >= lo) & (F.col("vec_id") < hi))
+            .select("vec_id", "embedding"),
+        )
+    assert srv.refresh_if_stale(spark) is True
+    assert srv.last_refresh_mode == "delta"
+    assert srv.table_version == 2
+    # centroids NOT retrained — that's the point of the delta path
+    assert np.array_equal(srv.centroids, trained_centroids)
+    assert srv.ids.shape[0] == 220
+    # cell grouping invariant holds after the merge
+    assert srv.offsets[-1] == 220
+    for c in range(len(srv.offsets) - 1):
+        a, b = srv.offsets[c], srv.offsets[c + 1]
+        if b > a:
+            d = ((srv.centroids[None, :, :] - srv.mat[a:b, None, :]) ** 2).sum(
+                axis=2
+            )
+            assert (d.argmin(axis=1) == c).all()
+    # full-probe exactness: equals a from-scratch server over the table
+    scratch = KnnServer.from_txlog(spark, p, n_partitions=4)
+    emb220 = load_table(spark, SF, "embeddings").where(F.col("vec_id") < 220)
+    for r in emb220.where(F.col("vec_id").isin(0, 160, 219)).collect():
+        qv = [float(x) for x in r["embedding"]]
+        assert srv.query(qv, k=10, n_probe=None) == scratch.query(
+            qv, k=10, n_probe=None
+        )
+    # bound refusal mid-delta leaves the old snapshot serving
+    srv.max_vectors = 221
+    append_table(
+        spark,
+        p,
+        load_table(spark, SF, "embeddings")
+        .where((F.col("vec_id") >= 220) & (F.col("vec_id") < 240))
+        .select("vec_id", "embedding"),
+    )
+    with pytest.raises(RuntimeError, match="max_vectors"):
+        srv.refresh_if_stale(spark)
+    assert srv.table_version == 2 and srv.ids.shape[0] == 220
+    srv.max_vectors = 5_000_000
+    assert srv.refresh_if_stale(spark) is True
+    assert srv.last_refresh_mode == "delta" and srv.ids.shape[0] == 240
+    # a delete rewrites files → full rebuild, deleted rows gone
+    delete_where(spark, p, F.col("vec_id") < 100)
+    assert srv.refresh_if_stale(spark) is True
+    assert srv.last_refresh_mode == "rebuild"
+    assert srv.ids.shape[0] == 140
+    assert srv.ids.min() >= 100

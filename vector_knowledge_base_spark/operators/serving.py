@@ -75,6 +75,33 @@ def _topk(ids, scores, k: int) -> list[tuple]:
     ]
 
 
+def append_only_batches(
+    table_path: str, loaded: int, latest: int
+) -> list[tuple[dict, list[str]]] | None:
+    """The delta-refresh planning step: if EVERY version in
+    ``(loaded, latest]`` is a pure append (op create/append, no files
+    removed, no deletion-vector change), return its per-version
+    ``(manifest, added files)`` list — the refresh can then read ONLY
+    the new files and extend the artifact in place. Returns ``None``
+    when any version rewrites/hides data (or its manifest was
+    vacuumed): those need a full rebuild, because rows already inside
+    the artifact may have changed under it. The same file-level commit
+    delta the streaming source tails (sources/txstream._added_files)."""
+    from vector_knowledge_base_spark.sources.txstream import _added_files
+
+    out: list[tuple[dict, list[str]]] = []
+    try:
+        for v in range(loaded + 1, latest + 1):
+            m, added, changed = _added_files(table_path, v)
+            if m.get("op") not in ("create", "append") or changed:
+                return None
+            if added:
+                out.append((m, added))
+    except ValueError:
+        return None
+    return out
+
+
 class _Snapshot:
     """One immutable generation of the float serving arrays. Queries
     take a single reference to this object and never touch the server's
@@ -124,6 +151,7 @@ class KnnServer:
         self.vec_col = vec_col
         self.max_vectors = max_vectors
         self.table_path = _table_path
+        self.last_refresh_mode: str | None = None
 
         n = assigned.count()
         if n > max_vectors:
@@ -222,10 +250,23 @@ class KnnServer:
 
     def refresh_if_stale(self, spark: SparkSession) -> bool:
         """Reload when the backing txlog table advanced past the loaded
-        version. Returns True if a reload happened. The rebuild forwards
-        this server's id_col/vec_col/max_vectors and cell count, and the
-        new generation swaps in as ONE ``_Snapshot`` reference — a
-        concurrent query reads whichever whole snapshot it grabbed
+        version. Returns True if a reload happened; afterwards
+        ``last_refresh_mode`` says how ("delta" or "rebuild").
+
+        Refresh cost ∝ CHURN, not corpus (r10 — the matview economics
+        applied to the index artifact): when every new version is a
+        pure append, ONLY the added files are read and their rows are
+        assigned to the EXISTING centroids (nearest-centroid, the same
+        squared-L2 rule build_ivf's KMeans transform uses) — no
+        KMeans retrain, no full-table scan. Any rewriting commit
+        (delete/update/compaction/DV/rename) falls back to a full
+        rebuild, because rows already inside the artifact may have
+        changed under it. Full-probe answers are EXACT either way;
+        only probed-mode cell boundaries drift as the corpus outgrows
+        the trained centroids (periodic rebuilds re-center them —
+        production ANN practice). Both paths swap ONE ``_Snapshot``
+        reference, forwarding this server's id_col/vec_col/max_vectors
+        — a concurrent query reads whichever whole snapshot it grabbed
         first, never a mix of generations."""
         from vector_knowledge_base_spark.sources.txlog import _list_versions
 
@@ -238,6 +279,15 @@ class KnnServer:
         loaded = self.table_version if self.table_version is not None else -1
         if latest <= loaded:  # version 0 is a real version (not falsy)
             return False
+        batches = (
+            append_only_batches(self.table_path, loaded, latest)
+            if loaded >= 0
+            else None
+        )
+        if batches is not None:
+            self.apply_append_batches(spark, batches, latest)
+            self.last_refresh_mode = "delta"
+            return True
         fresh = KnnServer.from_txlog(
             spark,
             self.table_path,
@@ -247,7 +297,79 @@ class KnnServer:
             max_vectors=self.max_vectors,
         )
         self._snap = fresh._snap
+        self.last_refresh_mode = "rebuild"
         return True
+
+    def apply_append_batches(
+        self, spark: SparkSession, batches, new_version: int
+    ) -> None:
+        """Extend the artifact with the rows of append-only commit
+        deltas (from ``append_only_batches``) and pin ``new_version``:
+        read ONLY the added files (freshly-added files carry no
+        deletion vectors by construction — the streaming source's
+        invariant), assign each new row to its nearest existing
+        centroid, and merge per cell into a NEW snapshot (old rows
+        keep their order; new rows append within their cell). The
+        ``max_vectors`` bound holds across growth — a delta refresh
+        that would overflow refuses exactly like the constructor,
+        leaving the old snapshot serving."""
+        import numpy as np
+
+        from vector_knowledge_base_spark.sources.txlog import _read_files
+
+        snap = self._snap
+        new_ids: list = []
+        new_vecs: list = []
+        for m, added in batches:
+            rows = (
+                _read_files(spark, m, added)
+                .select(self.id_col, self.vec_col)
+                .collect()
+            )
+            for r in rows:
+                new_ids.append(r[self.id_col])
+                new_vecs.append(r[self.vec_col])
+        total = snap.ids.shape[0] + len(new_ids)
+        if total > self.max_vectors:
+            raise RuntimeError(
+                f"KnnServer: delta refresh would grow the shard to "
+                f"{total} vectors > max_vectors={self.max_vectors}. "
+                "The in-memory serving tier holds a BOUNDED shard: "
+                "raise the bound only with the RAM to back it, or "
+                "serve PQ codes / shard the corpus."
+            )
+        self.last_refresh_mode = "delta"
+        if not new_ids:  # metadata-only appends — just advance the pin
+            self._snap = _Snapshot(
+                snap.centroids, snap.ids, snap.mat, snap.offsets, new_version
+            )
+            return
+        newmat = np.asarray(new_vecs, dtype=np.float64)
+        d = ((snap.centroids[None, :, :] - newmat[:, None, :]) ** 2).sum(
+            axis=2
+        )
+        cells = d.argmin(axis=1)
+        new_ids_arr = np.asarray(new_ids)
+        k_cells = snap.centroids.shape[0]
+        ids_parts, mat_parts, offsets, off = [], [], [0], 0
+        for c in range(k_cells):
+            a, b = snap.offsets[c], snap.offsets[c + 1]
+            sel = np.flatnonzero(cells == c)
+            if b > a:
+                ids_parts.append(snap.ids[a:b])
+                mat_parts.append(snap.mat[a:b])
+            if sel.shape[0]:
+                ids_parts.append(new_ids_arr[sel])
+                mat_parts.append(newmat[sel])
+            off += (b - a) + sel.shape[0]
+            offsets.append(off)
+        self._snap = _Snapshot(
+            centroids=snap.centroids,
+            ids=np.concatenate(ids_parts) if ids_parts else snap.ids[:0],
+            mat=np.concatenate(mat_parts) if mat_parts else snap.mat[:0],
+            offsets=offsets,
+            version=new_version,
+        )
 
     # -- serving -----------------------------------------------------------
 
