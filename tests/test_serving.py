@@ -452,3 +452,118 @@ def test_delta_refresh_reads_only_added_files_and_stays_exact(
     assert srv.last_refresh_mode == "rebuild"
     assert srv.ids.shape[0] == 140
     assert srv.ids.min() >= 100
+
+
+def test_pq_and_sharded_query_batch_match_loops(spark, emb):
+    """r10 batch forms on the other two tiers: PqKnnServer.query_batch
+    (all ADC tables in one product, codes fancy-indexed once per
+    subspace for the whole batch) and ShardedKnnServer.query_batch
+    (per-shard batch + per-query merge) must answer exactly like their
+    single-query loops."""
+    from vector_knowledge_base_spark.operators.ann import build_pq
+    from vector_knowledge_base_spark.operators.serving import (
+        PqKnnServer,
+        ShardedKnnServer,
+    )
+
+    qs = emb.where(F.col("vec_id") < 9).select("embedding").collect()
+    vecs = [[float(x) for x in r["embedding"]] for r in qs]
+    vecs.append(vecs[2])  # duplicate query
+
+    codebooks, codes = build_pq(emb, m=8, ksub=16)
+    pq = PqKnnServer(codebooks, codes)
+    assert pq.query_batch(vecs, k=10) == [pq.query(v, k=10) for v in vecs]
+    assert pq.query_batch([], k=10) == []
+
+    centroids, assigned = build_ivf(emb, n_partitions=8)
+    front = ShardedKnnServer.from_dataframe(centroids, assigned, n_shards=3)
+    assigned.unpersist()
+    for n_probe in (2, None):
+        assert front.query_batch(vecs, k=10, n_probe=n_probe) == [
+            front.query(v, k=10, n_probe=n_probe) for v in vecs
+        ]
+    assert front.query_batch([], k=10) == []
+
+
+def test_stream_fed_table_serves_fresh_via_delta_refresh(spark, tmp_path):
+    """Streaming + serving composition (r10): an exactly-once txsink
+    stream appends micro-batches to a txlog table; the serving tier
+    follows with refresh_if_stale taking the DELTA path — the served
+    corpus stays fresh behind a running ingest stream without ever
+    retraining or rescanning the index."""
+    from vector_knowledge_base_spark.streaming.txsink import (
+        txlog_foreach_batch,
+    )
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    tbl = str(tmp_path / "tbl")
+    base = (
+        load_table(spark, SF, "embeddings")
+        .where(F.col("vec_id") < 100)
+        .select("vec_id", "embedding")
+    )
+    base.write.parquet(src)
+
+    def pump():
+        q = (
+            spark.readStream.schema(base.schema)
+            .parquet(src)
+            .writeStream.foreachBatch(txlog_foreach_batch(tbl))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    pump()
+    srv = KnnServer.from_txlog(spark, tbl, n_partitions=4)
+    assert srv.ids.shape[0] == 100
+    # stream more files → exactly-once append commits
+    more = (
+        load_table(spark, SF, "embeddings")
+        .where((F.col("vec_id") >= 100) & (F.col("vec_id") < 130))
+        .select((F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding")
+    )
+    more.write.mode("append").parquet(src)
+    pump()
+    target = more.where(F.col("vec_id") == 1_000_105).first()
+    qv = [float(x) for x in target["embedding"]]
+    assert srv.refresh_if_stale(spark) is True
+    assert srv.last_refresh_mode == "delta"  # stream commits are appends
+    assert srv.ids.shape[0] == 130
+    assert srv.query(qv, k=3, n_probe=None)[0][0] == 1_000_105
+    # idle stream → no-op refresh
+    assert srv.refresh_if_stale(spark) is False
+
+
+def test_cell_balance_flags_delta_drift(spark, tmp_path):
+    """cell_balance — the retrain scheduler's input: a fresh build is
+    near-balanced; appending many near-identical vectors (all landing
+    in one cell via the fixed centroids) drives imbalance up, telling
+    the operator a rebuild is due. Full-probe answers stay exact
+    either way — the metric guards PROBED-mode recall."""
+    from vector_knowledge_base_spark.sources.txlog import append_table
+
+    p = _mk_txlog(spark, tmp_path, n=160)
+    srv = KnnServer.from_txlog(spark, p, n_partitions=8)
+    before = srv.cell_balance()
+    assert before["n_vectors"] == 160 and before["n_cells"] == 8
+    assert before["imbalance"] >= 1.0
+    # 120 copies of one vector (fresh ids) — all assign to ONE cell
+    clone = (
+        load_table(spark, SF, "embeddings")
+        .where(F.col("vec_id") == 7)
+        .select("embedding")
+        .crossJoin(spark.range(120).selectExpr("id + 2000000 AS vec_id"))
+        .select("vec_id", "embedding")
+    )
+    append_table(spark, p, clone)
+    assert srv.refresh_if_stale(spark) is True
+    assert srv.last_refresh_mode == "delta"
+    after = srv.cell_balance()
+    assert after["n_vectors"] == 280
+    # KMeans over near-uniform hashed embeddings starts imbalanced
+    # (~2.5x here); the point is the DELTA-driven growth on top of it
+    assert after["imbalance"] > 1.5 * before["imbalance"]
+    assert after["max_cell_fraction"] > 120 / 280 - 1e-9

@@ -371,6 +371,30 @@ class KnnServer:
             version=new_version,
         )
 
+    def cell_balance(self) -> dict:
+        """Cell-occupancy report for RETRAIN scheduling: delta
+        refreshes keep centroids fixed, so a drifting corpus piles
+        into few cells and probed-mode recall decays even though
+        full-probe answers stay exact. ``imbalance`` is the largest
+        cell relative to the ideal n/k (1.0 = perfectly balanced);
+        production practice retrains the coarse quantizer when it
+        crosses a small multiple (FAISS guidance ~2-4×) — here that
+        means one ``from_txlog`` rebuild, after which delta refreshes
+        resume against the re-centered cells."""
+        import numpy as np
+
+        snap = self._snap
+        sizes = np.diff(np.asarray(snap.offsets))
+        n = int(snap.ids.shape[0])
+        k = int(snap.centroids.shape[0])
+        return {
+            "n_cells": k,
+            "n_vectors": n,
+            "max_cell_fraction": round(float(sizes.max()) / n, 6) if n else 0.0,
+            "empty_cells": int((sizes == 0).sum()),
+            "imbalance": round(float(sizes.max()) / (n / k), 3) if n else 0.0,
+        }
+
     # -- serving -----------------------------------------------------------
 
     @staticmethod
@@ -664,6 +688,32 @@ class PqKnnServer:
             scores += lut[j][snap.codes[:, j]]
         return _topk(snap.ids, np.round(scores, ROUND_DIGITS), k)
 
+    def query_batch(
+        self, query_vectors: Sequence[Sequence[float]], k: int = 10
+    ) -> list[list[tuple[int, float]]]:
+        """Vectorized multi-query ADC: ALL queries' lookup tables are
+        built in one einsum-shaped product and the code matrix is
+        fancy-indexed once per subspace for the whole batch — the same
+        accumulation order as the single-query loop, so answers equal
+        it exactly (pinned by tests)."""
+        import numpy as np
+
+        snap = self._snap
+        qs = [np.asarray(list(q), dtype=np.float64) for q in query_vectors]
+        if not qs:
+            return []
+        Q = np.stack(qs)  # (nq, dim)
+        m, ksub, dsub = snap.codebooks.shape
+        # luts[q, j, c] = dot(Q[q] subspace j, codebook[j][c])
+        luts = (
+            snap.codebooks[None, :, :, :] * Q.reshape(len(qs), m, 1, dsub)
+        ).sum(axis=3)
+        scores = np.zeros((snap.codes.shape[0], len(qs)), dtype=np.float64)
+        for j in range(m):
+            scores += luts[:, j, :][:, snap.codes[:, j]].T
+        scores = np.round(scores, ROUND_DIGITS)
+        return [_topk(snap.ids, scores[:, qi], k) for qi in range(len(qs))]
+
 
 class _ShardSet:
     """One immutable generation of the sharded topology: the shard
@@ -845,3 +895,25 @@ class ShardedKnnServer:
             merged.extend(shard.query(query_vector, k=k, n_probe=n_probe))
         merged.sort(key=lambda t: (-t[1], t[0]))
         return merged[:k]
+
+    def query_batch(
+        self,
+        query_vectors: Sequence[Sequence[float]],
+        k: int = 10,
+        n_probe: int | None = 4,
+    ) -> list[list[tuple[int, float]]]:
+        """Batched fan-out: each shard scores the whole batch with its
+        vectorized ``query_batch`` (one matmul per shard), then the
+        per-query merges run under the shared (-score, id) contract —
+        answers equal per-query ``query`` calls exactly."""
+        shard_set = self._set
+        per_shard = [
+            s.query_batch(query_vectors, k=k, n_probe=n_probe)
+            for s in shard_set.shards
+        ]
+        out: list[list[tuple[int, float]]] = []
+        for qi in range(len(per_shard[0]) if per_shard else 0):
+            merged = [hit for res in per_shard for hit in res[qi]]
+            merged.sort(key=lambda t: (-t[1], t[0]))
+            out.append(merged[:k])
+        return out
