@@ -898,7 +898,12 @@ def main() -> None:
     # a 480 s budget's worst case past ~590 s wall including JVM
     # startup — the JSON line must ALWAYS land, so the default budget
     # drops to 420 s and the run-count cuts trigger earlier (50%/72%).
-    budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "480"))
+    # r10: 480 → 520. A throttled host (rows 1.5-2x slower) was landing
+    # 3 tail skips right at the old budget with wall ~490 s — ~100 s of
+    # headroom left to the ~590 s harness limit. The skip mechanism
+    # still bounds a pathologically slow host; the JSON line always
+    # lands either way.
+    budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "520"))
     t_start = time.time()
 
     timings: dict[str, float] = {}
@@ -958,7 +963,12 @@ def main() -> None:
             errors[name] = "not_registered"
             continue
         frac = (time.time() - t_start) / budget
-        n_runs = RUNS_PER_QUERY if frac < 0.4 else (2 if frac < 0.65 else 1)
+        # r10: degrade earlier (0.3/0.55, was 0.4/0.65) — a throttled
+        # host (rows 1.5-2x slower; see the r8/r9 adjudications) was
+        # still hitting budget_exhausted skips on the tail despite the
+        # sub-second trim below. Medians-of-fewer on late cheap rows
+        # beat recorded holes; the bands carry the noise story.
+        n_runs = RUNS_PER_QUERY if frac < 0.3 else (2 if frac < 0.55 else 1)
         if name in SINGLE_RUN:
             n_runs = 1
         if frac > 1.0:
