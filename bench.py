@@ -368,6 +368,8 @@ HEADLINE = [
     "knn_serving_parity",
     # wave 97 (r10) — PQ-code serving tier parity (ADC + rerank)
     "pq_serving_parity",
+    # wave 98 (r10) — k-anonymity / l-diversity governance audit
+    "k_anonymity_audit",
 ]
 
 # Integration rows whose cost is fixed overhead (streaming runs with

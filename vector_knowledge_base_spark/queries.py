@@ -15813,3 +15813,89 @@ def q_pq_serving_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rerank.withColumn(
         "adc_parity_queries", F.lit(n_match).cast("int")
     )
+
+
+# ---------------------------------------------------------------------------
+# Wave 98 (r10) — training-data governance: k-anonymity / l-diversity
+# audit of quasi-identifier equivalence classes. Before a corpus with
+# user-linked metadata ships to a training pipeline, the release
+# question is "how small is the smallest group someone could be
+# singled out in, and does any group leak its sensitive attribute
+# outright?" (Sweeney's k-anonymity; Machanavajjhala's l-diversity).
+# Both reduce to hash-aggregates over the quasi-identifier tuple —
+# one corpus scan each, mergeable at 100 TB — and compose with the
+# PII-redaction kernel (wave 17) as the governance family.
+# ---------------------------------------------------------------------------
+
+_K_ANON_ORACLE = """
+WITH classes AS (
+  SELECT c_nationkey, c_mktsegment, COUNT(*) AS class_size,
+         COUNT(DISTINCT CASE WHEN c_acctbal < 0 THEN 'neg'
+                             WHEN c_acctbal < 5000 THEN 'mid'
+                             ELSE 'high' END) AS l_div
+  FROM customer GROUP BY c_nationkey, c_mktsegment
+),
+gen AS (
+  SELECT c_nationkey, COUNT(*) AS class_size
+  FROM customer GROUP BY c_nationkey
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM classes) AS n_classes,
+       (SELECT CAST(MIN(class_size) AS BIGINT) FROM classes) AS min_class_size,
+       (SELECT CAST(COALESCE(SUM(CASE WHEN class_size < 10 THEN 1 ELSE 0 END), 0) AS BIGINT)
+          FROM classes) AS classes_below_k10,
+       (SELECT CAST(COALESCE(SUM(CASE WHEN class_size < 10 THEN class_size ELSE 0 END), 0) AS BIGINT)
+          FROM classes) AS rows_at_risk_k10,
+       (SELECT CAST(MIN(l_div) AS BIGINT) FROM classes) AS min_l_diversity,
+       (SELECT CAST(COALESCE(SUM(CASE WHEN l_div = 1 THEN 1 ELSE 0 END), 0) AS BIGINT)
+          FROM classes) AS classes_l1,
+       (SELECT CAST(MIN(class_size) AS BIGINT) FROM gen) AS min_class_size_generalized
+"""
+
+
+@query("k_anonymity_audit", oracle=_K_ANON_ORACLE)
+def q_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity / l-diversity release audit over the quasi-
+    identifier tuple (nation, market segment) with account-balance
+    band as the sensitive attribute: equivalence-class census
+    (smallest class = the re-identification bound), rows in classes
+    below k=10, the l-diversity floor (a class with ONE sensitive
+    value leaks it to anyone who can name the class), and the
+    remediation preview — the same census after generalizing the QI
+    by dropping the segment (the suppress-or-coarsen decision every
+    release pipeline makes).
+
+    100 TB shape: two hash-aggregates over the QI tuple (partial
+    aggregation map-side; no window, no join) plus a 1-row cross of
+    the summaries — the census is mergeable across partitions exactly
+    like the sketch family. Composes with pii_redaction (wave 17) as
+    the corpus-governance family."""
+    cust = _t(spark, sf_dir, "customer")
+    sens = (
+        F.when(F.col("c_acctbal") < 0, "neg")
+        .when(F.col("c_acctbal") < 5000, "mid")
+        .otherwise("high")
+    )
+    classes = cust.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("class_size"),
+        F.countDistinct(sens).alias("l_div"),
+    )
+    summary = classes.agg(
+        F.count(F.lit(1)).alias("n_classes"),
+        F.min("class_size").alias("min_class_size"),
+        F.sum((F.col("class_size") < 10).cast("bigint")).alias(
+            "classes_below_k10"
+        ),
+        F.sum(
+            F.when(F.col("class_size") < 10, F.col("class_size")).otherwise(
+                F.lit(0)
+            )
+        ).alias("rows_at_risk_k10"),
+        F.min("l_div").alias("min_l_diversity"),
+        F.sum((F.col("l_div") == 1).cast("bigint")).alias("classes_l1"),
+    )
+    gen = (
+        cust.groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("class_size"))
+        .agg(F.min("class_size").alias("min_class_size_generalized"))
+    )
+    return summary.crossJoin(gen)
