@@ -370,6 +370,10 @@ HEADLINE = [
     "pq_serving_parity",
     # wave 98 (r10) — k-anonymity / l-diversity governance audit
     "k_anonymity_audit",
+    # wave 99 (r10) — composed IVF-PQ serving tier parity
+    "ivfpq_inproc_serving_parity",
+    # wave 100 (r10) — bloom-filter file skipping for point lookups
+    "txlog_bloom_pruning",
 ]
 
 # Integration rows whose cost is fixed overhead (streaming runs with
@@ -400,6 +404,8 @@ SINGLE_RUN = {
     "txlog_column_mapping",
     "knn_serving_parity",
     "pq_serving_parity",
+    "ivfpq_inproc_serving_parity",
+    "txlog_bloom_pruning",
 }
 
 KNN_BATCH_N_QUERIES = 5  # matches the knn_batch query definition
@@ -723,6 +729,35 @@ def _serving_latency_anchor(spark, sf_dir, extra, errors) -> None:
                 statistics.median(rates), 1
             )
             extra[f"knn_batch_inproc{label}_qps_band"] = _band(rates)
+        # r10 wave 99: the composed IVF-PQ in-process tier
+        # (IvfPqKnnServer — m bytes/vector AND probed-fraction work;
+        # the 10⁹-vector shard shape). 1× corpus only: the build cost
+        # of a second index is real and the 10× scan economics are
+        # already proven by the float tier above; this anchor records
+        # the point-query latency of cell-pruned ADC.
+        from vector_knowledge_base_spark.operators.ann import build_ivfpq
+        from vector_knowledge_base_spark.operators.serving import (
+            IvfPqKnnServer,
+        )
+
+        pq_cents, pq_books, pq_index = build_ivfpq(
+            emb.select("vec_id", "embedding"), n_cells=8, m=8, ksub=16
+        )
+        pq_srv = IvfPqKnnServer(pq_cents, pq_books, pq_index)
+        pq_srv.query(batch_vecs[0], k=10, n_probe=4)  # warm
+        qlat = []
+        for _pass in range(2):
+            for r in qrows:
+                qv = [float(x) for x in r["embedding"]]
+                t0 = time.time()
+                pq_srv.query(qv, k=10, n_probe=4)
+                qlat.append(time.time() - t0)
+        extra["knn_single_ivfpq_inproc_ms"] = round(
+            1000 * statistics.median(qlat), 3
+        )
+        extra["knn_single_ivfpq_inproc_ms_band"] = _band(
+            [1000 * x for x in qlat]
+        )
         assigned.unpersist()
     except Exception as e:  # noqa: BLE001
         errors["knn_single_serving_anchor"] = (

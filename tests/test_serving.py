@@ -272,26 +272,110 @@ def test_refresh_swaps_one_immutable_snapshot(spark, tmp_path):
 def test_pq_server_txlog_refresh(spark, tmp_path):
     """PqKnnServer freshness (r9 VERDICT Missing #2): from_txlog pins
     the loaded version; refresh_if_stale is a no-op while the log is
-    unchanged, detects the advance, retrains + re-encodes with the
-    SAME build params, and the new corpus row becomes findable."""
+    unchanged, detects the advance, follows a pure append via the
+    DELTA path (r10 — encode ONLY the new rows against the existing
+    codebooks; the resident corpus is never re-read), and the new
+    corpus row becomes findable. A rewriting commit forces the full
+    retrain + re-encode path with the SAME build params."""
     from vector_knowledge_base_spark.operators.serving import PqKnnServer
+    from vector_knowledge_base_spark.sources.txlog import delete_where
 
     p = _mk_txlog(spark, tmp_path)
     srv = PqKnnServer.from_txlog(spark, p, m=8, ksub=16)
     assert srv.table_version == 0
     assert srv.refresh_if_stale(spark) is False
     old_n = srv.codes.shape[0]
+    old_codebooks = srv.codebooks
     qv = _append_far_vector(spark, p)
     pre = {i for i, _ in srv.query(qv, k=5)}
     assert 1_000_333 not in pre  # consistent OLD snapshot until refresh
     assert srv.refresh_if_stale(spark) is True
+    assert srv.last_refresh_mode == "delta"
     assert srv.table_version == 1
     assert srv.codes.shape[0] == old_n + 1
+    assert srv.codebooks is old_codebooks  # delta kept the trained books
     assert srv._build_params["m"] == 8 and srv._build_params["ksub"] == 16
     # ADC is approximate, but the appended vector is its own nearest
     # codeword reconstruction's best match here at full-list k
     got = srv.query(qv, k=5)
     assert got[0][0] == 1_000_333
+    # a rewriting commit → full retrain + re-encode, same params
+    delete_where(spark, p, F.col("vec_id") < 50)
+    assert srv.refresh_if_stale(spark) is True
+    assert srv.last_refresh_mode == "rebuild"
+    assert srv.table_version == 2
+    assert not {i for i, _ in srv.query(qv, k=100) if i < 50}
+
+
+def test_pq_delta_encode_matches_pq_encode(spark, tmp_path):
+    """The PQ delta path's driver-side encode must equal the
+    distributed ``pq_encode`` UDF's codes for the SAME vectors and
+    codebooks — the exactness pin that makes 'refresh ∝ churn' safe
+    on the code tier. Also: the bound refusal mid-delta leaves the
+    old snapshot serving."""
+    import numpy as np
+
+    from vector_knowledge_base_spark.operators.ann import pq_encode
+    from vector_knowledge_base_spark.operators.serving import PqKnnServer
+
+    p = _mk_txlog(spark, tmp_path)
+    srv = PqKnnServer.from_txlog(spark, p, m=8, ksub=16)
+    _append_far_vector(spark, p)
+    assert srv.refresh_if_stale(spark) is True
+    assert srv.last_refresh_mode == "delta"
+    idx = int(np.flatnonzero(srv.ids == 1_000_333)[0])
+    got_codes = srv.codes[idx].tolist()
+    delta_df = (
+        load_table(spark, SF, "embeddings")
+        .where(F.col("vec_id") == 333)
+        .select((F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding")
+    )
+    want_codes = pq_encode(srv.codebooks, delta_df).first()["codes"]
+    assert got_codes == list(want_codes)
+    # bound refusal: a delta that would overflow refuses loudly and
+    # the old snapshot keeps serving (version unmoved)
+    bounded = PqKnnServer.from_txlog(
+        spark, p, m=8, ksub=16, max_vectors=srv.codes.shape[0]
+    )
+    _append_far_vector(spark, p)
+    with pytest.raises(RuntimeError, match="max_vectors"):
+        bounded.refresh_if_stale(spark)
+    assert bounded.table_version == 1  # still the pre-append pin
+
+
+def test_sharded_delta_refresh_routes_by_same_hash(spark, tmp_path):
+    """Sharded delta refresh (r10): a pure append extends every shard
+    with its OWN slice — routed by the same Spark
+    pmod(xxhash64(id), n_shards) rule the original split used — and
+    swaps ONE complete set: all shards land on the new version
+    together, the old set stays intact for in-flight fan-outs, and
+    both the answers AND the per-shard id placement equal a full
+    from-scratch rebuild's."""
+    from vector_knowledge_base_spark.operators.serving import (
+        ShardedKnnServer,
+    )
+
+    p = _mk_txlog(spark, tmp_path)
+    front = ShardedKnnServer.from_txlog(spark, p, n_shards=3, n_partitions=4)
+    old_set = front._set
+    qv = _append_far_vector(spark, p)
+    assert front.refresh_if_stale(spark) is True
+    assert front.last_refresh_mode == "delta"
+    assert front.table_version == 1
+    assert {s.table_version for s in front.shards} == {1}
+    # old generation untouched, coherent for an in-flight fan-out
+    assert front._set is not old_set
+    assert {s.table_version for s in old_set.shards} == {0}
+    assert sum(s.ids.shape[0] for s in old_set.shards) + 1 == sum(
+        s.ids.shape[0] for s in front.shards
+    )
+    # answers and shard placement equal a full rebuild at the same pin
+    fresh = ShardedKnnServer.from_txlog(spark, p, n_shards=3, n_partitions=4)
+    assert front.query(qv, k=10, n_probe=None) == fresh.query(
+        qv, k=10, n_probe=None
+    )
+    for grown, rebuilt in zip(front.shards, fresh.shards):
+        assert set(grown.ids.tolist()) == set(rebuilt.ids.tolist())
 
 
 def test_sharded_refuses_mixed_versions(spark, tmp_path):
@@ -567,3 +651,157 @@ def test_cell_balance_flags_delta_drift(spark, tmp_path):
     # (~2.5x here); the point is the DELTA-driven growth on top of it
     assert after["imbalance"] > 1.5 * before["imbalance"]
     assert after["max_cell_fraction"] > 120 / 280 - 1e-9
+
+
+# -- r10 wave 99: the composed IVF-PQ serving tier ---------------------------
+
+
+def test_ivfpq_server_matches_spark_adc(spark, emb):
+    """IvfPqKnnServer must reproduce the Spark IVF-PQ ADC plan
+    (operators/ann._ivfpq_adc_shortlist, the scorer under ivfpq_topk
+    and opq_ivfpq_topk) — same probe rule, same residual
+    decomposition dot(q, centroid) + sum(lut lookups), same rounding
+    and (-score, id) ties — at probed AND full coverage; codes live as
+    m uint8s/vector grouped contiguously by cell."""
+    import numpy as np
+
+    from vector_knowledge_base_spark.operators.ann import (
+        _ivfpq_adc_shortlist,
+        build_ivfpq,
+    )
+    from vector_knowledge_base_spark.operators.serving import IvfPqKnnServer
+
+    centroids, codebooks, index = build_ivfpq(emb, n_cells=8, m=8, ksub=16)
+    srv = IvfPqKnnServer(centroids, codebooks, index)
+    assert srv.codes.dtype == np.uint8  # ksub=16 fits a byte
+    n = emb.count()
+    assert srv.ids.shape[0] == n and srv.offsets[-1] == n
+    qs = emb.where(F.col("vec_id") < 6).select("vec_id", "embedding").collect()
+    for r in qs:
+        qv = [float(x) for x in r["embedding"]]
+        for n_probe in (2, None):
+            rows = _ivfpq_adc_shortlist(
+                centroids, codebooks, index, qv,
+                n_probe=(n_probe or 8), shortlist=n, id_col="vec_id",
+            ).collect()
+            want = sorted(
+                ((row["vec_id"], float(np.round(row["adc"], 6))) for row in rows),
+                key=lambda t: (-t[1], t[0]),
+            )[:10]
+            got = srv.query(qv, k=10, n_probe=n_probe)
+            assert got == want
+    with pytest.raises(RuntimeError, match="max_vectors"):
+        IvfPqKnnServer(centroids, codebooks, index, max_vectors=10)
+
+
+def test_ivfpq_query_batch_matches_single_query_loop(spark, emb):
+    """The vectorized IVF-PQ batch path (one lut product + one
+    fancy-index pass per subspace over the union of probed cells) must
+    answer exactly like the single-query loop, probed and full,
+    including duplicate and empty batches."""
+    from vector_knowledge_base_spark.operators.ann import build_ivfpq
+    from vector_knowledge_base_spark.operators.serving import IvfPqKnnServer
+
+    centroids, codebooks, index = build_ivfpq(emb, n_cells=8, m=8, ksub=16)
+    srv = IvfPqKnnServer(centroids, codebooks, index)
+    qs = emb.where(F.col("vec_id") < 10).select("embedding").collect()
+    vecs = [[float(x) for x in r["embedding"]] for r in qs]
+    vecs.append(vecs[0])  # duplicate query must not confuse the union
+    for n_probe in (2, 4, None):
+        batch = srv.query_batch(vecs, k=10, n_probe=n_probe)
+        loop = [srv.query(v, k=10, n_probe=n_probe) for v in vecs]
+        assert batch == loop
+    assert srv.query_batch([], k=10) == []
+
+
+def test_ivfpq_txlog_delta_refresh_and_rebuild(spark, tmp_path):
+    """IVF-PQ freshness: from_txlog pins the version; a pure append
+    follows the DELTA path — cell by nearest EXISTING centroid,
+    residual encoded against the EXISTING codebooks, and the stored
+    delta codes must equal the distributed pq_encode UDF's output for
+    the same residual (the exactness pin). A rewriting commit forces
+    the full build_ivfpq rebuild. cell_balance reports on the grown
+    layout."""
+    import numpy as np
+
+    from vector_knowledge_base_spark.operators.ann import pq_encode
+    from vector_knowledge_base_spark.operators.serving import IvfPqKnnServer
+    from vector_knowledge_base_spark.sources.txlog import delete_where
+
+    p = _mk_txlog(spark, tmp_path)
+    srv = IvfPqKnnServer.from_txlog(spark, p, n_cells=4, m=8, ksub=16)
+    assert srv.table_version == 0
+    assert srv.refresh_if_stale(spark) is False
+    old_books = srv.codebooks
+    qv = _append_far_vector(spark, p)
+    pre = {i for i, _ in srv.query(qv, k=5, n_probe=None)}
+    assert 1_000_333 not in pre  # consistent OLD snapshot until refresh
+    assert srv.refresh_if_stale(spark) is True
+    assert srv.last_refresh_mode == "delta"
+    assert srv.table_version == 1
+    assert srv.codebooks is old_books  # no retrain on the delta path
+    got = srv.query(qv, k=5, n_probe=None)
+    assert got[0][0] == 1_000_333  # the vector finds itself via ADC
+    # delta codes == pq_encode of the residual against the same books
+    idx = int(np.flatnonzero(srv.ids == 1_000_333)[0])
+    cell = next(
+        c
+        for c in range(len(srv.offsets) - 1)
+        if srv.offsets[c] <= idx < srv.offsets[c + 1]
+    )
+    delta_resid = (
+        load_table(spark, SF, "embeddings")
+        .where(F.col("vec_id") == 333)
+        .select(
+            (F.col("vec_id") + 1_000_000).alias("vec_id"),
+            F.expr(
+                "zip_with(embedding, {}, (a, b) -> a - b)".format(
+                    "array({})".format(
+                        ",".join(
+                            repr(float(x)) for x in srv.centroids[cell]
+                        )
+                    )
+                )
+            ).alias("residual"),
+        )
+    )
+    want_codes = pq_encode(
+        srv.codebooks, delta_resid, vec_col="residual"
+    ).first()["codes"]
+    assert srv.codes[idx].tolist() == list(want_codes)
+    bal = srv.cell_balance()
+    assert bal["n_vectors"] == srv.ids.shape[0] and bal["n_cells"] == 4
+    # rewriting commit → full rebuild (retrained quantizers)
+    delete_where(spark, p, F.col("vec_id") < 50)
+    assert srv.refresh_if_stale(spark) is True
+    assert srv.last_refresh_mode == "rebuild"
+    assert srv.table_version == 2
+    assert not {i for i, _ in srv.query(qv, k=200, n_probe=None) if i < 50}
+
+
+def test_ivfpq_shortlist_rerank_equals_exact_knn(spark, emb):
+    """The production two-stage shape on the composed tier: a served
+    ADC shortlist (full probe) re-scored exactly in Spark must equal
+    plain exact kNN — the same contract pq_serving_parity pins for
+    the flat-code tier, here with residual-quantized codes (finer at
+    the same byte budget)."""
+    from vector_knowledge_base_spark.operators.ann import build_ivfpq
+    from vector_knowledge_base_spark.operators.knn import cosine_topk
+    from vector_knowledge_base_spark.operators.serving import IvfPqKnnServer
+
+    centroids, codebooks, index = build_ivfpq(emb, n_cells=8, m=8, ksub=16)
+    srv = IvfPqKnnServer(centroids, codebooks, index)
+    r = emb.where(F.col("vec_id") == 4).select("embedding").first()
+    qv = [float(x) for x in r["embedding"]]
+    shortlist = [i for i, _ in srv.query(qv, k=300, n_probe=None)]
+    rerank = [
+        (row["vec_id"], row["score"])
+        for row in cosine_topk(
+            emb.where(F.col("vec_id").isin(shortlist)), qv, k=10
+        ).collect()
+    ]
+    exact = [
+        (row["vec_id"], row["score"])
+        for row in cosine_topk(emb, qv, k=10).collect()
+    ]
+    assert rerank == exact

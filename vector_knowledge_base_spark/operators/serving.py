@@ -32,9 +32,11 @@ attributes let an in-flight query mix generations).
 SHARD, not the table. float32 vectors cost 4·dim bytes/vector (64-dim
 → 256 MB per million); beyond RAM you move to PQ codes (~16 B/vector,
 see ``operators/ann.build_pq`` — 1B vectors ≈ 16 GB/shard:
-``PqKnnServer``) and/or shard the corpus across servers, fan the
-query out, and merge top-k (``ShardedKnnServer``) — the standard ANN
-serving topology. All three tiers are version-pinned to the txlog;
+``PqKnnServer``, or cell-pruned on top of the codes:
+``IvfPqKnnServer``, the FAISS IndexIVFPQ shape) and/or shard the
+corpus across servers, fan the query out, and merge top-k
+(``ShardedKnnServer``) — the standard ANN
+serving topology. All four tiers are version-pinned to the txlog;
 the sharded front refreshes ALL shards to one pinned version and
 swaps the whole shard set atomically, so a cross-shard answer is
 never a torn mix of table versions. ``max_vectors`` enforces the
@@ -115,6 +117,58 @@ class _Snapshot:
         self.mat = mat
         self.offsets = offsets
         self.version = version
+
+
+def _extend_float_snapshot(
+    snap: _Snapshot, new_ids: list, new_vecs: list, new_version: int,
+    max_vectors: int,
+) -> _Snapshot:
+    """Pure delta-merge step shared by the single-shard and sharded
+    delta paths: assign each new row to its nearest EXISTING centroid
+    (the same squared-L2 rule build_ivf's KMeans transform uses) and
+    merge per cell into a NEW snapshot — the input snapshot is never
+    touched, so a caller that raises mid-refresh (the bound check) or
+    extends many shards before swapping any leaves every old
+    generation serving consistently."""
+    import numpy as np
+
+    total = snap.ids.shape[0] + len(new_ids)
+    if total > max_vectors:
+        raise RuntimeError(
+            f"KnnServer: delta refresh would grow the shard to "
+            f"{total} vectors > max_vectors={max_vectors}. "
+            "The in-memory serving tier holds a BOUNDED shard: "
+            "raise the bound only with the RAM to back it, or "
+            "serve PQ codes / shard the corpus."
+        )
+    if not new_ids:  # metadata-only appends — just advance the pin
+        return _Snapshot(
+            snap.centroids, snap.ids, snap.mat, snap.offsets, new_version
+        )
+    newmat = np.asarray(new_vecs, dtype=np.float64)
+    d = ((snap.centroids[None, :, :] - newmat[:, None, :]) ** 2).sum(axis=2)
+    cells = d.argmin(axis=1)
+    new_ids_arr = np.asarray(new_ids)
+    k_cells = snap.centroids.shape[0]
+    ids_parts, mat_parts, offsets, off = [], [], [0], 0
+    for c in range(k_cells):
+        a, b = snap.offsets[c], snap.offsets[c + 1]
+        sel = np.flatnonzero(cells == c)
+        if b > a:
+            ids_parts.append(snap.ids[a:b])
+            mat_parts.append(snap.mat[a:b])
+        if sel.shape[0]:
+            ids_parts.append(new_ids_arr[sel])
+            mat_parts.append(newmat[sel])
+        off += (b - a) + sel.shape[0]
+        offsets.append(off)
+    return _Snapshot(
+        centroids=snap.centroids,
+        ids=np.concatenate(ids_parts) if ids_parts else snap.ids[:0],
+        mat=np.concatenate(mat_parts) if mat_parts else snap.mat[:0],
+        offsets=offsets,
+        version=new_version,
+    )
 
 
 class KnnServer:
@@ -313,11 +367,8 @@ class KnnServer:
         ``max_vectors`` bound holds across growth — a delta refresh
         that would overflow refuses exactly like the constructor,
         leaving the old snapshot serving."""
-        import numpy as np
-
         from vector_knowledge_base_spark.sources.txlog import _read_files
 
-        snap = self._snap
         new_ids: list = []
         new_vecs: list = []
         for m, added in batches:
@@ -329,47 +380,25 @@ class KnnServer:
             for r in rows:
                 new_ids.append(r[self.id_col])
                 new_vecs.append(r[self.vec_col])
-        total = snap.ids.shape[0] + len(new_ids)
-        if total > self.max_vectors:
-            raise RuntimeError(
-                f"KnnServer: delta refresh would grow the shard to "
-                f"{total} vectors > max_vectors={self.max_vectors}. "
-                "The in-memory serving tier holds a BOUNDED shard: "
-                "raise the bound only with the RAM to back it, or "
-                "serve PQ codes / shard the corpus."
-            )
+        self._snap = _extend_float_snapshot(
+            self._snap, new_ids, new_vecs, new_version, self.max_vectors
+        )
         self.last_refresh_mode = "delta"
-        if not new_ids:  # metadata-only appends — just advance the pin
-            self._snap = _Snapshot(
-                snap.centroids, snap.ids, snap.mat, snap.offsets, new_version
-            )
-            return
-        newmat = np.asarray(new_vecs, dtype=np.float64)
-        d = ((snap.centroids[None, :, :] - newmat[:, None, :]) ** 2).sum(
-            axis=2
+
+    def _with_extended_snapshot(
+        self, new_ids: list, new_vecs: list, new_version: int
+    ) -> "KnnServer":
+        """A NEW server shell (shallow copy) holding the delta-extended
+        snapshot; ``self`` keeps serving the old generation untouched —
+        the building block the sharded delta path extends every shard
+        with BEFORE swapping the whole set."""
+        import copy
+
+        shell = copy.copy(self)
+        shell._snap = _extend_float_snapshot(
+            self._snap, new_ids, new_vecs, new_version, self.max_vectors
         )
-        cells = d.argmin(axis=1)
-        new_ids_arr = np.asarray(new_ids)
-        k_cells = snap.centroids.shape[0]
-        ids_parts, mat_parts, offsets, off = [], [], [0], 0
-        for c in range(k_cells):
-            a, b = snap.offsets[c], snap.offsets[c + 1]
-            sel = np.flatnonzero(cells == c)
-            if b > a:
-                ids_parts.append(snap.ids[a:b])
-                mat_parts.append(snap.mat[a:b])
-            if sel.shape[0]:
-                ids_parts.append(new_ids_arr[sel])
-                mat_parts.append(newmat[sel])
-            off += (b - a) + sel.shape[0]
-            offsets.append(off)
-        self._snap = _Snapshot(
-            centroids=snap.centroids,
-            ids=np.concatenate(ids_parts) if ids_parts else snap.ids[:0],
-            mat=np.concatenate(mat_parts) if mat_parts else snap.mat[:0],
-            offsets=offsets,
-            version=new_version,
-        )
+        return shell
 
     def cell_balance(self) -> dict:
         """Cell-occupancy report for RETRAIN scheduling: delta
@@ -564,6 +593,7 @@ class PqKnnServer:
         self.max_vectors = max_vectors
         self.table_path = _table_path
         self._build_params = dict(_build_params or {})
+        self.last_refresh_mode: str | None = None
 
         n = codes.count()
         if n > max_vectors:
@@ -647,10 +677,23 @@ class PqKnnServer:
         )
 
     def refresh_if_stale(self, spark: SparkSession) -> bool:
-        """Rebuild (retrain + re-encode, same build params) when the
-        backing table advanced. One immutable-snapshot swap — a query
-        in flight scores old codes against old codebooks or new against
-        new, never old codes against retrained codebooks."""
+        """Reload when the backing table advanced; afterwards
+        ``last_refresh_mode`` says how ("delta" or "rebuild").
+
+        Refresh cost ∝ churn, same economics as the float tier (r10):
+        when every new version is a pure append, ONLY the added files
+        are read and their vectors are encoded against the EXISTING
+        codebooks — the same fixed-codebook regime ``pq_encode`` (and
+        FAISS's add-after-train) defines; no retrain, no re-encode of
+        the resident corpus. Any rewriting commit falls back to a full
+        retrain + re-encode. Codebook drift under long append streams
+        is the PQ twin of the float tier's centroid drift: quantization
+        error grows as the corpus outgrows the training sample, and a
+        periodic full rebuild re-centers it (``cell_balance`` has no PQ
+        analog — watch recall via the shortlist-rerank audit instead).
+        Either path swaps ONE immutable snapshot — a query in flight
+        scores old codes against old codebooks or new against new,
+        never old codes against retrained codebooks."""
         from vector_knowledge_base_spark.sources.txlog import _list_versions
 
         if self.table_path is None:
@@ -662,6 +705,15 @@ class PqKnnServer:
         loaded = self.table_version if self.table_version is not None else -1
         if latest <= loaded:
             return False
+        batches = (
+            append_only_batches(self.table_path, loaded, latest)
+            if loaded >= 0
+            else None
+        )
+        if batches is not None:
+            self.apply_append_batches(spark, batches, latest)
+            self.last_refresh_mode = "delta"
+            return True
         fresh = PqKnnServer.from_txlog(
             spark,
             self.table_path,
@@ -670,7 +722,66 @@ class PqKnnServer:
             **self._build_params,
         )
         self._snap = fresh._snap
+        self.last_refresh_mode = "rebuild"
         return True
+
+    def apply_append_batches(
+        self, spark: SparkSession, batches, new_version: int
+    ) -> None:
+        """Extend the code shard with append-only commit deltas: read
+        ONLY the added files (fresh files carry no deletion vectors by
+        construction), encode each new vector against the EXISTING
+        codebooks with the exact per-subspace argmin ``pq_encode``
+        runs (pinned equal by tests), and append to a NEW snapshot.
+        The ``max_vectors`` bound refuses an overflow exactly like the
+        constructor, leaving the old snapshot serving."""
+        import numpy as np
+
+        from vector_knowledge_base_spark.sources.txlog import _read_files
+
+        snap = self._snap
+        vec_col = self._build_params.get("vec_col", "embedding")
+        new_ids: list = []
+        new_vecs: list = []
+        for m, added in batches:
+            for r in (
+                _read_files(spark, m, added)
+                .select(self.id_col, vec_col)
+                .collect()
+            ):
+                new_ids.append(r[self.id_col])
+                new_vecs.append(r[vec_col])
+        total = snap.ids.shape[0] + len(new_ids)
+        if total > self.max_vectors:
+            raise RuntimeError(
+                f"PqKnnServer: delta refresh would grow the shard to "
+                f"{total} vectors > max_vectors={self.max_vectors}; "
+                "shard the corpus and merge top-k across servers"
+            )
+        self.last_refresh_mode = "delta"
+        if not new_ids:  # metadata-only appends — just advance the pin
+            self._snap = _PqSnapshot(
+                snap.codebooks, snap.ids, snap.codes, new_version
+            )
+            return
+        cb = snap.codebooks
+        m_sub, ksub, dsub = cb.shape
+        mat = np.asarray(new_vecs, dtype=np.float64)
+        new_codes = np.empty((len(mat), m_sub), dtype=snap.codes.dtype)
+        for j in range(m_sub):
+            sub = mat[:, j * dsub : (j + 1) * dsub]
+            d2 = ((sub[:, None, :] - cb[j][None, :, :]) ** 2).sum(axis=2)
+            new_codes[:, j] = d2.argmin(axis=1)
+        self._snap = _PqSnapshot(
+            codebooks=cb,
+            ids=np.concatenate([snap.ids, np.asarray(new_ids)])
+            if snap.ids.shape[0]
+            else np.asarray(new_ids),
+            codes=np.concatenate([snap.codes, new_codes])
+            if snap.codes.shape[0]
+            else new_codes,
+            version=new_version,
+        )
 
     def query(
         self, query_vector: Sequence[float], k: int = 10
@@ -713,6 +824,429 @@ class PqKnnServer:
             scores += luts[:, j, :][:, snap.codes[:, j]].T
         scores = np.round(scores, ROUND_DIGITS)
         return [_topk(snap.ids, scores[:, qi], k) for qi in range(len(qs))]
+
+
+class _IvfPqSnapshot:
+    """One immutable generation of the IVF-PQ serving arrays: codes
+    grouped contiguously by coarse cell (offsets index the groups),
+    residual codebooks shared across cells."""
+
+    __slots__ = ("centroids", "codebooks", "ids", "codes", "offsets",
+                 "version")
+
+    def __init__(self, centroids, codebooks, ids, codes, offsets, version):
+        self.centroids = centroids
+        self.codebooks = codebooks
+        self.ids = ids
+        self.codes = codes
+        self.offsets = offsets
+        self.version = version
+
+
+class IvfPqKnnServer:
+    """Probed ADC serving over an IVF-PQ index — the composition the
+    two single-axis tiers point at, and the actual 10⁹-vector shard
+    shape (FAISS IndexIVFPQ served in-process): ``KnnServer`` prunes
+    cells but holds raw floats (4·dim B/vector); ``PqKnnServer`` holds
+    m-byte codes but ADC-scans the WHOLE shard per query. This tier
+    does both — m bytes/vector AND per-query work ∝ probed fraction —
+    so one host serves a billion-vector shard at point-query latency.
+
+    Scoring reproduces ``operators/ann._ivfpq_adc_shortlist`` (the
+    plan under ``ivfpq_topk``/``opq_ivfpq_topk``): codes encode the
+    RESIDUAL x − centroid[cell], and the inner-product ADC decomposes
+    exactly as dot(q, x) ≈ dot(q, centroid[cell]) + Σⱼ lut[j][codeⱼ]
+    — one per-query (m × ksub) table shared by every probed cell plus
+    a per-cell bias, no vector math in the hot loop. Like the Spark
+    plan, the served answer is a SHORTLIST (ADC is lossy): serve
+    k ≫ final k and let a rerank stage finish — in-process against
+    the float tier, or Spark's exact path (the driver row
+    ``ivfpq_inproc_serving_parity`` hash-pins that full pipeline
+    against plain exact kNN).
+
+    Same freshness contract as the other tiers: ``from_txlog`` pins
+    the loaded table version; ``refresh_if_stale`` extends append-only
+    deltas in place (assign cell by nearest existing centroid, encode
+    the residual against the existing codebooks — the exact math
+    ``build_ivfpq``'s encode UDF runs) and falls back to a full
+    retrain on any rewriting commit; every path swaps ONE immutable
+    snapshot."""
+
+    def __init__(
+        self,
+        centroids,
+        codebooks,
+        index: DataFrame,
+        id_col: str = "vec_id",
+        max_vectors: int = 200_000_000,
+        _table_version: int | None = None,
+        _table_path: str | None = None,
+        _build_params: dict | None = None,
+    ):
+        import numpy as np
+
+        self.id_col = id_col
+        self.max_vectors = max_vectors
+        self.table_path = _table_path
+        self._build_params = dict(_build_params or {})
+        self.last_refresh_mode: str | None = None
+
+        n = index.count()
+        if n > max_vectors:
+            raise RuntimeError(
+                f"IvfPqKnnServer: corpus has {n} vectors > max_vectors="
+                f"{max_vectors}; shard the corpus and merge top-k "
+                "across servers"
+            )
+        cents = np.asarray(centroids, dtype=np.float64)
+        cb = np.asarray(codebooks, dtype=np.float64)
+        m, ksub, _dsub = cb.shape
+        dtype = np.uint8 if ksub <= 256 else np.int32
+        k_cells = cents.shape[0]
+        by_cell: list[list] = [[] for _ in range(k_cells)]
+        for r in index.select(id_col, "ivf_cell", "codes").collect():
+            by_cell[r["ivf_cell"]].append((r[id_col], r["codes"]))
+        ids, codes, offsets, off = [], [], [0], 0
+        for cell_rows in by_cell:
+            for i, c in cell_rows:
+                ids.append(i)
+                codes.append(c)
+            off += len(cell_rows)
+            offsets.append(off)
+        self._snap = _IvfPqSnapshot(
+            centroids=cents,
+            codebooks=cb,
+            ids=np.asarray(ids),
+            codes=(
+                np.asarray(codes, dtype=dtype)
+                if codes
+                else np.zeros((0, m), dtype=dtype)
+            ),
+            offsets=offsets,
+            version=_table_version,
+        )
+
+    @property
+    def centroids(self):
+        return self._snap.centroids
+
+    @property
+    def codebooks(self):
+        return self._snap.codebooks
+
+    @property
+    def ids(self):
+        return self._snap.ids
+
+    @property
+    def codes(self):
+        return self._snap.codes
+
+    @property
+    def offsets(self):
+        return self._snap.offsets
+
+    @property
+    def table_version(self):
+        return self._snap.version
+
+    @classmethod
+    def from_txlog(
+        cls,
+        spark: SparkSession,
+        table_path: str,
+        n_cells: int = 8,
+        m: int = 8,
+        ksub: int = 16,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        max_vectors: int = 200_000_000,
+        seed: int = 42,
+    ) -> "IvfPqKnnServer":
+        """Build the composed index from the CURRENT version of a
+        txlog table (``operators/ann.build_ivfpq`` — distributed MLlib
+        KMeans coarse quantizer, in-plan residuals, Arrow-batched PQ
+        encode) and pin the loaded version."""
+        from vector_knowledge_base_spark.operators.ann import build_ivfpq
+        from vector_knowledge_base_spark.sources.txlog import (
+            _list_versions,
+            read_table,
+        )
+
+        v = _list_versions(table_path)[-1]
+        emb = read_table(spark, table_path, v)
+        centroids, codebooks, index = build_ivfpq(
+            emb, n_cells=n_cells, m=m, ksub=ksub, id_col=id_col,
+            vec_col=vec_col, seed=seed,
+        )
+        return cls(
+            centroids,
+            codebooks,
+            index,
+            id_col=id_col,
+            max_vectors=max_vectors,
+            _table_version=v,
+            _table_path=table_path,
+            _build_params={
+                "n_cells": n_cells, "m": m, "ksub": ksub,
+                "vec_col": vec_col, "seed": seed,
+            },
+        )
+
+    def refresh_if_stale(self, spark: SparkSession) -> bool:
+        """Reload when the backing table advanced; ``last_refresh_mode``
+        reports "delta" (append-only versions — only the added files
+        read, cell by nearest EXISTING centroid, residual encoded
+        against the EXISTING codebooks; no retrain, no resident-corpus
+        re-encode) or "rebuild" (any rewriting commit — full
+        ``build_ivfpq``). Quantizer drift under long append streams is
+        watched by ``cell_balance`` exactly as on the float tier. One
+        immutable-snapshot swap either way."""
+        from vector_knowledge_base_spark.sources.txlog import _list_versions
+
+        if self.table_path is None:
+            raise RuntimeError(
+                "IvfPqKnnServer: not built from a txlog table — nothing "
+                "to track (use from_txlog)"
+            )
+        latest = _list_versions(self.table_path)[-1]
+        loaded = self.table_version if self.table_version is not None else -1
+        if latest <= loaded:
+            return False
+        batches = (
+            append_only_batches(self.table_path, loaded, latest)
+            if loaded >= 0
+            else None
+        )
+        if batches is not None:
+            self.apply_append_batches(spark, batches, latest)
+            self.last_refresh_mode = "delta"
+            return True
+        fresh = IvfPqKnnServer.from_txlog(
+            spark,
+            self.table_path,
+            id_col=self.id_col,
+            max_vectors=self.max_vectors,
+            **self._build_params,
+        )
+        self._snap = fresh._snap
+        self.last_refresh_mode = "rebuild"
+        return True
+
+    def apply_append_batches(
+        self, spark: SparkSession, batches, new_version: int
+    ) -> None:
+        """Extend the shard with append-only commit deltas: read ONLY
+        the added files, assign each new vector to its nearest existing
+        centroid (squared-L2, the KMeans transform rule), PQ-encode its
+        RESIDUAL against the existing codebooks (the exact argmin
+        ``build_ivfpq``'s encode UDF runs — pinned equal by tests), and
+        merge per cell into a NEW snapshot. Bound refusal leaves the
+        old snapshot serving."""
+        import numpy as np
+
+        from vector_knowledge_base_spark.sources.txlog import _read_files
+
+        snap = self._snap
+        vec_col = self._build_params.get("vec_col", "embedding")
+        new_ids: list = []
+        new_vecs: list = []
+        for m, added in batches:
+            for r in (
+                _read_files(spark, m, added)
+                .select(self.id_col, vec_col)
+                .collect()
+            ):
+                new_ids.append(r[self.id_col])
+                new_vecs.append(r[vec_col])
+        total = snap.ids.shape[0] + len(new_ids)
+        if total > self.max_vectors:
+            raise RuntimeError(
+                f"IvfPqKnnServer: delta refresh would grow the shard to "
+                f"{total} vectors > max_vectors={self.max_vectors}; "
+                "shard the corpus and merge top-k across servers"
+            )
+        self.last_refresh_mode = "delta"
+        if not new_ids:  # metadata-only appends — just advance the pin
+            self._snap = _IvfPqSnapshot(
+                snap.centroids, snap.codebooks, snap.ids, snap.codes,
+                snap.offsets, new_version,
+            )
+            return
+        cb = snap.codebooks
+        m_sub, ksub, dsub = cb.shape
+        mat = np.asarray(new_vecs, dtype=np.float64)
+        d = ((snap.centroids[None, :, :] - mat[:, None, :]) ** 2).sum(axis=2)
+        cells = d.argmin(axis=1)
+        resid = mat - snap.centroids[cells]
+        new_codes = np.empty((len(mat), m_sub), dtype=snap.codes.dtype)
+        for j in range(m_sub):
+            sub = resid[:, j * dsub : (j + 1) * dsub]
+            d2 = ((sub[:, None, :] - cb[j][None, :, :]) ** 2).sum(axis=2)
+            new_codes[:, j] = d2.argmin(axis=1)
+        new_ids_arr = np.asarray(new_ids)
+        k_cells = snap.centroids.shape[0]
+        ids_parts, code_parts, offsets, off = [], [], [0], 0
+        for c in range(k_cells):
+            a, b = snap.offsets[c], snap.offsets[c + 1]
+            sel = np.flatnonzero(cells == c)
+            if b > a:
+                ids_parts.append(snap.ids[a:b])
+                code_parts.append(snap.codes[a:b])
+            if sel.shape[0]:
+                ids_parts.append(new_ids_arr[sel])
+                code_parts.append(new_codes[sel])
+            off += (b - a) + sel.shape[0]
+            offsets.append(off)
+        self._snap = _IvfPqSnapshot(
+            centroids=snap.centroids,
+            codebooks=cb,
+            ids=np.concatenate(ids_parts) if ids_parts else snap.ids[:0],
+            codes=np.concatenate(code_parts) if code_parts else snap.codes[:0],
+            offsets=offsets,
+            version=new_version,
+        )
+
+    def cell_balance(self) -> dict:
+        """Cell-occupancy retrain signal — same report and thresholds
+        as ``KnnServer.cell_balance`` (delta refreshes keep the coarse
+        quantizer fixed; drift decays probed recall)."""
+        import numpy as np
+
+        snap = self._snap
+        sizes = np.diff(np.asarray(snap.offsets))
+        n = int(snap.ids.shape[0])
+        k = int(snap.centroids.shape[0])
+        return {
+            "n_cells": k,
+            "n_vectors": n,
+            "max_cell_fraction": round(float(sizes.max()) / n, 6) if n else 0.0,
+            "empty_cells": int((sizes == 0).sum()),
+            "imbalance": round(float(sizes.max()) / (n / k), 3) if n else 0.0,
+        }
+
+    # -- serving -----------------------------------------------------------
+
+    @staticmethod
+    def _probe_cells(snap: _IvfPqSnapshot, q, n_probe):
+        """Probe rule shared with the Spark plan
+        (``_ivfpq_adc_shortlist``): the n_probe nearest centroids by
+        squared L2, every cell when n_probe covers them all."""
+        import numpy as np
+
+        k_cells = snap.centroids.shape[0]
+        if n_probe is None or n_probe >= k_cells:
+            return list(range(k_cells))
+        d = ((snap.centroids - q) ** 2).sum(axis=1)
+        return sorted(int(c) for c in np.argsort(d)[:n_probe])
+
+    def query(
+        self,
+        query_vector: Sequence[float],
+        k: int = 10,
+        n_probe: int | None = 4,
+    ) -> list[tuple[int, float]]:
+        """ADC top-k over the probed cells: score = per-cell bias
+        dot(q, centroid) + Σⱼ lut[j][codeⱼ] (the residual
+        decomposition), rounded to 6 digits, (-score, id) ties — the
+        same contract every serving tier shares."""
+        import numpy as np
+
+        snap = self._snap  # one reference — never torn by a refresh
+        q = np.asarray(list(query_vector), dtype=np.float64)
+        m, ksub, dsub = snap.codebooks.shape
+        probe = self._probe_cells(snap, q, n_probe)
+        spans = [
+            (snap.offsets[c], snap.offsets[c + 1], c)
+            for c in probe
+            if snap.offsets[c + 1] > snap.offsets[c]
+        ]
+        if not spans:
+            return []
+        lut = (snap.codebooks * q.reshape(m, 1, dsub)).sum(axis=2)
+        bias = snap.centroids @ q
+        codes = np.concatenate([snap.codes[a:b] for a, b, _ in spans])
+        ids = np.concatenate([snap.ids[a:b] for a, b, _ in spans])
+        cell_bias = np.concatenate(
+            [np.full(b - a, bias[c]) for a, b, c in spans]
+        )
+        s = np.zeros(codes.shape[0], dtype=np.float64)
+        for j in range(m):
+            s += lut[j][codes[:, j]]
+        return _topk(ids, np.round(cell_bias + s, ROUND_DIGITS), k)
+
+    def query_batch(
+        self,
+        query_vectors: Sequence[Sequence[float]],
+        k: int = 10,
+        n_probe: int | None = 4,
+    ) -> list[list[tuple[int, float]]]:
+        """Vectorized multi-query ADC over the UNION of all queries'
+        probed cells: one lut product for the whole batch, the code
+        matrix fancy-indexed once per subspace, per-query top-k over
+        ITS OWN probe subset — answers equal the single-query path
+        exactly (same probe rule, rounding, tie-break; pinned by
+        tests)."""
+        import numpy as np
+
+        snap = self._snap
+        qs = [np.asarray(list(q), dtype=np.float64) for q in query_vectors]
+        if not qs:
+            return []
+        Q = np.stack(qs)  # (nq, dim)
+        m, ksub, dsub = snap.codebooks.shape
+        per_query_cells = [self._probe_cells(snap, q, n_probe) for q in qs]
+        union = sorted(
+            {
+                c
+                for cells in per_query_cells
+                for c in cells
+                if snap.offsets[c + 1] > snap.offsets[c]
+            }
+        )
+        if not union:
+            return [[] for _ in qs]
+        # map each cell to its span inside the union matrix
+        col_of, off = {}, 0
+        for c in union:
+            n_c = snap.offsets[c + 1] - snap.offsets[c]
+            col_of[c] = (off, off + n_c)
+            off += n_c
+        codes = np.concatenate(
+            [snap.codes[snap.offsets[c] : snap.offsets[c + 1]] for c in union]
+        )
+        ids = np.concatenate(
+            [snap.ids[snap.offsets[c] : snap.offsets[c + 1]] for c in union]
+        )
+        cells_of_rows = np.concatenate(
+            [
+                np.full(snap.offsets[c + 1] - snap.offsets[c], c, dtype=np.int64)
+                for c in union
+            ]
+        )
+        # luts[q, j, c] = dot(Q[q] subspace j, codebook[j][c])
+        luts = (
+            snap.codebooks[None, :, :, :] * Q.reshape(len(qs), m, 1, dsub)
+        ).sum(axis=3)
+        s = np.zeros((codes.shape[0], len(qs)), dtype=np.float64)
+        for j in range(m):
+            s += luts[:, j, :][:, codes[:, j]].T
+        bias = snap.centroids @ Q.T  # (k_cells, nq)
+        scores = np.round(bias[cells_of_rows, :] + s, ROUND_DIGITS)
+        out: list[list[tuple[int, float]]] = []
+        for qi in range(len(qs)):
+            spans = [
+                col_of[c]
+                for c in per_query_cells[qi]
+                if snap.offsets[c + 1] > snap.offsets[c]
+            ]
+            sel = (
+                np.concatenate([np.arange(a, b) for a, b in spans])
+                if spans
+                else np.arange(0)
+            )
+            out.append(_topk(ids[sel], scores[sel, qi], k))
+        return out
 
 
 class _ShardSet:
@@ -769,6 +1303,7 @@ class ShardedKnnServer:
         paths = {s.table_path for s in shards}
         self.table_path = paths.pop() if len(paths) == 1 else None
         self._build_params: dict = {}
+        self.last_refresh_mode: str | None = None
         self._set = _ShardSet(shards, versions.pop())
 
     @property
@@ -858,12 +1393,22 @@ class ShardedKnnServer:
         return srv
 
     def refresh_if_stale(self, spark: SparkSession) -> bool:
-        """Rebuild the WHOLE shard set against one pinned latest
-        version, then swap the set as a single reference. Queries
-        during the rebuild keep fanning out over the old complete set;
-        after the swap they fan out over the new complete set — old or
-        new, never torn across versions (the per-shard-refresh design
-        this replaces could serve shard 0 at v2 and shard 1 at v1)."""
+        """Refresh the WHOLE shard set to one pinned latest version,
+        then swap the set as a single reference. Queries during the
+        refresh keep fanning out over the old complete set; after the
+        swap they fan out over the new complete set — old or new,
+        never torn across versions (the per-shard-refresh design this
+        replaces could serve shard 0 at v2 and shard 1 at v1).
+
+        Refresh cost ∝ churn (r10): pure-append version runs read ONLY
+        the added files, route each new row to its owning shard with
+        the SAME Spark ``pmod(xxhash64(id), n_shards)`` rule
+        ``from_dataframe`` splits by (so delta growth and a full
+        rebuild place every id identically), and extend every shard's
+        snapshot on a COPIED shell before the single set swap — if any
+        shard's bound refuses, no shard swaps. Rewriting commits fall
+        back to the full rebuild. ``last_refresh_mode`` says which
+        path ran."""
         from vector_knowledge_base_spark.sources.txlog import _list_versions
 
         if self.table_path is None or not self._build_params:
@@ -875,11 +1420,66 @@ class ShardedKnnServer:
         loaded = self.table_version if self.table_version is not None else -1
         if latest <= loaded:
             return False
+        batches = (
+            append_only_batches(self.table_path, loaded, latest)
+            if loaded >= 0
+            else None
+        )
+        if batches is not None:
+            self.apply_append_batches(spark, batches, latest)
+            self.last_refresh_mode = "delta"
+            return True
         fresh = ShardedKnnServer.from_txlog(
             spark, self.table_path, **self._build_params
         )
         self._set = fresh._set
+        self.last_refresh_mode = "rebuild"
         return True
+
+    def apply_append_batches(
+        self, spark: SparkSession, batches, new_version: int
+    ) -> None:
+        """Extend every shard with its slice of append-only commit
+        deltas, then swap ONE complete ``_ShardSet``: the added files
+        are read once with the shard route computed IN SPARK by the
+        exact ``pmod(xxhash64(id), n_shards)`` expression the original
+        split used (a reimplemented hash would strand rows in the
+        wrong shard), every shard's extended snapshot is built on a
+        copied shell BEFORE any swap (a bound refusal on shard 3
+        leaves shards 0-2 untouched and the old set serving), and the
+        atomic set swap preserves the all-shards-one-version
+        invariant through delta growth."""
+        from pyspark.sql import functions as F
+
+        from vector_knowledge_base_spark.sources.txlog import _read_files
+
+        old = self._set
+        n_shards = len(old.shards)
+        id_col = self._build_params.get("id_col", "vec_id")
+        vec_col = self._build_params.get("vec_col", "embedding")
+        per_shard: list[tuple[list, list]] = [([], []) for _ in range(n_shards)]
+        for m, added in batches:
+            rows = (
+                _read_files(spark, m, added)
+                .select(
+                    F.col(id_col),
+                    F.col(vec_col),
+                    F.pmod(
+                        F.xxhash64(F.col(id_col)), F.lit(n_shards)
+                    ).alias("_shard"),
+                )
+                .collect()
+            )
+            for r in rows:
+                ids, vecs = per_shard[r["_shard"]]
+                ids.append(r[id_col])
+                vecs.append(r[vec_col])
+        new_shards = [
+            shard._with_extended_snapshot(ids, vecs, new_version)
+            for shard, (ids, vecs) in zip(old.shards, per_shard)
+        ]
+        self._set = _ShardSet(new_shards, new_version)
+        self.last_refresh_mode = "delta"
 
     def query(
         self,

@@ -15899,3 +15899,215 @@ def q_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("class_size").alias("min_class_size_generalized"))
     )
     return summary.crossJoin(gen)
+
+
+# ---------------------------------------------------------------------------
+# Wave 99 (r10) — the composed IVF-PQ serving tier under the driver
+# hash: cell-pruned ADC over residual-quantized codes
+# (operators/serving.IvfPqKnnServer — the FAISS IndexIVFPQ shape, the
+# tier that serves a billion-vector shard at m bytes/vector AND
+# per-query work ∝ probed fraction). Same two-part pin as
+# pq_serving_parity: in-process probed answers equal the Spark IVF-PQ
+# ADC plan's for six queries, and the served-shortlist → Spark-exact-
+# rerank pipeline hash-equals plain exact kNN against the raw-vector
+# SQL oracle.
+# ---------------------------------------------------------------------------
+
+_IVFPQ_SERVING_ORACLE = """
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+SELECT vec_id,
+       ROUND(list_dot_product(embedding::DOUBLE[], qv), 6) AS score,
+       6 AS adc_parity_queries
+FROM embeddings, q
+ORDER BY score DESC, vec_id
+LIMIT 10
+"""
+
+
+@query("ivfpq_inproc_serving_parity", oracle=_IVFPQ_SERVING_ORACLE)
+def q_ivfpq_inproc_serving_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed IVF-PQ serving tier under the driver hash
+    (operators/serving.py IvfPqKnnServer; reference parity:
+    backend/main.py:185-230's in-process serving regime at the scale
+    where raw floats don't fit AND a full-shard ADC scan per query is
+    too slow — the gap between KnnServer and PqKnnServer).
+
+    Spark builds the composed index (operators/ann.build_ivfpq —
+    distributed MLlib KMeans coarse quantizer, in-plan residuals,
+    Arrow-batched PQ encode); the server collects (cell, codes) only,
+    grouped contiguously by cell. Hash-checked claims: (1) the served
+    PROBED answers (n_probe=4 of 8 cells) equal the Spark IVF-PQ ADC
+    plan's (_ivfpq_adc_shortlist under ivfpq_topk) for 6 independent
+    query vectors — same probe rule, same residual decomposition
+    dot(q, centroid) + Σ lut lookups, same rounding/tie contract
+    (adc_parity_queries = 6; a probe, bias, lookup-table, or
+    tie-break regression flips it); (2) the served full-probe
+    shortlist → Spark-exact-rerank pipeline reproduces exact kNN
+    value-for-value against the raw-vector SQL oracle.
+
+    100 TB shape: m bytes/vector (10⁹ ≈ 16 GB/shard) and a query
+    touches ONLY its probed cells' contiguous code rows; the rerank
+    reads raw vectors for the shortlist only (broadcast semi-join).
+    Version-pinned to the txlog with append-only DELTA refresh
+    (residuals encoded against existing centroids+codebooks — pinned
+    by tests/test_serving.py)."""
+    import numpy as np
+
+    from vector_knowledge_base_spark.operators.ann import (
+        _ivfpq_adc_shortlist,
+        build_ivfpq,
+    )
+    from vector_knowledge_base_spark.operators.knn import cosine_topk
+    from vector_knowledge_base_spark.operators.serving import IvfPqKnnServer
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    centroids, codebooks, index = build_ivfpq(emb, n_cells=8, m=8, ksub=16)
+    srv = IvfPqKnnServer(centroids, codebooks, index)
+
+    # (1) in-process probed ADC ≡ the Spark ADC plan, six queries
+    qrows = (
+        emb.where(F.col("vec_id") < 6)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    n_match = 0
+    for r in qrows:
+        qv = [float(x) for x in r["embedding"]]
+        rows = _ivfpq_adc_shortlist(
+            centroids, codebooks, index, qv,
+            n_probe=4, shortlist=1500, id_col="vec_id",
+        ).collect()
+        want = sorted(
+            ((row["vec_id"], float(np.round(row["adc"], 6))) for row in rows),
+            key=lambda t: (-t[1], t[0]),
+        )[:10]
+        if srv.query(qv, k=10, n_probe=4) == want:
+            n_match += 1
+
+    # (2) served full-probe shortlist → exact rerank ≡ exact kNN
+    qv0 = [
+        float(x)
+        for x in emb.where(F.col("vec_id") == 0).first()["embedding"]
+    ]
+    shortlist = [i for i, _ in srv.query(qv0, k=2000, n_probe=None)]
+    rerank = cosine_topk(
+        emb.where(F.col("vec_id").isin(shortlist)), qv0, k=10
+    )
+    return rerank.withColumn(
+        "adc_parity_queries", F.lit(n_match).cast("int")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Wave 100 (r10) — bloom-filter file skipping: the txlog's answer to
+# POINT LOOKUPS on high-cardinality columns (the Delta Lake / Iceberg
+# bloom-index idea). Footer min/max stats prune ranges but cannot
+# prune a point lookup when values interleave across files — the
+# normal state of an id column under hash-partitioned writes, where
+# every file's [min,max] spans the whole key range. A write-time
+# per-file bloom sidecar gives the reader a definite "value absent"
+# per file; the row pins that the bloom is what prunes (stats alone
+# keep every file), that pruned reads stay value-exact, and that an
+# absent key prunes the whole scan.
+# ---------------------------------------------------------------------------
+
+_TXLOG_BLOOM_ORACLE = """
+WITH b AS (
+  SELECT CAST(FLOOR((MIN(o_orderkey) + MAX(o_orderkey)) / 2.0) AS BIGINT)
+           AS mid
+  FROM orders
+),
+k AS (SELECT MIN(o_orderkey) AS kk FROM orders, b WHERE o_orderkey >= mid)
+SELECT CAST(COUNT(*) AS BIGINT) AS k_rows,
+       ROUND(SUM(o_totalprice), 2) AS k_totalprice,
+       TRUE AS point_pruned,
+       TRUE AS stats_alone_cannot,
+       CAST(0 AS BIGINT) AS absent_rows,
+       TRUE AS absent_pruned
+FROM orders, k
+WHERE o_orderkey = kk
+"""
+
+
+@query("txlog_bloom_pruning", oracle=_TXLOG_BLOOM_ORACLE)
+def q_txlog_bloom_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter file skipping (r10 wave 100, sources/txlog.py
+    create_table(bloom_filter_columns=...) — the public Delta/Iceberg
+    bloom-index idea; reference parity: the point-lookup regime of
+    backend/filesystem_db.py's id reads, here made file-prunable):
+    orders lands as a txlog table with its keys INTERLEAVED across 4
+    files (round-robin repartition — every file's [min,max] spans the
+    whole key range, the layout stats cannot prune), bloom-indexed on
+    o_orderkey. Hash-checked claims: ``stats_alone_cannot`` — with the
+    bloom flags stripped, min/max pruning keeps EVERY file;
+    ``point_pruned`` — with blooms, the MIN(o_orderkey) lookup opens
+    strictly fewer files (typically exactly the owning one); the
+    looked-up row itself is value-hashed against the oracle's
+    recomputation (no false negative possible — pinned across a key
+    sample in tests/test_txlog_bloom.py); an absent key reads 0 rows
+    (``absent_rows``) from a strictly-pruned file set
+    (``absent_pruned``).
+
+    100 TB shape: the build is one column-pruned distributed pass over
+    ONLY freshly-written files — md5 split into two 60-bit halves and
+    k=7 double-hashed positions ALL in JVM codegen (conv/substring/
+    explode), the bit array aggregated as 64-bit words via
+    shiftleft+BIT_OR (a mergeable hash-agg, the sketch family's cost
+    class; ~1.25 MB of sidecar per 1M-row file). Probing is pure
+    driver-side metadata — a point lookup on a million-file table
+    opens the manifest and ~1 data file, never the other 999,999."""
+    import copy
+    import re
+    import shutil
+
+    from vector_knowledge_base_spark.sources.txlog import (
+        _prune_files,
+        _read_manifest,
+        create_table,
+        read_table,
+    )
+
+    tag = re.sub(r"[^A-Za-z0-9.]", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1])
+    root = f"/tmp/vkb_txbloom_{_session_tag(spark)}_{tag}"
+    tbl = f"{root}/orders"
+    shutil.rmtree(root, ignore_errors=True)
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    create_table(
+        spark,
+        tbl,
+        orders.repartition(4),
+        bloom_filter_columns=["o_orderkey"],
+    )
+    m = _read_manifest(tbl, 0)
+    total = len(m["files"])
+    bounds = orders.agg(
+        F.min("o_orderkey").alias("lo"), F.max("o_orderkey").alias("hi")
+    ).first()
+    # an INTERIOR key (first key ≥ the range midpoint): the global min
+    # would sit on the stats boundary, where min/max pruning CAN skip
+    # the other files — the interior is where only the bloom helps
+    mid = int((int(bounds["lo"]) + int(bounds["hi"])) // 2)
+    kmin = int(
+        orders.where(F.col("o_orderkey") >= mid)
+        .agg(F.min("o_orderkey"))
+        .first()[0]
+    )
+    absent = int(bounds["hi"]) + 999_983
+    # stats-only pruning (bloom flags stripped) keeps every file
+    stripped = copy.deepcopy(m)
+    for st in stripped["stats"].values():
+        st.pop("bloom", None)
+    stats_alone_cannot = len(_prune_files(tbl, stripped, {"o_orderkey": kmin})) == total
+    point_pruned = len(_prune_files(tbl, m, {"o_orderkey": kmin})) < total
+    absent_pruned = len(_prune_files(tbl, m, {"o_orderkey": absent})) < total
+    absent_rows = read_table(spark, tbl, filters={"o_orderkey": absent}).count()
+    return read_table(spark, tbl, filters={"o_orderkey": kmin}).agg(
+        F.count(F.lit(1)).alias("k_rows"),
+        F.round(F.sum("o_totalprice"), 2).alias("k_totalprice"),
+        F.lit(bool(point_pruned)).alias("point_pruned"),
+        F.lit(bool(stats_alone_cannot)).alias("stats_alone_cannot"),
+        F.lit(int(absent_rows)).cast("long").alias("absent_rows"),
+        F.lit(bool(absent_pruned)).alias("absent_pruned"),
+    )

@@ -82,7 +82,9 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import time
 import uuid
+from functools import lru_cache
 from typing import Any, Mapping
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -425,6 +427,7 @@ def _commit(path: str, manifest: dict) -> int:
         or "constraints" not in manifest
         or "dv" not in manifest
         or "colmap" not in manifest
+        or "bloom_cols" not in manifest
     ):
         try:
             parent_m = _read_manifest(path, manifest["parent"])
@@ -435,10 +438,15 @@ def _commit(path: str, manifest: dict) -> int:
         # column mapping is a table property like partition_by: carried
         # by every commit, changed only by rename/drop/add paths
         manifest.setdefault("colmap", parent_m.get("colmap"))
+        # bloom-indexed columns are a create-time property too
+        manifest.setdefault("bloom_cols", parent_m.get("bloom_cols"))
         # deletion vectors carry by default (append/metadata commits);
         # every op that REWRITES files sets "dv" explicitly (cleared or
         # kept-files-only) — inheriting would resurrect deleted rows
         manifest.setdefault("dv", parent_m.get("dv"))
+    # commit wall-time (epoch seconds) — the key TIMESTAMP AS OF time
+    # travel resolves against; recorded once, never rewritten
+    manifest.setdefault("ts", time.time())
     manifest = _delta_encode(path, manifest)
     final = _manifest_file(path, version)
     tmp = os.path.join(_log_path(path), f".{uuid.uuid4().hex}.tmp")
@@ -636,6 +644,270 @@ def _file_stats(path: str, files: list[str]) -> dict:
         if pvals:  # partitioned batch: record the EXACT per-file values
             out[_rel(path, f)]["pvals"] = pvals
     return out
+
+
+# -- bloom-filter file skipping (wave 100, r10) ------------------------------
+#
+# min/max footer stats cannot prune a POINT LOOKUP on a high-cardinality
+# column whose values interleave across files (every file's [min,max]
+# spans the whole id range — the normal state of an id column under
+# hash-partitioned writes). Delta Lake and Iceberg answer with per-file
+# bloom filter indexes; this is that idea on the txlog: a write-time
+# per-file bloom sidecar (`<file>.bloom.json`, immutable beside its data
+# file, vacuumed with its batch dir) that `_prune_files` probes for
+# eq/IN filters — a definite "value absent" skips the file, a maybe
+# keeps it (false positives only cost a read; never a wrong answer).
+#
+# The BUILD is one column-pruned distributed pass over ONLY the freshly
+# written files, zero UDF: md5 → two 60-bit halves (JVM codegen
+# conv/substring), k=7 double-hashed positions exploded in-plan, and the
+# bit array aggregated as 64-bit words via shiftleft + BIT_OR — a
+# mergeable hash-agg, the same cost class as the sketch family. Probing
+# is pure driver-side Python (hashlib.md5 reproduces the JVM hash
+# because both sides hash the CAST-to-string form).
+
+_BLOOM_K = 7  # ~1% fpp at 10 bits/key
+_BLOOM_BITS_PER_KEY = 10
+
+
+def _bloom_hash_pair(s: str) -> tuple[int, int]:
+    """The (h1, h2) double-hash base from md5 hex — MUST mirror the
+    JVM build expressions: conv(substring(md5, 1, 15), 16, 10) and
+    conv(substring(md5, 17, 15), 16, 10) | 1."""
+    import hashlib
+
+    d = hashlib.md5(s.encode("utf-8")).hexdigest()
+    return int(d[0:15], 16), int(d[16:31], 16) | 1
+
+
+def _bloom_value_str(v) -> str | None:
+    """Canonical string form of a filter value — must equal what Spark's
+    CAST(col AS STRING) wrote at build time. ints and strings round-trip
+    exactly; bools/floats/dates differ between Java and Python string
+    forms, so the probe ABSTAINS on them (stats still apply)."""
+    if v is None or isinstance(v, bool):
+        return None
+    if isinstance(v, int):
+        return str(v)
+    if isinstance(v, str):
+        return v
+    return None
+
+
+def _attach_blooms(
+    spark: SparkSession, path: str, files: list[str], stats: dict,
+    bloom_cols: list[str],
+) -> None:
+    """Build per-file bloom sidecars for ``bloom_cols`` over the given
+    freshly-written files and flag each file's stats entry with the
+    indexed columns. One distributed job per column: read ONLY these
+    files, project ONLY the column, hash/explode/aggregate 64-bit words
+    JVM-side (codegen; no UDF), collect words (≤ rows·10/64 per file —
+    a 1M-row file's bloom is ~1.25 MB) and write one immutable sidecar
+    per data file."""
+    import base64
+
+    import numpy as np
+
+    per_file: dict[str, dict] = {}
+    m_bits: dict[str, int] = {}
+    # key = last TWO path segments: a partitioned write reuses the SAME
+    # part-file basename under every _pt_ dir (one task uuid), so the
+    # basename alone would merge different files' blooms; dir+name is
+    # unique (task uuids differ across writes, partition dirs within one)
+    keys: dict[str, str] = {}
+    for f in files:
+        e = _rel(path, f)
+        st = stats.get(e) or {}
+        rows = int(st.get("rows") or 0)
+        present = [c for c in bloom_cols if c in (st.get("cols") or [])]
+        if not present or rows == 0:
+            continue
+        m_bits[f] = max(64, ((rows * _BLOOM_BITS_PER_KEY + 63) // 64) * 64)
+        keys["/".join(f.split(os.sep)[-2:])] = f
+        per_file[f] = {}
+    if not per_file:
+        return
+    meta = spark.createDataFrame(
+        [("/".join(f.split(os.sep)[-2:]), m_bits[f]) for f in per_file],
+        "_key string, _m long",
+    )
+    for c in bloom_cols:
+        need = [f for f in per_file if c in _col_list(stats, path, f)]
+        if not need:
+            continue
+        parts = F.split(F.col("_metadata.file_path"), "/")
+        src = (
+            spark.read.parquet(*need)
+            .select(
+                F.concat_ws(
+                    "/", F.element_at(parts, -2), F.element_at(parts, -1)
+                ).alias("_key"),
+                F.col(c).cast("string").alias("_v"),
+            )
+            .where(F.col("_v").isNotNull())
+            .join(F.broadcast(meta), "_key")
+        )
+        h = F.md5(F.col("_v"))
+        h1 = F.conv(F.substring(h, 1, 15), 16, 10).cast("long")
+        h2 = F.conv(F.substring(h, 17, 15), 16, 10).cast("long").bitwiseOR(
+            F.lit(1)
+        )
+        pos = F.explode(
+            F.array(
+                *[(h1 + F.lit(i) * h2) % F.col("_m") for i in range(_BLOOM_K)]
+            )
+        ).alias("_pos")
+        words = (
+            src.select("_key", pos)
+            .groupBy("_key", F.expr("_pos DIV 64").alias("_w"))
+            .agg(
+                F.expr(
+                    "bit_or(shiftleft(1L, CAST(_pos % 64 AS INT)))"
+                ).alias("_bits")
+            )
+            .collect()
+        )
+        arrays = {
+            f: np.zeros(m_bits[f] // 64, dtype="<u8") for f in need
+        }
+        for r in words:
+            f = keys[r["_key"]]
+            arrays[f][int(r["_w"])] = np.uint64(
+                r["_bits"] & 0xFFFFFFFFFFFFFFFF
+            )
+        for f in need:
+            per_file[f][c] = {
+                "m": m_bits[f],
+                "k": _BLOOM_K,
+                "b64": base64.b64encode(arrays[f].tobytes()).decode("ascii"),
+            }
+    for f, blooms in per_file.items():
+        if not blooms:
+            continue
+        side = f + ".bloom.json"
+        tmp = side + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(blooms, fh)
+        os.replace(tmp, side)
+        stats[_rel(path, f)]["bloom"] = sorted(blooms)
+
+
+def _col_list(stats: dict, path: str, f: str) -> list[str]:
+    return (stats.get(_rel(path, f)) or {}).get("cols") or []
+
+
+@lru_cache(maxsize=8192)
+def _load_bloom_sidecar(side_path: str):
+    """Parsed sidecar (or None) — cached: batch files are immutable, so
+    a sidecar never changes once written (and vacuum removes the whole
+    batch dir, after which the path is never asked for again)."""
+    try:
+        with open(side_path) as fh:
+            return json.load(fh)
+    except (OSError, ValueError):
+        return None
+
+
+def _bloom_maybe_contains(info: dict, s: str) -> bool:
+    import base64
+
+    h1, h2 = _bloom_hash_pair(s)
+    m = info["m"]
+    bits = base64.b64decode(info["b64"])
+    for i in range(info["k"]):
+        p = (h1 + i * h2) % m
+        if not (bits[p // 8] >> (p % 8)) & 1:
+            return False
+    return True
+
+
+def add_bloom_index(
+    spark: SparkSession, path: str, columns: list[str]
+) -> int:
+    """Retrofit bloom indexing onto an EXISTING table: build sidecars
+    for every current file (one column-pruned distributed pass — same
+    build as write time) and commit the property + per-file flags as a
+    new version. ZERO data files move — the advantage of sidecar-based
+    indexing over formats that re-encode the index into the files (a
+    Delta bloom index only covers files written after it's declared;
+    this covers the whole table at declaration). Columns are LOGICAL
+    names; under column mapping the sidecar keys follow the immutable
+    physical names, so later renames keep pruning. Appends after this
+    commit build sidecars automatically (the property carries)."""
+    if not columns:
+        raise ValueError("add_bloom_index: no columns given")
+    for _ in range(_MAX_COMMIT_RETRIES):
+        versions = _list_versions(path)
+        if not versions:
+            raise RuntimeError(f"txlog: no table at {path}")
+        latest = versions[-1]
+        m = _read_manifest(path, latest)
+        logged = m.get("schema") or {}
+        names = {f["name"] for f in logged.get("fields", [])}
+        missing = [c for c in columns if names and c not in names]
+        if missing:
+            raise ValueError(
+                f"txlog: add_bloom_index columns {missing} not in the "
+                f"table schema {sorted(names)}"
+            )
+        colmap = m.get("colmap") or {}
+        phys = [colmap.get(c, c) for c in columns]
+        import copy as _copy
+
+        stats = _copy.deepcopy(m.get("stats") or {})
+        cols = sorted(set(m.get("bloom_cols") or []) | set(phys))
+        _attach_blooms(spark, path, _manifest_files(path, m), stats, cols)
+        try:
+            return _commit(
+                path,
+                {
+                    "version": latest + 1,
+                    "op": "add_bloom",
+                    "files": m["files"],
+                    "stats": stats,
+                    "parent": latest,
+                    "schema": m.get("schema"),
+                    "bloom_cols": cols,
+                },
+            )
+        except TxConflict:
+            continue
+    raise TxConflict(
+        f"txlog: add_bloom_index on {path} lost {_MAX_COMMIT_RETRIES} CAS races"
+    )
+
+
+def _bloom_can_skip(path: str, stats_e: dict | None, entry: str,
+                    filters: Mapping[str, Any]) -> bool:
+    """True iff some eq/IN filter's EVERY candidate value is provably
+    absent from this file's bloom for that column. Range filters and
+    non-canonicalizable values abstain; a missing/unreadable sidecar
+    abstains (pruning must never invent rows, only skip proven-empty
+    files)."""
+    if not stats_e:
+        return False
+    bcols = stats_e.get("bloom")
+    if not bcols:
+        return False
+    side = None
+    for key, value in filters.items():
+        if key not in bcols or isinstance(value, Mapping):
+            continue
+        cand = (
+            list(value) if isinstance(value, (list, tuple, set)) else [value]
+        )
+        strs = [_bloom_value_str(v) for v in cand]
+        if not strs or any(s is None for s in strs):
+            continue
+        if side is None:
+            side = _load_bloom_sidecar(_resolve(path, entry) + ".bloom.json")
+        info = (side or {}).get(key)
+        if not info:
+            continue
+        if all(not _bloom_maybe_contains(info, s) for s in strs):
+            return True
+    return False
 
 
 def _physical_struct(logged: dict, colmap: dict):
@@ -844,7 +1116,8 @@ def _prune_files(
     return [
         _resolve(path, e)
         for e in m["files"]
-        if e not in stats or not _file_can_skip(stats[e], filters, ptypes)
+        if (e not in stats or not _file_can_skip(stats[e], filters, ptypes))
+        and not _bloom_can_skip(path, stats.get(e), e, filters)
     ]
 
 
@@ -915,6 +1188,7 @@ def create_table(
     df: DataFrame,
     batch_id: int | None = None,
     partition_by: list[str] | None = None,
+    bloom_filter_columns: list[str] | None = None,
 ) -> int:
     """Create version 0 from ``df``. Fails if the table exists (a lost
     CAS race against another creator surfaces as the same error).
@@ -926,7 +1200,16 @@ def create_table(
     definitionally, and ``overwrite_partitions`` gains dynamic
     partition overwrite. Partition columns stay present in the data
     files, so every read path (time travel, CDC, streaming source) is
-    unchanged."""
+    unchanged.
+
+    ``bloom_filter_columns`` (r10, the Delta/Iceberg bloom-index idea)
+    makes eq/IN POINT LOOKUPS on the named high-cardinality columns
+    file-prunable where min/max stats cannot help (interleaved values
+    span every file's range): each bulk write (create/append/compact)
+    also builds a per-file bloom sidecar the reader probes before
+    opening the file. A create-time property carried by every commit;
+    DML rewrite files simply lack sidecars until the next compaction
+    (pruning degrades to stats-only on them, never wrong)."""
     if _list_versions(path):
         raise RuntimeError(f"txlog: table already exists at {path}")
     if partition_by:
@@ -936,7 +1219,17 @@ def create_table(
                 f"txlog: partition_by columns {missing} not in the "
                 f"dataframe columns {df.columns}"
             )
+    if bloom_filter_columns:
+        missing = [c for c in bloom_filter_columns if c not in df.columns]
+        if missing:
+            raise ValueError(
+                f"txlog: bloom_filter_columns {missing} not in the "
+                f"dataframe columns {df.columns}"
+            )
     files = _write_batch(df, path, partition_by)
+    stats = _file_stats(path, files)
+    if bloom_filter_columns:
+        _attach_blooms(spark, path, files, stats, list(bloom_filter_columns))
     try:
         return _commit(
             path,
@@ -944,11 +1237,14 @@ def create_table(
                 "version": 0,
                 "op": "create",
                 "files": [_rel(path, f) for f in files],
-                "stats": _file_stats(path, files),
+                "stats": stats,
                 "parent": None,
                 "batch_id": batch_id,
                 "schema": df.schema.jsonValue(),
                 "partition_by": list(partition_by) if partition_by else None,
+                "bloom_cols": (
+                    list(bloom_filter_columns) if bloom_filter_columns else None
+                ),
             },
         )
     except TxConflict:
@@ -989,6 +1285,7 @@ def append_table(
     just rebases onto the winner's file list and retries (data files
     are written once; only the manifest is recommitted)."""
     new_files: list[str] | None = None
+    new_stats: dict = {}
     validated_constraints: dict | None = None
     written_colmap: dict | None = None
     for _ in range(_MAX_COMMIT_RETRIES):
@@ -1074,6 +1371,11 @@ def append_table(
         if new_files is None:
             new_files = _write_batch(df, path, m.get("partition_by"), cm)
             written_colmap = cm
+            new_stats = _file_stats(path, new_files)
+            if m.get("bloom_cols"):
+                _attach_blooms(
+                    spark, path, new_files, new_stats, m["bloom_cols"]
+                )
         try:
             return _commit(
                 path,
@@ -1083,7 +1385,7 @@ def append_table(
                     "files": m["files"] + [_rel(path, f) for f in new_files],
                     "stats": {
                         **(m.get("stats") or {}),
-                        **_file_stats(path, new_files),
+                        **new_stats,
                     },
                     "parent": latest,
                     "batch_id": batch_id,
@@ -1663,6 +1965,12 @@ def compact_files(
         else:
             df = df.coalesce(target_files)
         new_files = _write_batch(df, path, m.get("partition_by"), m.get("colmap"))
+        new_stats = _file_stats(path, new_files)
+        if m.get("bloom_cols"):
+            # compaction REBUILDS the bloom sidecars: the rewrite is the
+            # point where DML-produced files (which skip bloom build)
+            # regain point-lookup prunability
+            _attach_blooms(spark, path, new_files, new_stats, m["bloom_cols"])
         try:
             return _commit(
                 path,
@@ -1671,7 +1979,7 @@ def compact_files(
                     "op": "compact",
                     "dv": {},  # deletions materialized by the rewrite
                     "files": [_rel(path, f) for f in new_files],
-                    "stats": _file_stats(path, new_files),
+                    "stats": new_stats,
                     "parent": latest,
                     "schema": m.get("schema"),
                 },
@@ -2087,18 +2395,26 @@ def read_table(
     path: str,
     version: int | None = None,
     filters: Mapping[str, Any] | None = None,
+    timestamp: float | None = None,
 ) -> DataFrame:
     """Read the table at ``version`` (default: latest). Time travel is
-    free: every version's manifest lists immutable files.
+    free: every version's manifest lists immutable files. ``timestamp``
+    (epoch seconds — the TIMESTAMP AS OF form) resolves to the latest
+    version committed at or before that moment; mutually exclusive
+    with ``version``.
 
     ``filters`` (optional, the declarative DSL: scalar eq / list IN /
     {'gte','lte'} range per column) SKIPS stats-disjoint files before
     Spark ever sees them — manifest-level file pruning on top of
     parquet row-group pruning — and applies the same predicate to the
     surviving rows, so the result equals read-everything-then-filter."""
+    if version is not None and timestamp is not None:
+        raise ValueError("read_table: pass version OR timestamp, not both")
     versions = _list_versions(path)
     if not versions:
         raise RuntimeError(f"txlog: no table at {path}")
+    if timestamp is not None:
+        version = version_at_timestamp(path, timestamp)
     v = versions[-1] if version is None else version
     if v not in versions:
         raise RuntimeError(f"txlog: version {v} not in {versions}")
@@ -2504,20 +2820,47 @@ def delete_where(
 
 
 def table_versions(spark: SparkSession, path: str) -> DataFrame:
-    """(version, op, n_files, parent) — the table history, from the log
-    alone (no data files opened)."""
+    """(version, op, n_files, parent, ts) — the table history, from the
+    log alone (no data files opened). ``ts`` is the commit wall-time in
+    epoch seconds (NULL for manifests written before it was recorded)."""
     rows = [
         (
             m["version"],
             m["op"],
             len(m["files"]),
             m["parent"],
+            float(m["ts"]) if m.get("ts") is not None else None,
         )
         for m in (_read_manifest(path, v) for v in _list_versions(path))
     ]
     return spark.createDataFrame(
-        rows, "version int, op string, n_files int, parent int"
+        rows, "version int, op string, n_files int, parent int, ts double"
     )
+
+
+def version_at_timestamp(path: str, ts: float) -> int:
+    """The TIMESTAMP AS OF resolver (the Delta/Iceberg contract): the
+    LATEST version whose commit time is ≤ ``ts`` — the table state a
+    reader at that wall-clock moment observed. Raises if ``ts``
+    predates the table (there was no table to read then). Versions
+    commit with monotone wall-times under the CAS (a later version
+    stamps at-or-after its parent on one host's clock); manifests
+    predating the ``ts`` field sort as version order."""
+    versions = _list_versions(path)
+    if not versions:
+        raise RuntimeError(f"txlog: no table at {path}")
+    best = None
+    for v in versions:
+        m_ts = _read_manifest(path, v).get("ts")
+        if m_ts is None or float(m_ts) <= float(ts):
+            best = v
+        else:
+            break
+    if best is None:
+        raise RuntimeError(
+            f"txlog: timestamp {ts} predates the first commit of {path}"
+        )
+    return best
 
 
 def table_diff(
