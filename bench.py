@@ -374,6 +374,8 @@ HEADLINE = [
     "ivfpq_inproc_serving_parity",
     # wave 100 (r10) — bloom-filter file skipping for point lookups
     "txlog_bloom_pruning",
+    # wave 102 (r10) — CUSUM change-point on the hourly event rate
+    "events_cusum_changepoint",
 ]
 
 # Integration rows whose cost is fixed overhead (streaming runs with

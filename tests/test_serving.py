@@ -805,3 +805,59 @@ def test_ivfpq_shortlist_rerank_equals_exact_knn(spark, emb):
         for row in cosine_topk(emb, qv, k=10).collect()
     ]
     assert rerank == exact
+
+
+def test_allowed_ids_on_code_tiers_and_sharded(spark, emb):
+    """Filtered serving on EVERY tier (the Qdrant filter-inside-the-
+    walk regime): pre-filtering by allowed_ids must equal scoring the
+    full corpus then keeping allowed ids (exact filtered search —
+    pinned on the PQ tier vs pq_topk over a pre-filtered corpus, on
+    the IVF-PQ tier at full probe vs its own unfiltered answers, and
+    forwarded through the sharded fan-out)."""
+    from vector_knowledge_base_spark.operators.ann import (
+        build_ivf,
+        build_ivfpq,
+        build_pq,
+        pq_topk,
+    )
+    from vector_knowledge_base_spark.operators.serving import (
+        IvfPqKnnServer,
+        PqKnnServer,
+        ShardedKnnServer,
+    )
+
+    allow = set(range(0, 400, 3))
+    r = emb.where(F.col("vec_id") == 5).select("embedding").first()
+    qv = [float(x) for x in r["embedding"]]
+
+    # PQ tier: filtered ADC == Spark ADC over the pre-filtered corpus
+    codebooks, codes = build_pq(emb, m=8, ksub=16)
+    codes = codes.localCheckpoint(eager=True)
+    pq_srv = PqKnnServer(codebooks, codes)
+    want = [
+        (row["vec_id"], row["score"])
+        for row in pq_topk(
+            codebooks,
+            codes.where(F.col("vec_id").isin(list(allow))),
+            qv,
+            k=10,
+        ).collect()
+    ]
+    assert pq_srv.query(qv, k=10, allowed_ids=allow) == want
+    assert all(i in allow for i, _ in pq_srv.query(qv, k=10, allowed_ids=allow))
+
+    # IVF-PQ tier: full-probe filtered == post-filtered full-probe
+    centroids, cb, index = build_ivfpq(emb, n_cells=8, m=8, ksub=16)
+    ivf_srv = IvfPqKnnServer(centroids, cb, index)
+    full = ivf_srv.query(qv, k=10_000_000, n_probe=None)
+    want2 = [t for t in full if t[0] in allow][:10]
+    assert ivf_srv.query(qv, k=10, n_probe=None, allowed_ids=allow) == want2
+
+    # sharded: the fan-out forwards the filter, disjoint merge stays exact
+    cents_f, assigned = build_ivf(emb, n_partitions=8)
+    front = ShardedKnnServer.from_dataframe(cents_f, assigned, n_shards=3)
+    single = KnnServer(cents_f, assigned)
+    assigned.unpersist()
+    assert front.query(
+        qv, k=10, n_probe=None, allowed_ids=allow
+    ) == single.query(qv, k=10, n_probe=None, allowed_ids=allow)

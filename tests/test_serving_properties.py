@@ -100,3 +100,72 @@ def test_allowed_ids_equals_post_filtered_full_ranking(n, keep_mod, k, seed):
     full = srv.query(q, k=n, n_probe=None)  # the entire ranking
     want = [(i, s) for i, s in full if i % keep_mod == 0][:k]
     assert got == want
+
+
+def _mk_ivfpq_server(rng, n, k_cells, m, ksub, dsub):
+    """An IvfPqKnnServer around a hand-built snapshot: random
+    codebooks, random codes grouped into arbitrary cells — the batch
+    union path and the filter path must agree with the single-query
+    loop regardless of whether codes are 'real' encodings."""
+    from vector_knowledge_base_spark.operators.serving import (
+        IvfPqKnnServer,
+        _IvfPqSnapshot,
+    )
+
+    srv = object.__new__(IvfPqKnnServer)
+    cuts = (
+        np.sort(rng.randint(0, n + 1, size=k_cells - 1))
+        if k_cells > 1
+        else np.array([], dtype=int)
+    )
+    offsets = [0, *cuts.tolist(), n]
+    srv._snap = _IvfPqSnapshot(
+        centroids=rng.randn(k_cells, m * dsub),
+        codebooks=rng.randn(m, ksub, dsub),
+        ids=rng.permutation(n).astype(np.int64),
+        codes=rng.randint(0, ksub, size=(n, m)).astype(np.uint8),
+        offsets=offsets,
+        version=None,
+    )
+    return srv
+
+
+@settings(max_examples=80, deadline=None, derandomize=True)
+@given(
+    n=st.integers(min_value=0, max_value=48),
+    k_cells=st.integers(min_value=1, max_value=6),
+    nq=st.integers(min_value=0, max_value=7),
+    n_probe=st.one_of(st.none(), st.integers(min_value=1, max_value=8)),
+    k=st.integers(min_value=1, max_value=10),
+    seed=st.integers(min_value=0, max_value=10_000),
+)
+def test_ivfpq_query_batch_equals_loop_on_random_snapshots(
+    n, k_cells, nq, n_probe, k, seed
+):
+    rng = np.random.RandomState(seed)
+    m, ksub, dsub = 2, 4, 2
+    srv = _mk_ivfpq_server(rng, n, k_cells, m, ksub, dsub)
+    queries = [rng.randn(m * dsub).tolist() for _ in range(nq)]
+    batch = srv.query_batch(queries, k=k, n_probe=n_probe)
+    loop = [srv.query(q, k=k, n_probe=n_probe) for q in queries]
+    assert batch == loop
+
+
+@settings(max_examples=80, deadline=None, derandomize=True)
+@given(
+    n=st.integers(min_value=1, max_value=48),
+    keep_mod=st.integers(min_value=1, max_value=5),
+    k=st.integers(min_value=1, max_value=10),
+    seed=st.integers(min_value=0, max_value=10_000),
+)
+def test_ivfpq_allowed_ids_equals_post_filtered_full_ranking(
+    n, keep_mod, k, seed
+):
+    rng = np.random.RandomState(seed)
+    srv = _mk_ivfpq_server(rng, n, 3, 2, 4, 2)
+    q = rng.randn(4).tolist()
+    allowed = [int(i) for i in srv.ids.tolist() if i % keep_mod == 0]
+    got = srv.query(q, k=k, n_probe=None, allowed_ids=allowed)
+    full = srv.query(q, k=n, n_probe=None)
+    want = [(i, s) for i, s in full if i % keep_mod == 0][:k]
+    assert got == want

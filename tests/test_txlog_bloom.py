@@ -258,3 +258,82 @@ def test_bloom_on_partitioned_table_distinct_per_file(spark, tmp_path):
         assert [(r["k"], r["part"]) for r in got] == [(k, k % 3)]
     # composed: partition pval prune + bloom prune on the same read
     assert read_table(spark, tbl, filters={"k": 7, "part": 2}).count() == 0
+
+
+def test_streaming_appends_build_blooms_automatically(spark, tmp_path):
+    """Composition with the exactly-once streaming sink: a table
+    created with bloom_filter_columns keeps indexing itself as a
+    txsink stream appends micro-batches (the property carries through
+    every commit), so point lookups on a stream-fed 100 TB table stay
+    file-pruned with no operator action."""
+    from vector_knowledge_base_spark.streaming.txsink import (
+        txlog_foreach_batch,
+    )
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    tbl = str(tmp_path / "tbl")
+    base = spark.range(0, 500).select(F.col("id").alias("k")).repartition(2)
+    create_table(spark, tbl, base, bloom_filter_columns=["k"])
+    spark.range(500, 900).select(F.col("id").alias("k")).write.parquet(src)
+    q = (
+        spark.readStream.schema("k long")
+        .parquet(src)
+        .writeStream.foreachBatch(txlog_foreach_batch(tbl))
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    v = _list_versions(tbl)[-1]
+    m = _read_manifest(tbl, v)
+    assert v >= 1 and m["bloom_cols"] == ["k"]
+    assert all(st.get("bloom") == ["k"] for st in m["stats"].values())
+    pruned = _prune_files(tbl, m, {"k": 777})
+    assert 1 <= len(pruned) < len(m["files"])
+    assert read_table(spark, tbl, filters={"k": 777}).count() == 1
+
+
+def test_fsck_reports_missing_bloom_sidecar_as_warning(spark, tmp_path):
+    """A deleted sidecar degrades pruning (the probe abstains) but
+    never readability — fsck reports it in n_bloom_missing, readable
+    stays True, and the lookup still answers correctly."""
+    from vector_knowledge_base_spark.sources.txlog import fsck
+
+    tbl = _mk(spark, tmp_path, n=400)
+    m = _read_manifest(tbl, 0)
+    victim = sorted(m["stats"])[0]
+    os.remove(os.path.join(tbl, victim) + ".bloom.json")
+    rep = {r["version"]: r for r in fsck(spark, tbl).collect()}
+    assert rep[0]["n_bloom_missing"] == 1
+    assert rep[0]["n_missing"] == 0 and rep[0]["readable"] is True
+    # correctness unharmed: the victim file just can't bloom-skip
+    assert read_table(spark, tbl, filters={"k": 123}).count() == 1
+
+
+def test_table_detail_summarizes_from_log_alone(spark, tmp_path):
+    from vector_knowledge_base_spark.sources.txlog import (
+        add_constraint,
+        table_detail,
+    )
+
+    tbl = _mk(spark, tmp_path, n=1000)
+    add_constraint(spark, tbl, "k_nonneg", "k >= 0")
+    append_table(
+        spark,
+        tbl,
+        spark.range(1000, 1200).select(
+            F.col("id").alias("k"),
+            F.concat(F.lit("s"), F.col("id")).alias("name"),
+            (F.col("id") % 7).alias("grp"),
+        ).repartition(1),
+    )
+    d = table_detail(spark, tbl).first()
+    assert d["version"] == 2 and d["n_versions"] == 3
+    assert d["n_files"] == 5 and d["n_rows"] == 1200
+    assert d["n_bytes"] > 0
+    assert d["bloom_cols"] == ["k", "name"]
+    assert d["constraints"] == ["k_nonneg"]
+    assert d["partition_by"] is None
+    assert d["n_dv_entries"] == 0 and d["n_schema_fields"] == 3
+    assert d["last_commit_ts"] is not None

@@ -784,20 +784,33 @@ class PqKnnServer:
         )
 
     def query(
-        self, query_vector: Sequence[float], k: int = 10
+        self,
+        query_vector: Sequence[float],
+        k: int = 10,
+        allowed_ids=None,
     ) -> list[tuple[int, float]]:
+        """ADC top-k; ``allowed_ids`` pre-filters the code rows BEFORE
+        scoring (the Qdrant filter-inside-the-walk regime, same
+        contract as the float tier) — a filtered query scores only the
+        allowed subset's codes."""
         import numpy as np
 
         snap = self._snap  # one reference — never torn by a refresh
         q = np.asarray(list(query_vector), dtype=np.float64)
         m, ksub, dsub = snap.codebooks.shape
+        ids, codes = snap.ids, snap.codes
+        if allowed_ids is not None:
+            keep = np.isin(ids, np.asarray(list(allowed_ids)))
+            ids, codes = ids[keep], codes[keep]
+        if codes.shape[0] == 0:
+            return []
         # lut[j, c] = dot(q_j, codebook[j][c]) — the ADC table pq_topk
         # broadcasts as a literal; here it stays a local ndarray
         lut = (snap.codebooks * q.reshape(m, 1, dsub)).sum(axis=2)
-        scores = np.zeros(snap.codes.shape[0], dtype=np.float64)
+        scores = np.zeros(codes.shape[0], dtype=np.float64)
         for j in range(m):
-            scores += lut[j][snap.codes[:, j]]
-        return _topk(snap.ids, np.round(scores, ROUND_DIGITS), k)
+            scores += lut[j][codes[:, j]]
+        return _topk(ids, np.round(scores, ROUND_DIGITS), k)
 
     def query_batch(
         self, query_vectors: Sequence[Sequence[float]], k: int = 10
@@ -1145,11 +1158,15 @@ class IvfPqKnnServer:
         query_vector: Sequence[float],
         k: int = 10,
         n_probe: int | None = 4,
+        allowed_ids=None,
     ) -> list[tuple[int, float]]:
         """ADC top-k over the probed cells: score = per-cell bias
         dot(q, centroid) + Σⱼ lut[j][codeⱼ] (the residual
         decomposition), rounded to 6 digits, (-score, id) ties — the
-        same contract every serving tier shares."""
+        same contract every serving tier shares. ``allowed_ids``
+        pre-filters the probed rows BEFORE scoring (the Qdrant
+        filter-inside-the-walk regime), composing the two prunes:
+        cells first, then the payload filter."""
         import numpy as np
 
         snap = self._snap  # one reference — never torn by a refresh
@@ -1170,6 +1187,11 @@ class IvfPqKnnServer:
         cell_bias = np.concatenate(
             [np.full(b - a, bias[c]) for a, b, c in spans]
         )
+        if allowed_ids is not None:
+            keep = np.isin(ids, np.asarray(list(allowed_ids)))
+            ids, codes, cell_bias = ids[keep], codes[keep], cell_bias[keep]
+        if codes.shape[0] == 0:
+            return []
         s = np.zeros(codes.shape[0], dtype=np.float64)
         for j in range(m):
             s += lut[j][codes[:, j]]
@@ -1486,13 +1508,22 @@ class ShardedKnnServer:
         query_vector: Sequence[float],
         k: int = 10,
         n_probe: int | None = 4,
+        allowed_ids=None,
     ) -> list[tuple[int, float]]:
         """Fan out, merge: per-shard top-k under the shared contract,
-        then one global (-score, id) sort of ≤ n_shards·k rows."""
+        then one global (-score, id) sort of ≤ n_shards·k rows.
+        ``allowed_ids`` forwards to every shard (each pre-filters its
+        own rows; the merge of filtered exacts is filtered exact
+        because shards are disjoint)."""
         shard_set = self._set  # one reference — never torn by a refresh
         merged: list[tuple[int, float]] = []
         for shard in shard_set.shards:
-            merged.extend(shard.query(query_vector, k=k, n_probe=n_probe))
+            merged.extend(
+                shard.query(
+                    query_vector, k=k, n_probe=n_probe,
+                    allowed_ids=allowed_ids,
+                )
+            )
         merged.sort(key=lambda t: (-t[1], t[0]))
         return merged[:k]
 

@@ -16111,3 +16111,96 @@ def q_txlog_bloom_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(int(absent_rows)).cast("long").alias("absent_rows"),
         F.lit(bool(absent_pruned)).alias("absent_pruned"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Wave 102 (r10) — CUSUM change-point detection on the hourly event
+# rate: the mean-shift detector that completes the time-series audit
+# family (peaks find spikes, PSI finds distribution drift, seasonal
+# finds periodicity — CUSUM finds WHERE the level changed: the classic
+# Page 1954 statistic, standardized as max|S_i| / (σ·√n)).
+# ---------------------------------------------------------------------------
+
+_CUSUM_ORACLE = """
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS h, CAST(COUNT(*) AS DOUBLE) AS c
+  FROM events GROUP BY 1
+),
+m AS (SELECT AVG(c) AS mu, STDDEV(c) AS sd, COUNT(*) AS n FROM hourly),
+s AS (
+  SELECT h,
+         SUM(c - m.mu) OVER (
+           ORDER BY h ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS cs
+  FROM hourly, m
+),
+r AS (SELECT h, ROUND(ABS(cs), 4) AS acs FROM s)
+SELECT CAST(r.h AS TIMESTAMP) AS cp_hour,
+       ROUND((SELECT MAX(acs) FROM r) / (m.sd * SQRT(m.n)), 4)
+         AS cusum_stat,
+       CAST(m.n AS BIGINT) AS n_hours,
+       ROUND(m.mu, 4) AS mean_rate
+FROM r, m
+WHERE r.acs = (SELECT MAX(acs) FROM r)
+ORDER BY r.h
+LIMIT 1
+"""
+
+
+@query("events_cusum_changepoint", oracle=_CUSUM_ORACLE)
+def q_events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point on the hourly event rate (Page's cumulative
+    sum): S_i = Σ_{j≤i}(c_j − μ) peaks in magnitude at the hour where
+    the series' level shifts — the on-call answer to "WHEN did the
+    rate change", where peak detection answers "what spiked" and PSI
+    answers "did the distribution drift". Reports the argmax hour
+    (earliest on rounded ties), the standardized statistic
+    max|S| / (σ·√n) (≈ Kolmogorov-scale: >1.3 is a significant shift
+    for a Brownian-bridge null), series length, and mean rate.
+
+    Scale shape: the hourly reduction is a hash-agg; the cumsum window
+    runs on the AGGREGATED calendar-bounded series (thousands of rows
+    at any corpus size); mean/stddev broadcast as a 1-row frame. The
+    rounded-|S| argmax with the hour tie-break makes the row
+    hash-stable across engines (raw doubles differ in the last ulp;
+    the ordering must not)."""
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy(F.date_trunc("hour", "ts").alias("h")).agg(
+        F.count(F.lit(1)).cast("double").alias("c")
+    )
+    m = hourly.agg(
+        F.avg("c").alias("mu"),
+        F.stddev("c").alias("sd"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    w = (
+        Window.orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    s = (
+        hourly.crossJoin(F.broadcast(m))
+        .select(
+            "h",
+            "mu",
+            "sd",
+            "n",
+            F.round(
+                F.abs(F.sum(F.col("c") - F.col("mu")).over(w)), 4
+            ).alias("acs"),
+        )
+    )
+    mx = s.agg(F.max("acs").alias("m_acs"))
+    return (
+        s.crossJoin(F.broadcast(mx))
+        .where(F.col("acs") == F.col("m_acs"))
+        .orderBy("h")
+        .limit(1)
+        .select(
+            F.col("h").alias("cp_hour"),
+            F.round(
+                F.col("m_acs") / (F.col("sd") * F.sqrt(F.col("n"))), 4
+            ).alias("cusum_stat"),
+            F.col("n").cast("long").alias("n_hours"),
+            F.round(F.col("mu"), 4).alias("mean_rate"),
+        )
+    )

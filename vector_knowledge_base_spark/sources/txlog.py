@@ -2350,7 +2350,10 @@ def fsck(spark: SparkSession, path: str) -> DataFrame:
     version — does every referenced data file exist on disk, and are
     there orphan data files no manifest references (crash debris the
     vacuum will clear)? Returns (version, op, n_files, n_missing,
-    readable) plus one 'orphans' summary row (version = -1)."""
+    n_bloom_missing, readable) plus one 'orphans' summary row
+    (version = -1). A missing BLOOM sidecar never makes a version
+    unreadable — the probe abstains and pruning degrades to stats-only
+    — so it reports as a separate warning count, not in n_missing."""
     versions = _list_versions(path)
     referenced: set[str] = set()
     rows = []
@@ -2361,11 +2364,18 @@ def fsck(spark: SparkSession, path: str) -> DataFrame:
             # a delta manifest whose base chain is broken (manually
             # deleted manifest, torn copy) is unreadable but must not
             # crash the integrity REPORT
-            rows.append((v, "unresolvable", 0, 0, False))
+            rows.append((v, "unresolvable", 0, 0, 0, False))
             continue
         files = _manifest_files(path, m)
         missing = [f for f in files if not os.path.exists(f)]
         missing_dv = [d for d in _dv_dirs(path, m) if not os.path.isdir(d)]
+        stats = m.get("stats") or {}
+        missing_bloom = [
+            e
+            for e in m["files"]
+            if (stats.get(e) or {}).get("bloom")
+            and not os.path.exists(_resolve(path, e) + ".bloom.json")
+        ]
         referenced.update(files)
         referenced.update(_dv_files(path, m))
         rows.append(
@@ -2374,13 +2384,66 @@ def fsck(spark: SparkSession, path: str) -> DataFrame:
                 m["op"],
                 len(files),
                 len(missing) + len(missing_dv),
+                len(missing_bloom),
                 not missing and not missing_dv,
             )
         )
     n_orphans = sum(1 for f in _data_files(path) if f not in referenced)
-    rows.append((-1, "orphans", n_orphans, 0, True))
+    rows.append((-1, "orphans", n_orphans, 0, 0, True))
     return spark.createDataFrame(
-        rows, "version int, op string, n_files int, n_missing int, readable boolean"
+        rows,
+        "version int, op string, n_files int, n_missing int, "
+        "n_bloom_missing int, readable boolean",
+    )
+
+
+def table_detail(spark: SparkSession, path: str) -> DataFrame:
+    """One-row table metadata summary (the Delta DESCRIBE DETAIL verb;
+    reference parity: backend/main.py's /collections info endpoints) —
+    everything an operator asks before touching a table, answered from
+    the LOG alone (no data files opened): latest version + commit time,
+    file/row/byte totals from the manifest stats, partitioning, bloom-
+    indexed columns, CHECK constraints, column-mapping rename count,
+    live deletion-vector entries, and schema field count."""
+    versions = _list_versions(path)
+    if not versions:
+        raise RuntimeError(f"txlog: no table at {path}")
+    v = versions[-1]
+    m = _read_manifest(path, v)
+    stats = m.get("stats") or {}
+    per_file = [stats.get(e) or {} for e in m["files"]]
+    n_rows = (
+        sum(int(st["rows"]) for st in per_file if "rows" in st)
+        if all("rows" in st for st in per_file)
+        else None
+    )
+    n_bytes = 0
+    for e in m["files"]:
+        try:
+            n_bytes += os.path.getsize(_resolve(path, e))
+        except OSError:
+            pass
+    colmap = m.get("colmap") or {}
+    row = (
+        v,
+        float(m["ts"]) if m.get("ts") is not None else None,
+        len(versions),
+        len(m["files"]),
+        n_rows,
+        n_bytes,
+        m.get("partition_by"),
+        m.get("bloom_cols"),
+        sorted((m.get("constraints") or {}).keys()),
+        sum(1 for k, p in colmap.items() if k != p),
+        len(m.get("dv") or {}),
+        len((m.get("schema") or {}).get("fields", [])),
+    )
+    return spark.createDataFrame(
+        [row],
+        "version int, last_commit_ts double, n_versions int, n_files int, "
+        "n_rows long, n_bytes long, partition_by array<string>, "
+        "bloom_cols array<string>, constraints array<string>, "
+        "n_renamed_columns int, n_dv_entries int, n_schema_fields int",
     )
 
 
