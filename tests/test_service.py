@@ -188,12 +188,18 @@ def test_knowledge_base_txlog_storage_lifecycle(spark, tmp_path):
     # time travel: the pre-delete corpus is still readable
     assert kb.chunks_at(pre_delete_version).count() == n_before
 
-    # history records every mutation in order
-    ops = [
-        r["op"]
-        for r in kb.history().orderBy("version").collect()
+    # history records every mutation in order (with commit times)
+    hist = kb.history().orderBy("version").collect()
+    assert [r["op"] for r in hist] == [
+        "create", "append", "rewrite", "delete_where",
     ]
-    assert ops == ["create", "append", "rewrite", "delete_where"]
+    assert all(r["ts"] is not None for r in hist)
+
+    # DESCRIBE DETAIL: the one-row operator summary from the log alone
+    d = kb.detail().first()
+    assert d["version"] == 3 and d["n_versions"] == 4
+    assert d["n_rows"] == kb.chunks().count() and d["n_bytes"] > 0
+    assert d["n_schema_fields"] > 0 and d["last_commit_ts"] is not None
 
     # reset drops the log entirely
     kb.reset()

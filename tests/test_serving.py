@@ -861,3 +861,85 @@ def test_allowed_ids_on_code_tiers_and_sharded(spark, emb):
     assert front.query(
         qv, k=10, n_probe=None, allowed_ids=allow
     ) == single.query(qv, k=10, n_probe=None, allowed_ids=allow)
+
+
+def test_opq_ivfpq_server_matches_spark_and_refreshes(spark, tmp_path):
+    """OPQ-rotated serving on the composed tier: queries rotate into
+    the index space (dot(q·R, x·R) = dot(q, x)), probed answers equal
+    the Spark rotated-space ADC plan, the append DELTA path rotates
+    new vectors before cell assignment + residual encode, and a
+    rewriting commit's full rebuild retrains the rotation and swaps
+    it WITH the codes (one snapshot — an old-R query against new
+    codes can never happen)."""
+    import numpy as np
+
+    from vector_knowledge_base_spark.operators.ann import (
+        _ivfpq_adc_shortlist,
+    )
+    from vector_knowledge_base_spark.operators.knn import cosine_topk
+    from vector_knowledge_base_spark.operators.serving import IvfPqKnnServer
+    from vector_knowledge_base_spark.sources.txlog import (
+        delete_where,
+        read_table,
+    )
+
+    p = _mk_txlog(spark, tmp_path)
+    srv = IvfPqKnnServer.from_opq_txlog(
+        spark, p, n_cells=4, m=8, ksub=16, opq_iters=2
+    )
+    assert srv._snap.rotation is not None
+    emb = read_table(spark, p)
+    n = emb.count()
+    # probed parity vs the Spark plan fed the ROTATED query
+    r = emb.where(F.col("vec_id") == 3).first()
+    qv = [float(x) for x in r["embedding"]]
+    q_rot = np.asarray(qv) @ srv._snap.rotation
+    rows = _ivfpq_adc_shortlist(
+        srv._snap.centroids, srv._snap.codebooks,
+        spark.createDataFrame(
+            [
+                (int(i), int(c), [int(x) for x in code])
+                for i, c, code in zip(
+                    srv.ids,
+                    # reconstruct each row's cell from the offsets
+                    np.repeat(
+                        np.arange(len(srv.offsets) - 1),
+                        np.diff(np.asarray(srv.offsets)),
+                    ),
+                    srv.codes,
+                )
+            ],
+            "vec_id long, ivf_cell int, codes array<int>",
+        ),
+        q_rot, n_probe=2, shortlist=n, id_col="vec_id",
+    ).collect()
+    want = sorted(
+        ((row["vec_id"], float(np.round(row["adc"], 6))) for row in rows),
+        key=lambda t: (-t[1], t[0]),
+    )[:10]
+    assert srv.query(qv, k=10, n_probe=2) == want
+    # shortlist → exact rerank == exact kNN (rotation preserves dots)
+    shortlist = [i for i, _ in srv.query(qv, k=150, n_probe=None)]
+    rerank = [
+        (row["vec_id"], row["score"])
+        for row in cosine_topk(
+            emb.where(F.col("vec_id").isin(shortlist)), qv, k=10
+        ).collect()
+    ]
+    exact = [
+        (row["vec_id"], row["score"])
+        for row in cosine_topk(emb, qv, k=10).collect()
+    ]
+    assert rerank == exact
+    # delta: new vector rotated into the index space, then findable
+    qv2 = _append_far_vector(spark, p)
+    assert srv.refresh_if_stale(spark) is True
+    assert srv.last_refresh_mode == "delta"
+    assert srv.query(qv2, k=5, n_probe=None)[0][0] == 1_000_333
+    # rebuild: rotation retrained and swapped with the codes
+    delete_where(spark, p, F.col("vec_id") < 50)
+    old_rot = srv._snap.rotation
+    assert srv.refresh_if_stale(spark) is True
+    assert srv.last_refresh_mode == "rebuild"
+    assert srv._snap.rotation is not None and srv._snap.rotation is not old_rot
+    assert not {i for i, _ in srv.query(qv2, k=200, n_probe=None) if i < 50}

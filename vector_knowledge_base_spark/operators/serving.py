@@ -842,18 +842,24 @@ class PqKnnServer:
 class _IvfPqSnapshot:
     """One immutable generation of the IVF-PQ serving arrays: codes
     grouped contiguously by coarse cell (offsets index the groups),
-    residual codebooks shared across cells."""
+    residual codebooks shared across cells. ``rotation`` (optional) is
+    the OPQ pretransform the index was built under — queries rotate
+    into that space; it rides in the snapshot because a refresh that
+    retrains R must swap rotation and codes TOGETHER (an old-R query
+    against new codes would score garbage)."""
 
     __slots__ = ("centroids", "codebooks", "ids", "codes", "offsets",
-                 "version")
+                 "version", "rotation")
 
-    def __init__(self, centroids, codebooks, ids, codes, offsets, version):
+    def __init__(self, centroids, codebooks, ids, codes, offsets, version,
+                 rotation=None):
         self.centroids = centroids
         self.codebooks = codebooks
         self.ids = ids
         self.codes = codes
         self.offsets = offsets
         self.version = version
+        self.rotation = rotation
 
 
 class IvfPqKnnServer:
@@ -892,6 +898,7 @@ class IvfPqKnnServer:
         index: DataFrame,
         id_col: str = "vec_id",
         max_vectors: int = 200_000_000,
+        rotation=None,
         _table_version: int | None = None,
         _table_path: str | None = None,
         _build_params: dict | None = None,
@@ -937,6 +944,11 @@ class IvfPqKnnServer:
             ),
             offsets=offsets,
             version=_table_version,
+            rotation=(
+                np.asarray(rotation, dtype=np.float64)
+                if rotation is not None
+                else None
+            ),
         )
 
     @property
@@ -1006,13 +1018,62 @@ class IvfPqKnnServer:
             },
         )
 
+    @classmethod
+    def from_opq_txlog(
+        cls,
+        spark: SparkSession,
+        table_path: str,
+        n_cells: int = 8,
+        m: int = 8,
+        ksub: int = 16,
+        opq_iters: int = 3,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        max_vectors: int = 200_000_000,
+        seed: int = 42,
+    ) -> "IvfPqKnnServer":
+        """The OPQ-pretransformed build (``operators/ann.
+        build_opq_ivfpq`` — FAISS's OPQ{m},IVF{n},PQ{m} factory):
+        learn the orthogonal rotation, build the composed index in
+        ROTATED space, and serve with the rotation riding in the
+        snapshot (queries rotate driver-side; dot(q·R, x·R) = dot(q, x)
+        keeps served scores rerank-compatible with the raw corpus)."""
+        from vector_knowledge_base_spark.operators.ann import build_opq_ivfpq
+        from vector_knowledge_base_spark.sources.txlog import (
+            _list_versions,
+            read_table,
+        )
+
+        v = _list_versions(table_path)[-1]
+        emb = read_table(spark, table_path, v)
+        R, centroids, codebooks, index = build_opq_ivfpq(
+            emb, n_cells=n_cells, m=m, ksub=ksub, opq_iters=opq_iters,
+            id_col=id_col, vec_col=vec_col, seed=seed,
+        )
+        return cls(
+            centroids,
+            codebooks,
+            index,
+            id_col=id_col,
+            max_vectors=max_vectors,
+            rotation=R,
+            _table_version=v,
+            _table_path=table_path,
+            _build_params={
+                "n_cells": n_cells, "m": m, "ksub": ksub,
+                "opq_iters": opq_iters, "vec_col": vec_col, "seed": seed,
+            },
+        )
+
     def refresh_if_stale(self, spark: SparkSession) -> bool:
         """Reload when the backing table advanced; ``last_refresh_mode``
         reports "delta" (append-only versions — only the added files
-        read, cell by nearest EXISTING centroid, residual encoded
-        against the EXISTING codebooks; no retrain, no resident-corpus
-        re-encode) or "rebuild" (any rewriting commit — full
-        ``build_ivfpq``). Quantizer drift under long append streams is
+        read, rotated into the index space when the build was OPQ,
+        cell by nearest EXISTING centroid, residual encoded against
+        the EXISTING codebooks; no retrain, no resident-corpus
+        re-encode) or "rebuild" (any rewriting commit — the full
+        original build, OPQ retrain included, swapping rotation and
+        codes together). Quantizer drift under long append streams is
         watched by ``cell_balance`` exactly as on the float tier. One
         immutable-snapshot swap either way."""
         from vector_knowledge_base_spark.sources.txlog import _list_versions
@@ -1035,7 +1096,12 @@ class IvfPqKnnServer:
             self.apply_append_batches(spark, batches, latest)
             self.last_refresh_mode = "delta"
             return True
-        fresh = IvfPqKnnServer.from_txlog(
+        builder = (
+            IvfPqKnnServer.from_opq_txlog
+            if "opq_iters" in self._build_params
+            else IvfPqKnnServer.from_txlog
+        )
+        fresh = builder(
             spark,
             self.table_path,
             id_col=self.id_col,
@@ -1083,12 +1149,14 @@ class IvfPqKnnServer:
         if not new_ids:  # metadata-only appends — just advance the pin
             self._snap = _IvfPqSnapshot(
                 snap.centroids, snap.codebooks, snap.ids, snap.codes,
-                snap.offsets, new_version,
+                snap.offsets, new_version, snap.rotation,
             )
             return
         cb = snap.codebooks
         m_sub, ksub, dsub = cb.shape
         mat = np.asarray(new_vecs, dtype=np.float64)
+        if snap.rotation is not None:  # OPQ index: rotate into its space
+            mat = mat @ snap.rotation
         d = ((snap.centroids[None, :, :] - mat[:, None, :]) ** 2).sum(axis=2)
         cells = d.argmin(axis=1)
         resid = mat - snap.centroids[cells]
@@ -1118,6 +1186,7 @@ class IvfPqKnnServer:
             codes=np.concatenate(code_parts) if code_parts else snap.codes[:0],
             offsets=offsets,
             version=new_version,
+            rotation=snap.rotation,
         )
 
     def cell_balance(self) -> dict:
@@ -1171,6 +1240,8 @@ class IvfPqKnnServer:
 
         snap = self._snap  # one reference — never torn by a refresh
         q = np.asarray(list(query_vector), dtype=np.float64)
+        if snap.rotation is not None:  # OPQ index: rotate the query
+            q = q @ snap.rotation
         m, ksub, dsub = snap.codebooks.shape
         probe = self._probe_cells(snap, q, n_probe)
         spans = [
@@ -1213,6 +1284,8 @@ class IvfPqKnnServer:
 
         snap = self._snap
         qs = [np.asarray(list(q), dtype=np.float64) for q in query_vectors]
+        if snap.rotation is not None:  # OPQ index: rotate the batch
+            qs = [q @ snap.rotation for q in qs]
         if not qs:
             return []
         Q = np.stack(qs)  # (nq, dim)

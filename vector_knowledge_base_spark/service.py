@@ -101,13 +101,25 @@ class _KnowledgeBaseCore:
         return read_table(self.spark, self.chunks_path, version=version)
 
     def history(self) -> DataFrame:
-        """(version, op, n_files, parent) — mutation history of the
+        """(version, op, n_files, parent, ts) — mutation history of the
         chunks table (txlog storage only)."""
         if self.storage != "txlog":
             raise RuntimeError("history requires storage='txlog'")
         from vector_knowledge_base_spark.sources.txlog import table_versions
 
         return table_versions(self.spark, self.chunks_path)
+
+    def detail(self) -> DataFrame:
+        """One-row DESCRIBE DETAIL of the chunks table — the operator
+        summary (files/rows/bytes, partitioning, bloom columns,
+        constraints, DV entries, last commit time) answered from the
+        log alone (txlog storage only; the reference's collection-info
+        endpoint shape)."""
+        if self.storage != "txlog":
+            raise RuntimeError("detail requires storage='txlog'")
+        from vector_knowledge_base_spark.sources.txlog import table_detail
+
+        return table_detail(self.spark, self.chunks_path)
 
     def optimize(
         self,
