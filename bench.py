@@ -376,6 +376,8 @@ HEADLINE = [
     "txlog_bloom_pruning",
     # wave 102 (r10) — CUSUM change-point on the hourly event rate
     "events_cusum_changepoint",
+    # wave 103 (r10) — hybrid RRF served in-process, batch-plan oracle
+    "hybrid_serving_parity",
 ]
 
 # Integration rows whose cost is fixed overhead (streaming runs with
@@ -408,6 +410,7 @@ SINGLE_RUN = {
     "pq_serving_parity",
     "ivfpq_inproc_serving_parity",
     "txlog_bloom_pruning",
+    "hybrid_serving_parity",
 }
 
 KNN_BATCH_N_QUERIES = 5  # matches the knn_batch query definition

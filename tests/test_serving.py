@@ -943,3 +943,57 @@ def test_opq_ivfpq_server_matches_spark_and_refreshes(spark, tmp_path):
     assert srv.last_refresh_mode == "rebuild"
     assert srv._snap.rotation is not None and srv._snap.rotation is not old_rot
     assert not {i for i, _ in srv.query(qv2, k=200, n_probe=None) if i < 50}
+
+
+def test_hybrid_server_matches_spark_plans(spark, emb):
+    """In-process hybrid retrieval ≡ the Spark batch plans: the fused
+    answer equals hybrid_search_rrf row-for-row (same prune-first
+    top-N, rank coalescing, rounding, ties), and the BM25 keyword mode
+    equals bm25_keyword_search's top-20 (same idf/k1/b and
+    tokenization). Multi-term BM25 sums per-term scores."""
+    import numpy as np
+
+    import vector_knowledge_base_spark.queries as q
+    from vector_knowledge_base_spark.operators.serving import (
+        HybridKnnServer,
+    )
+
+    docs = load_table(spark, SF, "documents")
+    centroids, assigned = build_ivf(emb, n_partitions=8)
+    knn = KnnServer(centroids, assigned)
+    assigned.unpersist()
+    hs = HybridKnnServer(docs, knn)
+
+    qv = [
+        float(x)
+        for x in emb.where(F.col("vec_id") == 0).first()["embedding"]
+    ]
+    want = [
+        (r["doc_id"], r["rrf_score"])
+        for r in q.QUERIES["hybrid_search_rrf"](spark, SF).collect()
+    ]
+    got = hs.hybrid_query("vector", qv, k=10, n=1000)
+    assert got == want
+
+    # BM25 mode == the Spark single-term Okapi plan (top-20)
+    want_bm = [
+        (r["doc_id"], r["bm25"])
+        for r in q.QUERIES["bm25_keyword_search"](spark, SF).collect()
+    ]
+    got_bm = sorted(
+        (
+            (i, float(np.round(s, 6)))
+            for i, s in hs.keyword_topn("vector", n=20, mode="bm25")
+        ),
+        key=lambda t: (-t[1], t[0]),
+    )
+    assert got_bm == want_bm
+
+    # multi-term BM25 is the per-term sum
+    a = dict(hs.keyword_topn("vector", n=10_000, mode="bm25"))
+    b = dict(hs.keyword_topn("data", n=10_000, mode="bm25"))
+    both = dict(hs.keyword_topn(["vector", "data"], n=10_000, mode="bm25"))
+    for i, s in both.items():
+        assert abs(s - (a.get(i, 0.0) + b.get(i, 0.0))) < 1e-9
+    with pytest.raises(RuntimeError, match="max_docs"):
+        HybridKnnServer(docs, knn, max_docs=3)

@@ -1344,6 +1344,215 @@ class IvfPqKnnServer:
         return out
 
 
+class _HybridSnapshot:
+    """One immutable generation of the keyword-side serving arrays:
+    per-document lengths plus term postings (row indices + term
+    frequencies), alongside the vector tier it fuses with."""
+
+    __slots__ = ("doc_ids", "dl", "postings", "avgdl", "n_docs", "version")
+
+    def __init__(self, doc_ids, dl, postings, avgdl, n_docs, version):
+        self.doc_ids = doc_ids
+        self.dl = dl
+        self.postings = postings
+        self.avgdl = avgdl
+        self.n_docs = n_docs
+        self.version = version
+
+
+class HybridKnnServer:
+    """In-process HYBRID retrieval: the keyword ranking (term postings
+    with tf or Okapi BM25 scoring) fused with the vector tier by
+    reciprocal-rank fusion — the standard RAG combiner the reference's
+    vector-only /search lacks, served at point-query latency. The
+    batch twin is the Spark ``hybrid_search_rrf`` plan; this server
+    reproduces its EXACT prune-first semantics (each side ranks its
+    top-N by (-score, id), fusion coalesces a missing rank to N+1,
+    rrf rounded to 6 digits, (-rrf, id) final order) — pinned by the
+    driver row ``hybrid_serving_parity``.
+
+    Tokenization mirrors the Spark plans' ``split(text, ' ')``
+    byte-for-byte (single-space split, empty tokens kept) so tf and
+    document length agree with the batch side. BM25 uses the same
+    Lucene-style idf = ln(1+(N−df+0.5)/(df+0.5)), k1=1.2, b=0.75 as
+    ``bm25_keyword_search``; multi-term queries sum per-term scores.
+
+    Vector ranks are computed over the UNROUNDED full-probe scores of
+    the paired ``KnnServer``'s snapshot (the Spark plan ranks before
+    rounding; ranking rounded scores could swap near-ties).
+
+    100 TB shape: same bounded-shard contract as every tier —
+    ``max_docs`` refuses a corpus the driver cannot hold; postings are
+    O(total tokens) ints. Spark builds and owns the corpus; this tier
+    answers points. Freshness rides the paired KnnServer's
+    version pin: ``refresh_if_stale`` re-collects the keyword arrays
+    only when the vector tier reloaded."""
+
+    def __init__(
+        self,
+        docs: DataFrame,
+        knn: "KnnServer",
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        max_docs: int = 5_000_000,
+    ):
+        import numpy as np
+
+        self.knn = knn
+        self.id_col = id_col
+        self.text_col = text_col
+        self.max_docs = max_docs
+        self._docs_source = docs
+
+        n = docs.count()
+        if n > max_docs:
+            raise RuntimeError(
+                f"HybridKnnServer: corpus has {n} docs > max_docs="
+                f"{max_docs}; shard the corpus or serve keyword ranking "
+                "from the Spark plans"
+            )
+        rows = docs.select(id_col, text_col).collect()
+        doc_ids, dl = [], []
+        postings: dict = {}
+        for ri, r in enumerate(rows):
+            toks = (r[text_col] or "").split(" ")  # == split(text, ' ')
+            doc_ids.append(r[id_col])
+            dl.append(len(toks))
+            counts: dict = {}
+            for t in toks:
+                counts[t] = counts.get(t, 0) + 1
+            for t, c in counts.items():
+                postings.setdefault(t, ([], []))
+                postings[t][0].append(ri)
+                postings[t][1].append(c)
+        self._snap = _HybridSnapshot(
+            doc_ids=np.asarray(doc_ids),
+            dl=np.asarray(dl, dtype=np.float64),
+            postings={
+                t: (np.asarray(ri, dtype=np.int64), np.asarray(c, dtype=np.float64))
+                for t, (ri, c) in postings.items()
+            },
+            avgdl=float(np.mean(dl)) if dl else 0.0,
+            n_docs=len(doc_ids),
+            version=knn.table_version,
+        )
+
+    @property
+    def table_version(self):
+        return self._snap.version
+
+    def refresh_if_stale(self, spark: SparkSession) -> bool:
+        """Follow the paired vector tier: refresh it, and when it
+        reloaded, re-collect the keyword arrays from the SAME source
+        frame so both sides serve one generation (each side's arrays
+        swap as one immutable snapshot; the fused answer is computed
+        from one reference of each)."""
+        moved = self.knn.refresh_if_stale(spark)
+        if moved:
+            fresh = HybridKnnServer(
+                self._docs_source, self.knn,
+                id_col=self.id_col, text_col=self.text_col,
+                max_docs=self.max_docs,
+            )
+            self._snap = fresh._snap
+        return moved
+
+    # -- keyword side --------------------------------------------------------
+
+    def _tf(self, snap: _HybridSnapshot, terms):
+        import numpy as np
+
+        tf = np.zeros(snap.n_docs, dtype=np.float64)
+        for t in terms:
+            hit = snap.postings.get(t)
+            if hit is not None:
+                tf[hit[0]] += hit[1]
+        return tf
+
+    def keyword_topn(self, terms, n: int = 1000, mode: str = "tf"):
+        """Top-n (id, score) by the keyword ranking: ``mode='tf'`` is
+        the summed term frequency (the ranking ``hybrid_search_rrf``
+        fuses); ``mode='bm25'`` is summed per-term Okapi
+        (k1=1.2, b=0.75, Lucene idf — ``bm25_keyword_search`` parity,
+        pinned by test). Ties break ascending id; tf mode keeps
+        zero-tf docs in the ranking exactly like the Spark plan's
+        top-N over the whole corpus."""
+        import numpy as np
+
+        snap = self._snap
+        if snap.n_docs == 0:
+            return []
+        if isinstance(terms, str):
+            terms = [terms]
+        if mode == "tf":
+            scores = self._tf(snap, terms)
+            keep = np.arange(snap.n_docs)
+        elif mode == "bm25":
+            scores = np.zeros(snap.n_docs, dtype=np.float64)
+            norm = 1.2 * (0.25 + 0.75 * snap.dl / snap.avgdl)
+            for t in terms:
+                hit = snap.postings.get(t)
+                if hit is None:
+                    continue
+                idx, tf = hit
+                idf = float(
+                    np.log(1.0 + (snap.n_docs - idx.shape[0] + 0.5)
+                           / (idx.shape[0] + 0.5))
+                )
+                scores[idx] += idf * tf * 2.2 / (tf + norm[idx])
+            keep = np.flatnonzero(scores > 0)  # bm25: matched docs only
+            scores = scores[keep]
+        else:
+            raise ValueError(f"keyword_topn: unknown mode {mode!r}")
+        ids = snap.doc_ids[keep]
+        order = np.lexsort((ids, -scores))[:n]
+        return [
+            (ids[i].item() if hasattr(ids[i], "item") else ids[i],
+             float(scores[i]))
+            for i in order
+        ]
+
+    # -- fusion --------------------------------------------------------------
+
+    def hybrid_query(
+        self,
+        terms,
+        query_vector: Sequence[float],
+        k: int = 10,
+        n: int = 1000,
+        rrf_k: int = 60,
+    ) -> list[tuple]:
+        """Reciprocal-rank fusion of the keyword top-n (tf ranking)
+        and the vector top-n (UNROUNDED full-probe cosine over the
+        paired KnnServer's snapshot): rrf = 1/(rrf_k+rank_kw) +
+        1/(rrf_k+rank_vec), a missing rank coalesced to n+1, rounded
+        to 6 digits, (-rrf, id) order — the Spark
+        ``hybrid_search_rrf`` plan's exact prune-first contract."""
+        import numpy as np
+
+        kw = self.keyword_topn(terms, n=n, mode="tf")
+        vsnap = self.knn._snap
+        q = np.asarray(list(query_vector), dtype=np.float64)
+        vscores = vsnap.mat @ q  # UNROUNDED, like the Spark ranking
+        vorder = np.lexsort((vsnap.ids, -vscores))[:n]
+        kw_rank = {i: r + 1 for r, (i, _s) in enumerate(kw)}
+        vec_rank = {
+            (vsnap.ids[i].item() if hasattr(vsnap.ids[i], "item")
+             else vsnap.ids[i]): r + 1
+            for r, i in enumerate(vorder)
+        }
+        fused = []
+        for i in set(kw_rank) | set(vec_rank):
+            rrf = 1.0 / (rrf_k + kw_rank.get(i, n + 1)) + 1.0 / (
+                rrf_k + vec_rank.get(i, n + 1)
+            )
+            fused.append((i, float(np.round(rrf, ROUND_DIGITS))))
+        fused.sort(key=lambda t: (-t[1], t[0]))
+        return fused[:k]
+
+
+
+
 class _ShardSet:
     """One immutable generation of the sharded topology: the shard
     tuple plus the single table version EVERY shard was built from."""

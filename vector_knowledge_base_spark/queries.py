@@ -16204,3 +16204,58 @@ def q_events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("mu"), 4).alias("mean_rate"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Wave 103 (r10) — hybrid retrieval SERVED in-process, under the same
+# oracle as the batch plan: the keyword tf ranking and the full-probe
+# vector ranking fuse by reciprocal rank in operators/serving.py's
+# HybridKnnServer, and the served top-10 must hash-equal the
+# hybrid_search_rrf SQL oracle (prune-first top-N per side, missing
+# rank coalesced to N+1, 6-digit rounding, (-rrf, id) ties).
+# ---------------------------------------------------------------------------
+
+
+@query("hybrid_serving_parity", oracle=_HYBRID_RRF_ORACLE)
+def q_hybrid_serving_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The RAG hybrid-search combiner served at point-query latency
+    (operators/serving.py HybridKnnServer — beyond the reference's
+    vector-only /search, backend/main.py:185-230, but in its serving
+    REGIME): Spark builds the IVF artifact and owns the corpus; the
+    server holds term postings + the vector shard in memory and fuses
+    keyword and vector rankings by RRF. The served answer must
+    hash-equal the SAME DuckDB oracle that gates the Spark
+    ``hybrid_search_rrf`` plan — one oracle, two execution regimes
+    (batch plan and in-process server), the strongest parity statement
+    the gate can make. Tokenization, tf ranking, UNROUNDED vector rank
+    order, rank coalescing, rounding, and tie-breaks all reproduce the
+    batch plan bit-for-bit (pinned also by
+    tests/test_serving.py::test_hybrid_server_matches_spark_plans,
+    which additionally pins the BM25 keyword mode against
+    ``bm25_keyword_search``).
+
+    100 TB shape: the bounded-shard contract of every serving tier
+    (max_docs refusal); postings are O(total tokens); the fusion
+    touches 2N ranked rows. The batch plans remain the scale path for
+    scoring the corpus; this tier answers points."""
+    from vector_knowledge_base_spark.operators.ann import build_ivf
+    from vector_knowledge_base_spark.operators.serving import (
+        HybridKnnServer,
+        KnnServer,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    centroids, assigned = build_ivf(emb, n_partitions=16)
+    knn = KnnServer(centroids, assigned, max_vectors=10_000_000)
+    assigned.unpersist()
+    hs = HybridKnnServer(docs, knn, max_docs=10_000_000)
+    qv = [
+        float(x)
+        for x in emb.where(F.col("vec_id") == 0).first()["embedding"]
+    ]
+    hits = hs.hybrid_query("vector", qv, k=10, n=1000)
+    return spark.createDataFrame(
+        [(int(i), float(s)) for i, s in hits],
+        "doc_id long, rrf_score double",
+    )
