@@ -378,6 +378,8 @@ HEADLINE = [
     "events_cusum_changepoint",
     # wave 103 (r10) — hybrid RRF served in-process, batch-plan oracle
     "hybrid_serving_parity",
+    # wave 104 (r10) — kNN-graph hubness audit (in-degree concentration)
+    "knn_hubness_audit",
 ]
 
 # Integration rows whose cost is fixed overhead (streaming runs with

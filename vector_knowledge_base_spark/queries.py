@@ -16259,3 +16259,100 @@ def q_hybrid_serving_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(int(i), float(s)) for i, s in hits],
         "doc_id long, rrf_score double",
     )
+
+
+# ---------------------------------------------------------------------------
+# Wave 104 (r10) — kNN hubness audit: the in-degree concentration of
+# the neighbor graph (Radovanović et al. 2010 — in high dimensions a
+# few "hub" points appear in everyone's top-k while antihubs appear in
+# nobody's, silently skewing retrieval, dedup voting, and kNN
+# classification). The 300th registry query; completes the
+# embedding-quality family (LOO accuracy, mutual-NN, centroid drift,
+# silhouette) with the graph-shape diagnostic they don't see.
+# ---------------------------------------------------------------------------
+
+_KNN_HUBNESS_ORACLE = """
+WITH qs AS (
+  SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+  FROM embeddings WHERE vec_id < 100
+),
+scored AS (
+  SELECT q.qid, e.vec_id AS nb,
+         ROUND(list_dot_product(e.embedding::DOUBLE[], q.qv), 6) AS s
+  FROM embeddings e, qs q
+  WHERE e.vec_id <> q.qid
+),
+top AS (
+  SELECT qid, nb FROM (
+    SELECT qid, nb,
+           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY s DESC, nb) AS r
+    FROM scored
+  ) WHERE r <= 10
+),
+deg AS (SELECT nb, COUNT(*) AS d FROM top GROUP BY nb)
+SELECT CAST(100 AS BIGINT) AS n_queries,
+       CAST(COUNT(*) AS BIGINT) AS distinct_neighbors,
+       CAST(MAX(d) AS BIGINT) AS max_in_degree,
+       (SELECT nb FROM deg ORDER BY d DESC, nb LIMIT 1) AS top_hub_id,
+       ROUND(COUNT(*) / 1000.0, 4) AS neighbor_occupancy
+FROM deg
+"""
+
+
+@query("knn_hubness_audit", oracle=_KNN_HUBNESS_ORACLE)
+def q_knn_hubness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hubness audit of the kNN graph over a 100-query sample
+    (self-excluded top-10 per query, ranked on the 6-digit-rounded
+    cosine with id ties — operators/knn.batch_knn, the production
+    batch stack): how many DISTINCT corpus rows serve as anyone's
+    neighbor (occupancy = distinct/1000; 1.0 means no reuse at all),
+    the maximum in-degree, and the top hub's id. A healthy embedding
+    space keeps occupancy high and max_in_degree near the Poisson
+    expectation; a collapsing space funnels everyone through a few
+    hubs — the failure mode that silently corrupts k-vote dedup and
+    retrieval long before recall metrics move (Radovanović et al.,
+    JMLR 2010).
+
+    Scale shape: identical to the serving batch path — the corpus is
+    scanned ONCE with the 100 queries broadcast; the rank window
+    shuffles (qid, nb, score) candidate rows only; the in-degree
+    reduction is a hash-agg over ≤1000 rows."""
+    from vector_knowledge_base_spark.operators.knn import batch_knn
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    qs = emb.where(F.col("vec_id") < 100).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    top = batch_knn(
+        qs,
+        emb,
+        k=10,
+        query_id_col="qid",
+        query_vec_col="qv",
+        include_self=False,
+    )
+    deg = top.groupBy(F.col("vec_id").alias("nb")).agg(
+        F.count(F.lit(1)).alias("d")
+    )
+    hub = (
+        deg.orderBy(F.desc("d"), F.asc("nb"))
+        .limit(1)
+        .select(F.col("nb").alias("top_hub_id"))
+    )
+    return (
+        deg.agg(
+            F.lit(100).cast("long").alias("n_queries"),
+            F.count(F.lit(1)).alias("distinct_neighbors"),
+            F.max("d").alias("max_in_degree"),
+        )
+        .crossJoin(hub)
+        .select(
+            "n_queries",
+            "distinct_neighbors",
+            "max_in_degree",
+            "top_hub_id",
+            F.round(F.col("distinct_neighbors") / 1000.0, 4).alias(
+                "neighbor_occupancy"
+            ),
+        )
+    )
