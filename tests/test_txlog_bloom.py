@@ -337,3 +337,84 @@ def test_table_detail_summarizes_from_log_alone(spark, tmp_path):
     assert d["partition_by"] is None
     assert d["n_dv_entries"] == 0 and d["n_schema_fields"] == 3
     assert d["last_commit_ts"] is not None
+
+
+def test_bloom_on_multi_partition_column_table(spark, tmp_path):
+    """REGRESSION (r11): with >=2 partition columns one write task
+    reuses the SAME part-file basename under every partition dir, so
+    …/_pt_a=1/_pt_b=0/part-0 and …/_pt_a=2/_pt_b=0/part-0 share their
+    last two path segments. Keying blooms by anything short of the
+    table-root-relative path merged such files' blooms (one absorbed
+    all bits, the other got an ALL-ZERO sidecar whose every probe says
+    'definitely absent') — filtered reads silently dropped real rows.
+    Pin: every file has a distinct, correct sidecar and every point
+    lookup over the full key range returns exactly its row."""
+    tbl = str(tmp_path / "pt2")
+    df = spark.range(0, 800).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 2).alias("a"),
+        ((F.col("id") / 2).cast("long") % 2).alias("b"),
+    ).coalesce(1)
+    create_table(
+        spark, tbl, df, partition_by=["a", "b"], bloom_filter_columns=["k"]
+    )
+    m = _read_manifest(tbl, 0)
+    assert len(m["files"]) == 4  # one file per (a, b) cell
+    # the collision precondition really holds: basenames are shared
+    # and even dir+basename (last two segments) is NOT unique
+    twoseg = {"/".join(e.replace(os.sep, "/").split("/")[-2:])
+              for e in m["files"]}
+    assert len(twoseg) < 4
+    assert all(st.get("bloom") == ["k"] for st in m["stats"].values())
+    # every sidecar is non-degenerate: each file's OWN values probe as
+    # maybe-present in its OWN bloom (an all-zero merged-away sidecar
+    # fails instantly — that was the bug's signature), and every point
+    # lookup keeps its true file and returns exactly its row (false
+    # POSITIVES may keep an extra file — harmless; never 0 files)
+    import json as _json
+
+    from vector_knowledge_base_spark.sources.txlog import (
+        _bloom_maybe_contains,
+        _resolve,
+    )
+
+    for e, st in m["stats"].items():
+        with open(_resolve(tbl, e) + ".bloom.json") as fh:
+            info = _json.load(fh)["k"]
+        assert _bloom_maybe_contains(info, str(st["min"]["k"]))
+        assert _bloom_maybe_contains(info, str(st["max"]["k"]))
+    for k in range(0, 800, 97):
+        pruned = _prune_files(tbl, m, {"k": k})
+        assert 1 <= len(pruned) < 4  # true file kept, real pruning done
+        got = read_table(spark, tbl, filters={"k": k}).collect()
+        assert [(r["k"], r["a"], r["b"]) for r in got] == [
+            (k, k % 2, (k // 2) % 2)
+        ]
+
+
+def test_bloom_refused_on_nonintegral_nonstring_columns(spark, tmp_path):
+    """CAST-to-string hashing does not round-trip floats between the
+    JVM build ('5.0') and a Python int probe ('5') — a false 'absent'
+    would WRONGLY prune. Such declarations are rejected up front, at
+    create_table and at add_bloom_index alike."""
+    from vector_knowledge_base_spark.sources.txlog import add_bloom_index
+
+    df = spark.range(0, 10).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 1.5).alias("score"),
+        (F.col("id") % 2 == 0).alias("flag"),
+    )
+    with pytest.raises(ValueError, match="integral or string"):
+        create_table(
+            spark, str(tmp_path / "f1"), df, bloom_filter_columns=["score"]
+        )
+    with pytest.raises(ValueError, match="integral or string"):
+        create_table(
+            spark, str(tmp_path / "f2"), df, bloom_filter_columns=["flag"]
+        )
+    # integral + string columns remain declarable, and retrofitting a
+    # float column onto an existing table is refused the same way
+    tbl = str(tmp_path / "ok")
+    create_table(spark, tbl, df, bloom_filter_columns=["k"])
+    with pytest.raises(ValueError, match="integral or string"):
+        add_bloom_index(spark, tbl, ["score"])

@@ -87,3 +87,28 @@ def test_pre_ts_manifests_still_resolve(spark, tmp_path):
     ts1 = _read_manifest(tbl, 1)["ts"]
     # a moment before v1's stamp falls through to the unstamped v0
     assert version_at_timestamp(tbl, ts1 - 0.001) == 0
+
+
+def test_commit_ts_clamped_monotone_under_clock_skew(spark, tmp_path, monkeypatch):
+    """REGRESSION (r11, ADVICE): commit ts is wall-clock; under
+    multi-writer clock skew a LATER version could stamp EARLIER than
+    its parent (v1 ts=100, v2 ts=90), and version_at_timestamp — which
+    stops at the first manifest stamped past the target — would
+    resolve ts=95 to v0, skipping v2 entirely. The Delta fix, pinned
+    here: _commit clamps ts to max(parent_ts, now), so stamps are
+    monotone non-decreasing and resolution is well-defined."""
+    import vector_knowledge_base_spark.sources.txlog as tx
+
+    tbl = str(tmp_path / "t")
+    create_table(spark, tbl, _row(spark, 0))
+    ts0 = _read_manifest(tbl, 0)["ts"]
+    # a skewed writer whose clock reads BEFORE the parent's stamp
+    monkeypatch.setattr(tx.time, "time", lambda: ts0 - 50.0)
+    append_table(spark, tbl, _row(spark, 1))
+    monkeypatch.undo()
+    ts1 = _read_manifest(tbl, 1)["ts"]
+    assert ts1 >= ts0  # clamped, not the skewed clock's raw reading
+    # resolution: at-or-after both stamps → latest version, always
+    assert version_at_timestamp(tbl, ts1) == 1
+    with pytest.raises(RuntimeError, match="predates"):
+        version_at_timestamp(tbl, ts0 - 60.0)

@@ -422,17 +422,19 @@ def _commit(path: str, manifest: dict) -> int:
     version = manifest["version"]
     # partitioning is a create-time table property: carry it forward
     # automatically so no commit path can silently drop it
-    if isinstance(manifest.get("parent"), int) and (
+    parent_m: dict | None = None
+    if isinstance(manifest.get("parent"), int):
+        try:
+            parent_m = _read_manifest(path, manifest["parent"])
+        except (OSError, KeyError, ValueError):
+            parent_m = {}
+    if parent_m is not None and (
         "partition_by" not in manifest
         or "constraints" not in manifest
         or "dv" not in manifest
         or "colmap" not in manifest
         or "bloom_cols" not in manifest
     ):
-        try:
-            parent_m = _read_manifest(path, manifest["parent"])
-        except (OSError, KeyError, ValueError):
-            parent_m = {}
         manifest.setdefault("partition_by", parent_m.get("partition_by"))
         manifest.setdefault("constraints", parent_m.get("constraints"))
         # column mapping is a table property like partition_by: carried
@@ -445,8 +447,17 @@ def _commit(path: str, manifest: dict) -> int:
         # kept-files-only) — inheriting would resurrect deleted rows
         manifest.setdefault("dv", parent_m.get("dv"))
     # commit wall-time (epoch seconds) — the key TIMESTAMP AS OF time
-    # travel resolves against; recorded once, never rewritten
-    manifest.setdefault("ts", time.time())
+    # travel resolves against; recorded once, never rewritten. Clamped
+    # to at-or-after the parent's stamp (Delta does the same): under
+    # multi-writer clock skew a raw clock could stamp v5 EARLIER than
+    # v4, and version_at_timestamp — which picks the latest version
+    # with ts <= target — would skip the later version entirely.
+    if manifest.get("ts") is None:
+        ts = time.time()
+        p_ts = (parent_m or {}).get("ts")
+        if p_ts is not None:
+            ts = max(ts, float(p_ts))
+        manifest["ts"] = ts
     manifest = _delta_encode(path, manifest)
     final = _manifest_file(path, version)
     tmp = os.path.join(_log_path(path), f".{uuid.uuid4().hex}.tmp")
@@ -669,6 +680,34 @@ def _file_stats(path: str, files: list[str]) -> dict:
 _BLOOM_K = 7  # ~1% fpp at 10 bits/key
 _BLOOM_BITS_PER_KEY = 10
 
+# Bloom sidecars hash CAST(col AS STRING) at build time and the probe
+# re-hashes the Python value's str() form — only integral and string
+# types round-trip those two forms identically. A double/decimal column
+# writes '5.0'/'5.00' while a Python probe {col: 5} hashes '5': a false
+# "definitely absent" that WRONGLY prunes files the residual predicate
+# col == 5 would match. Declaring such a column is rejected up front
+# (create_table / add_bloom_index) rather than abstained probe-side.
+_BLOOM_OK_TYPES = {"byte", "short", "integer", "long", "string"}
+
+
+def _check_bloom_types(columns: list[str], types: Mapping[str, Any]) -> None:
+    """Raise unless every bloom column's logical type (Spark typeName /
+    schema-JSON type string) is integral or string. Unknown columns are
+    the caller's missing-column error, not ours."""
+    bad = [
+        c
+        for c in columns
+        if c in types
+        and not (isinstance(types[c], str) and types[c] in _BLOOM_OK_TYPES)
+    ]
+    if bad:
+        raise ValueError(
+            "txlog: bloom_filter_columns must be integral or string "
+            f"typed; {bad} are not (CAST-to-string hashing does not "
+            "round-trip floats/decimals/bools/dates between the JVM "
+            "build and the Python probe)"
+        )
+
 
 def _bloom_hash_pair(s: str) -> tuple[int, int]:
     """The (h1, h2) double-hash base from md5 hex — MUST mirror the
@@ -711,10 +750,16 @@ def _attach_blooms(
 
     per_file: dict[str, dict] = {}
     m_bits: dict[str, int] = {}
-    # key = last TWO path segments: a partitioned write reuses the SAME
-    # part-file basename under every _pt_ dir (one task uuid), so the
-    # basename alone would merge different files' blooms; dir+name is
-    # unique (task uuids differ across writes, partition dirs within one)
+    # key = the file's path RELATIVE TO THE TABLE ROOT (the manifest
+    # entry) — unique per file by construction. Anything shorter is
+    # not: a partitioned write reuses the SAME part-file basename under
+    # every partition dir (one task uuid), and with >=2 partition
+    # columns even dir+basename collides (…/_pt_a=1/_pt_b=x/part-0 vs
+    # …/_pt_a=2/_pt_b=x/part-0 share their last two segments) — a
+    # collision MERGES two files' blooms into one and leaves the other
+    # an all-zero sidecar whose every probe says "definitely absent",
+    # i.e. filtered reads silently drop real rows.
+    root = os.path.abspath(path)
     keys: dict[str, str] = {}
     for f in files:
         e = _rel(path, f)
@@ -724,25 +769,29 @@ def _attach_blooms(
         if not present or rows == 0:
             continue
         m_bits[f] = max(64, ((rows * _BLOOM_BITS_PER_KEY + 63) // 64) * 64)
-        keys["/".join(f.split(os.sep)[-2:])] = f
+        keys[os.path.relpath(os.path.abspath(f), root)] = f
         per_file[f] = {}
     if not per_file:
         return
     meta = spark.createDataFrame(
-        [("/".join(f.split(os.sep)[-2:]), m_bits[f]) for f in per_file],
+        [(os.path.relpath(os.path.abspath(f), root), m_bits[f])
+         for f in per_file],
         "_key string, _m long",
     )
     for c in bloom_cols:
         need = [f for f in per_file if c in _col_list(stats, path, f)]
         if not need:
             continue
-        parts = F.split(F.col("_metadata.file_path"), "/")
+        # _metadata.file_path is a URI (file:/… or file:///…): strip
+        # the scheme down to a plain absolute path, then take the
+        # suffix after "<table root>/" — exactly the Python-side key.
+        norm = F.regexp_replace(
+            F.col("_metadata.file_path"), r"^[a-zA-Z][a-zA-Z0-9+.\-]*:/+", "/"
+        )
         src = (
             spark.read.parquet(*need)
             .select(
-                F.concat_ws(
-                    "/", F.element_at(parts, -2), F.element_at(parts, -1)
-                ).alias("_key"),
+                F.substring(norm, len(root) + 2, 1 << 30).alias("_key"),
                 F.col(c).cast("string").alias("_v"),
             )
             .where(F.col("_v").isNotNull())
@@ -851,6 +900,10 @@ def add_bloom_index(
                 f"txlog: add_bloom_index columns {missing} not in the "
                 f"table schema {sorted(names)}"
             )
+        _check_bloom_types(
+            columns,
+            {f["name"]: f.get("type") for f in logged.get("fields", [])},
+        )
         colmap = m.get("colmap") or {}
         phys = [colmap.get(c, c) for c in columns]
         import copy as _copy
@@ -1226,6 +1279,10 @@ def create_table(
                 f"txlog: bloom_filter_columns {missing} not in the "
                 f"dataframe columns {df.columns}"
             )
+        _check_bloom_types(
+            list(bloom_filter_columns),
+            {f.name: f.dataType.typeName() for f in df.schema.fields},
+        )
     files = _write_batch(df, path, partition_by)
     stats = _file_stats(path, files)
     if bloom_filter_columns:
