@@ -380,6 +380,8 @@ HEADLINE = [
     "hybrid_serving_parity",
     # wave 104 (r10) — kNN-graph hubness audit (in-degree concentration)
     "knn_hubness_audit",
+    # wave 105 (r11) — FILTERED hybrid serving (allowed_ids pre-filter)
+    "hybrid_filtered_serving_parity",
 ]
 
 # Integration rows whose cost is fixed overhead (streaming runs with
@@ -413,6 +415,7 @@ SINGLE_RUN = {
     "ivfpq_inproc_serving_parity",
     "txlog_bloom_pruning",
     "hybrid_serving_parity",
+    "hybrid_filtered_serving_parity",
 }
 
 KNN_BATCH_N_QUERIES = 5  # matches the knn_batch query definition
@@ -839,6 +842,27 @@ def _facade_serve_anchor(spark, sf_dir, extra, errors) -> None:
                 extra[f"facade_search_{mode}_df_ms_band"] = _band(
                     [1000 * x for x in lats]
                 )
+            # r11: the hybrid verb — first call pays the keyword
+            # artifact build (the Spark-side postings aggregation,
+            # recorded as its own anchor per the r10 verdict), then
+            # the steady-state fused query latency
+            t0 = time.time()
+            kb.search_hybrid("data pipeline orders", k=5)
+            extra["facade_hybrid_build_ms"] = round(
+                1000 * (time.time() - t0), 2
+            )
+            lats = []
+            for _pass in range(2):
+                for qt in qtexts:
+                    t0 = time.time()
+                    kb.search_hybrid(qt, k=5)
+                    lats.append(time.time() - t0)
+            extra["facade_search_hybrid_ms"] = round(
+                1000 * statistics.median(lats), 3
+            )
+            extra["facade_search_hybrid_ms_band"] = _band(
+                [1000 * x for x in lats]
+            )
         finally:
             shutil.rmtree(srcd, ignore_errors=True)
             shutil.rmtree(wsd, ignore_errors=True)

@@ -1012,6 +1012,40 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 #       (tests/test_service.py — spark mode vs serve mode row-equal),
 #       tests/test_serving.py full-probe parity, and this row's
 #       sf0.01 pytest oracle + sf0.1 sweep.
+#
+# r11 rotation (VERDICT r10 next-round #1): the four r10 serving/bloom
+# rows — oracled green at three SFs in r10 and verified by the r10
+# judge's 12-query sf0.1 sweep — plus the hubness audit take the
+# driver's signature:
+#   pq_serving_parity           IN  (PQ-codes serving tier ≡ the exact
+#       ADC SQL oracle)
+#   ivfpq_inproc_serving_parity IN  (cell-pruned IVF-PQ in-process
+#       serving ≡ its invariants oracle — the FAISS IndexIVFPQ shape)
+#   hybrid_serving_parity       IN  (RRF keyword+vector fusion served
+#       in-process, hash-equal to the batch plan's own DuckDB oracle)
+#   txlog_bloom_pruning         IN  (bloom-sidecar file skipping:
+#       stats-cannot/bloom-can pruning claims + looked-up row values)
+#   knn_hubness_audit           IN  (neighbor-graph in-degree
+#       concentration riding batch_knn)
+#   ivfpq_serving_invariants    OUT ↔ twins ivfpq_inproc_serving_parity
+#       (the SAME IVF-PQ ADC kernel, now answered through the strictly
+#       longer in-process build→serve path, in-window) and
+#       pq_serving_parity (the ADC table itself under the driver hash);
+#       the batch-plan invariants stay pytest-oracled at sf0.01 + sweep.
+#   mutual_knn_pairs            OUT ↔ twins knn_hubness_audit (rides
+#       the SAME batch_knn kernel corpus-wide, in-window) and
+#       knn_neighbor_join (the neighbor-join shape, in-window since r1).
+#   simhash_fingerprint         OUT ↔ twins minhash_lsh_candidates
+#       (in-window: the hash-signature near-dup family's driver row)
+#       and shingle_containment_pairs (the n-gram evidence side);
+#       simhash's known-answer oracle stays pytest-pinned at sf0.01.
+#   compression_ratio_inline    OUT ↔ twin text_quality_score (the
+#       quality-kernel family's in-window row); the zlib known-answer
+#       VALUES oracle stays pytest-pinned (exact bytes, any SF).
+#   rollup_sales                OUT ↔ twin matview_rollup_incremental
+#       (in-window: the SAME grouping-sets aggregation machinery in
+#       its strictly harder incremental-refresh form) and
+#       cube_order_stats (pytest-oracled superset shape).
 # ============================================================================
 _WINDOW_PROMOTE = [
     # r3 promotions
@@ -1034,9 +1068,10 @@ _WINDOW_PROMOTE = [
     # (r7: quantile_sketch_audit moved to DEMOTE — twin theta_sketch_set_expressions)
     # r4 waves 51-57 — new first-class families earn driver-hash rows
     "retrieval_eval_mrr",          # IR eval harness (MRR/P@10/NDCG@10)
-    "mutual_knn_pairs",            # reciprocal-NN dedup confidence
+    # (r11: mutual_knn_pairs moved to DEMOTE — twins knn_hubness_audit
+    #  + knn_neighbor_join)
     # (r6: snapshot_diff_orders moved to DEMOTE — twin txlog_cdc_diff)
-    "compression_ratio_inline",    # zlib quality kernel (known-answer)
+    # (r11: compression_ratio_inline moved to DEMOTE — twin text_quality_score)
     # r5 promotions — see rotation note above
     "exact_substring_spans",          # actionable cut-list spans
     "shingle_containment_pairs",      # asymmetric containment dedup
@@ -1060,7 +1095,8 @@ _WINDOW_PROMOTE = [
     # (r7: txlog_replace_where moved to DEMOTE — twin txlog_partition_overwrite)
     # (r7: txlog_incremental_mv moved to DEMOTE — twin registry_matview_listing)
     # r7 promotions — see rotation note above
-    "ivfpq_serving_invariants",       # IVF-PQ serving invariants (Python-free ADC)
+    # (r11: ivfpq_serving_invariants moved to DEMOTE — twins
+    #  ivfpq_inproc_serving_parity + pq_serving_parity)
     # (r9: txlog_clustered_compaction moved to DEMOTE — twins
     #  txlog_column_mapping + txlog_deletion_vectors)
     # (r9: txlog_schema_evolution moved to DEMOTE — twin txlog_column_mapping)
@@ -1081,6 +1117,12 @@ _WINDOW_PROMOTE = [
     "txlog_column_mapping",           # RENAME/DROP metadata-only DDL (w95)
     # r10 promotion — see rotation note above
     "knn_serving_parity",             # in-process serving tier ≡ exact kNN
+    # r11 promotions — see rotation note above
+    "pq_serving_parity",              # PQ-codes serving ≡ exact ADC oracle
+    "ivfpq_inproc_serving_parity",    # IVF-PQ cell-pruned in-proc serving
+    "hybrid_serving_parity",          # RRF hybrid served ≡ batch-plan oracle
+    "txlog_bloom_pruning",            # bloom-sidecar file skipping claims
+    "knn_hubness_audit",              # kNN-graph in-degree concentration
 ]
 _WINDOW_DEMOTE = [
     # rows-only registrations (no SQL oracle possible for raw outputs)
@@ -1146,6 +1188,12 @@ _WINDOW_DEMOTE = [
     "registry_matview_listing",         # twins: matview_rollup_incremental + registry_by_source
     # r10 demotion — twins named in the rotation note above
     "knn_topk_cosine",                  # twins: knn_neighbor_join + knn_serving_parity
+    # r11 demotions — each twin named in the rotation note above
+    "ivfpq_serving_invariants",         # twins: ivfpq_inproc_serving_parity + pq_serving_parity
+    "mutual_knn_pairs",                 # twins: knn_hubness_audit + knn_neighbor_join
+    "simhash_fingerprint",              # twins: minhash_lsh_candidates + shingle_containment_pairs
+    "compression_ratio_inline",         # twin: text_quality_score
+    "rollup_sales",                     # twins: matview_rollup_incremental + cube_order_stats
 ]
 
 
@@ -16355,4 +16403,97 @@ def q_knn_hubness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "neighbor_occupancy"
             ),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Wave 105 (r11) — FILTERED hybrid retrieval served in-process: the
+# allowed_ids pre-filter (the Qdrant filter-inside-the-walk regime,
+# r11 on the hybrid tier) under its own oracle. Ranks are computed
+# WITHIN the filtered universe on BOTH sides — keyword tf and vector
+# cosine — not post-filtered from an unfiltered shortlist that could
+# come up short; the oracle restricts the corpus first and re-runs the
+# same prune-first RRF, so any post-filtering shortcut hash-fails.
+# ---------------------------------------------------------------------------
+
+_HYBRID_FILTERED_ORACLE = """
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+allowed AS (SELECT doc_id, text FROM documents WHERE lang = 'en'),
+kw_top AS (
+  SELECT doc_id,
+         len(list_filter(string_split(text, ' '), t -> t = 'vector')) AS tf
+  FROM allowed
+  ORDER BY tf DESC, doc_id
+  LIMIT 1000
+),
+kw AS (
+  SELECT doc_id,
+         ROW_NUMBER() OVER (ORDER BY tf DESC, doc_id) AS rk
+  FROM kw_top
+),
+vec_top AS (
+  SELECT e.vec_id AS doc_id,
+         list_dot_product(e.embedding::DOUBLE[], q.qv) AS score
+  FROM embeddings e JOIN allowed a ON a.doc_id = e.vec_id, q
+  ORDER BY score DESC, doc_id
+  LIMIT 1000
+),
+vec AS (
+  SELECT doc_id,
+         ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rv
+  FROM vec_top
+)
+SELECT doc_id,
+       ROUND(1.0 / (60 + COALESCE(kw.rk, 1001))
+           + 1.0 / (60 + COALESCE(vec.rv, 1001)), 6) AS rrf_score
+FROM kw FULL OUTER JOIN vec USING (doc_id)
+ORDER BY rrf_score DESC, doc_id
+LIMIT 10
+"""
+
+
+@query("hybrid_filtered_serving_parity", oracle=_HYBRID_FILTERED_ORACLE)
+def q_hybrid_filtered_serving_parity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Exact FILTERED hybrid search served in-process (r11,
+    operators/serving.py HybridKnnServer.hybrid_query(allowed_ids=…)
+    — the facade's search_hybrid(filters=…) regime, service.py): an
+    eq-filter (lang = 'en') restricts BOTH rankings' universes before
+    any rank is assigned, and the fused top-10 must hash-equal a
+    DuckDB oracle that filters the corpus FIRST and re-runs the same
+    prune-first RRF. This is the parity statement that separates
+    filter-inside-the-walk from post-filtering: a shortlist filtered
+    after ranking would carry unfiltered ranks (and could surface
+    fewer than k survivors), and either defect flips the hash.
+
+    100 TB shape: the filter is a driver-side id mask over the bounded
+    shard (numpy isin — O(shard)); at corpus scale the same filters
+    run as partition/stats/bloom pruning in the batch plans. Spark
+    builds the artifact (one MLlib KMeans + one postings hash-agg);
+    the query path runs zero Spark jobs by design."""
+    from vector_knowledge_base_spark.operators.ann import build_ivf
+    from vector_knowledge_base_spark.operators.serving import (
+        HybridKnnServer,
+        KnnServer,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    centroids, assigned = build_ivf(emb, n_partitions=16)
+    knn = KnnServer(centroids, assigned, max_vectors=10_000_000)
+    assigned.unpersist()
+    hs = HybridKnnServer(docs, knn, max_docs=10_000_000)
+    allowed = [
+        r["doc_id"]
+        for r in docs.where(F.col("lang") == "en").select("doc_id").collect()
+    ]
+    qv = [
+        float(x)
+        for x in emb.where(F.col("vec_id") == 0).first()["embedding"]
+    ]
+    hits = hs.hybrid_query("vector", qv, k=10, n=1000, allowed_ids=allowed)
+    return spark.createDataFrame(
+        [(int(i), float(s)) for i, s in hits],
+        "doc_id long, rrf_score double",
     )
