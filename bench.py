@@ -382,6 +382,8 @@ HEADLINE = [
     "knn_hubness_audit",
     # wave 105 (r11) — FILTERED hybrid serving (allowed_ids pre-filter)
     "hybrid_filtered_serving_parity",
+    # wave 106 (r11) — BM25 keyword ranking served in-process
+    "bm25_serving_parity",
 ]
 
 # Integration rows whose cost is fixed overhead (streaming runs with
@@ -416,6 +418,7 @@ SINGLE_RUN = {
     "txlog_bloom_pruning",
     "hybrid_serving_parity",
     "hybrid_filtered_serving_parity",
+    "bm25_serving_parity",
 }
 
 KNN_BATCH_N_QUERIES = 5  # matches the knn_batch query definition

@@ -1147,3 +1147,114 @@ def test_hybrid_delta_bound_refuses_and_stays_consistent(spark, tmp_path):
         hs.refresh_if_stale(spark)
     assert hs.table_version == 0 and hs.knn.table_version == 0
     assert hs.keyword_topn("vector", n=10, mode="tf") == before_kw
+
+
+def test_hybrid_query_batch_equals_loop(spark, emb):
+    """r11: the vectorized hybrid batch path (one matmul for the whole
+    batch's cosine side) must answer EXACTLY like independent
+    single-query calls — ids, rounded rrf scores, order — unfiltered
+    and under an allowed_ids pre-filter, including mixed per-query
+    term lists."""
+    from vector_knowledge_base_spark.operators.serving import (
+        HybridKnnServer,
+    )
+
+    docs = load_table(spark, SF, "documents")
+    centroids, assigned = build_ivf(emb, n_partitions=8)
+    knn = KnnServer(centroids, assigned)
+    assigned.unpersist()
+    hs = HybridKnnServer(docs, knn)
+
+    qrows = emb.where(F.col("vec_id") < 5).select("vec_id", "embedding").collect()
+    qvs = [[float(x) for x in r["embedding"]] for r in qrows]
+    terms = ["vector", ["vector", "data"], "data", "the", ["zebra"]]
+
+    batch = hs.hybrid_query_batch(terms, qvs, k=10, n=100)
+    for t, qv, got in zip(terms, qvs, batch):
+        assert got == hs.hybrid_query(t, qv, k=10, n=100)
+
+    allowed = [r["doc_id"] for r in docs.where(F.col("doc_id") % 3 == 0)
+               .select("doc_id").collect()]
+    batch_f = hs.hybrid_query_batch(terms, qvs, k=10, n=100,
+                                    allowed_ids=allowed)
+    for t, qv, got in zip(terms, qvs, batch_f):
+        assert got == hs.hybrid_query(t, qv, k=10, n=100,
+                                      allowed_ids=allowed)
+        assert all(i % 3 == 0 for i, _ in got)
+    with pytest.raises(ValueError, match="1:1"):
+        hs.hybrid_query_batch(["a"], [])
+    assert hs.hybrid_query_batch([], []) == []
+
+
+def test_stream_fed_hybrid_serves_fresh_via_delta_refresh(spark, tmp_path):
+    """Streaming + HYBRID serving composition (r11 — the r10 vector
+    composition test extended to the new table-tracked hybrid tier):
+    an exactly-once txsink stream appends (id, text, embedding)
+    micro-batches; HybridKnnServer.from_txlog follows with delta
+    refreshes — keyword postings AND vector shard extend from only
+    the streamed files, and a streamed-in doc becomes findable by
+    BOTH modalities without a rebuild."""
+    from vector_knowledge_base_spark.operators.serving import (
+        HybridKnnServer,
+    )
+    from vector_knowledge_base_spark.streaming.txsink import (
+        txlog_foreach_batch,
+    )
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    tbl = str(tmp_path / "tbl")
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    emb = load_table(spark, SF, "embeddings").select("vec_id", "embedding")
+    base = (
+        docs.join(emb, docs.doc_id == emb.vec_id)
+        .where(F.col("vec_id") < 100)
+        .select("vec_id", "text", "embedding")
+    )
+    base.write.parquet(src)
+
+    def pump():
+        q = (
+            spark.readStream.schema(base.schema)
+            .parquet(src)
+            .writeStream.foreachBatch(txlog_foreach_batch(tbl))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    pump()
+    hs = HybridKnnServer.from_txlog(spark, tbl, n_partitions=4)
+    assert hs._snap.n_docs == 100
+    # stream a doc with a distinctive token and a far id
+    more = (
+        docs.join(emb, docs.doc_id == emb.vec_id)
+        .where((F.col("vec_id") >= 100) & (F.col("vec_id") < 120))
+        .select(
+            (F.col("vec_id") + 1_000_000).alias("vec_id"),
+            F.concat(F.lit("zzzdistinct "), F.col("text")).alias("text"),
+            "embedding",
+        )
+    )
+    more.write.mode("append").parquet(src)
+    pump()
+    target = more.where(F.col("vec_id") == 1_000_105).first()
+    qv = [float(x) for x in target["embedding"]]
+    assert hs.refresh_if_stale(spark) is True
+    assert hs.last_refresh_mode == "delta"
+    assert hs.knn.last_refresh_mode == "delta"
+    assert hs._snap.n_docs == 120
+    # keyword side finds the streamed token; fused query finds the doc
+    kw = hs.keyword_topn("zzzdistinct", n=30, mode="bm25")
+    assert {i for i, _ in kw} == set(range(1_000_100, 1_000_120))
+    # the streamed doc is findable by fusion (keyword ties prefer
+    # lower ids, so top-1 need not be the vector-top doc — the exact
+    # contract is the delta≡scratch parity below)
+    fused = hs.hybrid_query("zzzdistinct", qv, k=10)
+    assert 1_000_105 in {i for i, _ in fused}
+    # delta state ≡ from-scratch on the streamed table
+    scratch = HybridKnnServer.from_txlog(spark, tbl, n_partitions=4)
+    assert hs.hybrid_query("zzzdistinct", qv, k=10) == \
+        scratch.hybrid_query("zzzdistinct", qv, k=10)
+    assert hs.refresh_if_stale(spark) is False

@@ -1758,33 +1758,76 @@ class HybridKnnServer:
         ``hybrid_search_rrf`` plan's exact prune-first contract.
         ``allowed_ids`` pre-filters BOTH rankings (ranks within the
         filtered universe on each side — exact filtered hybrid, not a
-        post-filtered shortlist)."""
+        post-filtered shortlist). Delegates to the batch path with one
+        query — single and batch answers are equal by construction."""
+        return self.hybrid_query_batch(
+            [terms], [query_vector], k=k, n=n, rrf_k=rrf_k,
+            allowed_ids=allowed_ids,
+        )[0]
+
+    def hybrid_query_batch(
+        self,
+        term_lists: Sequence,
+        query_vectors: Sequence[Sequence[float]],
+        k: int = 10,
+        n: int = 1000,
+        rrf_k: int = 60,
+        allowed_ids=None,
+    ) -> list[list[tuple]]:
+        """Vectorized multi-query hybrid serving (r11 — completes the
+        query_batch surface across every tier): ONE matmul over the
+        vector shard scores the whole batch's cosine side (the r9
+        lesson: the loop form pays one matmul per query), while each
+        query's keyword side probes only its terms' posting lists
+        (already O(df) — the posting-list regime IS the batch
+        optimization). Fusion runs per query over its own 2N ranked
+        rows. Answers equal the single-query path by construction
+        (``hybrid_query`` delegates here)."""
         import numpy as np
 
-        kw = self.keyword_topn(terms, n=n, mode="tf", allowed_ids=allowed_ids)
+        if len(term_lists) != len(query_vectors):
+            raise ValueError(
+                "hybrid_query_batch: term_lists and query_vectors "
+                "must pair 1:1"
+            )
+        if not term_lists:
+            return []
         vsnap = self.knn._snap
-        q = np.asarray(list(query_vector), dtype=np.float64)
         vids = vsnap.ids
         vmat = vsnap.mat
         if allowed_ids is not None:
             vkeep = np.isin(vids, np.asarray(list(allowed_ids)))
             vids = vids[vkeep]
             vmat = vmat[vkeep]
-        vscores = vmat @ q  # UNROUNDED, like the Spark ranking
-        vorder = np.lexsort((vids, -vscores))[:n]
-        kw_rank = {i: r + 1 for r, (i, _s) in enumerate(kw)}
-        vec_rank = {
-            (vids[i].item() if hasattr(vids[i], "item") else vids[i]): r + 1
-            for r, i in enumerate(vorder)
-        }
-        fused = []
-        for i in set(kw_rank) | set(vec_rank):
-            rrf = 1.0 / (rrf_k + kw_rank.get(i, n + 1)) + 1.0 / (
-                rrf_k + vec_rank.get(i, n + 1)
+        Q = np.stack(
+            [np.asarray(list(q), dtype=np.float64) for q in query_vectors]
+        )
+        # UNROUNDED scores, one BLAS call for the whole batch
+        vscores_all = vmat @ Q.T if vmat.shape[0] else np.zeros(
+            (0, Q.shape[0])
+        )
+        out: list[list[tuple]] = []
+        for qi, terms in enumerate(term_lists):
+            kw = self.keyword_topn(
+                terms, n=n, mode="tf", allowed_ids=allowed_ids
             )
-            fused.append((i, float(np.round(rrf, ROUND_DIGITS))))
-        fused.sort(key=lambda t: (-t[1], t[0]))
-        return fused[:k]
+            vscores = vscores_all[:, qi]
+            vorder = np.lexsort((vids, -vscores))[:n]
+            kw_rank = {i: r + 1 for r, (i, _s) in enumerate(kw)}
+            vec_rank = {
+                (vids[i].item() if hasattr(vids[i], "item") else vids[i]):
+                    r + 1
+                for r, i in enumerate(vorder)
+            }
+            fused = []
+            for i in set(kw_rank) | set(vec_rank):
+                rrf = 1.0 / (rrf_k + kw_rank.get(i, n + 1)) + 1.0 / (
+                    rrf_k + vec_rank.get(i, n + 1)
+                )
+                fused.append((i, float(np.round(rrf, ROUND_DIGITS))))
+            fused.sort(key=lambda t: (-t[1], t[0]))
+            out.append(fused[:k])
+        return out
 
 
 

@@ -16497,3 +16497,53 @@ def q_hybrid_filtered_serving_parity(
         [(int(i), float(s)) for i, s in hits],
         "doc_id long, rrf_score double",
     )
+
+
+# ---------------------------------------------------------------------------
+# Wave 106 (r11) — BM25 keyword ranking SERVED in-process under the
+# batch plan's own oracle: the third "one oracle, two regimes" pair
+# (after knn_serving_parity and hybrid_serving_parity). The serving
+# tier's Okapi scoring — postings built by the r11 Spark aggregation —
+# must hash-equal the same DuckDB oracle that gates the Spark
+# ``bm25_keyword_search`` plan.
+# ---------------------------------------------------------------------------
+
+
+@query("bm25_serving_parity", oracle=_BM25_ORACLE)
+def q_bm25_serving_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 (k1=1.2, b=0.75, Lucene idf) answered from the
+    in-process keyword tier (operators/serving.py
+    HybridKnnServer.keyword_topn(mode='bm25') — the facade's
+    search_keyword regime): postings, document lengths, and corpus
+    stats all come from the Spark-side artifact build, scores compute
+    driver-side with zero Spark jobs, and the top-20 must hash-equal
+    the ``bm25_keyword_search`` batch plan's own DuckDB oracle.
+    Ordering matches the oracle's (ROUND(bm25,6) DESC, doc_id) — the
+    tier ranks on unrounded scores, so the returned rows re-sort on
+    the rounded form exactly as the SQL does.
+
+    100 TB shape: bounded-shard serving (max_docs refusal); the batch
+    plan remains the corpus-scale path (one scan + one broadcast
+    stats row). Spark builds, the tier answers points."""
+    import numpy as np
+
+    from vector_knowledge_base_spark.operators.ann import build_ivf
+    from vector_knowledge_base_spark.operators.serving import (
+        HybridKnnServer,
+        KnnServer,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    centroids, assigned = build_ivf(emb, n_partitions=8)
+    knn = KnnServer(centroids, assigned, max_vectors=10_000_000)
+    assigned.unpersist()
+    hs = HybridKnnServer(docs, knn, max_docs=10_000_000)
+    hits = sorted(
+        (
+            (int(i), float(np.round(s, 6)))
+            for i, s in hs.keyword_topn("vector", n=20, mode="bm25")
+        ),
+        key=lambda t: (-t[1], t[0]),
+    )
+    return spark.createDataFrame(hits, "doc_id long, bm25 double")
