@@ -801,3 +801,143 @@ def test_facade_chunks_table_bloom_indexed(spark, tmp_path):
     assert kb.list_documents().where(
         F.col("filename") == "b.txt"
     ).count() == 0
+
+
+def test_search_keyword_facade_bm25(spark, tmp_path):
+    """r11: the keyword-only verb completes the facade retrieval
+    triple. Pinned: (a) BM25 scores equal an independent Okapi
+    computation (k1=1.2, b=0.75, Lucene idf, split(' ') tokens) over
+    the same chunks; (b) only term-matching docs return; (c) the DSL
+    pre-filter restricts the ranked universe while idf/avgdl stay
+    corpus-global; (d) freshness follows the table version."""
+    import math
+
+    kb = KnowledgeBase(spark, str(tmp_path / "ws"), storage="txlog")
+    kb.create_document("a.txt", "tomato soup with tomato paste", category="x")
+    kb.create_document("b.txt", "plain bread and butter here", category="y")
+    kb.create_document("c.txt", "tomato salad fresh and light", category="y")
+
+    rows = kb.chunks().select("chunk_id", "text").collect()
+    texts = {r["chunk_id"]: (r["text"] or "").split(" ") for r in rows}
+    n = len(texts)
+    avgdl = sum(len(t) for t in texts.values()) / n
+
+    def okapi(term, universe=None):
+        ids = universe if universe is not None else list(texts)
+        tfs = {i: texts[i].count(term) for i in ids}
+        df = sum(1 for t in texts.values() if term in t)  # corpus-global
+        idf = math.log(1 + (n - df + 0.5) / (df + 0.5))
+        out = {}
+        for i, tf in tfs.items():
+            if tf > 0:
+                dl = len(texts[i])
+                out[i] = idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+        return out
+
+    got = kb.search_keyword("tomato", k=5)
+    want = okapi("tomato")
+    assert {h["chunk_id"] for h in got} == set(want)
+    for h in got:
+        assert abs(h["score"] - want[h["chunk_id"]]) < 1e-9
+    assert {h["filename"] for h in got} == {"a.txt", "c.txt"}
+    # ranking: a.txt has tf=2 → strictly higher score
+    assert got[0]["filename"] == "a.txt"
+
+    # (c) filtered: category=y restricts candidates, stats stay global
+    flt = kb.search_keyword("tomato", k=5, filters={"category": "y"})
+    assert {h["filename"] for h in flt} == {"c.txt"}
+    uni = [
+        r["chunk_id"]
+        for r in kb.chunks().where(F.col("category") == "y")
+        .select("chunk_id").collect()
+    ]
+    want_f = okapi("tomato", universe=uni)
+    assert abs(flt[0]["score"] - want_f[flt[0]["chunk_id"]]) < 1e-9
+
+    # (b) no-match term → empty, honestly
+    assert kb.search_keyword("zebra", k=5) == []
+
+    # (d) freshness
+    kb.create_document("d.txt", "tomato tomato tomato everywhere", category="y")
+    fresh = kb.search_keyword("tomato", k=5)
+    assert fresh[0]["filename"] == "d.txt"  # tf=3 dominates
+
+
+def test_facade_timestamp_time_travel_and_restore(spark, tmp_path):
+    """r11: TIMESTAMP AS OF through the facade — chunks_at(timestamp=)
+    reads the corpus as of a wall-clock moment, restore(timestamp=)
+    rolls back to it ('it was fine before lunch' recovery), and the
+    two selectors are mutually exclusive."""
+    import time as _time
+
+    kb = KnowledgeBase(spark, str(tmp_path / "ws"), storage="txlog")
+    kb.create_document("a.txt", "first document alpha")
+    t_after_a = _time.time()
+    _time.sleep(0.05)
+    kb.create_document("b.txt", "second document beta")
+
+    assert kb.chunks().count() == 2
+    at_a = kb.chunks_at(timestamp=t_after_a)
+    assert {r["filename"] for r in at_a.collect()} == {"a.txt"}
+    # version selector still works positionally
+    assert kb.chunks_at(0).count() == 1
+
+    with pytest.raises(ValueError, match="exactly one"):
+        kb.restore()
+    with pytest.raises(ValueError, match="exactly one"):
+        kb.restore(version=0, timestamp=t_after_a)
+    kb.restore(timestamp=t_after_a)
+    assert {r["filename"] for r in kb.chunks().collect()} == {"a.txt"}
+    assert {r.filename for r in kb.list_documents().collect()} == {"a.txt"}
+
+
+def test_jsonl_import_export_roundtrip(spark, tmp_path):
+    """r11: JSONL — the LLM training-data interchange — as a
+    first-class source and sink. Pinned: import runs the SAME
+    pipeline as uploads (chunks searchable, registry listed, lang
+    from the filename extension), export writes one JSON object per
+    chunk (no embedding unless opted in), and export→import
+    round-trips the corpus text."""
+    import json as _json
+
+    src = tmp_path / "corpus.jsonl"
+    rows = [
+        {"filename": "alpha.txt", "text": "spark shuffle broadcast join"},
+        {"filename": "beta.md", "text": "tomato basil pasta garlic"},
+        {"filename": "skipme.txt", "text": ""},  # tombstone: dropped
+        {"filename": "gamma.py", "text": "def main(): return 42",
+         "extra_field": "ignored"},
+    ]
+    src.write_text("\n".join(_json.dumps(r) for r in rows))
+
+    kb = KnowledgeBase(spark, str(tmp_path / "ws"), storage="txlog")
+    n = kb.import_jsonl(str(src), category="imported")
+    assert n >= 3
+    listed = {r.filename for r in kb.list_documents().collect()}
+    assert listed == {"alpha.txt", "beta.md", "gamma.py"}
+    hits = kb.search("spark broadcast join", k=2).collect()
+    assert hits and hits[0].filename == "alpha.txt"
+    langs = {
+        r["filename"]: r["text"]
+        for r in kb.chunks().select("filename", "text").collect()
+    }
+    assert "def main" in langs["gamma.py"]
+
+    # export: one object per chunk, embeddings opt-in only
+    out = str(tmp_path / "export")
+    n_out = kb.export_jsonl(out)
+    assert n_out == kb.chunks().count()
+    back = spark.read.json(out)
+    assert "embedding" not in back.columns
+    assert {"chunk_id", "text", "filename", "category"} <= set(back.columns)
+    assert back.count() == n_out
+    assert {r["category"] for r in back.select("category").collect()} == {
+        "imported"
+    }
+
+    # round-trip: export feeds import (text survives byte-exact)
+    kb2 = KnowledgeBase(spark, str(tmp_path / "ws2"), storage="txlog")
+    kb2.import_jsonl(out)
+    texts1 = sorted(r["text"] for r in kb.chunks().select("text").collect())
+    texts2 = sorted(r["text"] for r in kb2.chunks().select("text").collect())
+    assert texts1 == texts2

@@ -100,14 +100,23 @@ class _KnowledgeBaseCore:
             return read_table(self.spark, self.chunks_path)
         return self.spark.read.parquet(self.chunks_path)
 
-    def chunks_at(self, version: int) -> DataFrame:
+    def chunks_at(
+        self, version: int | None = None, timestamp: float | None = None
+    ) -> DataFrame:
         """Time travel (txlog storage only): the chunks table as of
-        ``version`` — e.g. the pre-delete corpus for an audit."""
+        ``version`` — e.g. the pre-delete corpus for an audit — or as
+        of a wall-clock ``timestamp`` (r11: TIMESTAMP AS OF through
+        the facade; resolves to the latest version committed at or
+        before that moment, well-defined under clock skew since commit
+        stamps are clamped monotone)."""
         if self.storage != "txlog":
             raise RuntimeError("chunks_at requires storage='txlog'")
         from vector_knowledge_base_spark.sources.txlog import read_table
 
-        return read_table(self.spark, self.chunks_path, version=version)
+        return read_table(
+            self.spark, self.chunks_path, version=version,
+            timestamp=timestamp,
+        )
 
     def history(self) -> DataFrame:
         """(version, op, n_files, parent, ts) — mutation history of the
@@ -155,15 +164,26 @@ class _KnowledgeBaseCore:
             order_by=cluster_by,
         )
 
-    def restore(self, version: int) -> int:
+    def restore(
+        self, version: int | None = None, timestamp: float | None = None
+    ) -> int:
         """Roll the chunks table back to ``version`` (txlog storage
         only) as a forward metadata-only commit — the facade's RESTORE
-        verb for 'that batch upload poisoned the corpus' recovery.
+        verb for 'that batch upload poisoned the corpus' recovery —
+        or to the state AS OF a wall-clock ``timestamp`` (r11: 'it
+        was fine before lunch' recovery without version archaeology).
         History stays time-travelable until vacuum."""
         if self.storage != "txlog":
             raise RuntimeError("restore requires storage='txlog'")
-        from vector_knowledge_base_spark.sources.txlog import restore_table
+        from vector_knowledge_base_spark.sources.txlog import (
+            restore_table,
+            version_at_timestamp,
+        )
 
+        if (version is None) == (timestamp is None):
+            raise ValueError("restore: give exactly one of version OR timestamp")
+        if version is None:
+            version = version_at_timestamp(self.chunks_path, timestamp)
         v = restore_table(self.spark, self.chunks_path, version)
         # derived state follows the corpus: registry rebuilt from the
         # restored chunks (same contract as delete_document)
@@ -342,6 +362,41 @@ class _KnowledgeBaseCore:
                 embedding_dim=self.dim,
             )
         )
+
+    def import_jsonl(
+        self,
+        path: str,
+        category: str | None = None,
+        tags: list[str] | None = None,
+    ) -> int:
+        """Ingest a JSONL corpus — one JSON object per line with
+        (filename, text) — through the standard chunk→embed→append
+        pipeline (r11; sources/inline.ingest_jsonl). The LLM
+        training-data interchange format as a first-class source:
+        fully distributed, no per-row driver loop."""
+        from vector_knowledge_base_spark.sources.inline import ingest_jsonl
+
+        return self._append(
+            ingest_jsonl(
+                self.spark, path, category=category, tags=tags,
+                embedding_dim=self.dim,
+            )
+        )
+
+    def export_jsonl(
+        self, out_dir: str, include_embeddings: bool = False
+    ) -> int:
+        """Export the chunk corpus as JSONL shards (r11) — the
+        training-data interchange twin of ``import_jsonl``: one JSON
+        object per chunk row (text + metadata; embeddings opt-in —
+        they dominate the bytes), written DISTRIBUTED as one shard
+        per partition (contrast export_zip's inherently sequential
+        single artifact). Returns the number of exported rows."""
+        df = self.chunks().drop("extractor_meta")
+        if not include_embeddings:
+            df = df.drop("embedding")
+        df.write.mode("error").json(out_dir)
+        return df.count()
 
     # -- the flagship read path -------------------------------------------
 
@@ -679,6 +734,54 @@ class _KnowledgeBaseCore:
             query.split(" "), qv, k=k, n=n, allowed_ids=allowed
         )
         cols = ("chunk_id", "rrf_score", "text", "filename", "chunk_index")
+        return [
+            dict(zip(cols, (cid, float(s), *art["rows_by_id"][cid])))
+            for cid, s in hits
+        ]
+
+    def search_keyword(
+        self,
+        query: str,
+        k: int = 5,
+        filters: Mapping[str, Any] | None = None,
+        cluster: int | str | None = None,
+        mode: str = "bm25",
+    ) -> list[dict]:
+        """Keyword-only retrieval through the facade (r11): the
+        query's terms rank by Okapi BM25 (default — k1=1.2, b=0.75,
+        Lucene idf; ``mode='tf'`` for plain summed term frequency)
+        over the same version-pinned keyword artifact search_hybrid
+        serves from, with the same DSL pre-filter restricting the
+        ranked universe (idf/avgdl stay corpus-global — standard
+        filtered-BM25 practice). Completes the facade's retrieval
+        triple: vector (``search``), keyword (this), fused
+        (``search_hybrid``). Returns hit dicts (chunk_id, score,
+        text, filename, chunk_index); BM25 mode returns only docs
+        matching ≥1 term, so fewer than k hits is a true corpus
+        answer, not a post-filter shortfall."""
+        from vector_knowledge_base_spark.functions.filters import (
+            filter_dsl_to_mask,
+        )
+
+        if self.storage != "txlog":
+            raise RuntimeError(
+                "search_keyword requires storage='txlog' — the serving "
+                "artifact pins table versions for freshness"
+            )
+        f = dict(filters or {})
+        if cluster is not None:
+            f["cluster"] = cluster
+        art, h = self._hybrid_artifact()
+        if h is None:
+            return []
+        allowed = None
+        if f:
+            mask = filter_dsl_to_mask(f, art["payload"])
+            allowed = art["payload"].loc[mask, "chunk_id"].tolist()
+        hits = h.keyword_topn(
+            query.split(" "), n=k, mode=mode, allowed_ids=allowed
+        )
+        cols = ("chunk_id", "score", "text", "filename", "chunk_index")
         return [
             dict(zip(cols, (cid, float(s), *art["rows_by_id"][cid])))
             for cid, s in hits

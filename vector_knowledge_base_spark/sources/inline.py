@@ -89,3 +89,67 @@ def export_zip(
             zf.writestr(arc, bytes(row[2]))
             n += 1
     return n
+
+
+def ingest_jsonl(
+    spark: SparkSession,
+    path: str,
+    category: str | None = None,
+    tags: list[str] | None = None,
+    embedding_dim: int = 64,
+    filename_col: str = "filename",
+    text_col: str = "text",
+) -> DataFrame:
+    """JSONL corpus source (r11 — S-family addition beyond the
+    reference's upload endpoints): one JSON object per line with at
+    least (filename, text) — the standard LLM training-data
+    interchange shape — flowing through the SAME chunk→embed plan as
+    a directory upload. Fully distributed end to end: the JSON scan
+    parallelizes per line-split, and there is no driver-side per-row
+    loop at any corpus size (contrast the reference's one-file-at-a-
+    time upload loop). Rows with null/empty text are dropped (a JSONL
+    export of a filtered corpus legitimately contains tombstones);
+    unknown extra fields are ignored — interchange files carry
+    whatever metadata their producer liked."""
+    from vector_knowledge_base_spark.functions.text import sanitize_filename
+    from vector_knowledge_base_spark.pipeline.chunker import chunk_documents_df
+    from vector_knowledge_base_spark.pipeline.embed import embed_df
+
+    raw = spark.read.json(path)
+    missing = [c for c in (filename_col, text_col) if c not in raw.columns]
+    if missing:
+        raise ValueError(
+            f"ingest_jsonl: required fields {missing} absent from "
+            f"{path} (found {sorted(raw.columns)})"
+        )
+    doc = (
+        raw.where(
+            F.col(text_col).isNotNull() & (F.length(text_col) > 0)
+        )
+        .select(
+            F.abs(F.xxhash64(filename_col, text_col)).alias("doc_id"),
+            sanitize_filename(F.col(filename_col)).alias("filename"),
+            F.col(text_col).alias("text"),
+            F.lower(
+                F.regexp_extract(filename_col, r"\.([A-Za-z0-9]+)$", 1)
+            ).alias("lang"),
+        )
+    )
+    chunks = chunk_documents_df(
+        doc, id_col="doc_id", text_col="text", lang_col="lang"
+    )
+    chunks = embed_df(chunks, dim=embedding_dim)
+    meta = doc.select("doc_id", "filename")
+    return chunks.join(F.broadcast(meta), "doc_id").select(
+        F.concat_ws("_", "doc_id", "chunk_index").alias("chunk_id"),
+        "doc_id",
+        "filename",
+        "text",
+        "embedding",
+        "chunk_index",
+        "total_chunks",
+        "token_count",
+        F.current_timestamp().alias("upload_date"),
+        F.lit(category).alias("category"),
+        F.lit(tags).cast("array<string>").alias("tags"),
+    )
