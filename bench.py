@@ -384,6 +384,8 @@ HEADLINE = [
     "hybrid_filtered_serving_parity",
     # wave 106 (r11) — BM25 keyword ranking served in-process
     "bm25_serving_parity",
+    # wave 107 (r11) — sharded hybrid fan-out, one-oracle-three-regimes
+    "hybrid_sharded_serving_parity",
 ]
 
 # Integration rows whose cost is fixed overhead (streaming runs with
@@ -419,6 +421,7 @@ SINGLE_RUN = {
     "hybrid_serving_parity",
     "hybrid_filtered_serving_parity",
     "bm25_serving_parity",
+    "hybrid_sharded_serving_parity",
 }
 
 KNN_BATCH_N_QUERIES = 5  # matches the knn_batch query definition

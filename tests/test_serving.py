@@ -1258,3 +1258,108 @@ def test_stream_fed_hybrid_serves_fresh_via_delta_refresh(spark, tmp_path):
     assert hs.hybrid_query("zzzdistinct", qv, k=10) == \
         scratch.hybrid_query("zzzdistinct", qv, k=10)
     assert hs.refresh_if_stale(spark) is False
+
+
+def test_sharded_hybrid_equals_single_server(spark, tmp_path):
+    """r11: ShardedHybridServer ≡ one giant HybridKnnServer — the
+    Elasticsearch DFS contract made exact. Keyword rankings (tf AND
+    bm25 — the bm25 case only holds because shards score with GLOBAL
+    collection statistics; local idf/avgdl would disagree across
+    shards), fused answers, and filtered variants all match the
+    single-shard tier row-for-row on the same pinned table."""
+    from vector_knowledge_base_spark.operators.serving import (
+        HybridKnnServer,
+        ShardedHybridServer,
+    )
+
+    p = _mk_hybrid_txlog(spark, tmp_path, n=150)
+    single = HybridKnnServer.from_txlog(spark, p, n_partitions=4)
+    sharded = ShardedHybridServer.from_txlog(
+        spark, p, n_shards=3, n_partitions=4
+    )
+    assert sharded.table_version == single.table_version == 0
+    assert len(sharded.shards) == 3
+    # every doc in exactly one shard
+    assert sum(sh._snap.n_docs for sh in sharded.shards) == 150
+
+    emb = load_table(spark, SF, "embeddings")
+    qv = [
+        float(x)
+        for x in emb.where(F.col("vec_id") == 3).first()["embedding"]
+    ]
+    allowed = list(range(0, 150, 2))
+    for terms in ("vector", ["vector", "data"], "zebra"):
+        for mode in ("tf", "bm25"):
+            assert sharded.keyword_topn(terms, n=40, mode=mode) == \
+                single.keyword_topn(terms, n=40, mode=mode)
+            assert sharded.keyword_topn(
+                terms, n=40, mode=mode, allowed_ids=allowed
+            ) == single.keyword_topn(
+                terms, n=40, mode=mode, allowed_ids=allowed
+            )
+        assert sharded.hybrid_query(terms, qv, k=10, n=100) == \
+            single.hybrid_query(terms, qv, k=10, n=100)
+        assert sharded.hybrid_query(
+            terms, qv, k=10, n=100, allowed_ids=allowed
+        ) == single.hybrid_query(
+            terms, qv, k=10, n=100, allowed_ids=allowed
+        )
+
+
+def test_sharded_hybrid_delta_refresh_and_consistency(spark, tmp_path):
+    """r11: the sharded hybrid front refreshes ∝ churn — an append
+    routes rows by the BUILD's hash and extends every shard (keyword
+    postings + vector rows) before ONE whole-set swap; the refreshed
+    state equals a from-scratch single server; a rewriting commit
+    rebuilds; a hand-built mixed-version shard list is refused."""
+    from vector_knowledge_base_spark.operators.serving import (
+        HybridKnnServer,
+        ShardedHybridServer,
+    )
+    from vector_knowledge_base_spark.sources.txlog import (
+        append_table,
+        delete_where,
+    )
+
+    p = _mk_hybrid_txlog(spark, tmp_path, n=120)
+    sharded = ShardedHybridServer.from_txlog(
+        spark, p, n_shards=2, n_partitions=4
+    )
+    assert sharded.refresh_if_stale(spark) is False
+
+    append_table(spark, p, _hybrid_add_rows(spark, 120, 150))
+    emb = load_table(spark, SF, "embeddings")
+    qv = [
+        float(x)
+        for x in emb.where(F.col("vec_id") == 130).first()["embedding"]
+    ]
+    assert sharded.refresh_if_stale(spark) is True
+    assert sharded.last_refresh_mode == "delta"
+    assert sharded.table_version == 1
+    assert all(sh.table_version == 1 for sh in sharded.shards)
+    assert sum(sh._snap.n_docs for sh in sharded.shards) == 150
+    single = HybridKnnServer.from_txlog(spark, p, n_partitions=4)
+    for terms in ("vector", ["vector", "data"]):
+        assert sharded.hybrid_query(terms, qv, k=10, n=100) == \
+            single.hybrid_query(terms, qv, k=10, n=100)
+        assert sharded.keyword_topn(terms, n=40, mode="bm25") == \
+            single.keyword_topn(terms, n=40, mode="bm25")
+
+    # rewriting commit → full rebuild at one pinned version
+    delete_where(spark, p, F.col("vec_id") < 5)
+    assert sharded.refresh_if_stale(spark) is True
+    assert sharded.last_refresh_mode == "rebuild"
+    assert sharded.table_version == 2
+    assert sum(sh._snap.n_docs for sh in sharded.shards) == 145
+
+    # mixed-version shard list refused
+    s0 = sharded.shards[0]
+    stale = HybridKnnServer.from_txlog(spark, p, n_partitions=4)
+    stale._snap = stale._snap  # same version — now fake a mismatch
+    import copy as _copy
+
+    bad = _copy.copy(stale)
+    bad._snap = _copy.copy(stale._snap)
+    bad._snap.version = 0
+    with pytest.raises(ValueError, match="MIXED table versions"):
+        ShardedHybridServer([s0, bad])

@@ -1599,14 +1599,19 @@ class HybridKnnServer:
         return True
 
     def _extended_snapshot(
-        self, spark: SparkSession, batches, new_version: int
+        self, spark: SparkSession, batches, new_version: int,
+        row_filter=None,
     ) -> _HybridSnapshot:
         """Keyword-side delta merge: build the ADDED files' arrays with
         the same Spark aggregation as the full build, offset their row
         indices past the current tail, and concat into a NEW snapshot
         (the old one is never touched — a query that grabbed it
         mid-refresh completes coherently). The ``max_docs`` bound
-        holds across growth exactly like the constructor's."""
+        holds across growth exactly like the constructor's.
+        ``row_filter`` (a Column) scopes the read to this server's
+        slice of the delta — the sharded front passes its shard's
+        Spark-side hash predicate so no routing is ever reimplemented
+        driver-side."""
         import numpy as np
 
         from vector_knowledge_base_spark.sources.txlog import _read_files
@@ -1616,9 +1621,10 @@ class HybridKnnServer:
         add_dl: list = []
         add_post: dict = {}
         for m, added in batches:
-            df = _read_files(spark, m, added).select(
-                self.id_col, self.text_col
-            )
+            df = _read_files(spark, m, added)
+            if row_filter is not None:
+                df = df.where(row_filter)
+            df = df.select(self.id_col, self.text_col)
             ids, dl, posts = _build_keyword_arrays(
                 df, self.id_col, self.text_col
             )
@@ -1678,7 +1684,8 @@ class HybridKnnServer:
         return tf
 
     def keyword_topn(
-        self, terms, n: int = 1000, mode: str = "tf", allowed_ids=None
+        self, terms, n: int = 1000, mode: str = "tf", allowed_ids=None,
+        _stats=None,
     ):
         """Top-n (id, score) by the keyword ranking: ``mode='tf'`` is
         the summed term frequency (the ranking ``hybrid_search_rrf``
@@ -1692,7 +1699,11 @@ class HybridKnnServer:
         corpus, not post-filtered from an unfiltered shortlist that
         could come up short. idf/avgdl stay corpus-global (standard
         filtered-BM25 practice — the filter narrows candidates, not
-        the collection statistics)."""
+        the collection statistics). ``_stats`` (internal) supplies
+        (n_docs, avgdl, df_by_term) computed over a LARGER collection
+        than this snapshot — how a shard of ``ShardedHybridServer``
+        scores with the global statistics so per-shard rankings merge
+        exactly."""
         import numpy as np
 
         snap = self._snap
@@ -1712,16 +1723,20 @@ class HybridKnnServer:
             )
             scores = scores[keep]
         elif mode == "bm25":
+            if _stats is not None:
+                g_n, g_avgdl, g_df = _stats
+            else:
+                g_n, g_avgdl, g_df = snap.n_docs, snap.avgdl, None
             scores = np.zeros(snap.n_docs, dtype=np.float64)
-            norm = 1.2 * (0.25 + 0.75 * snap.dl / snap.avgdl)
+            norm = 1.2 * (0.25 + 0.75 * snap.dl / g_avgdl)
             for t in terms:
                 hit = snap.postings.get(t)
                 if hit is None:
                     continue
                 idx, tf = hit
+                df_t = g_df[t] if g_df is not None else idx.shape[0]
                 idf = float(
-                    np.log(1.0 + (snap.n_docs - idx.shape[0] + 0.5)
-                           / (idx.shape[0] + 0.5))
+                    np.log(1.0 + (g_n - df_t + 0.5) / (df_t + 0.5))
                 )
                 scores[idx] += idf * tf * 2.2 / (tf + norm[idx])
             matched = scores > 0  # bm25: matched docs only
@@ -2109,3 +2124,297 @@ class ShardedKnnServer:
             merged.sort(key=lambda t: (-t[1], t[0]))
             out.append(merged[:k])
         return out
+
+
+def _shard_expr(id_col: str, n_shards: int):
+    """THE shard-routing expression — one definition used by every
+    build and every delta path (a reimplemented hash would strand
+    rows on refresh)."""
+    return F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_shards))
+
+
+class ShardedHybridServer:
+    """Fan-out HYBRID retrieval over N (keyword + vector) shards — the
+    scale topology for ``HybridKnnServer`` exactly as
+    ``ShardedKnnServer`` is for the float tier. Corpus rows live in
+    exactly one shard (stable ``pmod(xxhash64(id), n)`` routing), so
+    per-shard top-n lists merge EXACTLY; the one thing naive sharding
+    gets wrong — BM25 scored with per-shard statistics (local idf and
+    avgdl differ shard-to-shard, so scores aren't comparable across
+    shards) — is fixed by computing the GLOBAL collection statistics
+    (n_docs, Σdl, per-term df: all additive across disjoint shards)
+    at the front and having every shard score with them. The sharded
+    answer is therefore IDENTICAL to one giant ``HybridKnnServer``'s
+    (pinned by tests), which is also the Elasticsearch/Lucene
+    contract (distributed frequencies = DFS query-then-fetch).
+
+    Consistency: all shards pin ONE table version (the constructor
+    refuses a mixed set); ``refresh_if_stale`` on an append-only
+    advance routes the delta with the SAME Spark-side hash the build
+    used and extends EVERY shard — keyword postings and vector rows
+    both — before swapping the complete set as one immutable
+    reference; any rewriting commit rebuilds the whole set at one
+    pinned fresh version."""
+
+    def __init__(self, shards: list):
+        if not shards:
+            raise ValueError("ShardedHybridServer: need at least one shard")
+        versions = {s.table_version for s in shards}
+        if len(versions) > 1:
+            raise ValueError(
+                "ShardedHybridServer: shards pin MIXED table versions "
+                f"{sorted(str(v) for v in versions)} — a cross-shard "
+                "answer would mix two table states. Rebuild every "
+                "shard from one pinned version (from_txlog does)."
+            )
+        paths = {s.table_path for s in shards}
+        self.table_path = paths.pop() if len(paths) == 1 else None
+        self._build_params: dict = {}
+        self.last_refresh_mode: str | None = None
+        self._set = _ShardSet(tuple(shards), versions.pop())
+
+    @property
+    def shards(self):
+        return list(self._set.shards)
+
+    @property
+    def table_version(self):
+        return self._set.version
+
+    @classmethod
+    def from_txlog(
+        cls,
+        spark: SparkSession,
+        table_path: str,
+        n_shards: int = 2,
+        n_partitions: int = 32,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        text_col: str = "text",
+        max_docs_per_shard: int = 5_000_000,
+        max_vectors_per_shard: int = 5_000_000,
+    ) -> "ShardedHybridServer":
+        """Every shard — vector AND keyword halves — built from ONE
+        pinned version: the coarse quantizer trains once on the full
+        corpus (shards share centroids, like ShardedKnnServer), rows
+        route by the shared hash, and each shard's keyword arrays
+        build with the same Spark aggregation as the single-shard
+        tier."""
+        from vector_knowledge_base_spark.operators.ann import build_ivf
+        from vector_knowledge_base_spark.sources.txlog import (
+            _list_versions,
+            read_table,
+        )
+
+        v = _list_versions(table_path)[-1]
+        tbl = read_table(spark, table_path, v)
+        centroids, assigned = build_ivf(
+            tbl, n_partitions=n_partitions, id_col=id_col, vec_col=vec_col
+        )
+        sharded_vec = assigned.withColumn(
+            "_shard", _shard_expr(id_col, n_shards)
+        )
+        sharded_docs = tbl.withColumn(
+            "_shard", _shard_expr(id_col, n_shards)
+        )
+        shards = []
+        for s in range(n_shards):
+            knn_s = KnnServer(
+                centroids,
+                sharded_vec.where(F.col("_shard") == s).drop("_shard"),
+                id_col=id_col,
+                vec_col=vec_col,
+                max_vectors=max_vectors_per_shard,
+                _table_version=v,
+                _table_path=table_path,
+            )
+            shards.append(
+                HybridKnnServer(
+                    sharded_docs.where(F.col("_shard") == s).drop("_shard"),
+                    knn_s,
+                    id_col=id_col,
+                    text_col=text_col,
+                    max_docs=max_docs_per_shard,
+                    _table_path=table_path,
+                )
+            )
+        assigned.unpersist()
+        srv = cls(shards)
+        srv._build_params = {
+            "n_shards": n_shards,
+            "n_partitions": n_partitions,
+            "id_col": id_col,
+            "vec_col": vec_col,
+            "text_col": text_col,
+            "max_docs_per_shard": max_docs_per_shard,
+            "max_vectors_per_shard": max_vectors_per_shard,
+        }
+        return srv
+
+    # -- global collection statistics ---------------------------------------
+
+    def _global_stats(self, terms):
+        """(n_docs, avgdl, df_by_term) summed across shards — additive
+        because every doc lives in exactly one shard."""
+        snaps = [sh._snap for sh in self._set.shards]
+        n = sum(sn.n_docs for sn in snaps)
+        total_dl = sum(float(sn.dl.sum()) for sn in snaps)
+        avgdl = (total_dl / n) if n else 0.0
+        if isinstance(terms, str):
+            terms = [terms]
+        df = {
+            t: sum(
+                int(sn.postings[t][0].shape[0])
+                for sn in snaps
+                if t in sn.postings
+            )
+            for t in terms
+        }
+        return n, avgdl, df
+
+    # -- queries -------------------------------------------------------------
+
+    def keyword_topn(
+        self, terms, n: int = 1000, mode: str = "tf", allowed_ids=None
+    ):
+        """Global keyword top-n: fan out (BM25 shards score with the
+        GLOBAL statistics), merge by (-score, id). Exact ≡ the
+        single-server ranking's top-n prefix: every global top-n doc
+        is in its own shard's top-n."""
+        shard_set = self._set
+        stats = self._global_stats(terms) if mode == "bm25" else None
+        merged: list = []
+        for sh in shard_set.shards:
+            merged.extend(
+                sh.keyword_topn(
+                    terms, n=n, mode=mode, allowed_ids=allowed_ids,
+                    _stats=stats,
+                )
+            )
+        merged.sort(key=lambda t: (-t[1], t[0]))
+        return merged[:n]
+
+    def hybrid_query(
+        self,
+        terms,
+        query_vector: Sequence[float],
+        k: int = 10,
+        n: int = 1000,
+        rrf_k: int = 60,
+        allowed_ids=None,
+    ) -> list[tuple]:
+        """RRF fusion over GLOBAL ranks: the keyword top-n merges as
+        above; the vector top-n merges per-shard UNROUNDED full-probe
+        scores (disjoint rows — exact); fusion then runs once at the
+        front with the same coalesce-to-n+1 / 6-digit-round /
+        (-rrf, id) contract as the single-shard tier."""
+        import numpy as np
+
+        shard_set = self._set
+        kw = self.keyword_topn(terms, n=n, mode="tf", allowed_ids=allowed_ids)
+        vec_merged: list = []
+        for sh in shard_set.shards:
+            vsnap = sh.knn._snap
+            vids = vsnap.ids
+            vmat = vsnap.mat
+            if allowed_ids is not None:
+                keep = np.isin(vids, np.asarray(list(allowed_ids)))
+                vids, vmat = vids[keep], vmat[keep]
+            if vids.shape[0] == 0:
+                continue
+            q = np.asarray(list(query_vector), dtype=np.float64)
+            vscores = vmat @ q
+            order = np.lexsort((vids, -vscores))[:n]
+            vec_merged.extend(
+                (
+                    vids[i].item() if hasattr(vids[i], "item") else vids[i],
+                    float(vscores[i]),
+                )
+                for i in order
+            )
+        vec_merged.sort(key=lambda t: (-t[1], t[0]))
+        vec_merged = vec_merged[:n]
+        kw_rank = {i: r + 1 for r, (i, _s) in enumerate(kw)}
+        vec_rank = {i: r + 1 for r, (i, _s) in enumerate(vec_merged)}
+        fused = []
+        for i in set(kw_rank) | set(vec_rank):
+            rrf = 1.0 / (rrf_k + kw_rank.get(i, n + 1)) + 1.0 / (
+                rrf_k + vec_rank.get(i, n + 1)
+            )
+            fused.append((i, float(np.round(rrf, ROUND_DIGITS))))
+        fused.sort(key=lambda t: (-t[1], t[0]))
+        return fused[:k]
+
+    # -- freshness -----------------------------------------------------------
+
+    def refresh_if_stale(self, spark: SparkSession) -> bool:
+        """Append-only advance: route the delta with the BUILD's hash
+        expression (Spark-side — never reimplemented) and extend every
+        shard's keyword AND vector snapshots into NEW shells, then
+        swap the COMPLETE set as one reference — a bound refusal on
+        any shard leaves the whole old generation serving. Rewriting
+        commits rebuild the full set at one pinned fresh version."""
+        import copy
+
+        from vector_knowledge_base_spark.sources.txlog import (
+            _list_versions,
+            _read_files,
+        )
+
+        if self.table_path is None:
+            raise RuntimeError(
+                "ShardedHybridServer: shards were not built from one "
+                "txlog table — nothing to track (use from_txlog)"
+            )
+        latest = _list_versions(self.table_path)[-1]
+        loaded = self.table_version if self.table_version is not None else -1
+        if latest <= loaded:
+            return False
+        batches = (
+            append_only_batches(self.table_path, loaded, latest)
+            if loaded >= 0
+            else None
+        )
+        bp = self._build_params
+        if batches is not None and bp:
+            n_sh = len(self._set.shards)
+            id_col, vec_col = bp["id_col"], bp["vec_col"]
+            shells = []
+            for s, sh in enumerate(self._set.shards):
+                filt = _shard_expr(id_col, n_sh) == s
+                ksnap = sh._extended_snapshot(
+                    spark, batches, latest, row_filter=filt
+                )
+                new_ids: list = []
+                new_vecs: list = []
+                for m, added in batches:
+                    for r in (
+                        _read_files(spark, m, added)
+                        .where(filt)
+                        .select(id_col, vec_col)
+                        .collect()
+                    ):
+                        new_ids.append(r[id_col])
+                        new_vecs.append(r[vec_col])
+                knn_shell = sh.knn._with_extended_snapshot(
+                    new_ids, new_vecs, latest
+                )
+                shell = copy.copy(sh)
+                shell._snap = ksnap
+                shell.knn = knn_shell
+                shell.last_refresh_mode = "delta"
+                shells.append(shell)
+            self._set = _ShardSet(tuple(shells), latest)
+            self.last_refresh_mode = "delta"
+            return True
+        if not bp:
+            raise RuntimeError(
+                "ShardedHybridServer: refresh needs the build params "
+                "recorded by from_txlog"
+            )
+        fresh = ShardedHybridServer.from_txlog(
+            spark, self.table_path, **bp
+        )
+        self._set = fresh._set
+        self.last_refresh_mode = "rebuild"
+        return True

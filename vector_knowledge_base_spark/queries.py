@@ -16547,3 +16547,109 @@ def q_bm25_serving_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         key=lambda t: (-t[1], t[0]),
     )
     return spark.createDataFrame(hits, "doc_id long, bm25 double")
+
+
+# ---------------------------------------------------------------------------
+# Wave 107 (r11) — SHARDED hybrid serving under the batch plan's own
+# oracle: "one oracle, THREE regimes" (batch plan, single in-process
+# server, sharded fan-out). The sharded answer is exact only if shards
+# score BM25/tf with comparable statistics and the merge preserves the
+# global (-score, id) prefix — both of which the oracle hash checks.
+# ---------------------------------------------------------------------------
+
+
+_HYBRID_SHARDED_ORACLE = """
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+corpus AS (
+  SELECT d.doc_id, d.text
+  FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+),
+kw_top AS (
+  SELECT doc_id,
+         len(list_filter(string_split(text, ' '), t -> t = 'vector')) AS tf
+  FROM corpus
+  ORDER BY tf DESC, doc_id
+  LIMIT 1000
+),
+kw AS (
+  SELECT doc_id,
+         ROW_NUMBER() OVER (ORDER BY tf DESC, doc_id) AS rk
+  FROM kw_top
+),
+vec_top AS (
+  SELECT e.vec_id AS doc_id,
+         list_dot_product(e.embedding::DOUBLE[], q.qv) AS score
+  FROM embeddings e JOIN corpus c ON c.doc_id = e.vec_id, q
+  ORDER BY score DESC, doc_id
+  LIMIT 1000
+),
+vec AS (
+  SELECT doc_id,
+         ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rv
+  FROM vec_top
+)
+SELECT doc_id,
+       ROUND(1.0 / (60 + COALESCE(kw.rk, 1001))
+           + 1.0 / (60 + COALESCE(vec.rv, 1001)), 6) AS rrf_score
+FROM kw FULL OUTER JOIN vec USING (doc_id)
+ORDER BY rrf_score DESC, doc_id
+LIMIT 10
+"""
+
+
+@query("hybrid_sharded_serving_parity", oracle=_HYBRID_SHARDED_ORACLE)
+def q_hybrid_sharded_serving_parity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The 100 TB hybrid topology end-to-end (r11,
+    operators/serving.py ShardedHybridServer): documents route to 3
+    disjoint (keyword + vector) shards by a stable Spark-side hash,
+    each shard ranks with the GLOBAL collection statistics (the
+    Elasticsearch DFS contract — per-shard idf/avgdl would make
+    scores incomparable across shards), per-shard top-n lists merge
+    under (-score, id), and RRF fuses once at the front. The fused
+    top-10 must hash-equal a DuckDB oracle running the SAME RRF
+    semantics as ``hybrid_search_rrf`` / ``hybrid_serving_parity``
+    over the EMBEDDED corpus (documents joined to their vectors —
+    the serving topology stores both halves in one table, and at
+    sf0.1 only a subset of documents carries embeddings). Any
+    sharding defect (strand-routing, local statistics, merge order)
+    flips the hash.
+
+    100 TB shape: each shard is a bounded in-memory slice on its own
+    host (here: one process, three slices); build is one pinned-
+    version read + one KMeans + one postings hash-agg per shard;
+    queries fan out and merge O(n) rows. Spark owns the corpus and
+    the routing expression; the delta-refresh path reuses it
+    verbatim so growth never strands rows."""
+    from vector_knowledge_base_spark.operators.serving import (
+        ShardedHybridServer,
+    )
+    from vector_knowledge_base_spark.sources.txlog import (
+        create_table,
+        drop_table,
+    )
+    import re as _re
+
+    tag = _re.sub(r"[^A-Za-z0-9.]", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1])
+    tbl = f"/tmp/vkb_shhyb_{_session_tag(spark)}_{tag}/docs"
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    joined = docs.join(emb, docs.doc_id == emb.vec_id).select(
+        "doc_id", "text", "embedding"
+    )
+    drop_table(tbl)
+    create_table(spark, tbl, joined)
+    hs = ShardedHybridServer.from_txlog(
+        spark, tbl, n_shards=3, n_partitions=8, id_col="doc_id",
+        max_docs_per_shard=10_000_000, max_vectors_per_shard=10_000_000,
+    )
+    qv = [
+        float(x)
+        for x in emb.where(F.col("vec_id") == 0).first()["embedding"]
+    ]
+    hits = hs.hybrid_query("vector", qv, k=10, n=1000)
+    return spark.createDataFrame(
+        [(int(i), float(s)) for i, s in hits],
+        "doc_id long, rrf_score double",
+    )
