@@ -429,3 +429,60 @@ def test_partition_filter_stream_composes_with_dv_merge_feed(
     )
     with pytest.raises(ValueError, match="ignore_changes"):
         r2.partitions({"version": 0}, {"version": 1})
+
+
+def test_partition_scoped_compaction_optimize_where(spark, tmp_path):
+    """r11: compact_files(partition_filter=...) — the Delta
+    OPTIMIZE ... WHERE economics. Pinned: only the matching
+    partition's files rewrite (out-of-scope entries are carried BY
+    REFERENCE, byte-identical); out-of-scope deletion vectors
+    survive untouched (clearing them would resurrect soft-deleted
+    rows); in-scope vectors materialize; reads equal before/after;
+    non-partition keys and unpartitioned tables are refused."""
+    p = str(tmp_path / "t")
+    rows = [(f"2024-01-0{1 + (i % 2)}", i, float(i)) for i in range(40)]
+    df = spark.createDataFrame(rows, "day string, id long, v double")
+    tx.create_table(spark, p, df.repartition(4), partition_by=["day"])
+    # several appends → many small files per partition
+    for lo in (100, 200):
+        add = spark.createDataFrame(
+            [(f"2024-01-0{1 + (i % 2)}", i, float(i))
+             for i in range(lo, lo + 20)],
+            "day string, id long, v double",
+        )
+        tx.append_table(spark, p, add.repartition(3))
+    # soft-delete one row in EACH partition (dv mode)
+    tx.delete_where(spark, p, F.col("id") == 0, mode="dv")    # day 01
+    tx.delete_where(spark, p, F.col("id") == 1, mode="dv")    # day 02
+    before = _ns([(r["day"], r["id"], r["v"])
+                  for r in tx.read_table(spark, p).collect()])
+    m0 = tx._read_manifest(p, tx._list_versions(p)[-1])
+    day2_before = [e for e in m0["files"] if "_pt_day=2024-01-02" in e]
+    assert len(day2_before) > 1
+    assert any("_pt_day=2024-01-02" in e for e in (m0.get("dv") or {}))
+
+    v = tx.compact_files(
+        spark, p, target_files=1, partition_filter={"day": "2024-01-01"}
+    )
+    m1 = tx._read_manifest(p, v)
+    # out-of-scope (day 02) files carried by reference, dv intact
+    day2_after = [e for e in m1["files"] if "_pt_day=2024-01-02" in e]
+    assert sorted(day2_after) == sorted(day2_before)
+    assert any("_pt_day=2024-01-02" in e for e in (m1.get("dv") or {}))
+    # in-scope (day 01) compacted to one file, its dv materialized
+    day1_after = [e for e in m1["files"] if "_pt_day=2024-01-01" in e]
+    assert len(day1_after) == 1
+    assert not any("_pt_day=2024-01-01" in e for e in (m1.get("dv") or {}))
+    # reads identical (both soft-deleted rows still hidden)
+    after = _ns([(r["day"], r["id"], r["v"])
+                 for r in tx.read_table(spark, p).collect()])
+    assert after == before
+    assert not any(r[1] in (0, 1) for r in after)
+
+    # guards
+    with pytest.raises(ValueError, match="partition columns"):
+        tx.compact_files(spark, p, partition_filter={"id": 3})
+    flat = str(tmp_path / "flat")
+    tx.create_table(spark, flat, spark.range(5))
+    with pytest.raises(ValueError, match="partition columns"):
+        tx.compact_files(spark, flat, partition_filter={"day": "x"})

@@ -1918,6 +1918,7 @@ def compact_files(
     target_files: int = 8,
     order_by: list[str] | None = None,
     zorder_by: list[str] | None = None,
+    partition_filter: Mapping[str, Any] | None = None,
 ) -> int:
     """Small-file compaction as a TRANSACTION: rewrite the current
     contents into ``target_files`` files and commit op='compact'. The
@@ -1954,7 +1955,18 @@ def compact_files(
     1-row frame written at parallelism 8) are dropped WITHOUT a
     rewrite: the stats prove them empty, so removing their references
     is a pure metadata commit; the real rewrite (if still needed)
-    reads only the non-empty files."""
+    reads only the non-empty files.
+
+    ``partition_filter`` (r11) is the Delta ``OPTIMIZE ... WHERE``
+    economics: on a partitioned table, compact/cluster ONLY the files
+    whose recorded partition values match the eq/IN filter — every
+    other file is carried by reference, its stats, blooms, and
+    deletion vectors untouched. At 100 TB you compact yesterday's hot
+    partition, not the table; the cost is O(matching partition), the
+    commit is still one atomic version. Scope membership is decided
+    by the manifest ``pvals`` (definitional, the same test the read
+    path prunes with); a file that cannot be PROVEN out of scope is
+    conservatively rewritten — never wrong, at worst extra work."""
     if order_by is not None and zorder_by is not None:
         raise ValueError("compact_files: pass at most one of order_by/zorder_by")
     for _ in range(_MAX_COMMIT_RETRIES):
@@ -1964,17 +1976,39 @@ def compact_files(
         latest = versions[-1]
         m = _read_manifest(path, latest)
         stats = m.get("stats") or {}
+        if partition_filter:
+            pby = m.get("partition_by") or []
+            bad = [k for k in partition_filter if k not in pby]
+            if not pby or bad:
+                raise ValueError(
+                    "compact_files: partition_filter keys must be "
+                    f"partition columns of the table; {sorted(partition_filter)} "
+                    f"vs partition_by={pby}"
+                )
+            ptypes = _partition_types(m)
+            kept_out = [
+                e
+                for e in m["files"]
+                if e in stats
+                and _file_can_skip(stats[e], dict(partition_filter), ptypes)
+            ]
+            out_set = set(kept_out)
+            scope = [e for e in m["files"] if e not in out_set]
+        else:
+            kept_out = []
+            scope = list(m["files"])
+        dv_all = m.get("dv") or {}
+        dv_kept = {e: v for e, v in dv_all.items() if e in set(kept_out)}
         # rows absent (pre-stats manifest) => unknown => treat non-empty
-        nonempty = [
-            e for e in m["files"] if stats.get(e, {}).get("rows") != 0
-        ]
+        nonempty = [e for e in scope if stats.get(e, {}).get("rows") != 0]
         clustered = order_by is not None or zorder_by is not None
         # deletion vectors make compaction REAL work even under the
-        # file-count target: materializing them is the point
-        has_dv = bool(m.get("dv"))
-        if not m["files"] or (
-            len(nonempty) == len(m["files"])
-            and len(m["files"]) <= target_files
+        # file-count target: materializing them is the point (only the
+        # IN-SCOPE vectors count — kept files keep theirs)
+        has_dv = any(e not in set(kept_out) for e in dv_all)
+        if not scope or (
+            len(nonempty) == len(scope)
+            and len(scope) <= target_files
             and not clustered
             and not has_dv
         ):
@@ -1982,22 +2016,23 @@ def compact_files(
             # compact OR cluster (same empty-read guard as delete/merge)
             return latest
         if not nonempty or (
-            len(nonempty) < len(m["files"])
+            len(nonempty) < len(scope)
             and len(nonempty) <= target_files
             and not clustered
             and not has_dv
         ):
             # dropping provably-empty references alone reaches the
-            # target (or empties the table): metadata-only compaction
+            # target (or empties the scope): metadata-only compaction
+            final = kept_out + nonempty
             try:
                 return _commit(
                     path,
                     {
                         "version": latest + 1,
                         "op": "compact",
-                        "dv": {},
-                        "files": nonempty,
-                        "stats": {k: v for k, v in stats.items() if k in nonempty},
+                        "dv": {e: v for e, v in dv_all.items() if e in set(final)},
+                        "files": final,
+                        "stats": {k: v for k, v in stats.items() if k in set(final)},
                         "parent": latest,
                         "schema": m.get("schema"),
                     },
@@ -2034,9 +2069,14 @@ def compact_files(
                 {
                     "version": latest + 1,
                     "op": "compact",
-                    "dv": {},  # deletions materialized by the rewrite
-                    "files": [_rel(path, f) for f in new_files],
-                    "stats": new_stats,
+                    # in-scope deletions materialized by the rewrite;
+                    # kept (out-of-scope) files keep their vectors
+                    "dv": dv_kept,
+                    "files": kept_out + [_rel(path, f) for f in new_files],
+                    "stats": {
+                        **{k: v for k, v in stats.items() if k in set(kept_out)},
+                        **new_stats,
+                    },
                     "parent": latest,
                     "schema": m.get("schema"),
                 },
