@@ -386,6 +386,8 @@ HEADLINE = [
     "bm25_serving_parity",
     # wave 107 (r11) — sharded hybrid fan-out, one-oracle-three-regimes
     "hybrid_sharded_serving_parity",
+    # wave 108 (r11) — partition-scoped compaction (OPTIMIZE WHERE)
+    "txlog_scoped_compaction",
 ]
 
 # Integration rows whose cost is fixed overhead (streaming runs with
@@ -422,6 +424,7 @@ SINGLE_RUN = {
     "hybrid_filtered_serving_parity",
     "bm25_serving_parity",
     "hybrid_sharded_serving_parity",
+    "txlog_scoped_compaction",
 }
 
 KNN_BATCH_N_QUERIES = 5  # matches the knn_batch query definition

@@ -16653,3 +16653,101 @@ def q_hybrid_sharded_serving_parity(
         [(int(i), float(s)) for i, s in hits],
         "doc_id long, rrf_score double",
     )
+
+
+# ---------------------------------------------------------------------------
+# Wave 108 (r11) — partition-scoped compaction (OPTIMIZE ... WHERE):
+# compact ONE partition of a dv-carrying partitioned table; every
+# out-of-scope file — and its deletion vectors — is carried untouched.
+# ---------------------------------------------------------------------------
+
+_TXLOG_SCOPED_COMPACT_ORACLE = """
+WITH live AS (
+  SELECT * FROM orders WHERE NOT (o_orderkey % 97 = 0)
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       ROUND(SUM(o_totalprice), 2) AS total_value,
+       CAST(COUNT(*) FILTER (o_orderstatus = 'P') AS BIGINT) AS n_scope_rows,
+       TRUE AS untouched_carried,
+       TRUE AS out_of_scope_dv_kept,
+       TRUE AS scope_dv_materialized,
+       TRUE AS scope_compacted
+FROM live
+"""
+
+
+@query("txlog_scoped_compaction", oracle=_TXLOG_SCOPED_COMPACT_ORACLE)
+def q_txlog_scoped_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-scoped compaction (r11, sources/txlog.py
+    compact_files(partition_filter=…) — Delta's OPTIMIZE ... WHERE
+    economics): orders lands hive-partitioned by o_orderstatus in
+    many small files, a trickle dv-delete (o_orderkey % 97 = 0)
+    soft-hides rows in EVERY partition, then ONLY the 'P' partition
+    compacts (target 1 file). The audit hash-pins the post-compact
+    read against the oracle's live-row recomputation — the claim that
+    kills both failure modes at once: dropping an out-of-scope
+    deletion vector would RESURRECT its rows (total too high),
+    losing an out-of-scope file would drop rows (too low) — plus
+    manifest invariants: ``untouched_carried`` ('F'/'O' entries
+    byte-identical pre/post), ``out_of_scope_dv_kept`` (their vectors
+    survive), ``scope_dv_materialized`` ('P' carries none after the
+    rewrite), ``scope_compacted`` ('P' is one file).
+
+    100 TB shape: the rewrite reads O(matching partition), the commit
+    carries the rest of the table BY REFERENCE — compacting
+    yesterday's hot partition never touches the other 9,999."""
+    import re as _re
+
+    from vector_knowledge_base_spark.sources.txlog import (
+        _list_versions,
+        _read_manifest,
+        compact_files,
+        create_table,
+        delete_where,
+        drop_table,
+        read_table,
+    )
+
+    tag = _re.sub(r"[^A-Za-z0-9.]", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1])
+    tbl = f"/tmp/vkb_scopedcomp_{_session_tag(spark)}_{tag}/orders"
+    drop_table(tbl)
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    create_table(
+        spark, tbl, orders.repartition(6), partition_by=["o_orderstatus"]
+    )
+    delete_where(
+        spark, tbl, (F.col("o_orderkey") % 97) == 0, mode="dv"
+    )
+    m0 = _read_manifest(tbl, _list_versions(tbl)[-1])
+    out0 = sorted(e for e in m0["files"] if "_pt_o_orderstatus=P" not in e)
+    out_dv0 = sorted(
+        e for e in (m0.get("dv") or {}) if "_pt_o_orderstatus=P" not in e
+    )
+    v = compact_files(
+        spark, tbl, target_files=1, partition_filter={"o_orderstatus": "P"}
+    )
+    m1 = _read_manifest(tbl, v)
+    out1 = sorted(e for e in m1["files"] if "_pt_o_orderstatus=P" not in e)
+    out_dv1 = sorted(
+        e for e in (m1.get("dv") or {}) if "_pt_o_orderstatus=P" not in e
+    )
+    scope_files = [e for e in m1["files"] if "_pt_o_orderstatus=P" in e]
+    scope_dv = [
+        e for e in (m1.get("dv") or {}) if "_pt_o_orderstatus=P" in e
+    ]
+    live = read_table(spark, tbl)
+    return live.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_value"),
+        F.count(F.when(F.col("o_orderstatus") == "P", 1)).alias(
+            "n_scope_rows"
+        ),
+        F.lit(out1 == out0).alias("untouched_carried"),
+        F.lit(bool(out_dv0) and out_dv1 == out_dv0).alias(
+            "out_of_scope_dv_kept"
+        ),
+        F.lit(not scope_dv).alias("scope_dv_materialized"),
+        F.lit(len(scope_files) == 1).alias("scope_compacted"),
+    )
