@@ -418,3 +418,32 @@ def test_bloom_refused_on_nonintegral_nonstring_columns(spark, tmp_path):
     create_table(spark, tbl, df, bloom_filter_columns=["k"])
     with pytest.raises(ValueError, match="integral or string"):
         add_bloom_index(spark, tbl, ["score"])
+
+
+def test_all_null_column_file_abstains_never_zero_bloom(spark, tmp_path):
+    """r11 defense-in-depth: a row-carrying file whose bloom column is
+    entirely NULL gets NO sidecar entry for that column (probe
+    abstains) rather than an all-zero bloom — the all-zero shape is
+    the silent signature of a build/keying defect (every probe would
+    say 'definitely absent' and wrongly prune), so the build refuses
+    to produce it at all. Reads stay exact; the other column still
+    prunes."""
+    import json as _json
+
+    from vector_knowledge_base_spark.sources.txlog import _resolve
+
+    tbl = str(tmp_path / "t")
+    df = spark.range(0, 100).select(
+        F.col("id").alias("k"),
+        F.lit(None).cast("string").alias("name"),
+    ).coalesce(1)
+    create_table(spark, tbl, df, bloom_filter_columns=["k", "name"])
+    m = _read_manifest(tbl, 0)
+    [e] = m["files"]
+    # k (non-null) is flagged; name (all-null) is absent from the flags
+    assert m["stats"][e]["bloom"] == ["k"]
+    side = _json.load(open(_resolve(tbl, e) + ".bloom.json"))
+    assert "k" in side and "name" not in side
+    # probing the null column abstains (file kept, read exact)
+    assert read_table(spark, tbl, filters={"name": "x"}).count() == 0
+    assert read_table(spark, tbl, filters={"k": 7}).count() == 1

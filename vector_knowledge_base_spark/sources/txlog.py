@@ -826,6 +826,16 @@ def _attach_blooms(
                 r["_bits"] & 0xFFFFFFFFFFFFFFFF
             )
         for f in need:
+            # defense-in-depth (r11, after the multi-partition keying
+            # bug): NEVER write an all-zero bloom for a row-carrying
+            # file. A zero array means either an all-NULL column
+            # (abstaining only forgoes a legitimate skip) or a build
+            # defect (a keying/join regression would zero EVERY file
+            # and silently prune real rows on every probe) — absence
+            # of the entry makes the probe abstain, degrading any such
+            # regression to no-pruning instead of wrong answers.
+            if not arrays[f].any():
+                continue
             per_file[f][c] = {
                 "m": m_bits[f],
                 "k": _BLOOM_K,
