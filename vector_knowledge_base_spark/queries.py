@@ -1046,6 +1046,40 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 #       (in-window: the SAME grouping-sets aggregation machinery in
 #       its strictly harder incremental-refresh form) and
 #       cube_order_stats (pytest-oracled superset shape).
+#
+# r12 rotation (VERDICT r11 next-round #1): the four r11 rows — oracled
+# green at three SFs in r11 and verified by the r11 judge's 13-query
+# sf0.1 sweep — take the driver's signature:
+#   bm25_serving_parity            IN  (Okapi BM25 served in-process ≡
+#       the Lucene-idf SQL oracle — the keyword half of the hybrid tier
+#       under its own driver hash)
+#   hybrid_filtered_serving_parity IN  (filter-inside-the-walk hybrid:
+#       allowed_ids restricts BOTH rankings' universes before ranking)
+#   hybrid_sharded_serving_parity  IN  (ShardedHybridServer with
+#       global-collection-statistics BM25 — the Elasticsearch DFS
+#       contract — hash-equal to the single-shard answer's own oracle)
+#   txlog_scoped_compaction        IN  (partition-scoped OPTIMIZE ...
+#       WHERE: out-of-scope files carried byte-identical, DVs kept)
+#   txlog_partition_overwrite   OUT ↔ twins txlog_scoped_compaction
+#       (promoted: the SAME hive-partition machinery in the strictly
+#       harder scoped-rewrite form, with carried-untouched invariants
+#       under the driver hash) and txlog_column_mapping (in-window:
+#       the txlog DDL/metadata row); the dynamic-overwrite oracle
+#       stays pytest-pinned at sf0.01 + the sf0.1 sweep.
+#   txlog_update_where          OUT ↔ twins txlog_deletion_vectors
+#       (in-window: UPDATE commits ARE dv commits — the same DV
+#       machinery and CDC row balance under the driver hash) and
+#       streaming_cdc_upsert_audit (in-window: update-heavy MERGE
+#       through the CDC-apply sink).
+#   scalar_function_chain       OUT ↔ twins snippet_projection
+#       (in-window since r1: the C-family scalar projection surface)
+#       and text_stats (in-window: the scalar text-function family).
+#   knn_serving_parity          OUT ↔ twins hybrid_serving_parity
+#       (in-window: its vector side IS the same full-probe float
+#       kernel over the same snapshot arrays) plus pq_serving_parity
+#       + ivfpq_inproc_serving_parity (the serving contract's other
+#       tiers, in-window) and the three promoted serving rows; the
+#       float tier's exact-kNN oracle stays pytest-pinned at sf0.01.
 # ============================================================================
 _WINDOW_PROMOTE = [
     # r3 promotions
@@ -1105,24 +1139,32 @@ _WINDOW_PROMOTE = [
     "incremental_dedup_nonmonotone",  # non-monotone-id incremental dedup
     "txlog_stream_multihop",          # txlog streaming source+sink, restart
     "theta_sketch_set_expressions",   # KMV theta set algebra (exact-rebuild oracle)
-    "txlog_partition_overwrite",      # hive partition_by + dynamic overwrite (w90)
+    # (r12: txlog_partition_overwrite moved to DEMOTE — twins
+    #  txlog_scoped_compaction + txlog_column_mapping)
     # (r9: registry_matview_listing moved to DEMOTE — twins
     #  matview_rollup_incremental + registry_by_source)
     # r9 promotions — see rotation note above
     "txlog_deletion_vectors",         # DV soft delete + CDC + materialization
-    "txlog_update_where",             # UPDATE as dv commit, CDC balance
+    # (r12: txlog_update_where moved to DEMOTE — twins
+    #  txlog_deletion_vectors + streaming_cdc_upsert_audit)
     "txlog_check_constraints",        # CHECK enforcement semantics
     "matview_rollup_incremental",     # grouping-set matview, pure-delta refresh
     "txlog_stream_backpressure",      # admission-control capped catch-up
     "txlog_column_mapping",           # RENAME/DROP metadata-only DDL (w95)
     # r10 promotion — see rotation note above
-    "knn_serving_parity",             # in-process serving tier ≡ exact kNN
+    # (r12: knn_serving_parity moved to DEMOTE — twins
+    #  hybrid_serving_parity + pq_serving_parity + ivfpq_inproc_serving_parity)
     # r11 promotions — see rotation note above
     "pq_serving_parity",              # PQ-codes serving ≡ exact ADC oracle
     "ivfpq_inproc_serving_parity",    # IVF-PQ cell-pruned in-proc serving
     "hybrid_serving_parity",          # RRF hybrid served ≡ batch-plan oracle
     "txlog_bloom_pruning",            # bloom-sidecar file skipping claims
     "knn_hubness_audit",              # kNN-graph in-degree concentration
+    # r12 promotions — see rotation note above
+    "bm25_serving_parity",            # BM25 served ≡ Lucene-idf SQL oracle
+    "hybrid_filtered_serving_parity",  # filtered-universe hybrid parity
+    "hybrid_sharded_serving_parity",  # sharded hybrid, global-stats BM25
+    "txlog_scoped_compaction",        # OPTIMIZE ... WHERE economics
 ]
 _WINDOW_DEMOTE = [
     # rows-only registrations (no SQL oracle possible for raw outputs)
@@ -1194,6 +1236,11 @@ _WINDOW_DEMOTE = [
     "simhash_fingerprint",              # twins: minhash_lsh_candidates + shingle_containment_pairs
     "compression_ratio_inline",         # twin: text_quality_score
     "rollup_sales",                     # twins: matview_rollup_incremental + cube_order_stats
+    # r12 demotions — each twin named in the rotation note above
+    "txlog_partition_overwrite",        # twins: txlog_scoped_compaction + txlog_column_mapping
+    "txlog_update_where",               # twins: txlog_deletion_vectors + streaming_cdc_upsert_audit
+    "scalar_function_chain",            # twins: snippet_projection + text_stats
+    "knn_serving_parity",               # twins: hybrid_serving_parity + pq_serving_parity + ivfpq_inproc_serving_parity
 ]
 
 
