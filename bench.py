@@ -872,6 +872,31 @@ def _facade_serve_anchor(spark, sf_dir, extra, errors) -> None:
             extra["facade_search_hybrid_ms_band"] = _band(
                 [1000 * x for x in lats]
             )
+            # r12: the sharded topology through the facade — one-time
+            # ShardedHybridServer build (3 shards), then steady-state
+            # fan-out latency for the vector and hybrid verbs; the
+            # parity with single-shard answers is pytest-pinned, this
+            # records what the exactness costs end-to-end
+            kb.serve_sharded(3)
+            t0 = time.time()
+            kb.search_hits("data pipeline orders", k=5)
+            extra["facade_sharded_build_ms"] = round(
+                1000 * (time.time() - t0), 2
+            )
+            for verb, key in (
+                (lambda qt: kb.search_hits(qt, k=5),
+                 "facade_search_sharded_ms"),
+                (lambda qt: kb.search_hybrid(qt, k=5),
+                 "facade_search_sharded_hybrid_ms"),
+            ):
+                lats = []
+                for _pass in range(2):
+                    for qt in qtexts:
+                        t0 = time.time()
+                        verb(qt)
+                        lats.append(time.time() - t0)
+                extra[key] = round(1000 * statistics.median(lats), 3)
+                extra[key + "_band"] = _band([1000 * x for x in lats])
         finally:
             shutil.rmtree(srcd, ignore_errors=True)
             shutil.rmtree(wsd, ignore_errors=True)
@@ -1076,14 +1101,16 @@ def main() -> None:
             _trace(f"{len(timings)} queries timed")
 
     total = round(sum(timings.values()), 3)
+    # Key ORDER is part of the driver contract (r12, VERDICT r11
+    # Missing #4): the driver records only the TAIL (~1.5 KB) of the
+    # final line, so the big per-query dict goes FIRST and the audit
+    # summary — metric/value, n_queries/n_errors/n_skips and the
+    # (capped) error map — goes LAST, guaranteeing the recorded
+    # BENCH_r{N}.json is self-auditing without the quiet local twin.
     out = {
-        "metric": "headline_queries_total_wall",
-        "value": total,
-        "unit": "sec",
         "queries": timings,
         "sf": sf,
         "runs_per_query": RUNS_PER_QUERY,
-        "errors": errors,
     }
     # the dedicated 5-run _qps_anchor bands are authoritative; derive
     # from the main-loop timing only if the anchor itself errored
@@ -1092,6 +1119,23 @@ def main() -> None:
     if "knn_batch100_qps" not in extra and timings.get("knn_batch_100"):
         out["knn_batch100_qps"] = round(100 / timings["knn_batch_100"], 3)
     out.update(extra)
+    skips = {n: e for n, e in errors.items() if e == "budget_exhausted_skipped"}
+    hard_errors = {n: e for n, e in errors.items() if n not in skips}
+    # cap the tail-resident error map so a pathological run can't push
+    # the scalar summary back out of the capture window; the counts
+    # below say how much was capped
+    out["errors"] = dict(list(hard_errors.items())[:8])
+    if len(hard_errors) > 8:
+        out["errors_truncated"] = len(hard_errors) - 8
+    if skips:
+        out["skipped"] = sorted(skips)[:8]
+    # the scalar audit summary goes at the VERY end of the line
+    out["metric"] = "headline_queries_total_wall"
+    out["value"] = total
+    out["unit"] = "sec"
+    out["n_queries"] = len(timings)
+    out["n_errors"] = len(hard_errors)
+    out["n_skips"] = len(skips)
 
     print(json.dumps(out))
     spark.stop()
