@@ -16798,3 +16798,109 @@ def q_txlog_scoped_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(not scope_dv).alias("scope_dv_materialized"),
         F.lit(len(scope_files) == 1).alias("scope_compacted"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Wave 109 (r12) — the sharded VECTOR fan-out under the oracle: the
+# facade's search(mode="serve") path on serve_shards>1 answers via
+# ShardedHybridServer.vector_query; this row pins that fan-out — plain
+# AND filter-inside-the-walk — against the exact-kNN SQL contract.
+# ---------------------------------------------------------------------------
+
+_VECTOR_SHARDED_ORACLE = """
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+corpus AS (
+  SELECT e.vec_id, e.embedding
+  FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id
+),
+scored AS (
+  SELECT vec_id,
+         ROUND(list_dot_product(embedding::DOUBLE[], qv), 6) AS score
+  FROM corpus, q
+)
+SELECT * FROM (
+  SELECT 'all' AS regime, vec_id, score
+  FROM scored ORDER BY score DESC, vec_id LIMIT 10
+)
+UNION ALL
+SELECT * FROM (
+  SELECT 'filtered' AS regime, vec_id, score
+  FROM scored WHERE vec_id % 3 != 1
+  ORDER BY score DESC, vec_id LIMIT 10
+)
+"""
+
+
+@query("vector_sharded_serving_parity", oracle=_VECTOR_SHARDED_ORACLE)
+def q_vector_sharded_serving_parity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The vector-only verb of the sharded topology (r12,
+    operators/serving.py ShardedHybridServer.vector_query — the path
+    KnowledgeBase(serve_shards=N).search(mode="serve") routes
+    through): documents route to 3 disjoint shards by the build's
+    Spark-side hash, the query fans out to every shard's KnnServer at
+    full probe coverage, and the per-shard exact top-k lists merge
+    under (-score, id). Two regimes under ONE oracle: the plain
+    top-10 must hash-equal exact kNN over the embedded corpus, and a
+    FILTERED top-10 (allowed_ids = vec_id % 3 != 1, the pandas-mask
+    shape the facade's DSL produces) must equal exact kNN over the
+    filtered corpus — ranks computed WITHIN the filtered universe on
+    every shard (filter-inside-the-walk), never a post-filtered
+    shortlist. The allowed list is read from the server's own
+    snapshot ids (no extra Spark job; the bounded server already
+    holds the corpus — same trade as hybrid_filtered_serving_parity,
+    whose docstring names the batch-plan alternative at scale).
+
+    100 TB shape: identical to hybrid_sharded_serving_parity's —
+    bounded per-shard slices, one pinned-version build, queries fan
+    out and merge O(k·n_shards) rows with zero Spark jobs in the
+    query path. Reference parity: backend/main.py:185-230 serves
+    vector point queries from one in-process index; this is that verb
+    at the sharded topology the reference leaves as Qdrant collection
+    config (backend/vector_db.py:39-42)."""
+    from vector_knowledge_base_spark.operators.serving import (
+        ShardedHybridServer,
+    )
+    from vector_knowledge_base_spark.sources.txlog import (
+        create_table,
+        drop_table,
+    )
+    import re as _re
+
+    tag = _re.sub(r"[^A-Za-z0-9.]", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1])
+    tbl = f"/tmp/vkb_shvec_{_session_tag(spark)}_{tag}/docs"
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    joined = docs.join(emb, docs.doc_id == emb.vec_id).select(
+        "doc_id", "text", "embedding"
+    )
+    drop_table(tbl)
+    create_table(spark, tbl, joined)
+    hs = ShardedHybridServer.from_txlog(
+        spark, tbl, n_shards=3, n_partitions=8, id_col="doc_id",
+        max_docs_per_shard=10_000_000, max_vectors_per_shard=10_000_000,
+    )
+    qv = [
+        float(x)
+        for x in emb.where(F.col("vec_id") == 0).first()["embedding"]
+    ]
+    rows = [
+        ("all", int(i), float(s))
+        for i, s in hs.vector_query(qv, k=10, n_probe=None)
+    ]
+    allowed = [
+        int(i)
+        for sh in hs.shards
+        for i in sh.knn._snap.ids
+        if int(i) % 3 != 1
+    ]
+    rows += [
+        ("filtered", int(i), float(s))
+        for i, s in hs.vector_query(
+            qv, k=10, n_probe=None, allowed_ids=allowed
+        )
+    ]
+    return spark.createDataFrame(
+        rows, "regime string, vec_id long, score double"
+    )
