@@ -1129,6 +1129,11 @@ def main() -> None:
         out["errors_truncated"] = len(hard_errors) - 8
     if skips:
         out["skipped"] = sorted(skips)[:8]
+        # mirror the hard-error truncation marker (r13, ADVICE r12
+        # #4): n_skips preserves the count, this names how many
+        # skipped-query NAMES the cap dropped
+        if len(skips) > 8:
+            out["skipped_truncated"] = len(skips) - 8
     # the scalar audit summary goes at the VERY end of the line
     out["metric"] = "headline_queries_total_wall"
     out["value"] = total

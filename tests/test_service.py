@@ -1042,6 +1042,95 @@ def test_facade_sharded_serving_parity_and_freshness(spark, tmp_path):
     assert serve_rows(kb1, "tomato basil") == serve_rows(kb3, "tomato basil")
 
 
+def test_facade_search_batch_parity_both_topologies(spark, tmp_path):
+    """r13 (VERDICT r12 Missing #2): the facade's batch verbs must
+    answer EXACTLY like N single calls — ``search_batch`` ≡ N
+    ``search_hits``, ``search_hybrid_batch`` ≡ N ``search_hybrid`` —
+    in BOTH topologies (single-shard and serve_shards=3), unfiltered
+    and DSL-filtered, including an empty batch and a duplicate query
+    in the batch (the union-matmul path must not confuse it)."""
+    ws = str(tmp_path / "ws")
+    kb1 = KnowledgeBase(spark, ws, storage="txlog")
+    kb3 = KnowledgeBase(spark, ws, storage="txlog", serve_shards=3)
+    kb1.create_document(
+        "spark.txt", "vector search spark broadcast join", category="eng"
+    )
+    kb1.create_document(
+        "cooking.md", "tomato basil pasta garlic oil", category="food"
+    )
+    kb1.create_document(
+        "ml.txt", "vector embeddings cluster notes", category="eng"
+    )
+    kb1.create_document(
+        "soup.md", "tomato soup basil vector garnish", category="food"
+    )
+    queries = ["vector broadcast", "tomato basil", "vector broadcast"]
+    flt = {"category": "food"}
+    for kb in (kb1, kb3):
+        assert kb.search_batch([]) == []
+        assert kb.search_hybrid_batch([]) == []
+        for f in (None, flt):
+            got = kb.search_batch(queries, k=3, filters=f)
+            want = [kb.search_hits(q, k=3, filters=f) for q in queries]
+            assert got == want
+            got_h = kb.search_hybrid_batch(queries, k=3, filters=f)
+            want_h = [kb.search_hybrid(q, k=3, filters=f) for q in queries]
+            assert got_h == want_h
+        # duplicate queries answered identically within the batch
+        b = kb.search_batch(queries, k=3)
+        assert b[0] == b[2]
+    # cross-topology: batch answers agree shard-count-independently
+    assert kb1.search_batch(queries, k=3) == kb3.search_batch(queries, k=3)
+    assert kb1.search_hybrid_batch(queries, k=3) == kb3.search_hybrid_batch(
+        queries, k=3
+    )
+    # storage gate
+    pq = KnowledgeBase(spark, str(tmp_path / "pq"), storage="parquet")
+    with pytest.raises(RuntimeError, match="search_batch requires"):
+        pq.search_batch(["x"])
+    with pytest.raises(RuntimeError, match="search_hybrid_batch requires"):
+        pq.search_hybrid_batch(["x"])
+
+
+def test_facade_sharded_payload_locality(spark, tmp_path):
+    """r13 (VERDICT r12 Missing #3): the sharded artifact keys the
+    driver-held payload PER SHARD — ``payload_by_shard[s]`` holds
+    exactly the rows whose vectors live in shard ``s`` (same Spark-side
+    routing hash), so an out-of-process deployment moves each shard's
+    payload next to its vectors mechanically. Pinned on the fresh
+    build AND after an append-only delta refresh: per-shard id sets
+    equal the shard servers' own snapshot ids, are pairwise disjoint,
+    and union to the global payload view."""
+    ws = str(tmp_path / "ws")
+    kb = KnowledgeBase(spark, ws, storage="txlog", serve_shards=3)
+    for i in range(6):
+        kb.create_document(f"d{i}.txt", f"alpha beta doc {i} " + "w " * i)
+
+    def check(art):
+        srv = art["server"]
+        by_shard = art["payload_by_shard"]
+        assert set(by_shard) <= set(range(3))
+        seen: set = set()
+        for s, sh in enumerate(srv.shards):
+            shard_vec_ids = set(sh.knn._snap.ids.tolist())
+            pl_ids = set(by_shard.get(s, art["payload"].iloc[0:0])[
+                "chunk_id"
+            ].tolist()) if s in by_shard else set()
+            assert pl_ids == shard_vec_ids  # payload lives by its vectors
+            assert not (pl_ids & seen)  # disjoint across shards
+            seen |= pl_ids
+        assert seen == set(art["payload"]["chunk_id"].tolist())
+
+    art = kb._sharded_artifact()
+    check(art)
+    # append-only advance → delta refresh keeps the locality split
+    kb.create_document("late.txt", "gamma delta late arrival")
+    art2 = kb._sharded_artifact()
+    assert art2 is not art
+    assert art2["server"].last_refresh_mode == "delta"
+    check(art2)
+
+
 def test_facade_sharded_bound_refuses_before_collect(spark, tmp_path):
     """The sharded path keeps the bound-first contract: a table whose
     manifest row-count upper bound exceeds serve_max_rows×serve_shards

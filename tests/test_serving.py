@@ -444,6 +444,32 @@ def test_query_batch_matches_single_query_loop(spark, emb, server):
     assert server.query_batch([], k=10) == []
 
 
+def test_query_batch_allowed_ids_matches_single_loop(spark, emb, server):
+    """r13 (the facade's batch verb pre-filters one shared universe):
+    query_batch with allowed_ids must equal the single-query filtered
+    loop at FULL probe (where it is exact filtered kNN) AND in probed
+    mode (where the per-query probe subset intersects the allow mask
+    — the same filter-inside-the-walk rule as the single path)."""
+    qs = emb.where(F.col("vec_id") < 8).select("embedding").collect()
+    vecs = [[float(x) for x in r["embedding"]] for r in qs]
+    allowed = [
+        row["vec_id"]
+        for row in emb.where(F.col("vec_id") % 3 == 0)
+        .select("vec_id")
+        .collect()
+    ]
+    for n_probe in (2, None):
+        batch = server.query_batch(
+            vecs, k=10, n_probe=n_probe, allowed_ids=allowed
+        )
+        loop = [
+            server.query(v, k=10, n_probe=n_probe, allowed_ids=allowed)
+            for v in vecs
+        ]
+        assert batch == loop
+    assert all(i % 3 == 0 for hits in batch for i, _ in hits)
+
+
 def test_allowed_ids_prefilter_is_exact_filtered_knn(spark, emb, server):
     """allowed_ids at full probe = exact FILTERED kNN: equals
     cosine_topk over the pre-filtered corpus (the Qdrant filtered-
@@ -1306,6 +1332,50 @@ def test_sharded_hybrid_equals_single_server(spark, tmp_path):
         )
 
 
+def test_sharded_batch_verbs_match_single_loops(spark, tmp_path):
+    """r13 (the verbs behind the facade's batch search on
+    serve_shards>1): ShardedHybridServer.vector_query_batch ≡ N
+    vector_query calls and hybrid_query_batch ≡ N hybrid_query calls
+    — unfiltered and filtered, with a duplicate query in the batch
+    and an empty batch. Exactness at full probe, same merge
+    contracts."""
+    from vector_knowledge_base_spark.operators.serving import (
+        ShardedHybridServer,
+    )
+
+    p = _mk_hybrid_txlog(spark, tmp_path, n=120)
+    sharded = ShardedHybridServer.from_txlog(
+        spark, p, n_shards=3, n_partitions=4
+    )
+    emb_t = load_table(spark, SF, "embeddings")
+    rows = emb_t.where(F.col("vec_id") < 5).collect()
+    vecs = [[float(x) for x in r["embedding"]] for r in rows]
+    vecs.append(vecs[0])  # duplicate
+    terms = [["vector"], ["vector", "data"], ["zebra"], ["data"], ["a"],
+             ["vector"]]
+    allowed = list(range(0, 120, 2))
+    for allow in (None, allowed):
+        vb = sharded.vector_query_batch(
+            vecs, k=10, n_probe=None, allowed_ids=allow
+        )
+        assert vb == [
+            sharded.vector_query(v, k=10, n_probe=None, allowed_ids=allow)
+            for v in vecs
+        ]
+        hb = sharded.hybrid_query_batch(
+            terms, vecs, k=10, n=100, allowed_ids=allow
+        )
+        assert hb == [
+            sharded.hybrid_query(t, v, k=10, n=100, allowed_ids=allow)
+            for t, v in zip(terms, vecs)
+        ]
+    assert vb[0] == vb[-1]  # duplicate query, identical answer
+    assert sharded.vector_query_batch([], k=10) == []
+    assert sharded.hybrid_query_batch([], [], k=10) == []
+    with pytest.raises(ValueError, match="pair 1:1"):
+        sharded.hybrid_query_batch([["a"]], [], k=10)
+
+
 def test_sharded_hybrid_delta_refresh_and_consistency(spark, tmp_path):
     """r11: the sharded hybrid front refreshes ∝ churn — an append
     routes rows by the BUILD's hash and extends every shard (keyword
@@ -1372,27 +1442,41 @@ def test_hybrid_postings_build_plan_has_no_single_partition_stage(spark, emb):
     self-join to carry the index. Row indices are now the ascending-id
     ranks assigned driver-side from the (already distributed-sorted)
     dl collect, so the build plan must contain NO Window operator, NO
-    single-partition Exchange, and NO join. Guarded here on the exact
-    frames ``_build_keyword_arrays`` collects."""
+    single-partition Exchange, and NO join. r13 (ADVICE r12 #3):
+    guarded on the PRODUCTION frames — ``_keyword_build_frames`` is
+    the exact seam ``_build_keyword_arrays`` collects from, so a
+    regression in the real builder fails here, not just an inline
+    replica of the old plan."""
     from pyspark.sql import functions as F
 
+    from vector_knowledge_base_spark.operators.serving import (
+        _keyword_build_frames,
+    )
     from vector_knowledge_base_spark.plans.inspect import explain_str
 
     docs = load_table(spark, SF, "documents").where(F.col("doc_id") < 200)
-    toks = docs.select(
-        F.col("doc_id").alias("_id"),
-        F.split(F.coalesce(F.col("text"), F.lit("")), " ").alias("_toks"),
-    )
-    dl_frame = toks.select("_id", F.size("_toks").alias("_dl")).orderBy("_id")
-    postings_frame = (
-        toks.select("_id", F.explode("_toks").alias("_t"))
-        .groupBy("_t", "_id")
-        .agg(F.count("*").alias("_c"))
-        .groupBy("_t")
-        .agg(F.sort_array(F.collect_list(F.struct("_id", "_c"))).alias("_pl"))
-    )
+    dl_frame, postings_frame = _keyword_build_frames(docs, "doc_id", "text")
     for frame in (dl_frame, postings_frame):
         txt = explain_str(frame)
         assert "Window" not in txt, txt
         assert "SinglePartition" not in txt, txt
         assert "Join" not in txt, txt
+
+
+def test_keyword_build_refuses_duplicate_ids(spark):
+    """r13 (VERDICT r12 wrong-nit #1): the keyword build's row indices
+    are ascending-id ranks, which requires the id→rank map to be
+    bijective — a duplicate-id corpus must fail LOUDLY at build time,
+    never silently collapse two docs onto one row index (postings
+    would merge and every downstream ranking would be quietly
+    wrong)."""
+    from vector_knowledge_base_spark.operators.serving import (
+        _build_keyword_arrays,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "beta gamma"), (1, "alpha delta")],
+        "doc_id long, text string",
+    )
+    with pytest.raises(ValueError, match="duplicate ids"):
+        _build_keyword_arrays(docs, "doc_id", "text")
