@@ -388,6 +388,10 @@ HEADLINE = [
     "hybrid_sharded_serving_parity",
     # wave 108 (r11) — partition-scoped compaction (OPTIMIZE WHERE)
     "txlog_scoped_compaction",
+    # wave 109 (r12) — sharded vector fan-out, plain + filtered regimes
+    "vector_sharded_serving_parity",
+    # wave 110 (r13) — batch serving verb, both topologies
+    "knn_batch_serving_parity",
 ]
 
 # Integration rows whose cost is fixed overhead (streaming runs with
@@ -425,6 +429,8 @@ SINGLE_RUN = {
     "bm25_serving_parity",
     "hybrid_sharded_serving_parity",
     "txlog_scoped_compaction",
+    "vector_sharded_serving_parity",
+    "knn_batch_serving_parity",
 }
 
 KNN_BATCH_N_QUERIES = 5  # matches the knn_batch query definition
@@ -872,6 +878,24 @@ def _facade_serve_anchor(spark, sf_dir, extra, errors) -> None:
             extra["facade_search_hybrid_ms_band"] = _band(
                 [1000 * x for x in lats]
             )
+            # r13: the batch verb — 100 queries through ONE
+            # query_batch call (one matmul for the whole batch); the
+            # anchor the VERDICT asked for alongside the parity test
+            qbatch = [
+                f"{a} {b} batch probe"
+                for a in ("data", "spark", "token", "vector", "report",
+                          "orders", "cluster", "index", "stream", "text")
+                for b in ("alpha", "beta", "gamma", "delta", "epsilon",
+                          "zeta", "eta", "theta", "iota", "kappa")
+            ]
+            lats = []
+            for _pass in range(3):
+                t0 = time.time()
+                kb.search_batch(qbatch, k=5)
+                lats.append(time.time() - t0)
+            extra["facade_search_batch_qps"] = round(
+                len(qbatch) / statistics.median(lats), 1
+            )
             # r12: the sharded topology through the facade — one-time
             # ShardedHybridServer build (3 shards), then steady-state
             # fan-out latency for the vector and hybrid verbs; the
@@ -897,6 +921,16 @@ def _facade_serve_anchor(spark, sf_dir, extra, errors) -> None:
                         lats.append(time.time() - t0)
                 extra[key] = round(1000 * statistics.median(lats), 3)
                 extra[key + "_band"] = _band([1000 * x for x in lats])
+            # r13: the batch verb over the sharded fan-out (one
+            # matmul per shard for the whole batch)
+            lats = []
+            for _pass in range(3):
+                t0 = time.time()
+                kb.search_batch(qbatch, k=5)
+                lats.append(time.time() - t0)
+            extra["facade_search_batch_sharded_qps"] = round(
+                len(qbatch) / statistics.median(lats), 1
+            )
         finally:
             shutil.rmtree(srcd, ignore_errors=True)
             shutil.rmtree(wsd, ignore_errors=True)

