@@ -718,9 +718,18 @@ def _serving_latency_anchor(spark, sf_dir, extra, errors) -> None:
 
         srv = KnnServer(centroids, assigned)
         srv_big = KnnServer(centroids, assigned_big, max_vectors=10_000_000)
+        # r13 (same root cause as the facade lane): a ~0.06 ms verb
+        # sampled 10 times right after the 10×-corpus Spark jobs gets
+        # its median stolen by residual JVM GC — settle once, sample
+        # 30× so pauses land in the band, not the median
+        try:
+            spark.sparkContext._jvm.System.gc()
+        except Exception:  # noqa: BLE001 — settle is best-effort
+            pass
+        time.sleep(0.2)
         for label, s in (("", srv), ("_10x", srv_big)):
             qlat = []
-            for _pass in range(2):
+            for _pass in range(6):
                 for r in qrows:
                     qv = [float(x) for x in r["embedding"]]
                     t0 = time.time()
@@ -746,7 +755,7 @@ def _serving_latency_anchor(spark, sf_dir, extra, errors) -> None:
         for label, s in (("", srv), ("_10x", srv_big)):
             s.query_batch(batch_vecs[:5], k=10, n_probe=4)  # warm
             rates = []
-            for _ in range(3):
+            for _ in range(5):  # r13: 3 → 5 calls (GC pause ∉ median)
                 t0 = time.time()
                 s.query_batch(batch_vecs, k=10, n_probe=4)
                 rates.append(len(batch_vecs) / (time.time() - t0))
@@ -828,9 +837,23 @@ def _facade_serve_anchor(spark, sf_dir, extra, errors) -> None:
             ]
             # the serving regime proper: search_hits returns plain rows
             # (the reference's JSON response shape) — no DataFrame
-            # round-trip in the hot path
+            # round-trip in the hot path. r13 (VERDICT r12 next-round
+            # #2, root-caused): the verb itself measures 0.106 ms in
+            # isolation (40-rep median, this host, this code) — the
+            # 3-4 ms medians recorded r12 came from residual JVM
+            # GC/executor turbulence of the six PRECEDING 10×-corpus
+            # anchors stealing cores during a 10-sample window on a
+            # ~0.1 ms-scale measurement. So: ask the JVM to settle
+            # once, then take 30 samples — a transient pause can no
+            # longer own the median, while real regressions in the
+            # verb still show (the band records the spread honestly).
+            try:
+                spark.sparkContext._jvm.System.gc()
+            except Exception:  # noqa: BLE001 — settle is best-effort
+                pass
+            time.sleep(0.2)
             lats = []
-            for _pass in range(2):
+            for _pass in range(6):
                 for qt in qtexts:
                     t0 = time.time()
                     kb.search_hits(qt, k=5)
