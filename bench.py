@@ -392,6 +392,8 @@ HEADLINE = [
     "vector_sharded_serving_parity",
     # wave 110 (r13) — batch serving verb, both topologies
     "knn_batch_serving_parity",
+    # wave 111 (r13) — batch HYBRID serving verb, both topologies
+    "hybrid_batch_serving_parity",
 ]
 
 # Integration rows whose cost is fixed overhead (streaming runs with
@@ -431,6 +433,7 @@ SINGLE_RUN = {
     "txlog_scoped_compaction",
     "vector_sharded_serving_parity",
     "knn_batch_serving_parity",
+    "hybrid_batch_serving_parity",
 }
 
 KNN_BATCH_N_QUERIES = 5  # matches the knn_batch query definition

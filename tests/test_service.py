@@ -1084,12 +1084,57 @@ def test_facade_search_batch_parity_both_topologies(spark, tmp_path):
     assert kb1.search_hybrid_batch(queries, k=3) == kb3.search_hybrid_batch(
         queries, k=3
     )
-    # storage gate
+    # storage gate (serve regime only — mode="spark" serves parquet)
     pq = KnowledgeBase(spark, str(tmp_path / "pq"), storage="parquet")
     with pytest.raises(RuntimeError, match="search_batch requires"):
         pq.search_batch(["x"])
     with pytest.raises(RuntimeError, match="search_hybrid_batch requires"):
         pq.search_hybrid_batch(["x"])
+    with pytest.raises(ValueError, match="unknown search_batch mode"):
+        kb1.search_batch(["x"], mode="nope")
+
+
+def test_facade_search_batch_spark_mode_parity(spark, tmp_path):
+    """r13: search_batch(mode="spark") — the one-job broadcast-join
+    batch plan — must return the SAME rows as the serve regime's
+    batch answers (same exact cosine, 6-digit rounding, (-score, id)
+    ties), keyed by query position; and it must work on plain-parquet
+    storage, where the serve regime refuses."""
+    ws = str(tmp_path / "ws")
+    kb = KnowledgeBase(spark, ws, storage="txlog")
+    kb.create_document("a.txt", "vector search spark join", category="eng")
+    kb.create_document("b.md", "tomato basil pasta", category="food")
+    kb.create_document("c.txt", "vector embeddings notes", category="eng")
+    queries = ["vector spark", "tomato basil"]
+    for f in (None, {"category": "eng"}):
+        serve = kb.search_batch(queries, k=3, filters=f)
+        df = kb.search_batch(queries, k=3, filters=f, mode="spark")
+        got = {}
+        for r in df.collect():
+            got.setdefault(r["query_id"], []).append(
+                (r["chunk_id"], r["score"], r["text"], r["filename"],
+                 r["chunk_index"])
+            )
+        want = {
+            qi: [
+                (h["chunk_id"], h["score"], h["text"], h["filename"],
+                 h["chunk_index"])
+                for h in hits
+            ]
+            for qi, hits in enumerate(serve)
+        }
+        # spark rows are per-query rank-ordered by construction; sort
+        # both by (-score, id) to compare set-and-order
+        for qi in want:
+            assert sorted(got.get(qi, []), key=lambda t: (-t[1], t[0])) == \
+                sorted(want[qi], key=lambda t: (-t[1], t[0]))
+    # parquet storage: spark mode works, serve refuses
+    pqws = str(tmp_path / "pq")
+    pq = KnowledgeBase(spark, pqws, storage="parquet")
+    pq.create_document("a.txt", "vector search spark join")
+    rows = pq.search_batch(["vector"], k=2, mode="spark").collect()
+    assert rows and all(r["query_id"] == 0 for r in rows)
+    assert pq.search_batch([], mode="spark").count() == 0
 
 
 def test_facade_sharded_payload_locality(spark, tmp_path):
@@ -1176,14 +1221,17 @@ def test_serving_capability_matrix_parquet_refusals(spark, tmp_path):
     working on the same corpus."""
     kb = KnowledgeBase(spark, str(tmp_path / "ws"), storage="parquet")
     kb.create_document("a.txt", "alpha beta gamma vector")
-    # batch regime works on parquet
+    # batch regime works on parquet — single and batch verbs
     assert kb.search("alpha vector", k=2, mode="spark").count() > 0
+    assert kb.search_batch(["alpha vector"], k=2, mode="spark").count() > 0
     # serve regime refuses — single-shard
     for call in (
         lambda: kb.search("alpha", mode="serve"),
         lambda: kb.search_hits("alpha"),
         lambda: kb.search_keyword("alpha"),
         lambda: kb.search_hybrid("alpha"),
+        lambda: kb.search_batch(["alpha"]),
+        lambda: kb.search_hybrid_batch(["alpha"]),
     ):
         with pytest.raises(RuntimeError, match="txlog"):
             call()
@@ -1194,6 +1242,7 @@ def test_serving_capability_matrix_parquet_refusals(spark, tmp_path):
         lambda: kb.search("alpha", mode="serve"),
         lambda: kb.search_keyword("alpha"),
         lambda: kb.search_hybrid("alpha"),
+        lambda: kb.search_batch(["alpha"]),
     ):
         with pytest.raises(RuntimeError, match="txlog"):
             call()

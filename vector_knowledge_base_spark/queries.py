@@ -17049,3 +17049,133 @@ def q_knn_batch_serving_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "regime string, qid long, vec_id long, score double"
     )
+
+
+# ---------------------------------------------------------------------------
+# Wave 111 (r13) — the BATCH hybrid verb under the oracle: the facade's
+# search_hybrid_batch routes N (terms, vector) queries through
+# hybrid_query_batch on the single-shard tier and the sharded fan-out;
+# this row pins BOTH against one per-query RRF SQL contract — also
+# re-covering the r13-demoted plain-hybrid semantics through the
+# strictly longer batch path.
+# ---------------------------------------------------------------------------
+
+_HYBRID_BATCH_SERVING_ORACLE = """
+WITH qs AS (SELECT 0 AS qid, 'vector' AS term UNION ALL SELECT 1, 'data'),
+corpus AS (
+  SELECT d.doc_id, d.text, e.embedding::DOUBLE[] AS emb
+  FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+),
+qv AS (
+  SELECT q.qid, q.term, c.emb AS v FROM qs q JOIN corpus c ON c.doc_id = q.qid
+),
+kw AS (
+  SELECT qid, doc_id, rk FROM (
+    SELECT q.qid, c.doc_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.qid
+             ORDER BY len(list_filter(string_split(c.text, ' '),
+                          t -> t = q.term)) DESC, c.doc_id
+           ) AS rk
+    FROM corpus c, qs q
+  ) WHERE rk <= 1000
+),
+vec AS (
+  SELECT qid, doc_id, rv FROM (
+    SELECT qv.qid, c.doc_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY qv.qid
+             ORDER BY list_dot_product(c.emb, qv.v) DESC, c.doc_id
+           ) AS rv
+    FROM corpus c, qv
+  ) WHERE rv <= 1000
+),
+fused AS (
+  SELECT COALESCE(kw.qid, vec.qid) AS qid,
+         COALESCE(kw.doc_id, vec.doc_id) AS doc_id,
+         ROUND(1.0 / (60 + COALESCE(kw.rk, 1001))
+             + 1.0 / (60 + COALESCE(vec.rv, 1001)), 6) AS rrf_score
+  FROM kw FULL OUTER JOIN vec
+    ON kw.qid = vec.qid AND kw.doc_id = vec.doc_id
+),
+ranked AS (
+  SELECT t.regime, f.qid, f.doc_id, f.rrf_score,
+         ROW_NUMBER() OVER (
+           PARTITION BY t.regime, f.qid
+           ORDER BY f.rrf_score DESC, f.doc_id
+         ) AS rn
+  FROM fused f CROSS JOIN (VALUES ('single'), ('sharded')) t(regime)
+)
+SELECT regime, qid, doc_id, rrf_score FROM ranked WHERE rn <= 10
+"""
+
+
+@query("hybrid_batch_serving_parity", oracle=_HYBRID_BATCH_SERVING_ORACLE)
+def q_hybrid_batch_serving_parity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The BATCH hybrid verb (r13 — the path
+    ``KnowledgeBase.search_hybrid_batch`` takes in each topology): two
+    (terms, vector) queries answered in ONE vectorized call per
+    topology — ``HybridKnnServer.hybrid_query_batch`` (one unrounded
+    matmul scores the whole batch's cosine side; keyword sides probe
+    posting lists per query) and ``ShardedHybridServer.
+    hybrid_query_batch`` (3 shards, one matmul per shard for the whole
+    batch, global top-n merges). Both regimes must hash-equal the SAME
+    per-query RRF SQL contract (tf keyword ranking and full-probe
+    cosine each pruned to top-1000, missing rank coalesced to 1001,
+    rrf_k=60, 6-digit rounding, (-rrf, id) ties) — so batched answers
+    ≡ N single answers ≡ the batch plan's own fusion semantics, and
+    the r13-demoted plain-hybrid row's kernel stays pinned through
+    the strictly longer batch path. Both servers build from the SAME
+    joined (doc, embedding) corpus at one pinned txlog version, so
+    the two regimes rank one universe.
+
+    100 TB shape: the batch regime amortizes the per-query dispatch
+    exactly as the vector batch verb does (facade anchors: ~14-25k
+    qps single-shard, ~10-17k qps sharded); posting lists are already
+    O(df) per query, and the sharded merge moves O(n·n_shards) ranked
+    rows per query with zero Spark jobs in the query path."""
+    import re as _re
+
+    from vector_knowledge_base_spark.operators.serving import (
+        HybridKnnServer,
+        ShardedHybridServer,
+    )
+    from vector_knowledge_base_spark.sources.txlog import (
+        create_table,
+        drop_table,
+    )
+
+    tag = _re.sub(r"[^A-Za-z0-9.]", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1])
+    tbl = f"/tmp/vkb_hybbatch_{_session_tag(spark)}_{tag}/docs"
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    joined = docs.join(emb, docs.doc_id == emb.vec_id).select(
+        "doc_id", "text", "embedding"
+    )
+    drop_table(tbl)
+    create_table(spark, tbl, joined)
+    single = HybridKnnServer.from_txlog(
+        spark, tbl, n_partitions=8, id_col="doc_id",
+        max_docs=10_000_000,
+    )
+    sharded = ShardedHybridServer.from_txlog(
+        spark, tbl, n_shards=3, n_partitions=8, id_col="doc_id",
+        max_docs_per_shard=10_000_000, max_vectors_per_shard=10_000_000,
+    )
+    term_lists = [["vector"], ["data"]]
+    qvs = [
+        [float(x) for x in r["embedding"]]
+        for r in emb.where(F.col("vec_id") < 2).orderBy("vec_id").collect()
+    ]
+    rows = []
+    for regime, hits_per_q in (
+        ("single", single.hybrid_query_batch(term_lists, qvs, k=10, n=1000)),
+        ("sharded", sharded.hybrid_query_batch(term_lists, qvs, k=10, n=1000)),
+    ):
+        for qid, hits in enumerate(hits_per_q):
+            rows += [(regime, qid, int(i), float(s)) for i, s in hits]
+    return spark.createDataFrame(
+        rows, "regime string, qid long, doc_id long, rrf_score double"
+    )
