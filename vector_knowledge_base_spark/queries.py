@@ -1098,6 +1098,36 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 #       the keyword side also stays pinned by bm25_serving_parity
 #       (in-window) and the plain hybrid row stays pytest-oracled at
 #       sf0.01 + the sf0.1 sweep.
+#
+# r14 rotation (VERDICT r13 next-round #1): the two r13 batch-serving
+# rows — judge-green at sf0.1 in the r13 independent sweep — take the
+# driver's signature; two demotions with named covering twins:
+#   knn_batch_serving_parity    IN  (wave 110: the exact path
+#       KnowledgeBase.search_batch(mode="serve") takes — KnnServer.
+#       query_batch and ShardedHybridServer.vector_query_batch, plain
+#       AND filter-inside-the-walk, under one per-query exact-kNN
+#       oracle)
+#   hybrid_batch_serving_parity IN  (wave 111: the exact path
+#       search_hybrid_batch takes — HybridKnnServer.hybrid_query_batch
+#       and the sharded fan-out's batched fusion under one per-query
+#       RRF oracle)
+#   pq_serving_parity           OUT ↔ twins ivfpq_inproc_serving_
+#       parity (in-window: ADC over the SAME trained PQ codebooks in
+#       the strictly harder cell-pruned serving form — a codebook or
+#       ADC regression flips it red) and knn_batch_serving_parity
+#       (promoted: the float serving contract — same snapshot arrays,
+#       same (-score, id) merge — through the batched verbs); the PQ
+#       tier's own exact-ADC oracle stays pytest-pinned at sf0.01 +
+#       the sf0.1 sweep.
+#   hybrid_sharded_serving_parity OUT ↔ twins hybrid_batch_serving_
+#       parity (promoted: the SAME ShardedHybridServer fan-out —
+#       per-shard scoring, global top-n merge, coalesce-to-n+1 fusion
+#       — exercised through the strictly longer batched path on 3
+#       shards) and hybrid_filtered_serving_parity (in-window: the
+#       single-shard fusion kernel in filtered form) and
+#       bm25_serving_parity (in-window: the keyword/Okapi kernel);
+#       the global-statistics BM25 merge stays pytest-oracled at
+#       sf0.01 + the sf0.1 sweep.
 # ============================================================================
 _WINDOW_PROMOTE = [
     # r3 promotions
@@ -1173,7 +1203,8 @@ _WINDOW_PROMOTE = [
     # (r12: knn_serving_parity moved to DEMOTE — twins
     #  hybrid_serving_parity + pq_serving_parity + ivfpq_inproc_serving_parity)
     # r11 promotions — see rotation note above
-    "pq_serving_parity",              # PQ-codes serving ≡ exact ADC oracle
+    # (r14: pq_serving_parity moved to DEMOTE — twins
+    #  ivfpq_inproc_serving_parity + knn_batch_serving_parity)
     "ivfpq_inproc_serving_parity",    # IVF-PQ cell-pruned in-proc serving
     # (r13: hybrid_serving_parity moved to DEMOTE — twins
     #  hybrid_filtered_serving_parity + hybrid_sharded_serving_parity
@@ -1183,10 +1214,15 @@ _WINDOW_PROMOTE = [
     # r12 promotions — see rotation note above
     "bm25_serving_parity",            # BM25 served ≡ Lucene-idf SQL oracle
     "hybrid_filtered_serving_parity",  # filtered-universe hybrid parity
-    "hybrid_sharded_serving_parity",  # sharded hybrid, global-stats BM25
+    # (r14: hybrid_sharded_serving_parity moved to DEMOTE — twins
+    #  hybrid_batch_serving_parity + hybrid_filtered_serving_parity
+    #  + bm25_serving_parity)
     "txlog_scoped_compaction",        # OPTIMIZE ... WHERE economics
     # r13 promotion — see rotation note above
     "vector_sharded_serving_parity",  # sharded vector fan-out, both regimes
+    # r14 promotions — see rotation note above
+    "knn_batch_serving_parity",       # batched vector serving, both topologies
+    "hybrid_batch_serving_parity",    # batched hybrid fusion, both topologies
 ]
 _WINDOW_DEMOTE = [
     # rows-only registrations (no SQL oracle possible for raw outputs)
@@ -1265,6 +1301,9 @@ _WINDOW_DEMOTE = [
     "knn_serving_parity",               # twins: hybrid_serving_parity + pq_serving_parity + ivfpq_inproc_serving_parity
     # r13 demotion — twins named in the rotation note above
     "hybrid_serving_parity",            # twins: hybrid_filtered_serving_parity + hybrid_sharded_serving_parity + bm25_serving_parity
+    # r14 demotions — twins named in the rotation note above
+    "pq_serving_parity",                # twins: ivfpq_inproc_serving_parity + knn_batch_serving_parity
+    "hybrid_sharded_serving_parity",    # twins: hybrid_batch_serving_parity + hybrid_filtered_serving_parity + bm25_serving_parity
 ]
 
 
@@ -17179,3 +17218,98 @@ def q_hybrid_batch_serving_parity(
     return spark.createDataFrame(
         rows, "regime string, qid long, doc_id long, rrf_score double"
     )
+
+
+# ---------------------------------------------------------------------------
+# Wave 112 (r14) — the batch-hybrid SPARK plan under the oracle: the
+# facade's search_hybrid_batch(mode="spark") routes N (terms, vector)
+# queries through operators/knn.batch_hybrid_rrf as ONE broadcast-join
+# job; this row pins that plan — multi-term summed-tf keyword ranking,
+# unrounded-cosine vector ranking, and the coalesce-to-n+1 RRF fusion,
+# per query — against a per-query SQL contract, closing the r13
+# capability-matrix asymmetry (parquet corpora now get batch hybrid).
+# ---------------------------------------------------------------------------
+
+_HYBRID_BATCH_RRF_PLAN_ORACLE = """
+WITH qs AS (
+  SELECT 0 AS query_id, ['vector'] AS terms
+  UNION ALL SELECT 1, ['data', 'vector']
+),
+corpus AS (
+  SELECT d.doc_id, d.text, e.embedding::DOUBLE[] AS emb
+  FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+),
+qv AS (
+  SELECT q.query_id, q.terms, c.emb AS v
+  FROM qs q JOIN corpus c ON c.doc_id = q.query_id
+),
+scored AS (
+  SELECT qv.query_id, c.doc_id,
+         list_sum([len(list_filter(string_split(c.text, ' '), w -> w = t))
+                   for t in qv.terms]) AS tf,
+         list_dot_product(c.emb, qv.v) AS cos
+  FROM corpus c, qv
+),
+ranked AS (
+  SELECT query_id, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY tf DESC, doc_id) AS rk,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, doc_id) AS rv
+  FROM scored
+),
+fused AS (
+  SELECT query_id, doc_id,
+         ROUND(1.0 / (60 + LEAST(rk, 1001))
+             + 1.0 / (60 + LEAST(rv, 1001)), 6) AS rrf_score
+  FROM ranked WHERE rk <= 1000 OR rv <= 1000
+)
+SELECT query_id, doc_id, rrf_score, CAST(rn AS INT) AS rank
+FROM (
+  SELECT query_id, doc_id, rrf_score,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY rrf_score DESC, doc_id) AS rn
+  FROM fused
+) WHERE rn <= 10
+"""
+
+
+@query("hybrid_batch_rrf_plan", oracle=_HYBRID_BATCH_RRF_PLAN_ORACLE)
+def q_hybrid_batch_rrf_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The batch-hybrid Spark plan (r14, VERDICT r13 Missing #2 — the
+    exact path ``KnowledgeBase.search_hybrid_batch(mode="spark")``
+    takes): two (terms, vector) queries — one single-term, one
+    MULTI-term, so the summed-tf keyword semantics is under the hash —
+    answered as ONE ``batch_hybrid_rrf`` broadcast-join job over the
+    documents⋈embeddings corpus. The plan must hash-equal the same
+    per-query RRF contract the serving tiers pin (tf ranking and
+    unrounded full-probe cosine each pruned to top-1000 per query,
+    missing rank coalesced to 1001, rrf_k=60, 6-digit rounding,
+    (-rrf, id) ties) — so the spark regime ≡ the serve regime ≡ the
+    SQL oracle, completing the one-oracle/multiple-regimes triangle
+    for the batch-hybrid verb.
+
+    100 TB shape: the corpus is scanned ONCE for all N queries and
+    only (query_id, doc_id, tf-rank, cos-rank) rows — four small
+    columns, never the text or the vector — ride the single query-id
+    exchange all three window ranks share; the N-row query side
+    broadcasts. Reference parity: the reference's vector-only /search
+    (backend/main.py:185-230) has neither fusion nor a batch form;
+    this is the engine-addition batch regime of the hybrid verb."""
+    from vector_knowledge_base_spark.operators.knn import batch_hybrid_rrf
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    corpus = docs.join(emb, docs.doc_id == emb.vec_id).select(
+        "doc_id", "text", "embedding"
+    )
+    term_lists = [["vector"], ["data", "vector"]]
+    qvs = [
+        [float(x) for x in r["embedding"]]
+        for r in emb.where(F.col("vec_id") < 2).orderBy("vec_id").collect()
+    ]
+    qdf = spark.createDataFrame(
+        [(i, term_lists[i], qvs[i]) for i in range(2)],
+        "query_id int, terms array<string>, query_vec array<double>",
+    )
+    return batch_hybrid_rrf(qdf, corpus, k=10, n=1000)
