@@ -1718,3 +1718,188 @@ def test_facade_export_shard_spinoff(spark, tmp_path):
         pq.export_shard(0, str(tmp_path / "y"))
     with pytest.raises(IndexError, match="out of range"):
         kb.export_shard(9, str(tmp_path / "z"))
+
+
+def test_pq_tiers_query_batch_allowed_ids_matches_single_loop(spark, emb):
+    """r14 (tier symmetry): the PQ-code tiers' batch verbs accept
+    ``allowed_ids`` exactly like the float tier — batched filtered
+    answers must equal the single-query filtered loop on both
+    ``PqKnnServer`` (matrix shrinks before the batch ADC, via the
+    memoized snapshot mask) and ``IvfPqKnnServer`` (each query's probe
+    subset intersects the allow mask; union-span scores unchanged),
+    at probed AND full coverage."""
+    from vector_knowledge_base_spark.operators.ann import (
+        build_ivfpq,
+        build_pq,
+    )
+    from vector_knowledge_base_spark.operators.serving import (
+        IvfPqKnnServer,
+        PqKnnServer,
+    )
+
+    codebooks, codes = build_pq(emb, m=8, ksub=16)
+    pq = PqKnnServer(codebooks, codes)
+    centroids, cbs, index = build_ivfpq(emb, n_cells=8, m=8, ksub=16)
+    ivfpq = IvfPqKnnServer(centroids, cbs, index)
+    qs = emb.where(F.col("vec_id") < 6).select("embedding").collect()
+    vecs = [[float(x) for x in r["embedding"]] for r in qs]
+    allowed = [
+        row["vec_id"]
+        for row in emb.where(F.col("vec_id") % 3 == 0)
+        .select("vec_id")
+        .collect()
+    ]
+    batch = pq.query_batch(vecs, k=10, allowed_ids=allowed)
+    loop = [pq.query(v, k=10, allowed_ids=allowed) for v in vecs]
+    assert batch == loop
+    assert all(i % 3 == 0 for hits in batch for i, _ in hits)
+    # repeated filter reuses the snapshot-cached mask
+    assert len(pq._snap.allow_cache) == 1
+    again = pq.query_batch(vecs, k=10, allowed_ids=list(allowed))
+    assert again == batch and len(pq._snap.allow_cache) == 1
+    for n_probe in (2, None):
+        b = ivfpq.query_batch(
+            vecs, k=10, n_probe=n_probe, allowed_ids=allowed
+        )
+        single = [
+            ivfpq.query(v, k=10, n_probe=n_probe, allowed_ids=allowed)
+            for v in vecs
+        ]
+        assert b == single, n_probe
+        assert all(i % 3 == 0 for hits in b for i, _ in hits)
+    # unfiltered answers unchanged by the new parameter's default
+    assert pq.query_batch(vecs, k=10) == [
+        pq.query(v, k=10) for v in vecs
+    ]
+
+
+def test_front_spinoff_subprocess_roundtrip(spark, emb, tmp_path):
+    """r14: the WHOLE fan-out front round-trips — export every shard +
+    manifest, reload in a fresh Spark-free process, and the rebuilt
+    ``ShardedHybridServer`` answers the vector batch, keyword, and
+    hybrid batch fan-outs byte-identically; a torn export (one shard
+    at a different version) is refused on load by the constructor's
+    own mixed-version check."""
+    import json as _json
+    import subprocess
+    import sys
+
+    from vector_knowledge_base_spark.operators.serving import (
+        ShardedHybridServer,
+    )
+    from vector_knowledge_base_spark.operators.spinoff import (
+        export_sharded_standalone,
+        load_sharded_standalone,
+    )
+    from vector_knowledge_base_spark.sources.txlog import create_table
+
+    docs = emb.where(F.col("vec_id") < 120).select(
+        F.col("vec_id"),
+        F.concat(
+            F.lit("beta word"), (F.col("vec_id") % 5).cast("string")
+        ).alias("text"),
+        "embedding",
+    )
+    tbl = str(tmp_path / "docs")
+    create_table(spark, tbl, docs)
+    front = ShardedHybridServer.from_txlog(
+        spark, tbl, n_shards=3, n_partitions=4, id_col="vec_id"
+    )
+    qvs = [
+        [float(x) for x in r["embedding"]]
+        for r in emb.where(F.col("vec_id") < 2).collect()
+    ]
+    terms = [["word2", "beta"], ["word4"]]
+    want_v = front.vector_query_batch(qvs, k=5, n_probe=None)
+    want_h = front.hybrid_query_batch(terms, qvs, k=5)
+    want_kw = front.keyword_topn(["beta"], n=5, mode="bm25")
+    d = export_sharded_standalone(front, str(tmp_path / "front"))
+    loaded, payloads = load_sharded_standalone(d)
+    assert payloads == {}
+    assert loaded.table_version == front.table_version
+    assert len(loaded.shards) == 3
+    assert loaded.vector_query_batch(qvs, k=5, n_probe=None) == want_v
+    assert loaded.hybrid_query_batch(terms, qvs, k=5) == want_h
+    script = """
+import json, sys
+sys.path.insert(0, "/root/repo")
+from vector_knowledge_base_spark.operators.spinoff import (
+    load_sharded_standalone,
+)
+d, qvs, terms = sys.argv[1], json.loads(sys.argv[2]), json.loads(sys.argv[3])
+front, payloads = load_sharded_standalone(d)
+out = {
+    "vector": front.vector_query_batch(qvs, k=5, n_probe=None),
+    "hybrid": front.hybrid_query_batch(terms, qvs, k=5),
+    "kw": front.keyword_topn(["beta"], n=5, mode="bm25"),
+}
+from pyspark import SparkContext
+assert SparkContext._active_spark_context is None, "a JVM started!"
+print(json.dumps(out))
+"""
+    proc = subprocess.run(
+        [sys.executable, "-c", script, d, _json.dumps(qvs),
+         _json.dumps(terms)],
+        capture_output=True, text=True, timeout=120,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    got = _json.loads(proc.stdout.strip().splitlines()[-1])
+    assert got["vector"] == [[[i, s] for i, s in hits] for hits in want_v]
+    assert got["hybrid"] == [[[i, s] for i, s in hits] for hits in want_h]
+    assert got["kw"] == [[i, s] for i, s in want_kw]
+    # torn export refused: bump one shard's recorded version on disk
+    meta_p = str(tmp_path / "front" / "shard1" / "meta.json")
+    m = _json.loads(open(meta_p).read())
+    m["version"] = (m["version"] or 0) + 7
+    open(meta_p, "w").write(_json.dumps(m))
+    with pytest.raises(ValueError, match="MIXED table versions"):
+        load_sharded_standalone(d)
+
+
+def test_facade_export_serving_full_handoff(spark, tmp_path):
+    """r14: the facade's one-verb offline→online handoff — export the
+    whole sharded artifact, reload standalone, and the rebuilt front +
+    payload slices answer a FILTERED hybrid query equal to the
+    facade's own serve answer (the payload slices carry the filter
+    DSL's universe, so a Spark-free host can pre-filter too)."""
+    import pandas as pd
+
+    from vector_knowledge_base_spark.functions.filters import (
+        filter_dsl_to_mask,
+    )
+    from vector_knowledge_base_spark.operators.spinoff import (
+        load_sharded_standalone,
+    )
+    from vector_knowledge_base_spark.pipeline.embed import embed_texts
+    from vector_knowledge_base_spark.service import KnowledgeBase
+
+    kb = KnowledgeBase(
+        spark, str(tmp_path / "ws"), storage="txlog", serve_shards=3
+    )
+    kb.create_document("a.txt", "vector search spark join", category="eng")
+    kb.create_document("b.md", "tomato basil pasta", category="food")
+    kb.create_document("c.txt", "vector embeddings notes", category="eng")
+    kb.create_document("d.md", "soup basil vector garnish", category="food")
+    d = kb.export_serving(str(tmp_path / "export"))
+    front, payloads = load_sharded_standalone(d)
+    # payload slices reassemble the global filterable universe
+    merged = pd.concat(list(payloads.values()), ignore_index=True)
+    art = kb._sharded_artifact()
+    assert sorted(merged["chunk_id"]) == sorted(art["payload"]["chunk_id"])
+    # a filtered hybrid answer computed ENTIRELY from the export
+    flt = {"category": "eng"}
+    allowed = merged.loc[
+        filter_dsl_to_mask(flt, merged), "chunk_id"
+    ].tolist()
+    q = "vector notes"
+    qv = [float(x) for x in embed_texts([q], dim=kb.dim)[0]]
+    got = front.hybrid_query(q.split(" "), qv, k=3, allowed_ids=allowed)
+    want = [
+        (h["chunk_id"], h["rrf_score"])
+        for h in kb.search_hybrid(q, k=3, filters=flt)
+    ]
+    assert [(i, s) for i, s in got] == want
+    with pytest.raises(RuntimeError, match="sharded topology"):
+        KnowledgeBase(
+            spark, str(tmp_path / "ws"), storage="txlog"
+        ).export_serving(str(tmp_path / "x"))

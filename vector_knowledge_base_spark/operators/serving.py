@@ -868,30 +868,43 @@ class PqKnnServer:
         return _topk(ids, np.round(scores, ROUND_DIGITS), k)
 
     def query_batch(
-        self, query_vectors: Sequence[Sequence[float]], k: int = 10
+        self,
+        query_vectors: Sequence[Sequence[float]],
+        k: int = 10,
+        allowed_ids=None,
     ) -> list[list[tuple[int, float]]]:
         """Vectorized multi-query ADC: ALL queries' lookup tables are
         built in one einsum-shaped product and the code matrix is
         fancy-indexed once per subspace for the whole batch — the same
         accumulation order as the single-query loop, so answers equal
-        it exactly (pinned by tests)."""
+        it exactly (pinned by tests). ``allowed_ids`` (r14 — tier
+        symmetry with the float batch verb) shrinks the code matrix
+        BEFORE the batch scoring, via the same memoized snapshot mask
+        the single path uses — batched filtered answers equal the
+        single-query filtered loop."""
         import numpy as np
 
         snap = self._snap
         qs = [np.asarray(list(q), dtype=np.float64) for q in query_vectors]
         if not qs:
             return []
+        ids, codes = snap.ids, snap.codes
+        if allowed_ids is not None:
+            keep = _cached_allow_mask(snap, ids, allowed_ids)
+            ids, codes = ids[keep], codes[keep]
+        if codes.shape[0] == 0:
+            return [[] for _ in qs]
         Q = np.stack(qs)  # (nq, dim)
         m, ksub, dsub = snap.codebooks.shape
         # luts[q, j, c] = dot(Q[q] subspace j, codebook[j][c])
         luts = (
             snap.codebooks[None, :, :, :] * Q.reshape(len(qs), m, 1, dsub)
         ).sum(axis=3)
-        scores = np.zeros((snap.codes.shape[0], len(qs)), dtype=np.float64)
+        scores = np.zeros((codes.shape[0], len(qs)), dtype=np.float64)
         for j in range(m):
-            scores += luts[:, j, :][:, snap.codes[:, j]].T
+            scores += luts[:, j, :][:, codes[:, j]].T
         scores = np.round(scores, ROUND_DIGITS)
-        return [_topk(snap.ids, scores[:, qi], k) for qi in range(len(qs))]
+        return [_topk(ids, scores[:, qi], k) for qi in range(len(qs))]
 
 
 class _IvfPqSnapshot:
@@ -1328,13 +1341,18 @@ class IvfPqKnnServer:
         query_vectors: Sequence[Sequence[float]],
         k: int = 10,
         n_probe: int | None = 4,
+        allowed_ids=None,
     ) -> list[list[tuple[int, float]]]:
         """Vectorized multi-query ADC over the UNION of all queries'
         probed cells: one lut product for the whole batch, the code
         matrix fancy-indexed once per subspace, per-query top-k over
         ITS OWN probe subset — answers equal the single-query path
         exactly (same probe rule, rounding, tie-break; pinned by
-        tests)."""
+        tests). ``allowed_ids`` (r14) intersects each query's probe
+        subset with the allow mask before its top-k — the union
+        matrix keeps its span layout, so per-row ADC scores are
+        unchanged and filtered batch answers equal the single-query
+        filtered loop (which shrinks the same rows before scoring)."""
         import numpy as np
 
         snap = self._snap
@@ -1383,6 +1401,11 @@ class IvfPqKnnServer:
             s += luts[:, j, :][:, codes[:, j]].T
         bias = snap.centroids @ Q.T  # (k_cells, nq)
         scores = np.round(bias[cells_of_rows, :] + s, ROUND_DIGITS)
+        allow_mask = (
+            np.isin(ids, np.asarray(list(allowed_ids)))
+            if allowed_ids is not None
+            else None
+        )  # union-subset ids — the snapshot cache keys full arrays only
         out: list[list[tuple[int, float]]] = []
         for qi in range(len(qs)):
             spans = [
@@ -1395,6 +1418,8 @@ class IvfPqKnnServer:
                 if spans
                 else np.arange(0)
             )
+            if allow_mask is not None:
+                sel = sel[allow_mask[sel]]
             out.append(_topk(ids[sel], scores[sel, qi], k))
         return out
 

@@ -173,3 +173,51 @@ def load_shard_standalone(path: str):
 
         payload = pd.read_parquet(os.path.join(path, "payload.parquet"))
     return shard, payload
+
+
+def export_sharded_standalone(front, path: str, payload_by_shard=None) -> str:
+    """Export EVERY shard of a ``ShardedHybridServer`` — each via
+    ``export_shard_standalone`` into ``path/shard<s>/`` — plus a
+    front manifest (``front.json``) recording the shard count and the
+    ONE table version the set pins. ``payload_by_shard`` (the facade's
+    r13 locality split) rides with its shard. One directory per
+    serving host, one manifest for the router."""
+    front_meta = {
+        "n_shards": len(front.shards),
+        "version": front.table_version,
+        "table_path": front.table_path,
+    }
+    os.makedirs(path, exist_ok=True)
+    for s, sh in enumerate(front.shards):
+        export_shard_standalone(
+            sh,
+            os.path.join(path, f"shard{s}"),
+            payload=(payload_by_shard or {}).get(s),
+        )
+    with open(os.path.join(path, "front.json"), "w") as f:
+        json.dump(front_meta, f)
+    return path
+
+
+def load_sharded_standalone(path: str):
+    """Reconstruct ``(ShardedHybridServer, {shard: payload frame})``
+    from an exported front directory — fresh process, no SparkSession.
+    The constructor's mixed-version refusal runs unchanged on the
+    loaded shards, so a torn export (shards written around a refresh)
+    is rejected exactly like a torn in-process build would be. The
+    loaded front answers every fan-out verb (``vector_query[_batch]``,
+    ``keyword_topn``, ``hybrid_query[_batch]``) byte-identically to
+    the front it was exported from (subprocess-pinned)."""
+    from vector_knowledge_base_spark.operators.serving import (
+        ShardedHybridServer,
+    )
+
+    with open(os.path.join(path, "front.json")) as f:
+        front_meta = json.load(f)
+    shards, payloads = [], {}
+    for s in range(front_meta["n_shards"]):
+        sh, p = load_shard_standalone(os.path.join(path, f"shard{s}"))
+        shards.append(sh)
+        if p is not None:
+            payloads[s] = p
+    return ShardedHybridServer(shards), payloads

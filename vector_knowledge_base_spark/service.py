@@ -843,6 +843,39 @@ class _KnowledgeBaseCore:
             payload=art["payload_by_shard"].get(shard_index),
         )
 
+    def export_serving(self, path: str) -> str:
+        """Export the WHOLE sharded serving artifact (r14): every
+        shard's halves plus its payload slice under ``path/shard<s>/``
+        and a front manifest — ``operators.spinoff.
+        load_sharded_standalone`` rebuilds the complete
+        ``ShardedHybridServer`` fan-out (with the mixed-version
+        refusal still enforced on load) in a fresh Spark-free process,
+        answering every fan-out verb byte-identically. The full
+        offline-build → online-serve handoff as one verb. Sharded
+        txlog topology only; returns ``path``."""
+        from vector_knowledge_base_spark.operators.spinoff import (
+            export_sharded_standalone,
+        )
+
+        if self.storage != "txlog":
+            raise RuntimeError(
+                "export_serving requires storage='txlog' — the serving "
+                "artifact pins table versions for freshness"
+            )
+        if self.serve_shards <= 1:
+            raise RuntimeError(
+                "export_serving requires the sharded topology "
+                "(serve_shards > 1)"
+            )
+        art = self._sharded_artifact()
+        if art["server"] is None:
+            raise RuntimeError(
+                "export_serving: empty corpus — nothing to export"
+            )
+        return export_sharded_standalone(
+            art["server"], path, payload_by_shard=art["payload_by_shard"]
+        )
+
     def _serve_hit_rows(
         self, qv: list[float], k: int, filters: Mapping[str, Any] | None
     ) -> list[tuple]:
