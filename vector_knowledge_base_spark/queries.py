@@ -17313,3 +17313,122 @@ def q_hybrid_batch_rrf_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id int, terms array<string>, query_vec array<double>",
     )
     return batch_hybrid_rrf(qdf, corpus, k=10, n=1000)
+
+
+# ---------------------------------------------------------------------------
+# Wave 113 (r14) — the FILTERED BATCH verbs on the PQ-code tiers under
+# the oracle: r14 gave PqKnnServer.query_batch and
+# IvfPqKnnServer.query_batch the float tier's ``allowed_ids``
+# filter-inside-the-walk contract; this row pins batched-filtered ≡
+# N filtered singles on BOTH tiers (probed and full coverage for
+# IVF-PQ), and value-hashes the production two-stage shape — a
+# FILTERED ADC shortlist exact-reranked in Spark — against the
+# filtered exact-kNN SQL contract.
+# ---------------------------------------------------------------------------
+
+_PQ_BATCH_FILTERED_ORACLE = """
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+SELECT vec_id,
+       ROUND(list_dot_product(embedding::DOUBLE[], qv), 6) AS score,
+       3 AS pq_batch_parity_queries,
+       6 AS ivfpq_batch_parity_answers
+FROM embeddings, q
+WHERE vec_id % 3 != 1
+ORDER BY score DESC, vec_id
+LIMIT 10
+"""
+
+
+@query("pq_batch_filtered_serving_parity", oracle=_PQ_BATCH_FILTERED_ORACLE)
+def q_pq_batch_filtered_serving_parity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The r14 filtered-batch surface on the PQ-code tiers under the
+    driver hash (tier symmetry: the float tier's batched
+    ``allowed_ids`` earned its oracle row in wave 110; this row gives
+    the code tiers the same gate). Hash-checked claims:
+
+    - ``pq_batch_parity_queries = 3``: ``PqKnnServer.query_batch``
+      over three query vectors with ``allowed_ids = (vec_id % 3 != 1)``
+      equals the single-query filtered loop answer-for-answer (the
+      batch path shrinks the code matrix BEFORE the batch ADC via the
+      memoized snapshot mask — a mask-cache or shrink-order bug flips
+      the count).
+    - ``ivfpq_batch_parity_answers = 6``: ``IvfPqKnnServer.
+      query_batch`` with the same filter equals its filtered
+      single-query loop for all three queries at BOTH probe regimes
+      (n_probe=2 and full coverage) — the batch path intersects each
+      query's probe subset with the allow mask over unchanged
+      union-span ADC scores.
+    - the returned rows: a FILTERED ADC shortlist (top-1000 from the
+      filtered batch verb) exact-reranked in Spark must value-hash
+      equal the filtered exact-kNN SQL oracle — the two-stage
+      production shape, now with the filter inside the code-tier walk
+      instead of post-hoc.
+
+    100 TB shape: the filter shrinks the ADC scan itself (codes for
+    disallowed rows are never scored at full probe), the rerank reads
+    raw vectors for ≤1000 shortlisted ids only, and the whole batch
+    pays ONE lut product per tier. Reference parity: the reference's
+    filtered /search (backend/main.py:185-230) is Qdrant's
+    filter-inside-HNSW; these are the same semantics on the
+    memory-bounded code tiers."""
+    from vector_knowledge_base_spark.operators.ann import (
+        build_ivfpq,
+        build_pq,
+    )
+    from vector_knowledge_base_spark.operators.knn import cosine_topk
+    from vector_knowledge_base_spark.operators.serving import (
+        IvfPqKnnServer,
+        PqKnnServer,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    codebooks, codes = build_pq(emb, m=8, ksub=16)
+    codes = codes.localCheckpoint(eager=True)  # encode once, read twice
+    pq = PqKnnServer(codebooks, codes)
+    centroids, cbs, index = build_ivfpq(emb, n_cells=8, m=8, ksub=16)
+    ivfpq = IvfPqKnnServer(centroids, cbs, index)
+
+    qrows = (
+        emb.where(F.col("vec_id") < 3)
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .collect()
+    )
+    vecs = [[float(x) for x in r["embedding"]] for r in qrows]
+    allowed = [int(i) for i in pq.ids if int(i) % 3 != 1]
+
+    batch = pq.query_batch(vecs, k=10, allowed_ids=allowed)
+    pq_matches = sum(
+        batch[i] == pq.query(vecs[i], k=10, allowed_ids=allowed)
+        for i in range(len(vecs))
+    )
+    ivfpq_matches = 0
+    for n_probe in (2, None):
+        b = ivfpq.query_batch(
+            vecs, k=10, n_probe=n_probe, allowed_ids=allowed
+        )
+        ivfpq_matches += sum(
+            b[i] == ivfpq.query(
+                vecs[i], k=10, n_probe=n_probe, allowed_ids=allowed
+            )
+            for i in range(len(vecs))
+        )
+
+    shortlist = [
+        i for i, _ in pq.query_batch(
+            [vecs[0]], k=1000, allowed_ids=allowed
+        )[0]
+    ]
+    rerank = cosine_topk(
+        emb.where(F.col("vec_id").isin(shortlist)), vecs[0], k=10
+    )
+    return rerank.select(
+        "vec_id",
+        "score",
+        F.lit(int(pq_matches)).cast("int").alias("pq_batch_parity_queries"),
+        F.lit(int(ivfpq_matches)).cast("int").alias(
+            "ivfpq_batch_parity_answers"
+        ),
+    )
