@@ -1291,6 +1291,7 @@ def test_serving_capability_matrix_parquet_refusals(spark, tmp_path):
         lambda: kb.search_hybrid("alpha"),
         lambda: kb.search_batch(["alpha"]),
         lambda: kb.search_hybrid_batch(["alpha"]),
+        lambda: kb.search_keyword_batch(["alpha"]),
     ):
         with pytest.raises(RuntimeError, match="txlog"):
             call()
@@ -1306,3 +1307,40 @@ def test_serving_capability_matrix_parquet_refusals(spark, tmp_path):
         with pytest.raises(RuntimeError, match="txlog"):
             call()
     assert kb.search("alpha vector", k=2, mode="spark").count() > 0
+
+
+def test_facade_search_keyword_batch_parity(spark, tmp_path):
+    """r14: search_keyword_batch ≡ N search_keyword calls — both
+    scoring modes (bm25/tf), both topologies, unfiltered and
+    DSL-filtered (the one shared allow tuple must not change
+    answers), empty batch, storage gate."""
+    ws = str(tmp_path / "ws")
+    kb1 = KnowledgeBase(spark, ws, storage="txlog")
+    kb3 = KnowledgeBase(spark, ws, storage="txlog", serve_shards=3)
+    kb1.create_document(
+        "a.txt", "vector search spark broadcast join", category="eng"
+    )
+    kb1.create_document("b.md", "tomato basil pasta vector", category="food")
+    kb1.create_document("c.txt", "vector embeddings notes", category="eng")
+    kb1.create_document("d.md", "soup basil garnish", category="food")
+    queries = ["vector basil", "spark join", "vector basil"]
+    for kb in (kb1, kb3):
+        assert kb.search_keyword_batch([]) == []
+        for mode in ("bm25", "tf"):
+            for f in (None, {"category": "food"}):
+                got = kb.search_keyword_batch(
+                    queries, k=3, filters=f, mode=mode
+                )
+                want = [
+                    kb.search_keyword(q, k=3, filters=f, mode=mode)
+                    for q in queries
+                ]
+                assert got == want, (mode, f)
+        b = kb.search_keyword_batch(queries, k=3)
+        assert b[0] == b[2]  # duplicate query answered identically
+    assert kb1.search_keyword_batch(queries, k=3) == kb3.search_keyword_batch(
+        queries, k=3
+    )
+    pq = KnowledgeBase(spark, str(tmp_path / "pq"), storage="parquet")
+    with pytest.raises(RuntimeError, match="search_keyword_batch requires"):
+        pq.search_keyword_batch(["x"])

@@ -1348,6 +1348,58 @@ class _KnowledgeBaseCore:
             for cid, s in hits
         ]
 
+    def search_keyword_batch(
+        self,
+        queries: list[str],
+        k: int = 5,
+        filters: Mapping[str, Any] | None = None,
+        cluster: int | str | None = None,
+        mode: str = "bm25",
+    ) -> list[list[dict]]:
+        """Batch form of ``search_keyword`` (r14 — completes the batch
+        triple: ``search_batch`` vector, ``search_hybrid_batch``
+        fused, this keyword): N queries against ONE artifact fetch and
+        ONE shared DSL pre-filter mask (the allow tuple is built once,
+        so the snapshot's memoized mask serves every query; posting
+        probes are already O(df) per query — the inverted index IS the
+        batch optimization for the keyword side). Answers are
+        IDENTICAL to N ``search_keyword`` calls (pinned by tests);
+        both topologies (the sharded fan-out scores with global
+        collection statistics per query); txlog storage only. The
+        Spark regime for bulk keyword scoring stays the registry plans
+        (``bm25_keyword_search``)."""
+        from vector_knowledge_base_spark.functions.filters import (
+            filter_dsl_to_mask,
+        )
+
+        if self.storage != "txlog":
+            raise RuntimeError(
+                "search_keyword_batch requires storage='txlog' — the "
+                "serving artifact pins table versions for freshness"
+            )
+        if not queries:
+            return []
+        f = dict(filters or {})
+        if cluster is not None:
+            f["cluster"] = cluster
+        art, h = self._hybrid_artifact()
+        if h is None:
+            return [[] for _ in queries]
+        allowed = None
+        if f:
+            mask = filter_dsl_to_mask(f, art["payload"])
+            allowed = tuple(art["payload"].loc[mask, "chunk_id"].tolist())
+        cols = ("chunk_id", "score", "text", "filename", "chunk_index")
+        return [
+            [
+                dict(zip(cols, (cid, float(s), *art["rows_by_id"][cid])))
+                for cid, s in h.keyword_topn(
+                    q.split(" "), n=k, mode=mode, allowed_ids=allowed
+                )
+            ]
+            for q in queries
+        ]
+
     # -- mutation ----------------------------------------------------------
 
     def update_chunks(
