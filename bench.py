@@ -394,6 +394,13 @@ HEADLINE = [
     "knn_batch_serving_parity",
     # wave 111 (r13) — batch HYBRID serving verb, both topologies
     "hybrid_batch_serving_parity",
+    # wave 112 (r14) — batch-hybrid one-job Spark plan (the
+    # search_hybrid_batch(mode="spark") path)
+    "hybrid_batch_rrf_plan",
+    # wave 113 (r14) — filtered batch on the PQ code tiers
+    "pq_batch_filtered_serving_parity",
+    # wave 114 (r14) — batched keyword verb, 8 regimes
+    "keyword_batch_serving_parity",
 ]
 
 # Integration rows whose cost is fixed overhead (streaming runs with
@@ -434,6 +441,8 @@ SINGLE_RUN = {
     "vector_sharded_serving_parity",
     "knn_batch_serving_parity",
     "hybrid_batch_serving_parity",
+    "pq_batch_filtered_serving_parity",
+    "keyword_batch_serving_parity",
 }
 
 KNN_BATCH_N_QUERIES = 5  # matches the knn_batch query definition
@@ -957,6 +966,30 @@ def _facade_serve_anchor(spark, sf_dir, extra, errors) -> None:
             extra["facade_search_batch_qps"] = round(
                 len(qbatch) / statistics.median(lats), 1
             )
+            # r14: the batch HYBRID verb (VERDICT r13 next-round #3 —
+            # shipped r13 with no dedicated anchor): 100 (terms,
+            # vector) queries through ONE hybrid_query_batch call
+            _quiesce(spark)
+            lats = []
+            for _pass in range(3):
+                t0 = time.time()
+                kb.search_hybrid_batch(qbatch, k=5)
+                lats.append(time.time() - t0)
+            extra["facade_search_hybrid_batch_qps"] = round(
+                len(qbatch) / statistics.median(lats), 1
+            )
+            # r14: the same batch as ONE Spark job (mode="spark" — the
+            # regime parquet-storage corpora use); wall seconds for
+            # the whole 100-query batch, qps derived
+            _quiesce(spark)
+            lats = []
+            for _pass in range(2):
+                t0 = time.time()
+                kb.search_hybrid_batch(qbatch, k=5, mode="spark").collect()
+                lats.append(time.time() - t0)
+            extra["facade_search_hybrid_batch_spark_qps"] = round(
+                len(qbatch) / statistics.median(lats), 1
+            )
             # r12: the sharded topology through the facade — one-time
             # ShardedHybridServer build (3 shards), then steady-state
             # fan-out latency for the vector and hybrid verbs; the
@@ -992,6 +1025,17 @@ def _facade_serve_anchor(spark, sf_dir, extra, errors) -> None:
                 kb.search_batch(qbatch, k=5)
                 lats.append(time.time() - t0)
             extra["facade_search_batch_sharded_qps"] = round(
+                len(qbatch) / statistics.median(lats), 1
+            )
+            # r14: batch hybrid over the sharded fan-out (one matmul
+            # per shard scores the whole batch's cosine side)
+            _quiesce(spark)
+            lats = []
+            for _pass in range(3):
+                t0 = time.time()
+                kb.search_hybrid_batch(qbatch, k=5)
+                lats.append(time.time() - t0)
+            extra["facade_search_hybrid_batch_sharded_qps"] = round(
                 len(qbatch) / statistics.median(lats), 1
             )
         finally:

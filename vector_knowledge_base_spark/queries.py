@@ -17432,3 +17432,170 @@ def q_pq_batch_filtered_serving_parity(
             "ivfpq_batch_parity_answers"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Wave 114 (r14) — the batched KEYWORD verb under the oracle: the
+# facade's search_keyword_batch routes N queries through keyword_topn
+# on the single-shard tier and the sharded fan-out (global collection
+# statistics); this row pins all eight regimes — {single, sharded} ×
+# {tf, bm25} × {all, filtered} — for a single-term AND a multi-term
+# query against one per-query SQL contract, completing the oracle
+# coverage of the facade's batch retrieval triple (vector: wave 110,
+# fused: wave 111, keyword: this).
+# ---------------------------------------------------------------------------
+
+_KEYWORD_BATCH_SERVING_ORACLE = """
+WITH corpus AS (
+  SELECT d.doc_id, d.text
+  FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+),
+base AS (
+  SELECT doc_id,
+         len(string_split(text, ' ')) AS dl,
+         len(list_filter(string_split(text, ' '), t -> t = 'vector')) AS tf_v,
+         len(list_filter(string_split(text, ' '), t -> t = 'data')) AS tf_d
+  FROM corpus
+),
+stats AS (
+  SELECT COUNT(*) AS n, AVG(dl) AS avgdl,
+         SUM(CASE WHEN tf_v > 0 THEN 1 ELSE 0 END) AS df_v,
+         SUM(CASE WHEN tf_d > 0 THEN 1 ELSE 0 END) AS df_d
+  FROM base
+),
+scored AS (
+  SELECT 0 AS query_id, doc_id,
+         CAST(tf_v AS DOUBLE) AS tf_score,
+         LN(1 + (n - df_v + 0.5) / (df_v + 0.5)) * tf_v * 2.2
+           / (tf_v + 1.2 * (0.25 + 0.75 * dl / avgdl)) AS bm25_score
+  FROM base, stats
+  UNION ALL
+  SELECT 1 AS query_id, doc_id,
+         CAST(tf_d + tf_v AS DOUBLE),
+         LN(1 + (n - df_d + 0.5) / (df_d + 0.5)) * tf_d * 2.2
+           / (tf_d + 1.2 * (0.25 + 0.75 * dl / avgdl))
+       + LN(1 + (n - df_v + 0.5) / (df_v + 0.5)) * tf_v * 2.2
+           / (tf_v + 1.2 * (0.25 + 0.75 * dl / avgdl))
+  FROM base, stats
+),
+tf_all AS (
+  SELECT query_id, doc_id, ROUND(tf_score, 6) AS score,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY tf_score DESC, doc_id) AS rn
+  FROM scored
+),
+tf_f AS (
+  SELECT query_id, doc_id, ROUND(tf_score, 6) AS score,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY tf_score DESC, doc_id) AS rn
+  FROM scored WHERE doc_id % 3 != 1
+),
+bm_all AS (
+  SELECT query_id, doc_id, ROUND(bm25_score, 6) AS score,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY bm25_score DESC, doc_id) AS rn
+  FROM scored WHERE bm25_score > 0
+),
+bm_f AS (
+  SELECT query_id, doc_id, ROUND(bm25_score, 6) AS score,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY bm25_score DESC, doc_id) AS rn
+  FROM scored WHERE bm25_score > 0 AND doc_id % 3 != 1
+)
+SELECT t.regime, r.query_id, r.doc_id, r.score
+FROM tf_all r CROSS JOIN (VALUES ('single_tf_all'), ('sharded_tf_all'))
+  t(regime) WHERE r.rn <= 10
+UNION ALL
+SELECT t.regime, r.query_id, r.doc_id, r.score
+FROM tf_f r CROSS JOIN (VALUES ('single_tf_filtered'),
+  ('sharded_tf_filtered')) t(regime) WHERE r.rn <= 10
+UNION ALL
+SELECT t.regime, r.query_id, r.doc_id, r.score
+FROM bm_all r CROSS JOIN (VALUES ('single_bm25_all'),
+  ('sharded_bm25_all')) t(regime) WHERE r.rn <= 10
+UNION ALL
+SELECT t.regime, r.query_id, r.doc_id, r.score
+FROM bm_f r CROSS JOIN (VALUES ('single_bm25_filtered'),
+  ('sharded_bm25_filtered')) t(regime) WHERE r.rn <= 10
+"""
+
+
+@query("keyword_batch_serving_parity", oracle=_KEYWORD_BATCH_SERVING_ORACLE)
+def q_keyword_batch_serving_parity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The batched KEYWORD verb (r14 — the path
+    ``KnowledgeBase.search_keyword_batch`` takes in each topology):
+    a single-term query and a MULTI-term query (summed per-term
+    scoring under the hash) answered by ``HybridKnnServer.
+    keyword_topn`` and the sharded fan-out's global-statistics
+    ``keyword_topn`` in eight regimes — {single, sharded} × {tf
+    (zero-tf rows stay ranked), bm25 (Okapi k1=1.2 b=0.75 Lucene idf,
+    matched rows only)} × {all, filtered (allowed_ids =
+    doc_id % 3 != 1, ranks WITHIN the filtered universe, idf/avgdl
+    corpus-global — the standard filtered-BM25 contract)}. Every
+    regime must hash-equal the same per-query SQL ranking; the
+    sharded regimes pin that per-shard scoring with GLOBAL collection
+    statistics merges exactly (the Elasticsearch DFS contract), and
+    the filtered regimes ride the r14 memoized allow masks.
+
+    100 TB shape: posting probes are O(df) per query (the inverted
+    index IS the batch optimization); the sharded merge moves
+    O(n·n_shards) scored rows per query with zero Spark jobs; the
+    bounded build is the same one the hybrid tiers already pay.
+    Reference parity: the reference has no keyword ranking at all —
+    this is the engine-addition keyword third of the retrieval
+    triple (vector /search: backend/main.py:185-230)."""
+    import re as _re
+
+    import numpy as np
+
+    from vector_knowledge_base_spark.operators.serving import (
+        HybridKnnServer,
+        ShardedHybridServer,
+    )
+    from vector_knowledge_base_spark.sources.txlog import (
+        create_table,
+        drop_table,
+    )
+
+    tag = _re.sub(r"[^A-Za-z0-9.]", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1])
+    tbl = f"/tmp/vkb_kwbatch_{_session_tag(spark)}_{tag}/docs"
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    joined = docs.join(emb, docs.doc_id == emb.vec_id).select(
+        "doc_id", "text", "embedding"
+    )
+    drop_table(tbl)
+    create_table(spark, tbl, joined)
+    single = HybridKnnServer.from_txlog(
+        spark, tbl, n_partitions=8, id_col="doc_id", max_docs=10_000_000,
+    )
+    sharded = ShardedHybridServer.from_txlog(
+        spark, tbl, n_shards=3, n_partitions=8, id_col="doc_id",
+        max_docs_per_shard=10_000_000, max_vectors_per_shard=10_000_000,
+    )
+    term_lists = [["vector"], ["data", "vector"]]
+    allowed = [
+        int(i) for i in single._snap.doc_ids if int(i) % 3 != 1
+    ]
+    rows = []
+    for qid, terms in enumerate(term_lists):
+        for mode in ("tf", "bm25"):
+            for fl, allow in (("all", None), ("filtered", allowed)):
+                for topo, srv in (("single", single), ("sharded", sharded)):
+                    hits = srv.keyword_topn(
+                        terms, n=10, mode=mode, allowed_ids=allow
+                    )
+                    rows += [
+                        (
+                            f"{topo}_{mode}_{fl}",
+                            qid,
+                            int(i),
+                            float(np.round(s, 6)),
+                        )
+                        for i, s in hits
+                    ]
+    return spark.createDataFrame(
+        rows, "regime string, query_id long, doc_id long, score double"
+    )
