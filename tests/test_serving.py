@@ -1903,3 +1903,85 @@ def test_facade_export_serving_full_handoff(spark, tmp_path):
         KnowledgeBase(
             spark, str(tmp_path / "ws"), storage="txlog"
         ).export_serving(str(tmp_path / "x"))
+
+
+def test_spinoff_string_ids_and_empty_shard_roundtrip(spark, tmp_path):
+    """r14 edge coverage for the spin-off files: (a) string ids — the
+    facade's chunk_id dtype — must survive the npz round trip with
+    tie-break order intact; (b) a front whose shard count exceeds its
+    doc count has EMPTY shards, and export/load must carry them (empty
+    arrays, empty postings) without inventing rows."""
+    import math
+
+    from vector_knowledge_base_spark.operators.serving import (
+        ShardedHybridServer,
+    )
+    from vector_knowledge_base_spark.operators.spinoff import (
+        export_sharded_standalone,
+        load_sharded_standalone,
+    )
+    from vector_knowledge_base_spark.sources.txlog import create_table
+
+    s = 1.0 / math.sqrt(2.0)
+    docs = spark.createDataFrame(
+        [
+            ("doc_a_0", "alpha beta alpha", [s, s, 0.0, 0.0]),
+            ("doc_b_0", "beta gamma", [0.0, 0.0, s, s]),
+        ],
+        "doc_id string, text string, embedding array<double>",
+    )
+    tbl = str(tmp_path / "tiny")
+    create_table(spark, tbl, docs)
+    front = ShardedHybridServer.from_txlog(
+        spark, tbl, n_shards=3, n_partitions=2, id_col="doc_id"
+    )
+    sizes = [sh.knn.ids.shape[0] for sh in front.shards]
+    assert sum(sizes) == 2  # at least one shard is empty
+    qv = [s, s, 0.0, 0.0]
+    want_v = front.vector_query_batch([qv], k=2, n_probe=None)
+    want_h = front.hybrid_query_batch([["alpha"]], [qv], k=2)
+    d = export_sharded_standalone(front, str(tmp_path / "front"))
+    loaded, _ = load_sharded_standalone(d)
+    assert [sh.knn.ids.shape[0] for sh in loaded.shards] == sizes
+    got_v = loaded.vector_query_batch([qv], k=2, n_probe=None)
+    got_h = loaded.hybrid_query_batch([["alpha"]], [qv], k=2)
+    assert got_v == want_v and got_h == want_h
+    assert got_v[0][0][0] == "doc_a_0"  # string id round-trips
+    # string-id tie-break preserved: ids come back as str, not bytes
+    assert all(
+        isinstance(i, str) for hits in got_v for i, _ in hits
+    )
+
+
+def test_facade_export_serving_skip_if_current(spark, tmp_path):
+    """r14: the maintenance-loop shape — export_serving(skip_if_
+    current=True) is a no-op while the artifact's pinned version is
+    already on disk, and re-exports (picking up the new rows) after a
+    commit advances the table."""
+    import os
+
+    from vector_knowledge_base_spark.operators.spinoff import (
+        load_sharded_standalone,
+    )
+    from vector_knowledge_base_spark.service import KnowledgeBase
+
+    kb = KnowledgeBase(
+        spark, str(tmp_path / "ws"), storage="txlog", serve_shards=3
+    )
+    kb.create_document("a.txt", "vector search spark", category="eng")
+    kb.create_document("b.md", "tomato basil pasta", category="food")
+    d = kb.export_serving(str(tmp_path / "export"))
+    manifest = os.path.join(d, "front.json")
+    mtime0 = os.path.getmtime(manifest)
+    assert kb.export_serving(d, skip_if_current=True) == d
+    assert os.path.getmtime(manifest) == mtime0  # untouched
+    # a new commit advances the artifact → re-export rewrites
+    kb.create_document("c.txt", "vector embeddings notes", category="eng")
+    kb.search_hits("vector", k=1)  # refresh the artifact
+    kb.export_serving(d, skip_if_current=True)
+    assert os.path.getmtime(manifest) > mtime0
+    front, payloads = load_sharded_standalone(d)
+    import pandas as pd
+
+    merged = pd.concat(list(payloads.values()), ignore_index=True)
+    assert any(merged["filename"] == "c.txt")  # new rows exported

@@ -843,7 +843,7 @@ class _KnowledgeBaseCore:
             payload=art["payload_by_shard"].get(shard_index),
         )
 
-    def export_serving(self, path: str) -> str:
+    def export_serving(self, path: str, skip_if_current: bool = False) -> str:
         """Export the WHOLE sharded serving artifact (r14): every
         shard's halves plus its payload slice under ``path/shard<s>/``
         and a front manifest — ``operators.spinoff.
@@ -852,7 +852,15 @@ class _KnowledgeBaseCore:
         refusal still enforced on load) in a fresh Spark-free process,
         answering every fan-out verb byte-identically. The full
         offline-build → online-serve handoff as one verb. Sharded
-        txlog topology only; returns ``path``."""
+        txlog topology only; returns ``path``.
+
+        ``skip_if_current=True`` makes the verb a cheap no-op when an
+        existing export at ``path`` already records the version the
+        artifact serves (the maintenance-loop shape: cron re-exports
+        after every refresh, pays nothing when the table didn't
+        move)."""
+        import json as _json
+
         from vector_knowledge_base_spark.operators.spinoff import (
             export_sharded_standalone,
         )
@@ -872,6 +880,16 @@ class _KnowledgeBaseCore:
             raise RuntimeError(
                 "export_serving: empty corpus — nothing to export"
             )
+        if skip_if_current:
+            manifest = os.path.join(path, "front.json")
+            if os.path.exists(manifest):
+                with open(manifest) as f:
+                    prev = _json.load(f)
+                if (
+                    prev.get("version") == art["server"].table_version
+                    and prev.get("n_shards") == self.serve_shards
+                ):
+                    return path  # export already at this version
         return export_sharded_standalone(
             art["server"], path, payload_by_shard=art["payload_by_shard"]
         )
