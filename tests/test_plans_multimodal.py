@@ -488,3 +488,61 @@ def test_ivfpq_serving_plan_is_codegen_topk(spark):
         assert udf_node not in plan, f"Python stage {udf_node} in serving plan"
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_batch_hybrid_rrf_single_exchange_plan(spark):
+    """r14 plan guard: the batch-hybrid fusion plan must keep BOTH
+    window ranks AND the fused top-k on ONE query-id exchange (the
+    three row_number windows share the partitioning), broadcast the
+    query side, prune the final top-k with WindowGroupLimit, and
+    never sort-merge or cartesian-join. A regression that splits the
+    windows onto separate exchanges (or materializes the fusion as a
+    real join) fails here, not in a bench record."""
+    import re
+
+    from vector_knowledge_base_spark.operators.knn import batch_hybrid_rrf
+    from vector_knowledge_base_spark.plans.inspect import assert_no_cartesian
+
+    emb = load_table(spark, SF, "embeddings")
+    docs = load_table(spark, SF, "documents")
+    corpus = docs.join(emb, docs.doc_id == emb.vec_id).select(
+        "doc_id", "text", "embedding"
+    )
+    qv = [float(x) for x in emb.select("embedding").first()[0]]
+    qdf = spark.createDataFrame(
+        [(0, ["vector"], qv), (1, ["data", "vector"], qv)],
+        "query_id int, terms array<string>, query_vec array<double>",
+    )
+    df = batch_hybrid_rrf(qdf, corpus, k=10, n=1000)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
+    assert "WindowGroupLimit" in plan
+    assert "SortMergeJoin" not in plan
+    assert len(re.findall(r"\bWindow\b", plan)) >= 3  # rk, rv, fused rank
+    assert_no_cartesian(df)
+
+
+def test_facade_batch_spark_hydration_broadcasts_hits(spark, tmp_path):
+    """r14 plan guard: both batch verbs' spark-mode hydration joins
+    must be INNER BroadcastHashJoins building the N×k hits side — a
+    left-outer here could only broadcast-build the corpus side, which
+    at 100 TB degrades to a sort-merge shuffle of the table."""
+    import re
+
+    from vector_knowledge_base_spark.service import KnowledgeBase
+
+    kb = KnowledgeBase(spark, str(tmp_path / "ws"), storage="parquet")
+    kb.create_document("a.txt", "vector search spark join")
+    for df in (
+        kb.search_batch(["vector"], k=2, mode="spark"),
+        kb.search_hybrid_batch(["vector"], k=2, mode="spark"),
+    ):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        hydr = [
+            l for l in plan.splitlines()
+            if "BroadcastHashJoin" in l and "chunk_id" in l
+        ]
+        assert hydr and all(
+            "Inner, BuildRight" in l for l in hydr
+        ), plan
+        assert "SortMergeJoin" not in plan

@@ -1077,7 +1077,12 @@ class _KnowledgeBaseCore:
             corpus_id_col="chunk_id",
             corpus_vec_col="embedding",
         )
-        return hits.join(self.chunks(), "chunk_id", "left").select(
+        # hydration: INNER join with the N×k hits side explicitly
+        # broadcast (r14 — every hit's chunk_id exists in the corpus
+        # by construction, so inner ≡ left; a left-outer could only
+        # broadcast-build the CORPUS side, which at 100 TB degrades
+        # to a sort-merge shuffle of the table)
+        return self.chunks().join(F.broadcast(hits), "chunk_id").select(
             "query_id", "chunk_id", "score", "text", "filename",
             "chunk_index",
         )
@@ -1198,7 +1203,9 @@ class _KnowledgeBaseCore:
             text_col="text",
             corpus_vec_col="embedding",
         )
-        return hits.join(self.chunks(), "chunk_id", "left").select(
+        # inner + broadcast(hits): see _search_batch_spark's hydration
+        # note — the N×k side is the broadcastable one at 100 TB
+        return self.chunks().join(F.broadcast(hits), "chunk_id").select(
             "query_id", "chunk_id", "rrf_score", "text", "filename",
             "chunk_index",
         )
