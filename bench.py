@@ -401,6 +401,8 @@ HEADLINE = [
     "pq_batch_filtered_serving_parity",
     # wave 114 (r14) — batched keyword verb, 8 regimes
     "keyword_batch_serving_parity",
+    # wave 115 (r14) — batched IVF Spark plan (union-pruned scan)
+    "ivf_batch_topk_plan",
 ]
 
 # Integration rows whose cost is fixed overhead (streaming runs with
@@ -443,6 +445,7 @@ SINGLE_RUN = {
     "hybrid_batch_serving_parity",
     "pq_batch_filtered_serving_parity",
     "keyword_batch_serving_parity",
+    "ivf_batch_topk_plan",
 }
 
 KNN_BATCH_N_QUERIES = 5  # matches the knn_batch query definition

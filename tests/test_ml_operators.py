@@ -732,3 +732,60 @@ def test_opq_beats_pq_on_anisotropic(spark):
     assert eig.max() / max(eig.min(), 1e-12) > 20.0
     axis_var = mat.var(axis=0)
     assert axis_var.max() / axis_var.min() < 20.0  # skew hidden from axes
+
+
+def test_ivf_batch_topk_matches_single_loop_and_exact(spark, emb):
+    """r14: the batched IVF plan must answer every query exactly like
+    the per-query ivf_topk loop at the SAME n_probe (same probe rule,
+    rounding, tie-break), and at full coverage (n_probe=None) equal
+    exact kNN per query — while scanning only the union of probed
+    cells (asserted on the plan's pushed cell filter)."""
+    from vector_knowledge_base_spark.operators.ann import ivf_batch_topk
+    from vector_knowledge_base_spark.operators.knn import cosine_topk
+    from vector_knowledge_base_spark.plans.inspect import explain_str
+
+    centroids, assigned = build_ivf(emb, n_partitions=8)
+    qrows = emb.where(F.col("vec_id") < 4).select(
+        "vec_id", "embedding"
+    ).orderBy("vec_id").collect()
+    qdf = spark.createDataFrame(
+        [(int(r["vec_id"]), [float(x) for x in r["embedding"]])
+         for r in qrows],
+        "query_id int, query_vec array<double>",
+    )
+    got = ivf_batch_topk(centroids, assigned, qdf, k=10, n_probe=2)
+    by_q = {}
+    for r in got.collect():
+        by_q.setdefault(r["query_id"], []).append(
+            (r["vec_id"], r["score"])
+        )
+    for r in qrows:
+        qv = [float(x) for x in r["embedding"]]
+        want = [
+            (row["vec_id"], row["score"])
+            for row in ivf_topk(
+                centroids, assigned, qv, k=10, n_probe=2
+            ).collect()
+        ]
+        assert by_q[int(r["vec_id"])] == want, r["vec_id"]
+    # full coverage == exact kNN per query
+    full = ivf_batch_topk(centroids, assigned, qdf, k=10, n_probe=None)
+    by_q = {}
+    for r in full.collect():
+        by_q.setdefault(r["query_id"], []).append((r["vec_id"], r["score"]))
+    for r in qrows:
+        qv = [float(x) for x in r["embedding"]]
+        want = [
+            (row["vec_id"], row["score"])
+            for row in cosine_topk(emb, qv, k=10).collect()
+        ]
+        assert by_q[int(r["vec_id"])] == want
+    # probed regime scans a cell subset: the isin filter is in the plan
+    txt = explain_str(got)
+    assert "ivf_cell" in txt
+    # empty batch
+    empty = ivf_batch_topk(
+        centroids, assigned, qdf.where(F.lit(False)), k=5
+    )
+    assert empty.count() == 0
+    assigned.unpersist()

@@ -129,6 +129,84 @@ def ivf_topk(
     )
 
 
+def ivf_batch_topk(
+    centroids,
+    assigned: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_probe: int | None = 4,
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Batched IVF search as ONE Spark job (r14 — the K2 batch regime
+    with IVF pruning instead of ``batch_knn``'s full scan): each query
+    probes ITS OWN ``n_probe`` nearest cells (centroids are a
+    driver-held array — the probe assignment is N×k_cells numpy, never
+    a Spark job), the corpus scans only the UNION of probed cells (a
+    pushable ``isin`` — partition pruning at the file level on
+    cell-partitioned storage), the (query, cell, vector) probe pairs
+    broadcast, and every query's top-k rides one query-id window.
+    A corpus row in a probed cell joins ONLY the queries that probed
+    that cell, so per-query answers equal ``ivf_topk``'s exactly
+    (same probe rule, rounding, (-score, id) tie-break — pinned by
+    tests and the ``ivf_batch_topk_plan`` oracle row). ``n_probe=None``
+    probes every cell: exact batch kNN with the same plan shape.
+
+    100 TB shape: scanned volume is (union of probed cells)/k_cells of
+    the corpus instead of 1.0 per batch — and the more the batch's
+    queries cluster, the more their probe sets overlap, so the scan
+    amortizes ACROSS queries; the shuffled row is (query_id, id,
+    score); the N×n_probe broadcast side is KB-scale."""
+    import numpy as np
+
+    cents = np.asarray(centroids, dtype=np.float64)
+    k_cells = cents.shape[0]
+    if n_probe is None or n_probe >= k_cells:
+        n_probe = k_cells
+    qrows = queries.select(query_id_col, query_vec_col).collect()
+    spark = queries.sparkSession
+    if not qrows:
+        return spark.createDataFrame(
+            [], f"{query_id_col} int, vec_id long, score double, rank int"
+        )
+    pairs = []
+    for r in qrows:
+        q = np.asarray(list(r[query_vec_col]), dtype=np.float64)
+        d = ((cents - q) ** 2).sum(axis=1)
+        qv = [float(x) for x in r[query_vec_col]]
+        pairs.extend(
+            (int(r[query_id_col]), int(c), qv)
+            for c in np.argsort(d)[:n_probe]
+        )
+    probe_union = sorted({c for _, c, _ in pairs})
+    pdf = spark.createDataFrame(
+        pairs,
+        f"{query_id_col} int, ivf_cell int, {query_vec_col} array<double>",
+    )
+    scored = (
+        assigned.where(F.col("ivf_cell").isin(probe_union))
+        .join(F.broadcast(pdf), "ivf_cell")
+        .select(
+            query_id_col,
+            "vec_id",
+            F.round(
+                dot_product(F.col(vec_col), F.col(query_vec_col)), 6
+            ).alias("score"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("score"), F.col("vec_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id_col, "vec_id", "score", "rank")
+    )
+
+
 def ivf_topk_adaptive(
     centroids,
     assigned: DataFrame,

@@ -17599,3 +17599,98 @@ def q_keyword_batch_serving_parity(
     return spark.createDataFrame(
         rows, "regime string, query_id long, doc_id long, score double"
     )
+
+
+# ---------------------------------------------------------------------------
+# Wave 115 (r14) — the batched IVF Spark plan under the oracle: K2's
+# batch regime with IVF pruning instead of batch_knn's full scan. Full
+# coverage is value-hashed against exact per-query kNN; the probed
+# regime's batch ≡ per-query-ivf_topk parity rides a hash-carried
+# count.
+# ---------------------------------------------------------------------------
+
+_IVF_BATCH_ORACLE = """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+  FROM embeddings WHERE vec_id < 3
+),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         ROUND(list_dot_product(e.embedding::DOUBLE[], q.qv), 6) AS score
+  FROM embeddings e, q
+),
+ranked AS (
+  SELECT query_id, vec_id, score,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, vec_id) AS rn
+  FROM scored
+)
+SELECT query_id, vec_id, score, CAST(rn AS INT) AS rank,
+       3 AS probed_parity_queries
+FROM ranked WHERE rn <= 10
+"""
+
+
+@query("ivf_batch_topk_plan", oracle=_IVF_BATCH_ORACLE)
+def q_ivf_batch_topk_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched IVF search as ONE Spark job (r14,
+    operators/ann.ivf_batch_topk): three queries each probe their own
+    nearest cells; the corpus scans only the UNION of probed cells (a
+    pushable isin — partition pruning on cell-partitioned storage);
+    the (query, cell, vector) probe pairs broadcast; one query-id
+    window takes every top-k. Hash-checked claims: at FULL coverage
+    (n_probe=None) the batch must value-hash exact per-query kNN
+    (same rounding, same (-score, id) ties — the returned rows), and
+    at n_probe=2 the batch equals the per-query ``ivf_topk`` loop
+    answer-for-answer (``probed_parity_queries = 3`` — a probe-rule
+    or join-routing bug flips the count: a corpus row may only meet
+    the queries that probed ITS cell).
+
+    100 TB shape: scanned volume is |union of probed cells|/k_cells
+    of the corpus per BATCH (probe overlap across clustered queries
+    amortizes the scan), vs 1.0 for ``batch_knn``; the broadcast side
+    is N×n_probe rows. Reference parity: the reference's /search is
+    per-query HNSW (backend/main.py:185-230); this is the
+    engine-addition bulk form of its ANN regime."""
+    from vector_knowledge_base_spark.operators.ann import (
+        build_ivf,
+        ivf_batch_topk,
+        ivf_topk,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    centroids, assigned = build_ivf(emb, n_partitions=16)
+    qrows = (
+        emb.where(F.col("vec_id") < 3)
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .collect()
+    )
+    qdf = spark.createDataFrame(
+        [
+            (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+            for r in qrows
+        ],
+        "query_id int, query_vec array<double>",
+    )
+    probed = ivf_batch_topk(centroids, assigned, qdf, k=10, n_probe=2)
+    by_q: dict[int, list] = {}
+    for r in probed.collect():
+        by_q.setdefault(r["query_id"], []).append((r["vec_id"], r["score"]))
+    n_match = 0
+    for r in qrows:
+        qv = [float(x) for x in r["embedding"]]
+        want = [
+            (row["vec_id"], row["score"])
+            for row in ivf_topk(
+                centroids, assigned, qv, k=10, n_probe=2
+            ).collect()
+        ]
+        if by_q.get(int(r["vec_id"]), []) == want:
+            n_match += 1
+    full = ivf_batch_topk(centroids, assigned, qdf, k=10, n_probe=None)
+    out = full.withColumn(
+        "probed_parity_queries", F.lit(int(n_match)).cast("int")
+    )
+    assigned.unpersist()
+    return out
