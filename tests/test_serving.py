@@ -1985,3 +1985,82 @@ def test_facade_export_serving_skip_if_current(spark, tmp_path):
 
     merged = pd.concat(list(payloads.values()), ignore_index=True)
     assert any(merged["filename"] == "c.txt")  # new rows exported
+
+
+def test_pq_tier_spinoff_subprocess_roundtrip(spark, emb, tmp_path):
+    """r14: the PQ-code tiers — the ones a 10⁹-vector deployment
+    actually spins off (~16 B/vector of codes) — round-trip through
+    export/load and answer from a fresh Spark-free process
+    byte-identically: plain and FILTERED batch (the r14 allowed_ids
+    paths, memoized masks included), probed and full coverage for
+    IVF-PQ."""
+    import json as _json
+    import subprocess
+    import sys
+
+    from vector_knowledge_base_spark.operators.ann import (
+        build_ivfpq,
+        build_pq,
+    )
+    from vector_knowledge_base_spark.operators.serving import (
+        IvfPqKnnServer,
+        PqKnnServer,
+    )
+    from vector_knowledge_base_spark.operators.spinoff import (
+        export_pq_standalone,
+        load_pq_standalone,
+    )
+
+    codebooks, codes = build_pq(emb, m=8, ksub=16)
+    pq = PqKnnServer(codebooks, codes)
+    centroids, cbs, index = build_ivfpq(emb, n_cells=8, m=8, ksub=16)
+    ivfpq = IvfPqKnnServer(centroids, cbs, index)
+    qs = emb.where(F.col("vec_id") < 3).select("embedding").collect()
+    vecs = [[float(x) for x in r["embedding"]] for r in qs]
+    allowed = [int(i) for i in pq.ids if int(i) % 3 == 0]
+    want = {
+        "pq": pq.query_batch(vecs, k=5, allowed_ids=allowed),
+        "ivfpq_probed": ivfpq.query_batch(
+            vecs, k=5, n_probe=2, allowed_ids=allowed
+        ),
+        "ivfpq_full": ivfpq.query_batch(vecs, k=5, n_probe=None),
+    }
+    d_pq = export_pq_standalone(pq, str(tmp_path / "pq"))
+    d_ivf = export_pq_standalone(ivfpq, str(tmp_path / "ivfpq"))
+    # in-proc reload parity
+    lp, li = load_pq_standalone(d_pq), load_pq_standalone(d_ivf)
+    assert lp.query_batch(vecs, k=5, allowed_ids=allowed) == want["pq"]
+    assert li.query_batch(
+        vecs, k=5, n_probe=2, allowed_ids=allowed
+    ) == want["ivfpq_probed"]
+    # fresh Spark-free process
+    script = """
+import json, sys
+sys.path.insert(0, "/root/repo")
+from vector_knowledge_base_spark.operators.spinoff import load_pq_standalone
+d_pq, d_ivf = sys.argv[1], sys.argv[2]
+vecs, allowed = json.loads(sys.argv[3]), json.loads(sys.argv[4])
+pq, ivf = load_pq_standalone(d_pq), load_pq_standalone(d_ivf)
+out = {
+    "pq": pq.query_batch(vecs, k=5, allowed_ids=allowed),
+    "ivfpq_probed": ivf.query_batch(vecs, k=5, n_probe=2,
+                                    allowed_ids=allowed),
+    "ivfpq_full": ivf.query_batch(vecs, k=5, n_probe=None),
+}
+from pyspark import SparkContext
+assert SparkContext._active_spark_context is None, "a JVM started!"
+print(json.dumps(out))
+"""
+    proc = subprocess.run(
+        [sys.executable, "-c", script, d_pq, d_ivf, _json.dumps(vecs),
+         _json.dumps(allowed)],
+        capture_output=True, text=True, timeout=120,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    got = _json.loads(proc.stdout.strip().splitlines()[-1])
+    for key, hits_per_q in want.items():
+        assert got[key] == [
+            [[i, s] for i, s in hits] for hits in hits_per_q
+        ], key
+    with pytest.raises(TypeError, match="export_pq_standalone"):
+        export_pq_standalone(object(), str(tmp_path / "bad"))

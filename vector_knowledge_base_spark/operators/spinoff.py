@@ -221,3 +221,100 @@ def load_sharded_standalone(path: str):
         if p is not None:
             payloads[s] = p
     return ShardedHybridServer(shards), payloads
+
+
+def export_pq_standalone(server, path: str) -> str:
+    """Serialize a PQ-code serving tier — ``PqKnnServer`` (codebooks +
+    codes) or ``IvfPqKnnServer`` (+ coarse centroids, cell offsets,
+    optional OPQ rotation) — to ``path``. These are the tiers a 10⁹-
+    vector deployment actually spins off: ~16 B/vector of codes
+    instead of 4·dim B of floats, so one exported directory IS a
+    billion-vector serving host's working set. Pure numpy writes."""
+    import numpy as np
+
+    from vector_knowledge_base_spark.operators.serving import (
+        IvfPqKnnServer,
+        PqKnnServer,
+    )
+
+    if not isinstance(server, (PqKnnServer, IvfPqKnnServer)):
+        raise TypeError(
+            f"export_pq_standalone: expected PqKnnServer or "
+            f"IvfPqKnnServer, got {type(server).__name__}"
+        )
+    os.makedirs(path, exist_ok=True)
+    snap = server._snap
+    if isinstance(server, IvfPqKnnServer):
+        arrays = dict(
+            ids=snap.ids,
+            codes=snap.codes,
+            codebooks=snap.codebooks,
+            centroids=snap.centroids,
+            offsets=np.asarray(snap.offsets, dtype=np.int64),
+        )
+        if snap.rotation is not None:
+            arrays["rotation"] = snap.rotation
+        tier = "ivfpq"
+    else:
+        arrays = dict(
+            ids=snap.ids, codes=snap.codes, codebooks=snap.codebooks
+        )
+        tier = "pq"
+    np.savez(os.path.join(path, "codes.npz"), **arrays)
+    meta = {
+        "tier": tier,
+        "version": server.table_version,
+        "table_path": server.table_path,
+        "id_col": server.id_col,
+        "max_vectors": server.max_vectors,
+    }
+    with open(os.path.join(path, "meta.json"), "w") as f:
+        json.dump(meta, f)
+    return path
+
+
+def load_pq_standalone(path: str):
+    """Reconstruct the exported PQ-code tier in a fresh Spark-free
+    process. The snapshot is rebuilt as the same immutable generation
+    object, so ``query``/``query_batch`` (including the r14
+    ``allowed_ids`` filtered-batch paths and their memoized masks)
+    answer byte-identically to the exported server."""
+    import numpy as np
+
+    from vector_knowledge_base_spark.operators.serving import (
+        IvfPqKnnServer,
+        PqKnnServer,
+        _IvfPqSnapshot,
+        _PqSnapshot,
+    )
+
+    with open(os.path.join(path, "meta.json")) as f:
+        meta = json.load(f)
+    arrs = np.load(os.path.join(path, "codes.npz"), allow_pickle=False)
+    if meta["tier"] == "ivfpq":
+        srv = object.__new__(IvfPqKnnServer)
+        srv._snap = _IvfPqSnapshot(
+            centroids=arrs["centroids"],
+            codebooks=arrs["codebooks"],
+            ids=arrs["ids"],
+            codes=arrs["codes"],
+            offsets=[int(x) for x in arrs["offsets"]],
+            version=meta["version"],
+            rotation=arrs["rotation"] if "rotation" in arrs else None,
+        )
+    elif meta["tier"] == "pq":
+        srv = object.__new__(PqKnnServer)
+        srv._snap = _PqSnapshot(
+            codebooks=arrs["codebooks"],
+            ids=arrs["ids"],
+            codes=arrs["codes"],
+            version=meta["version"],
+        )
+    else:
+        raise ValueError(f"load_pq_standalone: unknown tier {meta['tier']!r}")
+    srv.id_col = meta["id_col"]
+    srv.max_vectors = meta["max_vectors"]
+    srv.table_path = meta["table_path"]
+    srv._build_params = {}
+    srv.last_refresh_mode = None
+    return srv
