@@ -23,6 +23,8 @@ reference's sentinels: cluster −1 → "Uncategorized", <2 docs →
 
 from __future__ import annotations
 
+from vector_knowledge_base_spark.sources.localframe import local_df as _local_df
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -157,7 +159,7 @@ def hdbscan_parity_cluster(
         cluster_selection_method="eom",
     ).fit_predict(mat)
     spark = emb.sparkSession
-    return spark.createDataFrame(
+    return _local_df(spark, 
         [(r[0], int(lbl)) for r, lbl in zip(rows, labels)],
         schema=f"{id_col} long, cluster int",
     )

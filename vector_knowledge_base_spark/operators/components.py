@@ -31,6 +31,8 @@ Scale notes (the shape a 1000-executor run needs):
 
 from __future__ import annotations
 
+from vector_knowledge_base_spark.sources.localframe import local_df as _local_df
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -146,7 +148,7 @@ def _driver_union_find(mat: DataFrame, pdf=None) -> DataFrame:
     schema = T.StructType(
         [T.StructField("id", id_type), T.StructField("component", id_type)]
     )
-    return mat.sparkSession.createDataFrame(rows, schema=schema)
+    return _local_df(mat.sparkSession, rows, schema)
 
 
 def dedup_canonical(
@@ -389,4 +391,4 @@ def _driver_pagerank(mat: DataFrame, iterations: int, damping: float) -> DataFra
             T.StructField("rank", T.DoubleType()),
         ]
     )
-    return mat.sparkSession.createDataFrame(rows, schema=schema)
+    return _local_df(mat.sparkSession, rows, schema)

@@ -12,6 +12,8 @@ recursive operator (SURVEY §7 'hard parts' guidance)."""
 
 from __future__ import annotations
 
+from vector_knowledge_base_spark.sources.localframe import local_df as _local_df
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -114,7 +116,7 @@ def _driver_resolve_paths(folders: DataFrame, sep: str) -> DataFrame:
             T.StructField("path", T.StringType()),
         ]
     )
-    return folders.sparkSession.createDataFrame(rows, schema=schema)
+    return _local_df(folders.sparkSession, rows, schema)
 
 
 def unsorted_files(documents: DataFrame, file_folders: DataFrame) -> DataFrame:

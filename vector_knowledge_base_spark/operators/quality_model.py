@@ -44,6 +44,8 @@ threshold booleans (same pattern as kmeans_cluster_invariants).
 
 from __future__ import annotations
 
+from vector_knowledge_base_spark.sources.localframe import local_df as _local_df
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -161,7 +163,7 @@ def quality_scores(model, buckets: DataFrame) -> DataFrame:
     scoring plan is scan → broadcast join → aggregate, all codegen."""
     spark = buckets.sparkSession
     coefs = [float(c) for c in model.coefficients]
-    coef_df = spark.createDataFrame(
+    coef_df = _local_df(spark, 
         list(enumerate(coefs)), "bucket int, coef double"
     )
     b0 = float(model.intercept)

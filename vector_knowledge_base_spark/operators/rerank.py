@@ -14,6 +14,8 @@ top-k; /root/reference/backend/main.py:185-230)."""
 
 from __future__ import annotations
 
+from vector_knowledge_base_spark.sources.localframe import local_df as _local_df
+
 import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 
@@ -53,6 +55,6 @@ def mmr_rerank(
         selected.append(best)
         remaining.discard(best)
         out.append((rank + 1, ids[best], float(rel[best]), best_score))
-    return spark.createDataFrame(
+    return _local_df(spark, 
         out, "rank int, vec_id long, relevance double, mmr_score double"
     )

@@ -29,6 +29,7 @@ from vector_knowledge_base_spark.operators.knn import (
     cosine_topk,
     cosine_topk_df,
 )
+from vector_knowledge_base_spark.sources.localframe import local_df as _local_df
 from vector_knowledge_base_spark.sources.tables import load_table
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -2354,19 +2355,19 @@ _WALK_SQL = """walk(id, path, parent_id) AS (
 
 
 def _folders_df(spark):
-    return spark.createDataFrame(
+    return _local_df(spark, 
         _FOLDERS_ROWS, "id string, name string, parent_id string"
     )
 
 
 def _file_folders_df(spark):
-    return spark.createDataFrame(
+    return _local_df(spark, 
         _FILE_FOLDERS_ROWS, "document_id long, filename string, folder_id string"
     )
 
 
 def _docs_inline_df(spark):
-    return spark.createDataFrame(_DOCS_ROWS, "document_id long, filename string")
+    return _local_df(spark, _DOCS_ROWS, "document_id long, filename string")
 
 
 _FOLDER_PATHS_ORACLE = f"""
@@ -2536,7 +2537,7 @@ def q_batch_upload_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         file_statuses,
     )
 
-    extracted = spark.createDataFrame(
+    extracted = _local_df(spark, 
         _UPLOAD_STATUS_ROWS, "filename string, text string, error string"
     )
     return batch_upload_summary(file_statuses(extracted))
@@ -3256,7 +3257,7 @@ def q_sample_by_source_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     drop the rest). The rate table broadcasts; acceptance is the same
     hash-bucket predicate, so the mixture is replayable end-to-end."""
     docs = _t(spark, sf_dir, "documents")
-    rates = spark.createDataFrame(
+    rates = _local_df(spark, 
         [("src0", 100), ("src1", 50), ("src2", 25)], "source string, pct int"
     )
     return (
@@ -3625,7 +3626,7 @@ def q_multimodal_image_meta_inline(spark: SparkSession, sf_dir: str) -> DataFram
     )
     jpg = b"\xff\xd8\xff\xe0JFIFfakepayload"
     raw = b"just some bytes, not an image"
-    files = spark.createDataFrame(
+    files = _local_df(spark, 
         [
             ("mem://a.png", bytearray(png)),
             ("mem://b.jpg", bytearray(jpg)),
@@ -3663,7 +3664,7 @@ def q_extract_dispatch_inline(spark: SparkSession, sf_dir: str) -> DataFrame:
     canonicalizer hashes scalars only)."""
     from vector_knowledge_base_spark.pipeline.extract import extract_files_df
 
-    files = spark.createDataFrame(
+    files = _local_df(spark, 
         [
             ("up/table.csv", bytearray(b"name,qty\nalpha, 1\nbeta,2\n")),
             ("up/note.txt", bytearray(b"hello spark engine")),
@@ -3813,8 +3814,8 @@ def q_null_safe_join_inline(spark: SparkSession, sf_dir: str) -> DataFrame:
     match each other instead of silently dropping — the semantics a
     dedup or registry merge needs when the join key is optional. A
     plain equi-join here would lose the NULL row on both sides."""
-    a = spark.createDataFrame([(1, "a1"), (None, "a-null"), (2, "a2")], "k int, va string")
-    b = spark.createDataFrame([(1, "b1"), (None, "b-null"), (3, "b3")], "k int, vb string")
+    a = _local_df(spark, [(1, "a1"), (None, "a-null"), (2, "a2")], "k int, va string")
+    b = _local_df(spark, [(1, "b1"), (None, "b-null"), (3, "b3")], "k int, vb string")
     return a.join(b, a["k"].eqNullSafe(b["k"])).select(a["k"].alias("k"), "va", "vb")
 
 
@@ -4271,7 +4272,7 @@ def q_pii_redact_inline(spark: SparkSession, sf_dir: str) -> DataFrame:
         (3, "no pii here"),
         (4, "ssn 123-45-6789 and mail carol@test.org"),
     ]
-    df = spark.createDataFrame(rows, "row_id int, text string")
+    df = _local_df(spark, rows, "row_id int, text string")
     redacted = F.regexp_replace(
         F.regexp_replace(
             F.regexp_replace("text", _PII_EMAIL, "[EMAIL]"), _PII_SSN, "[SSN]"
@@ -4398,7 +4399,7 @@ def q_posexplode_outer_inline(spark: SparkSession, sf_dir: str) -> DataFrame:
     The semantics a chunk-expansion or tag-normalization pipeline needs
     when upstream rows may have no elements."""
     rows = [(1, ["a", "b"]), (2, []), (3, None)]
-    df = spark.createDataFrame(rows, "row_id int, tags array<string>")
+    df = _local_df(spark, rows, "row_id int, tags array<string>")
     return df.select(
         "row_id", F.posexplode_outer("tags").alias("pos", "tag")
     )
@@ -4918,14 +4919,14 @@ def q_registry_merge_upsert_inline(spark: SparkSession, sf_dir: str) -> DataFram
     doc3 inserted)."""
     import datetime as _dt
 
-    old = spark.createDataFrame(
+    old = _local_df(spark, 
         [
             ("doc1", "a.txt", _dt.datetime(2024, 1, 1), 3),
             ("doc2", "b.txt", _dt.datetime(2024, 1, 2), 5),
         ],
         "document_id string, filename string, upload_date timestamp, total_chunks int",
     )
-    new = spark.createDataFrame(
+    new = _local_df(spark, 
         [
             ("doc2", "b_v2.txt", _dt.datetime(2024, 3, 1), 6),
             ("doc3", "c.txt", _dt.datetime(2024, 3, 2), 2),
@@ -4961,11 +4962,11 @@ def q_scd2_dimension_update_inline(spark: SparkSession, sf_dir: str) -> DataFram
     a union; no row-at-a-time mutation, the historical versions stay
     immutable. Inline fixture + known-answer oracle."""
     eff = "2024-06-01"
-    current = spark.createDataFrame(
+    current = _local_df(spark, 
         [("k1", "v1", "2024-01-01", None), ("k2", "x1", "2024-01-01", None)],
         "key string, value string, valid_from string, valid_to string",
     )
-    updates = spark.createDataFrame(
+    updates = _local_df(spark, 
         [("k1", "v2"), ("k3", "z1")], "key string, value string"
     )
     upd_keys = updates.select("key")
@@ -5093,7 +5094,7 @@ def q_multimodal_frame_sample_inline(spark: SparkSession, sf_dir: str) -> DataFr
 
     content_a = bytes(i % 251 for i in range(5120))
     content_b = b"xyz" * 500
-    files = spark.createDataFrame(
+    files = _local_df(spark, 
         [("mem://a.vid", bytearray(content_a)), ("mem://b.vid", bytearray(content_b))],
         "path string, content binary",
     )
@@ -7663,7 +7664,7 @@ def q_pca_variance_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
     contracts = bool(d_proj <= d_orig + 1e-9)
     emb.unpersist()
 
-    return spark.createDataFrame(
+    return _local_df(spark, 
         [
             (
                 3,
@@ -7706,7 +7707,7 @@ def q_ann_lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     overlap = exact.intersect(approx).count()
     hashed.unpersist()
     n_exact = exact.count()
-    return spark.createDataFrame(
+    return _local_df(spark, 
         [(10, n_exact, overlap >= 7)],
         schema="k int, n_exact long, recall_ge_70pct boolean",
     )
@@ -7778,7 +7779,7 @@ def q_ann_ivf_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     overlap = exact.intersect(topk.select("vec_id")).count()
     assigned.unpersist()
-    return spark.createDataFrame(
+    return _local_df(spark, 
         [(10, len(centroids), overlap >= 7, len(probe) < len(centroids))],
         schema="k int, n_cells int, recall_ge_70pct boolean, "
         "probed_strict_subset boolean",
@@ -9332,7 +9333,7 @@ def q_vocab_coverage_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("cum"),
     )
     tot = freq.agg(F.sum("f").alias("total"))
-    ps = docs.sparkSession.createDataFrame(
+    ps = _local_df(docs.sparkSession, 
         [(0.50,), (0.90,), (0.95,), (0.99,)], "coverage_p double"
     )
     return (
@@ -9553,7 +9554,7 @@ def q_events_hourly_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("he", F.coalesce("c", F.lit(0.0)).alias("c"))
     )
-    lags = spark.createDataFrame([(1,), (2,), (3,), (6,), (12,), (24,)], "lag_h int")
+    lags = _local_df(spark, [(1,), (2,), (3,), (6,), (12,), (24,)], "lag_h int")
     d2 = dense.select(F.col("he").alias("he2"), F.col("c").alias("c2"))
     pairs = (
         dense.crossJoin(F.broadcast(lags))
@@ -9892,7 +9893,7 @@ def q_minhash_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             (ni * 1.0 / (F.col("na") + F.col("nb") - ni)).alias("j_exact"),
         )
     )
-    ts = spark.createDataFrame(
+    ts = _local_df(spark, 
         [(t,) for t in (0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9)],
         "threshold double",
     )
@@ -10965,7 +10966,7 @@ def q_compression_ratio_inline(spark: SparkSession, sf_dir: str) -> DataFrame:
         compression_ratios,
     )
 
-    df = spark.createDataFrame(
+    df = _local_df(spark, 
         _compression_inline_fixtures(), "doc_id long, text string"
     )
     return compression_ratios(df)
@@ -11056,7 +11057,7 @@ def q_multimodal_audio_meta_inline(spark: SparkSession, sf_dir: str) -> DataFram
         (path, bytearray(wav_bytes(rate, ch, bits, frames)))
         for path, rate, ch, bits, frames in _AUDIO_FIXTURES
     ] + [("bad.bin", bytearray(b"NOTAWAVE!"))]
-    files = spark.createDataFrame(rows, "path string, content binary")
+    files = _local_df(spark, rows, "path string, content binary")
     return audio_metadata(files)
 
 
@@ -11167,7 +11168,7 @@ def q_ann_probe_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     ]
-    plan = spark.createDataFrame(
+    plan = _local_df(spark, 
         plan_rows, "query_id long, ivf_cell int, cell_rank int"
     )
     from vector_knowledge_base_spark.functions.vector import dot_product
@@ -11204,7 +11205,7 @@ def q_ann_probe_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_probe", "query_id")
         .agg((F.sum(F.coalesce("is_exact", F.lit(0))) / float(k)).alias("recall"))
     )
-    lv = spark.createDataFrame([(p,) for p in (1, 2, 4, 8)], "n_probe int")
+    lv = _local_df(spark, [(p,) for p in (1, 2, 4, 8)], "n_probe int")
     scan = (
         scored.groupBy("query_id", "cell_rank")
         .agg(F.count(F.lit(1)).alias("n"))
@@ -11540,7 +11541,7 @@ def q_incremental_dedup_equivalence(spark: SparkSession, sf_dir: str) -> DataFra
     )
     from vector_knowledge_base_spark.operators.text_dedup import ngram_jaccard_pairs
 
-    docs = spark.createDataFrame(_INCR_EQUIV_FIXTURES, "doc_id long, text string")
+    docs = _local_df(spark, _INCR_EQUIV_FIXTURES, "doc_id long, text string")
     pairs = (
         ngram_jaccard_pairs(docs, threshold=0.05, max_df=50)
         .select("doc_id_a", "doc_id_b")
@@ -11610,7 +11611,7 @@ def q_ascii_ratio_inline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: a scan projection; no shuffle, no UDF.
     """
-    df = spark.createDataFrame(_ASCII_FIXTURES, "doc_id long, text string")
+    df = _local_df(spark, _ASCII_FIXTURES, "doc_id long, text string")
     n_chars = F.length("text")
     n_ascii = F.length(F.regexp_replace("text", r"[^\x00-\x7F]", ""))
     return df.select(
@@ -11699,7 +11700,7 @@ def q_ecdf_order_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     cost, zero extra shuffles).
     """
     o = _t(spark, sf_dir, "orders")
-    pts = spark.createDataFrame(
+    pts = _local_df(spark, 
         [(50000,), (100000,), (200000,), (300000,), (400000,)],
         "x int",
     )
@@ -12949,7 +12950,7 @@ def q_multimodal_image_pixels_inline(spark: SparkSession, sf_dir: str) -> DataFr
     rows = [
         (path, bytearray(bmp_bytes(grid))) for path, grid, _ in _BMP_FIXTURES
     ] + [("bad.bin", bytearray(b"NOTABMP"))]
-    files = spark.createDataFrame(rows, "path string, content binary")
+    files = _local_df(spark, rows, "path string, content binary")
     return image_pixel_stats(files)
 
 
@@ -13007,7 +13008,7 @@ def q_txlog_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0.0).alias("o_totalprice"),
         "o_orderstatus",
     ).unionAll(
-        spark.createDataFrame(
+        _local_df(spark, 
             [(900000001, 123.45, "N")],
             "o_orderkey long, o_totalprice double, o_orderstatus string",
         ).select(
@@ -13075,7 +13076,7 @@ def q_txlog_replace_where(spark: SparkSession, sf_dir: str) -> DataFrame:
     region = orders.where(F.col("o_orderstatus") == "P").select(
         "o_orderkey", F.lit(1.0).alias("o_totalprice"), "o_orderstatus"
     ).unionAll(
-        spark.createDataFrame(
+        _local_df(spark, 
             [(900000002, 1.0, "P")],
             "o_orderkey long, o_totalprice double, o_orderstatus string",
         )
@@ -13259,7 +13260,7 @@ def q_streaming_dedup_ingest_audit(spark: SparkSession, sf_dir: str) -> DataFram
     docs_t, sigs_t = f"{base}/docs", f"{base}/sigs"
 
     for wave in _STREAM_AUDIT_WAVES:
-        spark.createDataFrame(
+        _local_df(spark, 
             [(d, t, "en") for d, t in wave], "doc_id long, text string, lang string"
         ).coalesce(1).write.mode("append").parquet(input_dir)
         q = streaming_ingest_dedup_txlog(spark, input_dir, ckpt, docs_t, sigs_t)
@@ -13274,7 +13275,7 @@ def q_streaming_dedup_ingest_audit(spark: SparkSession, sf_dir: str) -> DataFram
 
     # independent full-rerun dedup over the whole fixture (same LSH
     # parameters as the sink) — the stored survivor set must equal it
-    all_docs = spark.createDataFrame(
+    all_docs = _local_df(spark, 
         [(d, t) for w in _STREAM_AUDIT_WAVES for d, t in w],
         "doc_id long, text string",
     )
@@ -13296,7 +13297,7 @@ def q_streaming_dedup_ingest_audit(spark: SparkSession, sf_dir: str) -> DataFram
         ("stored_minus_full_rerun", stored.exceptAll(survivors).count()),
         ("full_rerun_minus_stored", survivors.exceptAll(stored).count()),
     ]
-    return spark.createDataFrame(metrics, "metric string, value long")
+    return _local_df(spark, metrics, "metric string, value long")
 
 
 # ---------------------------------------------------------------------------
@@ -13346,12 +13347,12 @@ def q_bpe_vocab_train_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         word_frequencies,
     )
 
-    docs = spark.createDataFrame(
+    docs = _local_df(spark, 
         [(i, t) for i, t in enumerate(_BPE_TRAIN_TEXTS)],
         "doc_id long, text string",
     )
     merges, _ = bpe_train(word_frequencies(docs), k=6)
-    return spark.createDataFrame(
+    return _local_df(spark, 
         [(r, a, b, a + b, n) for r, a, b, n in merges],
         "round long, a string, b string, merged string, n long",
     )
@@ -13392,12 +13393,12 @@ def q_bpe_encode_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         word_frequencies,
     )
 
-    docs = spark.createDataFrame(
+    docs = _local_df(spark, 
         [(i, t) for i, t in enumerate(_BPE_TRAIN_TEXTS)],
         "doc_id long, text string",
     )
     merges, _ = bpe_train(word_frequencies(docs), k=6)
-    eval_words = spark.createDataFrame(
+    eval_words = _local_df(spark, 
         [("lowest",), ("newer",), ("slow",), ("widest",), ("news",),
          ("unseen",), ("lowlow",)],
         "word string",
@@ -13444,19 +13445,19 @@ def q_incremental_dedup_nonmonotone(spark: SparkSession, sf_dir: str) -> DataFra
         incremental_canonical_rewrites,
     )
 
-    docs_corpus = spark.createDataFrame(
+    docs_corpus = _local_df(spark, 
         [(10, "a"), (11, "b"), (12, "c")], "doc_id long, text string"
     )
-    corpus_pairs = spark.createDataFrame(
+    corpus_pairs = _local_df(spark, 
         [(10, 12)], "doc_id_a long, doc_id_b long"
     )
     corpus = dedup_canonical(docs_corpus, corpus_pairs).localCheckpoint(
         eager=True
     )
-    docs_batch = spark.createDataFrame(
+    docs_batch = _local_df(spark, 
         [(5, "a"), (20, "z")], "doc_id long, text string"
     )
-    batch_pairs = spark.createDataFrame([(5, 12)], "doc_id_a long, doc_id_b long")
+    batch_pairs = _local_df(spark, [(5, 12)], "doc_id_a long, doc_id_b long")
     assign = incremental_canonical_assign(corpus, docs_batch, batch_pairs)
     rewrites = incremental_canonical_rewrites(corpus, batch_pairs)
     return assign.withColumn("origin", F.lit("batch")).unionAll(
@@ -13524,7 +13525,7 @@ def q_ivfpq_serving_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     exact = cosine_topk(emb, qvec, k=10).select("vec_id")
     overlap = exact.intersect(approx.select("vec_id")).count()
-    return spark.createDataFrame(
+    return _local_df(spark, 
         [
             (
                 10,
@@ -13662,7 +13663,7 @@ def q_txlog_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     create_table(
         spark,
         path,
-        spark.createDataFrame(
+        _local_df(spark, 
             [(1, "a"), (2, "b")], "doc_id long, tag string"
         ).coalesce(1),
     )
@@ -13671,7 +13672,7 @@ def q_txlog_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     append_table(
         spark,
         path,
-        spark.createDataFrame(
+        _local_df(spark, 
             [(3, "c", "en")], "doc_id long, tag string, lang string"
         ).coalesce(1),
         merge_schema=True,
@@ -13679,7 +13680,7 @@ def q_txlog_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     append_table(
         spark,
         path,
-        spark.createDataFrame([(4, "d")], "doc_id long, tag string").coalesce(1),
+        _local_df(spark, [(4, "d")], "doc_id long, tag string").coalesce(1),
         merge_schema=True,
     )
     untouched = _os.stat(_os.path.join(path, old_entry)).st_ino == ino
@@ -13741,7 +13742,7 @@ def q_streaming_cdc_upsert_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(2, 30, "b3", "en")],
     ]
     for rows in waves:
-        spark.createDataFrame(
+        _local_df(spark, 
             rows, "doc_id long, seq long, text string, lang string"
         ).coalesce(1).write.mode("append").parquet(src)
         streaming_cdc_apply_txlog(
@@ -14545,7 +14546,7 @@ def q_txlog_restore_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
     append_table(spark, src, orders.where(F.col("o_orderkey") % 3 == 2))
     restore_table(spark, src, 1)
     restore_by_reference = inodes(src, 3) == src_v1_inodes
-    counts = spark.createDataFrame(
+    counts = _local_df(spark, 
         [
             (
                 read_table(spark, src).count(),
@@ -15092,7 +15093,7 @@ def q_opq_recall_per_byte_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     emb = anisotropic_embeddings(ids).localCheckpoint(eager=True)
     rows = pq_opq_recall_curve(emb, budgets=(4, 8))
-    return spark.createDataFrame(
+    return _local_df(spark, 
         rows, "code_bits int, variant string, recall double, train_mse double"
     ).orderBy("code_bits", "variant")
 
@@ -15513,7 +15514,7 @@ def q_txlog_check_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
         tx_append(
             spark,
             tbl,
-            spark.createDataFrame(
+            _local_df(spark, 
                 [(2000000000, -1.0)], "o_orderkey long, o_totalprice double"
             ),
         )
@@ -15523,7 +15524,7 @@ def q_txlog_check_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
     tx_append(  # NULL evaluates the CHECK to NULL → passes (SQL)
         spark,
         tbl,
-        spark.createDataFrame(
+        _local_df(spark, 
             [(2000000001, None)], "o_orderkey long, o_totalprice double"
         ),
     )
@@ -15792,7 +15793,7 @@ def q_txlog_column_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
     append_table(
         spark,
         tbl,
-        spark.createDataFrame(
+        _local_df(spark, 
             [(3000000001, 0.0, "Z")],
             "o_orderkey long, price double, o_orderstatus string",
         ),
@@ -15882,7 +15883,7 @@ def q_knn_serving_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     server = KnnServer(centroids, assigned, max_vectors=10_000_000)
     assigned.unpersist()
     hits = server.query(qv, k=10, n_probe=None)
-    return spark.createDataFrame(
+    return _local_df(spark, 
         [(int(i), float(s)) for i, s in hits], "vec_id long, score double"
     )
 
@@ -16413,7 +16414,7 @@ def q_hybrid_serving_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         for x in emb.where(F.col("vec_id") == 0).first()["embedding"]
     ]
     hits = hs.hybrid_query("vector", qv, k=10, n=1000)
-    return spark.createDataFrame(
+    return _local_df(spark, 
         [(int(i), float(s)) for i, s in hits],
         "doc_id long, rrf_score double",
     )
@@ -16603,7 +16604,7 @@ def q_hybrid_filtered_serving_parity(
         for x in emb.where(F.col("vec_id") == 0).first()["embedding"]
     ]
     hits = hs.hybrid_query("vector", qv, k=10, n=1000, allowed_ids=allowed)
-    return spark.createDataFrame(
+    return _local_df(spark, 
         [(int(i), float(s)) for i, s in hits],
         "doc_id long, rrf_score double",
     )
@@ -16656,7 +16657,7 @@ def q_bm25_serving_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         key=lambda t: (-t[1], t[0]),
     )
-    return spark.createDataFrame(hits, "doc_id long, bm25 double")
+    return _local_df(spark, hits, "doc_id long, bm25 double")
 
 
 # ---------------------------------------------------------------------------
@@ -16759,7 +16760,7 @@ def q_hybrid_sharded_serving_parity(
         for x in emb.where(F.col("vec_id") == 0).first()["embedding"]
     ]
     hits = hs.hybrid_query("vector", qv, k=10, n=1000)
-    return spark.createDataFrame(
+    return _local_df(spark, 
         [(int(i), float(s)) for i, s in hits],
         "doc_id long, rrf_score double",
     )
@@ -16964,7 +16965,7 @@ def q_vector_sharded_serving_parity(
             qv, k=10, n_probe=None, allowed_ids=allowed
         )
     ]
-    return spark.createDataFrame(
+    return _local_df(spark, 
         rows, "regime string, vec_id long, score double"
     )
 
@@ -17085,7 +17086,7 @@ def q_knn_batch_serving_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
             rows += [
                 (regime, qid, int(i), float(s)) for i, s in hits
             ]
-    return spark.createDataFrame(
+    return _local_df(spark, 
         rows, "regime string, qid long, vec_id long, score double"
     )
 
@@ -17215,7 +17216,7 @@ def q_hybrid_batch_serving_parity(
     ):
         for qid, hits in enumerate(hits_per_q):
             rows += [(regime, qid, int(i), float(s)) for i, s in hits]
-    return spark.createDataFrame(
+    return _local_df(spark, 
         rows, "regime string, qid long, doc_id long, rrf_score double"
     )
 
@@ -17308,7 +17309,7 @@ def q_hybrid_batch_rrf_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         [float(x) for x in r["embedding"]]
         for r in emb.where(F.col("vec_id") < 2).orderBy("vec_id").collect()
     ]
-    qdf = spark.createDataFrame(
+    qdf = _local_df(spark, 
         [(i, term_lists[i], qvs[i]) for i in range(2)],
         "query_id int, terms array<string>, query_vec array<double>",
     )
@@ -17596,7 +17597,7 @@ def q_keyword_batch_serving_parity(
                         )
                         for i, s in hits
                     ]
-    return spark.createDataFrame(
+    return _local_df(spark, 
         rows, "regime string, query_id long, doc_id long, score double"
     )
 
@@ -17666,7 +17667,7 @@ def q_ivf_batch_topk_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("vec_id")
         .collect()
     )
-    qdf = spark.createDataFrame(
+    qdf = _local_df(spark, 
         [
             (int(r["vec_id"]), [float(x) for x in r["embedding"]])
             for r in qrows

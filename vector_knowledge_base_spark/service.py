@@ -38,6 +38,8 @@ original bytes.
 
 from __future__ import annotations
 
+from vector_knowledge_base_spark.sources.localframe import local_df as _local_df
+
 import os
 from typing import Any, Mapping
 
@@ -932,7 +934,7 @@ class _KnowledgeBaseCore:
         self, qv: list[float], k: int, filters: Mapping[str, Any] | None
     ) -> DataFrame:
         rows = self._serve_hit_rows(qv, k, filters)
-        return self.spark.createDataFrame(rows, self._HIT_SCHEMA)
+        return _local_df(self.spark, rows, self._HIT_SCHEMA)
 
     def search_hits(
         self,
@@ -1059,9 +1061,9 @@ class _KnowledgeBaseCore:
         from vector_knowledge_base_spark.operators.knn import batch_knn
 
         if not queries:
-            return self.spark.createDataFrame([], self._BATCH_HIT_SCHEMA)
+            return _local_df(self.spark, [], self._BATCH_HIT_SCHEMA)
         qvs = embed_texts(list(queries), dim=self.dim)
-        qdf = self.spark.createDataFrame(
+        qdf = _local_df(self.spark, 
             [(i, [float(x) for x in qvs[i]]) for i in range(len(queries))],
             "query_id int, query_vec array<double>",
         )
@@ -1182,11 +1184,11 @@ class _KnowledgeBaseCore:
         from vector_knowledge_base_spark.operators.knn import batch_hybrid_rrf
 
         if not queries:
-            return self.spark.createDataFrame(
+            return _local_df(self.spark, 
                 [], self._HYBRID_BATCH_HIT_SCHEMA
             )
         qvs = embed_texts(list(queries), dim=self.dim)
-        qdf = self.spark.createDataFrame(
+        qdf = _local_df(self.spark, 
             [
                 (i, queries[i].split(" "), [float(x) for x in qvs[i]])
                 for i in range(len(queries))
@@ -1621,7 +1623,7 @@ class KnowledgeBaseFolders:
     def _read_or_empty(self, path: str, schema: str) -> DataFrame:
         if os.path.exists(path):
             return self.spark.read.schema(schema).parquet(path)
-        return self.spark.createDataFrame([], schema)
+        return _local_df(self.spark, [], schema)
 
     def _write_small(self, df: DataFrame, path: str) -> None:
         if os.path.exists(path):
@@ -1640,7 +1642,7 @@ class KnowledgeBaseFolders:
         import uuid
 
         folder_id = str(uuid.uuid4())
-        row = self.spark.createDataFrame(
+        row = _local_df(self.spark, 
             [(folder_id, name, parent_id)], _FOLDERS_SCHEMA
         )
         self._write_small(self.folders().unionByName(row), self.folders_path)
@@ -1683,7 +1685,7 @@ class KnowledgeBaseFolders:
         (filesystem_db.py:110-133)."""
         ff = self.file_folders().where(F.col("document_id") != document_id)
         if folder_id != "unsorted":
-            row = self.spark.createDataFrame(
+            row = _local_df(self.spark, 
                 [(document_id, filename, folder_id)], _FILE_FOLDERS_SCHEMA
             )
             ff = ff.unionByName(row)

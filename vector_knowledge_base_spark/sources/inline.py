@@ -16,6 +16,8 @@
 
 from __future__ import annotations
 
+from vector_knowledge_base_spark.sources.localframe import local_df as _local_df
+
 import os
 import zipfile
 
@@ -45,7 +47,7 @@ def create_document(
     from vector_knowledge_base_spark.pipeline.chunker import chunk_documents_df
     from vector_knowledge_base_spark.pipeline.embed import embed_df
 
-    doc = spark.createDataFrame(
+    doc = _local_df(spark, 
         [(filename, content)], "filename string, text string"
     ).select(
         F.abs(F.xxhash64("filename", "text")).alias("doc_id"),

@@ -79,6 +79,8 @@ most _FULL_MANIFEST_INTERVAL files.
 
 from __future__ import annotations
 
+from vector_knowledge_base_spark.sources.localframe import local_df as _local_df
+
 import json
 import os
 import shutil
@@ -773,7 +775,7 @@ def _attach_blooms(
         per_file[f] = {}
     if not per_file:
         return
-    meta = spark.createDataFrame(
+    meta = _local_df(spark, 
         [(os.path.relpath(os.path.abspath(f), root), m_bits[f])
          for f in per_file],
         "_key string, _m long",
@@ -2497,7 +2499,7 @@ def fsck(spark: SparkSession, path: str) -> DataFrame:
         )
     n_orphans = sum(1 for f in _data_files(path) if f not in referenced)
     rows.append((-1, "orphans", n_orphans, 0, 0, True))
-    return spark.createDataFrame(
+    return _local_df(spark, 
         rows,
         "version int, op string, n_files int, n_missing int, "
         "n_bloom_missing int, readable boolean",
@@ -2545,7 +2547,7 @@ def table_detail(spark: SparkSession, path: str) -> DataFrame:
         len(m.get("dv") or {}),
         len((m.get("schema") or {}).get("fields", [])),
     )
-    return spark.createDataFrame(
+    return _local_df(spark, 
         [row],
         "version int, last_commit_ts double, n_versions int, n_files int, "
         "n_rows long, n_bytes long, partition_by array<string>, "
@@ -2599,7 +2601,7 @@ def read_table(
             raise RuntimeError(f"txlog: version {v} is empty and unschema'd")
         from pyspark.sql import types as T
 
-        return spark.createDataFrame([], T.StructType.fromJson(m["schema"]))
+        return _local_df(spark, [], T.StructType.fromJson(m["schema"]))
     df = _read_files(spark, m, files, path)
     return df.where(_filters_to_column(filters)) if filters else df
 
@@ -3003,7 +3005,7 @@ def table_versions(spark: SparkSession, path: str) -> DataFrame:
         )
         for m in (_read_manifest(path, v) for v in _list_versions(path))
     ]
-    return spark.createDataFrame(
+    return _local_df(spark, 
         rows, "version int, op string, n_files int, parent int, ts double"
     )
 
