@@ -2064,3 +2064,113 @@ print(json.dumps(out))
         ], key
     with pytest.raises(TypeError, match="export_pq_standalone"):
         export_pq_standalone(object(), str(tmp_path / "bad"))
+
+
+def test_sharded_one_pass_build_equals_per_shard_filtered_build(
+    spark, tmp_path
+):
+    """r14 optimization: the sharded builders collect the corpus ONCE
+    (with its shard route) and split driver-side instead of running
+    one filtered count+collect pair — and one keyword aggregation —
+    per shard. Pin: every shard's snapshot (vector ids/mat/offsets
+    AND keyword doc_ids/dl/postings) is IDENTICAL to building that
+    shard the old way, from the per-shard filtered frames through the
+    public constructors."""
+    import numpy as np
+
+    from vector_knowledge_base_spark.operators.serving import (
+        HybridKnnServer,
+        ShardedHybridServer,
+        ShardedKnnServer,
+        _shard_expr,
+    )
+    from vector_knowledge_base_spark.sources.txlog import read_table
+
+    p = _mk_hybrid_txlog(spark, tmp_path, n=120)
+    n_shards = 3
+    srv = ShardedHybridServer.from_txlog(
+        spark, p, n_shards=n_shards, n_partitions=4,
+        max_docs_per_shard=10_000, max_vectors_per_shard=10_000,
+    )
+    skv = ShardedKnnServer.from_txlog(
+        spark, p, n_shards=n_shards, n_partitions=4,
+        max_vectors_per_shard=10_000,
+    )
+    tbl = read_table(spark, p, 0)
+    centroids, assigned = build_ivf(tbl, n_partitions=4)
+    sharded_vec = assigned.withColumn("_shard", _shard_expr("vec_id", n_shards))
+    sharded_docs = tbl.withColumn("_shard", _shard_expr("vec_id", n_shards))
+    for s in range(n_shards):
+        old_knn = KnnServer(
+            centroids,
+            sharded_vec.where(F.col("_shard") == s).drop("_shard"),
+            max_vectors=10_000,
+        )
+        old_hyb = HybridKnnServer(
+            sharded_docs.where(F.col("_shard") == s).drop("_shard"),
+            old_knn,
+            id_col="vec_id",
+            max_docs=10_000,
+        )
+        for new in (srv.shards[s].knn, skv.shards[s]):
+            assert np.array_equal(new._snap.ids, old_knn._snap.ids)
+            assert np.array_equal(new._snap.mat, old_knn._snap.mat)
+            assert list(new._snap.offsets) == list(old_knn._snap.offsets)
+            assert np.array_equal(
+                new._snap.centroids, old_knn._snap.centroids
+            )
+        ns, os_ = srv.shards[s]._snap, old_hyb._snap
+        assert np.array_equal(ns.doc_ids, os_.doc_ids)
+        assert np.array_equal(ns.dl, os_.dl)
+        assert ns.avgdl == os_.avgdl and ns.n_docs == os_.n_docs
+        assert set(ns.postings) == set(os_.postings)
+        for t in ns.postings:
+            assert np.array_equal(ns.postings[t][0], os_.postings[t][0])
+            assert np.array_equal(ns.postings[t][1], os_.postings[t][1])
+    assigned.unpersist()
+
+
+def test_sharded_keyword_build_plan_has_no_single_partition_stage(spark):
+    """The sharded one-pass keyword build (r14) must keep the same plan
+    guarantees as the single-shard seam it mirrors: NO Window
+    operator, NO single-partition Exchange, NO join."""
+    from vector_knowledge_base_spark.operators.serving import (
+        _keyword_build_frames_sharded,
+        _shard_expr,
+    )
+    from vector_knowledge_base_spark.plans.inspect import explain_str
+
+    docs = (
+        load_table(spark, SF, "documents")
+        .where(F.col("doc_id") < 200)
+        .withColumn("_shard", _shard_expr("doc_id", 3))
+    )
+    dl_frame, postings_frame = _keyword_build_frames_sharded(
+        docs, "doc_id", "text", "_shard"
+    )
+    for frame in (dl_frame, postings_frame):
+        txt = explain_str(frame)
+        assert "Window" not in txt, txt
+        assert "SinglePartition" not in txt, txt
+        assert "Join" not in txt, txt
+
+
+def test_sharded_one_pass_bound_refusal_before_collect(spark, tmp_path):
+    """The one-pass build must keep the refusal semantics: an
+    over-bound shard refuses with the exact per-shard count, computed
+    from the pre-collect hash-aggregate."""
+    from vector_knowledge_base_spark.operators.serving import (
+        ShardedHybridServer,
+        ShardedKnnServer,
+    )
+
+    p = _mk_hybrid_txlog(spark, tmp_path, n=60)
+    with pytest.raises(RuntimeError, match="max_vectors"):
+        ShardedKnnServer.from_txlog(
+            spark, p, n_shards=2, n_partitions=4, max_vectors_per_shard=5
+        )
+    with pytest.raises(RuntimeError, match="max_docs"):
+        ShardedHybridServer.from_txlog(
+            spark, p, n_shards=2, n_partitions=4,
+            max_docs_per_shard=5, max_vectors_per_shard=10_000,
+        )

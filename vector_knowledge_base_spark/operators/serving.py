@@ -205,6 +205,55 @@ def _extend_float_snapshot(
     )
 
 
+def _knn_bound_message(n: int, max_vectors: int) -> str:
+    return (
+        f"KnnServer: corpus has {n} vectors > max_vectors="
+        f"{max_vectors}. The in-memory serving tier holds a "
+        "BOUNDED shard: raise the bound only with the RAM to "
+        "back it (4*dim bytes/vector), or serve PQ codes / "
+        "shard the corpus and merge top-k across servers."
+    )
+
+
+def _float_snapshot_from_rows(
+    centroids, rows, id_col: str, vec_col: str, version
+) -> _Snapshot:
+    """Group already-collected (id, vec, ivf_cell) rows per cell into
+    one ``_Snapshot`` — the constructor's grouping step, shared with
+    the sharded one-pass builders (which split a single collect by the
+    shard column instead of running one filtered collect per shard).
+    Row order within a cell follows the input row order, exactly as a
+    per-shard filtered collect would produce (filters preserve
+    partition-relative order)."""
+    import numpy as np
+
+    cents = np.asarray(centroids, dtype=np.float64)
+    k_cells = cents.shape[0]
+    by_cell: list[list] = [[] for _ in range(k_cells)]
+    for r in rows:
+        by_cell[r["ivf_cell"]].append((r[id_col], r[vec_col]))
+    ids, mats, offsets, off = [], [], [0], 0
+    for cell_rows in by_cell:
+        for i, v in cell_rows:
+            ids.append(i)
+            mats.append(v)
+        off += len(cell_rows)
+        offsets.append(off)
+    return _Snapshot(
+        centroids=cents,
+        # dtype inferred: int64 for integer ids, unicode for the
+        # facade's string chunk_ids — _topk preserves either
+        ids=np.asarray(ids),
+        mat=(
+            np.asarray(mats, dtype=np.float64)
+            if mats
+            else np.zeros((0, cents.shape[1]))
+        ),
+        offsets=offsets,
+        version=version,
+    )
+
+
 class KnnServer:
     """Point-query kNN over an in-memory IVF artifact.
 
@@ -243,38 +292,10 @@ class KnnServer:
 
         n = assigned.count()
         if n > max_vectors:
-            raise RuntimeError(
-                f"KnnServer: corpus has {n} vectors > max_vectors="
-                f"{max_vectors}. The in-memory serving tier holds a "
-                "BOUNDED shard: raise the bound only with the RAM to "
-                "back it (4*dim bytes/vector), or serve PQ codes / "
-                "shard the corpus and merge top-k across servers."
-            )
+            raise RuntimeError(_knn_bound_message(n, max_vectors))
         rows = assigned.select(id_col, vec_col, "ivf_cell").collect()
-        cents = np.asarray(centroids, dtype=np.float64)
-        k_cells = cents.shape[0]
-        by_cell: list[list] = [[] for _ in range(k_cells)]
-        for r in rows:
-            by_cell[r["ivf_cell"]].append((r[id_col], r[vec_col]))
-        ids, mats, offsets, off = [], [], [0], 0
-        for cell_rows in by_cell:
-            for i, v in cell_rows:
-                ids.append(i)
-                mats.append(v)
-            off += len(cell_rows)
-            offsets.append(off)
-        self._snap = _Snapshot(
-            centroids=cents,
-            # dtype inferred: int64 for integer ids, unicode for the
-            # facade's string chunk_ids — _topk preserves either
-            ids=np.asarray(ids),
-            mat=(
-                np.asarray(mats, dtype=np.float64)
-                if mats
-                else np.zeros((0, cents.shape[1]))
-            ),
-            offsets=offsets,
-            version=_table_version,
+        self._snap = _float_snapshot_from_rows(
+            centroids, rows, id_col, vec_col, _table_version
         )
 
     # back-compat views over the current snapshot (read-only by intent)
@@ -334,6 +355,37 @@ class KnnServer:
             _table_path=table_path,
         )
         assigned.unpersist()
+        return srv
+
+    @classmethod
+    def _from_rows(
+        cls,
+        centroids,
+        rows,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        max_vectors: int = 5_000_000,
+        _table_version: int | None = None,
+        _table_path: str | None = None,
+    ) -> "KnnServer":
+        """Build from already-collected (id, vec, ivf_cell) rows — the
+        sharded builders' seam: they collect the whole assigned corpus
+        ONCE (with its shard route) and split driver-side, instead of
+        one filtered count+collect pair per shard. Same bound refusal,
+        same snapshot grouping, same resulting arrays as the public
+        constructor fed the equivalent filtered frame."""
+        srv = cls.__new__(cls)
+        srv.id_col = id_col
+        srv.vec_col = vec_col
+        srv.max_vectors = max_vectors
+        srv.table_path = _table_path
+        srv.last_refresh_mode = None
+        n = len(rows)
+        if n > max_vectors:
+            raise RuntimeError(_knn_bound_message(n, max_vectors))
+        srv._snap = _float_snapshot_from_rows(
+            centroids, rows, id_col, vec_col, _table_version
+        )
         return srv
 
     def refresh_if_stale(self, spark: SparkSession) -> bool:
@@ -1477,7 +1529,15 @@ def _build_keyword_arrays(docs: DataFrame, id_col: str, text_col: str):
     Returns ``(doc_ids, dl, postings)`` as plain lists/dict — the
     caller wraps them in numpy arrays."""
     dl_frame, postings_frame = _keyword_build_frames(docs, id_col, text_col)
-    dl_rows = dl_frame.collect()
+    return _keyword_arrays_from_rows(dl_frame.collect(), postings_frame.collect())
+
+
+def _keyword_arrays_from_rows(dl_rows, posting_rows):
+    """The driver-side half of ``_build_keyword_arrays``: id→rank from
+    the already-id-sorted dl rows (with the bijectivity refusal), then
+    posting lists remapped to row indices. Shared with the sharded
+    one-pass build, which collects both frames ONCE with a shard
+    column and feeds each shard's slice here."""
     doc_ids = [r["_id"] for r in dl_rows]
     dl = [r["_dl"] for r in dl_rows]
     ri_of = {i: ri for ri, i in enumerate(doc_ids)}
@@ -1488,7 +1548,6 @@ def _build_keyword_arrays(docs: DataFrame, id_col: str, text_col: str):
             "id→row-index map must be bijective (ids are the upsert "
             "key; dedupe or fix the upstream constraint)"
         )
-    posting_rows = postings_frame.collect()
     postings = {
         r["_t"]: (
             [ri_of[p["_id"]] for p in r["_pl"]],
@@ -1497,6 +1556,38 @@ def _build_keyword_arrays(docs: DataFrame, id_col: str, text_col: str):
         for r in posting_rows
     }
     return doc_ids, dl, postings
+
+
+def _keyword_build_frames_sharded(
+    docs: DataFrame, id_col: str, text_col: str, shard_col: str
+):
+    """The sharded twin of ``_keyword_build_frames`` (r14 optimization):
+    the SAME tokenize → explode → hash-aggregate plan, grouped by
+    (shard, term) instead of per-shard filtered re-runs, so building N
+    shards' keyword arrays costs ONE corpus pass instead of N. Each
+    shard's slice of the result is value-identical to running
+    ``_keyword_build_frames`` on that shard's filtered docs: the
+    per-(shard, term) aggregates see exactly that shard's rows, and the
+    dl frame's global id sort keeps every shard's ids ascending."""
+    toks = docs.select(
+        F.col(shard_col),
+        F.col(id_col).alias("_id"),
+        F.split(F.coalesce(F.col(text_col), F.lit("")), " ").alias("_toks"),
+    )
+    dl_frame = (
+        toks.select(shard_col, "_id", F.size("_toks").alias("_dl"))
+        .orderBy("_id")
+    )
+    postings_frame = (
+        toks.select(shard_col, "_id", F.explode("_toks").alias("_t"))
+        .groupBy(shard_col, "_t", "_id")
+        .agg(F.count("*").alias("_c"))
+        .groupBy(shard_col, "_t")
+        .agg(
+            F.sort_array(F.collect_list(F.struct("_id", "_c"))).alias("_pl")
+        )
+    )
+    return dl_frame, postings_frame
 
 
 class _HybridSnapshot:
@@ -1515,6 +1606,30 @@ class _HybridSnapshot:
         self.n_docs = n_docs
         self.version = version
         self.allow_cache: dict = {}  # filter-content → np.isin mask (r14)
+
+
+def _hybrid_bound_message(n: int, max_docs: int) -> str:
+    return (
+        f"HybridKnnServer: corpus has {n} docs > max_docs="
+        f"{max_docs}; shard the corpus or serve keyword ranking "
+        "from the Spark plans"
+    )
+
+
+def _hybrid_snapshot_from_arrays(doc_ids, dl, postings, version):
+    import numpy as np
+
+    return _HybridSnapshot(
+        doc_ids=np.asarray(doc_ids),
+        dl=np.asarray(dl, dtype=np.float64),
+        postings={
+            t: (np.asarray(ri, dtype=np.int64), np.asarray(c, dtype=np.float64))
+            for t, (ri, c) in postings.items()
+        },
+        avgdl=float(np.mean(dl)) if dl else 0.0,
+        n_docs=len(doc_ids),
+        version=version,
+    )
 
 
 class HybridKnnServer:
@@ -1575,23 +1690,45 @@ class HybridKnnServer:
 
         n = docs.count()
         if n > max_docs:
-            raise RuntimeError(
-                f"HybridKnnServer: corpus has {n} docs > max_docs="
-                f"{max_docs}; shard the corpus or serve keyword ranking "
-                "from the Spark plans"
-            )
+            raise RuntimeError(_hybrid_bound_message(n, max_docs))
         doc_ids, dl, postings = _build_keyword_arrays(docs, id_col, text_col)
-        self._snap = _HybridSnapshot(
-            doc_ids=np.asarray(doc_ids),
-            dl=np.asarray(dl, dtype=np.float64),
-            postings={
-                t: (np.asarray(ri, dtype=np.int64), np.asarray(c, dtype=np.float64))
-                for t, (ri, c) in postings.items()
-            },
-            avgdl=float(np.mean(dl)) if dl else 0.0,
-            n_docs=len(doc_ids),
-            version=knn.table_version,
+        self._snap = _hybrid_snapshot_from_arrays(
+            doc_ids, dl, postings, knn.table_version
         )
+
+    @classmethod
+    def _from_arrays(
+        cls,
+        docs: DataFrame,
+        knn: "KnnServer",
+        doc_ids,
+        dl,
+        postings,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        max_docs: int = 5_000_000,
+        _table_path: str | None = None,
+    ) -> "HybridKnnServer":
+        """Build from already-assembled keyword arrays — the sharded
+        one-pass builders' seam (they collect ONE sharded dl/postings
+        pair for all shards and slice it driver-side). Same bound
+        refusal, same snapshot as the public constructor fed the
+        equivalent filtered docs frame."""
+        srv = cls.__new__(cls)
+        srv.knn = knn
+        srv.id_col = id_col
+        srv.text_col = text_col
+        srv.max_docs = max_docs
+        srv.table_path = _table_path
+        srv.last_refresh_mode = None
+        srv._docs_source = docs
+        n = len(doc_ids)
+        if n > max_docs:
+            raise RuntimeError(_hybrid_bound_message(n, max_docs))
+        srv._snap = _hybrid_snapshot_from_arrays(
+            doc_ids, dl, postings, knn.table_version
+        )
+        return srv
 
     @property
     def table_version(self):
@@ -2034,22 +2171,45 @@ class ShardedKnnServer:
     ) -> "ShardedKnnServer":
         from pyspark.sql import functions as F
 
-        shards = []
+        # ONE pass instead of one filtered count+collect pair per shard
+        # (r14 optimization, guide §1.2/§2.3): per-shard counts come
+        # from a single hash-aggregate (the bound still refuses BEFORE
+        # any vector is collected, with the exact per-shard n), then
+        # the whole assigned corpus is collected once WITH its shard
+        # route and split driver-side. Filters preserve
+        # partition-relative order, so each shard's row sequence — and
+        # therefore its snapshot arrays — is identical to what the old
+        # per-shard filtered collect produced.
         sharded = assigned.withColumn(
             "_shard", F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_shards))
         )
+        counts = {
+            r["_shard"]: r["n"]
+            for r in sharded.groupBy("_shard").agg(F.count("*").alias("n")).collect()
+        }
         for s in range(n_shards):
-            shards.append(
-                KnnServer(
-                    centroids,
-                    sharded.where(F.col("_shard") == s).drop("_shard"),
-                    id_col=id_col,
-                    vec_col=vec_col,
-                    max_vectors=max_vectors_per_shard,
-                    _table_version=_table_version,
-                    _table_path=_table_path,
+            if counts.get(s, 0) > max_vectors_per_shard:
+                raise RuntimeError(
+                    _knn_bound_message(counts[s], max_vectors_per_shard)
                 )
+        all_rows = sharded.select(id_col, vec_col, "ivf_cell", "_shard").collect()
+        per_shard: list[list] = [[] for _ in range(n_shards)]
+        for r in all_rows:
+            s = r["_shard"]
+            if s is not None:  # NULL id hashes to NULL — no shard owns it
+                per_shard[s].append(r)
+        shards = [
+            KnnServer._from_rows(
+                centroids,
+                per_shard[s],
+                id_col=id_col,
+                vec_col=vec_col,
+                max_vectors=max_vectors_per_shard,
+                _table_version=_table_version,
+                _table_path=_table_path,
             )
+            for s in range(n_shards)
+        ]
         return cls(shards)
 
     @classmethod
@@ -2331,21 +2491,74 @@ class ShardedHybridServer:
         sharded_docs = tbl.withColumn(
             "_shard", _shard_expr(id_col, n_shards)
         )
+        # ONE pass per artifact half instead of per shard (r14
+        # optimization, guide §1.2/§2.3): per-shard bounds refuse from
+        # a single hash-aggregate BEFORE anything is collected (docs
+        # and vectors share id_col on the same table rows, so one
+        # count serves both bounds), the assigned corpus is collected
+        # once WITH its shard route and split driver-side, and the
+        # keyword dl/postings frames aggregate by (shard, term) in one
+        # corpus pass — building N shards used to cost N filtered
+        # count+collect pairs plus N keyword aggregations over the
+        # full corpus. Each shard's slice is value-identical to the
+        # old per-shard filtered build (filters preserve
+        # partition-relative order; per-(shard, term) aggregates see
+        # exactly that shard's rows).
+        counts = {
+            r["_shard"]: r["n"]
+            for r in sharded_vec.groupBy("_shard")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        for s in range(n_shards):
+            n_s = counts.get(s, 0)
+            if n_s > max_vectors_per_shard:
+                raise RuntimeError(
+                    _knn_bound_message(n_s, max_vectors_per_shard)
+                )
+            if n_s > max_docs_per_shard:
+                raise RuntimeError(
+                    _hybrid_bound_message(n_s, max_docs_per_shard)
+                )
+        vec_rows = sharded_vec.select(
+            id_col, vec_col, "ivf_cell", "_shard"
+        ).collect()
+        per_shard_vec: list[list] = [[] for _ in range(n_shards)]
+        for r in vec_rows:
+            if r["_shard"] is not None:
+                per_shard_vec[r["_shard"]].append(r)
+        dl_frame, postings_frame = _keyword_build_frames_sharded(
+            sharded_docs, id_col, text_col, "_shard"
+        )
+        dl_by: list[list] = [[] for _ in range(n_shards)]
+        for r in dl_frame.collect():
+            if r["_shard"] is not None:
+                dl_by[r["_shard"]].append(r)
+        pl_by: list[list] = [[] for _ in range(n_shards)]
+        for r in postings_frame.collect():
+            if r["_shard"] is not None:
+                pl_by[r["_shard"]].append(r)
         shards = []
         for s in range(n_shards):
-            knn_s = KnnServer(
+            knn_s = KnnServer._from_rows(
                 centroids,
-                sharded_vec.where(F.col("_shard") == s).drop("_shard"),
+                per_shard_vec[s],
                 id_col=id_col,
                 vec_col=vec_col,
                 max_vectors=max_vectors_per_shard,
                 _table_version=v,
                 _table_path=table_path,
             )
+            doc_ids, dl, postings = _keyword_arrays_from_rows(
+                dl_by[s], pl_by[s]
+            )
             shards.append(
-                HybridKnnServer(
+                HybridKnnServer._from_arrays(
                     sharded_docs.where(F.col("_shard") == s).drop("_shard"),
                     knn_s,
+                    doc_ids,
+                    dl,
+                    postings,
                     id_col=id_col,
                     text_col=text_col,
                     max_docs=max_docs_per_shard,
