@@ -1843,3 +1843,30 @@ def test_restore_restores_constraint_metadata(spark, tmp_path):
         append_table(
             spark, p, spark.createDataFrame([(4, -2.0)], "id long, v double")
         )
+
+
+def test_stats_rowcount_matches_count_and_abstains(spark, tmp_path):
+    """stats_rowcount (r14): metadata-only COUNT(*) from the manifest —
+    exact per version on append-only tables, abstains (None) whenever a
+    deletion vector makes the manifest sum inexact, and on missing
+    tables/versions."""
+    from vector_knowledge_base_spark.sources.txlog import stats_rowcount
+
+    p = str(tmp_path / "t")
+    assert stats_rowcount(p) is None  # no table yet
+
+    df = spark.range(10).withColumn("v", F.col("id") * 2)
+    create_table(spark, p, df)
+    append_table(spark, p, spark.range(10, 15).withColumn("v", F.col("id")))
+    # exact at latest AND at every historical version
+    assert stats_rowcount(p) == read_table(spark, p).count() == 15
+    assert stats_rowcount(p, version=0) == 10
+    assert stats_rowcount(p, version=99) is None  # unknown version
+
+    # a DV (soft delete) makes the manifest sum inexact -> abstain,
+    # never a wrong answer
+    delete_where(spark, p, F.col("id") < 3, mode="dv")
+    assert stats_rowcount(p) is None
+    assert read_table(spark, p).count() == 12
+    # historical pre-DV version still answerable from metadata
+    assert stats_rowcount(p, version=0) == 10

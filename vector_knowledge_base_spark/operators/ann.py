@@ -1047,28 +1047,38 @@ def pq_opq_recall_curve(
     function is an OFFLINE index-design tool — you run it on a sample
     to pick m before committing a cluster to encoding 10^11 vectors."""
     import math
+    from concurrent.futures import ThreadPoolExecutor
 
     import numpy as np
 
     qrows = (
         emb.orderBy(id_col).limit(n_queries).select(id_col, vec_col).collect()
     )
-    exact: dict = {}
-    for r in qrows:
-        ids = {
+
+    # Every build is seeded and every scan reads an immutable checkpoint,
+    # so the per-budget bodies and the per-query recall scans are
+    # INDEPENDENT jobs — overlap them (guide §2.6): at bench scale each
+    # tiny action costs ~0.15 s of dispatch and the row ran ~40 of them
+    # sequentially; results land in indexed slots so the returned rows
+    # are byte-identical to the sequential loop.
+    def _exact_ids(r):
+        return {
             x[0]
             for x in cosine_topk(emb, [float(v) for v in r[vec_col]], k=k)
             .select(id_col)
             .collect()
         }
-        exact[r[id_col]] = ids
+
+    with ThreadPoolExecutor(max_workers=max(1, len(qrows))) as pool:
+        exact = {
+            r[id_col]: ids for r, ids in zip(qrows, pool.map(_exact_ids, qrows))
+        }
 
     def _recall(result_df, qid) -> float:
         got = {x[0] for x in result_df.select(id_col).collect()}
         return len(got & exact[qid]) / float(k)
 
-    rows = []
-    for m in budgets:
+    def _budget_rows(m: int) -> list:
         bits = int(m * math.log2(ksub))
         pq_cb, pq_codes = build_pq(emb, m=m, ksub=ksub, id_col=id_col, vec_col=vec_col)
         pq_codes = pq_codes.localCheckpoint(eager=True)
@@ -1093,35 +1103,42 @@ def pq_opq_recall_curve(
             id_col=id_col, vec_col=vec_col,
         )
         ivf_idx = ivf_idx.localCheckpoint(eager=True)
-        pq_r, opq_r, ivf_r = [], [], []
-        for r in qrows:
+
+        def _one(job):
+            variant, r = job
             qv = [float(v) for v in r[vec_col]]
             qid = r[id_col]
-            pq_r.append(_recall(pq_topk(pq_cb, pq_codes, qv, k=k, id_col=id_col), qid))
-            q_rot = list(np.asarray(qv) @ R)
-            opq_r.append(
-                _recall(pq_topk(opq_cb, opq_codes, q_rot, k=k, id_col=id_col), qid)
-            )
-            ivf_r.append(
-                _recall(
-                    opq_ivfpq_topk(
-                        Rc, cents, ivf_cb, ivf_idx, emb, qv,
-                        k=k, n_probe=n_probe, shortlist=k,
-                        id_col=id_col, vec_col=vec_col,
-                    ),
-                    qid,
+            if variant == "pq":
+                df = pq_topk(pq_cb, pq_codes, qv, k=k, id_col=id_col)
+            elif variant == "opq":
+                q_rot = list(np.asarray(qv) @ R)
+                df = pq_topk(opq_cb, opq_codes, q_rot, k=k, id_col=id_col)
+            else:
+                df = opq_ivfpq_topk(
+                    Rc, cents, ivf_cb, ivf_idx, emb, qv,
+                    k=k, n_probe=n_probe, shortlist=k,
+                    id_col=id_col, vec_col=vec_col,
                 )
-            )
-        rows.append((bits, "pq", round(sum(pq_r) / len(pq_r), 4), round(pq_mse, 6)))
-        rows.append(
-            (bits, "opq", round(sum(opq_r) / len(opq_r), 4), round(hist[-1], 6))
-        )
-        rows.append(
+            return _recall(df, qid)
+
+        jobs = [(v, r) for v in ("pq", "opq", "ivf") for r in qrows]
+        with ThreadPoolExecutor(max_workers=5) as pool:
+            rec = list(pool.map(_one, jobs))
+        nq = len(qrows)
+        pq_r, opq_r, ivf_r = rec[:nq], rec[nq : 2 * nq], rec[2 * nq :]
+        return [
+            (bits, "pq", round(sum(pq_r) / len(pq_r), 4), round(pq_mse, 6)),
+            (bits, "opq", round(sum(opq_r) / len(opq_r), 4), round(hist[-1], 6)),
             (
                 bits,
                 "opq_ivfpq_pruned",
                 round(sum(ivf_r) / len(ivf_r), 4),
                 round(hist[-1], 6),
-            )
-        )
+            ),
+        ]
+
+    rows = []
+    with ThreadPoolExecutor(max_workers=max(1, len(budgets))) as pool:
+        for budget_rows in pool.map(_budget_rows, list(budgets)):
+            rows.extend(budget_rows)
     return rows

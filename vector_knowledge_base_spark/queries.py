@@ -12339,19 +12339,33 @@ def q_simhash_precision_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 1.5M-pair array_intersect verify in a single task (measured 18s
     # single-task vs ~1s at 32-way)
     par = spark.sparkContext.defaultParallelism
-    cand = (
-        simhash_hamming_candidates(docs, max_hamming=3, nbits=32)
-        .localCheckpoint(eager=True)
-        .repartition(par)
-    )
+    # the candidate pipeline and the per-doc shingle-array map are
+    # INDEPENDENT jobs over the same input — overlap their eager
+    # materializations (r14, guide §2.6: the second job's tasks
+    # back-fill executors the first job's tail leaves idle); results
+    # are the same two checkpointed frames as the sequential form
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _cand():
+        return (
+            simhash_hamming_candidates(docs, max_hamming=3, nbits=32)
+            .localCheckpoint(eager=True)
+            .repartition(par)
+        )
+
     # the per-doc shingle-array map feeds TWO broadcasts — materialize
     # it once instead of rebuilding the shingle pipeline per side
-    arr = (
-        doc_shingles(docs)
-        .groupBy("doc_id")
-        .agg(F.collect_list("shingle").alias("sh"))
-        .localCheckpoint(eager=True)
-    )
+    def _arr():
+        return (
+            doc_shingles(docs)
+            .groupBy("doc_id")
+            .agg(F.collect_list("shingle").alias("sh"))
+            .localCheckpoint(eager=True)
+        )
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_cand, f_arr = pool.submit(_cand), pool.submit(_arr)
+        cand, arr = f_cand.result(), f_arr.result()
     scored = (
         cand.join(
             F.broadcast(
@@ -13248,6 +13262,7 @@ def q_streaming_dedup_ingest_audit(spark: SparkSession, sf_dir: str) -> DataFram
     from vector_knowledge_base_spark.sources.txlog import (
         _list_versions,
         read_table,
+        stats_rowcount,
     )
     from vector_knowledge_base_spark.streaming.txsink import (
         streaming_ingest_dedup_txlog,
@@ -13267,8 +13282,13 @@ def q_streaming_dedup_ingest_audit(spark: SparkSession, sf_dir: str) -> DataFram
         q.awaitTermination()
 
     n_arrived = sum(len(w) for w in _STREAM_AUDIT_WAVES)
+    # per-version counts from the MANIFEST stats (r14, guide §1.2/§5):
+    # the sink appends only, so the metadata count is exact at every
+    # version — zero Spark jobs where this ran one full time-travel
+    # read+count per version; stats_rowcount abstains (None) → old path
     per_version = [
-        read_table(spark, docs_t, version=v).count()
+        n if (n := stats_rowcount(docs_t, version=v)) is not None
+        else read_table(spark, docs_t, version=v).count()
         for v in range(len(_list_versions(docs_t)))
     ]
     stored = read_table(spark, docs_t).select("doc_id").localCheckpoint(eager=True)
@@ -13287,6 +13307,18 @@ def q_streaming_dedup_ingest_audit(spark: SparkSession, sf_dir: str) -> DataFram
         .where(F.col("doc_id") == F.col("canonical_id"))
         .select("doc_id")
     )
+    # both exceptAll directions in ONE job (r14, guide §1.2): union the
+    # two difference sets with a side tag and count per side — the same
+    # multiset exceptAll semantics, one action instead of two
+    diffs = {
+        r["side"]: r["n"]
+        for r in stored.exceptAll(survivors)
+        .select(F.lit("s").alias("side"))
+        .unionAll(survivors.exceptAll(stored).select(F.lit("f").alias("side")))
+        .groupBy("side")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
     metrics = [
         ("accepted_b0", per_version[0]),
         ("accepted_b1", per_version[1] - per_version[0]),
@@ -13294,8 +13326,8 @@ def q_streaming_dedup_ingest_audit(spark: SparkSession, sf_dir: str) -> DataFram
         ("rejected_total", n_arrived - per_version[-1]),
         ("docs_versions", len(_list_versions(docs_t))),
         ("sigs_versions", len(_list_versions(sigs_t))),
-        ("stored_minus_full_rerun", stored.exceptAll(survivors).count()),
-        ("full_rerun_minus_stored", survivors.exceptAll(stored).count()),
+        ("stored_minus_full_rerun", int(diffs.get("s", 0))),
+        ("full_rerun_minus_stored", int(diffs.get("f", 0))),
     ]
     return _local_df(spark, metrics, "metric string, value long")
 
@@ -14626,9 +14658,13 @@ def q_label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFra
     edges = QUERIES["copurchase_part_pairs"](spark, sf_dir).select(
         F.col("part_a").alias("a"), F.col("part_b").alias("b")
     )
+    # materialize the edge list ONCE (r14, guide §5 caching-for-reuse):
+    # every round's join references bi, and each eager checkpoint /
+    # final materialization otherwise re-runs the whole co-purchase
+    # pair join per reference (~1.5 s each at sf0.1)
     bi = edges.union(
         edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    )
+    ).localCheckpoint(eager=True)
     labels = bi.select("a").distinct().withColumn("l", F.col("a"))
     w = Window.partitionBy("a").orderBy(F.desc("c"), F.asc("l"))
     for i in range(1, 5):
@@ -14870,6 +14906,7 @@ def q_txlog_stream_multihop(spark: SparkSession, sf_dir: str) -> DataFrame:
         append_table,
         create_table,
         read_table,
+        stats_rowcount,
     )
     from vector_knowledge_base_spark.sources.txstream import (
         stream_txlog_table,
@@ -14886,18 +14923,35 @@ def q_txlog_stream_multihop(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
     )
     wave = [orders.where(F.col("o_orderkey") % 5 == k) for k in range(5)]
-    counts = [w.count() for w in wave]
+    # one grouped count instead of five full-scan count() jobs (r14,
+    # guide §1.2: same answer, one pass)
+    by_wave = {
+        r["k"]: r["n"]
+        for r in orders.groupBy((F.col("o_orderkey") % 5).alias("k"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    counts = [int(by_wave.get(k, 0)) for k in range(5)]
     create_table(spark, a, wave[0].coalesce(1))
     append_table(spark, a, wave[1].coalesce(1))
     append_table(spark, a, wave[2].coalesce(1))
 
     def _wait(target: int, deadline: float) -> bool:
+        # poll B's committed row count from the MANIFEST stats (r14,
+        # guide §1.2/§5: the sink's tables are append-only, so the
+        # metadata count is exact — zero Spark jobs per probe where the
+        # old poll ran a full read+count every 0.4s); stats_rowcount
+        # abstains (None) only when the count could be inexact, and the
+        # fallback recomputes it the old way
         while _time.time() < deadline:
-            try:
-                if read_table(spark, b).count() >= target:
-                    return True
-            except RuntimeError:
-                pass  # B not created yet
+            n = stats_rowcount(b)
+            if n is None:
+                try:
+                    n = read_table(spark, b).count()
+                except RuntimeError:
+                    n = -1  # B not created yet
+            if n >= target:
+                return True
             _time.sleep(0.4)
         return False
 
@@ -14931,19 +14985,22 @@ def q_txlog_stream_multihop(spark: SparkSession, sf_dir: str) -> DataFrame:
         q2.stop()
     n_src_versions = len(_list_versions(a))
     got = read_table(spark, b)
-    n_keys = got.select("o_orderkey").distinct().count()
+    # exactly_once folded into the ONE aggregate (r14, guide §1.2):
+    # count == countDistinct(non-null key) ≡ the old separate
+    # distinct().count() job's comparison, same answer, one pass
     return got.agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.round(F.sum("o_totalprice"), 2).alias("total_value"),
         F.lit(n_src_versions).alias("n_src_versions"),
         F.lit(live_tailed).alias("live_tailed"),
         F.count(F.lit(1)).alias("_n"),
+        F.countDistinct("o_orderkey").alias("_nk"),
     ).select(
         "n_rows",
         "total_value",
         "n_src_versions",
         "live_tailed",
-        (F.col("_n") == F.lit(n_keys)).alias("exactly_once"),
+        (F.col("_n") == F.col("_nk")).alias("exactly_once"),
     )
 
 
@@ -15368,6 +15425,7 @@ def q_txlog_stream_backpressure(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vector_knowledge_base_spark.sources.txlog import (
         create_table,
         read_table,
+        stats_rowcount,
     )
     from vector_knowledge_base_spark.sources.txlog import (
         append_table as tx_append,
@@ -15401,12 +15459,19 @@ def q_txlog_stream_backpressure(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     deadline = _time.time() + 240
     try:
+        # manifest-stats poll (r14, guide §1.2/§5): B is append-only,
+        # so the metadata count is exact and each probe costs zero
+        # Spark jobs (was a full read+count every 0.4s); None = abstain
+        # → recompute the old way
         while _time.time() < deadline:
-            try:
-                if read_table(spark, b).count() >= total:
-                    break
-            except RuntimeError:
-                pass  # B not created yet
+            n = stats_rowcount(b)
+            if n is None:
+                try:
+                    n = read_table(spark, b).count()
+                except RuntimeError:
+                    n = -1  # B not created yet
+            if n >= total:
+                break
             _time.sleep(0.4)
     finally:
         q.stop()
@@ -15425,19 +15490,22 @@ def q_txlog_stream_backpressure(spark: SparkSession, sf_dir: str) -> DataFrame:
     capped = bool(spans) and max(spans) <= 2 and ends == sorted(ends)
 
     got = read_table(spark, b)
-    n_keys = got.select("o_orderkey").distinct().count()
+    # exactly_once folded into the ONE aggregate (r14, guide §1.2):
+    # count == countDistinct(non-null key) ≡ the old separate
+    # distinct().count() job's comparison, same answer, one pass
     return got.agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.round(F.sum("o_totalprice"), 2).alias("total_value"),
         F.lit(bool(multi_batch)).alias("multi_batch"),
         F.lit(bool(capped)).alias("capped"),
         F.count(F.lit(1)).alias("_n"),
+        F.countDistinct("o_orderkey").alias("_nk"),
     ).select(
         "n_rows",
         "total_value",
         "multi_batch",
         "capped",
-        (F.col("_n") == F.lit(n_keys)).alias("exactly_once"),
+        (F.col("_n") == F.col("_nk")).alias("exactly_once"),
     )
 
 
@@ -15605,8 +15673,13 @@ def q_txlog_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     files_unmoved = list(m2["files"]) == files0 and bool(m2.get("dv"))
     # CDC across BOTH dv commits: deletes only, counted
     diff = table_diff(spark, tbl, 0, v2)
-    n_del = diff.where(F.col("change") == "delete").count()
-    n_ins = diff.where(F.col("change") == "insert").count()
+    # one conditional aggregate instead of two full diff-lineage
+    # count() jobs (r14, guide §1.2)
+    _dc = diff.agg(
+        F.sum((F.col("change") == "delete").cast("long")).alias("d"),
+        F.sum((F.col("change") == "insert").cast("long")).alias("i"),
+    ).first()
+    n_del, n_ins = int(_dc["d"] or 0), int(_dc["i"] or 0)
     # materialization: compaction must not change what readers see —
     # compared in exact integer CENTS (a rounded double sum at 1e10
     # drifts in the last cent when compaction reorders accumulation)
@@ -15696,8 +15769,13 @@ def q_txlog_update_where(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = _read_manifest(tbl, v)
     untouched = files0 <= set(m["files"]) and bool(m.get("dv"))
     d = table_diff(spark, tbl, 0, v)
-    n_del = d.where(F.col("change") == "delete").count()
-    n_ins = d.where(F.col("change") == "insert").count()
+    # one conditional aggregate instead of two full diff-lineage
+    # count() jobs (r14, guide §1.2)
+    _dc = d.agg(
+        F.sum((F.col("change") == "delete").cast("long")).alias("d"),
+        F.sum((F.col("change") == "insert").cast("long")).alias("i"),
+    ).first()
+    n_del, n_ins = int(_dc["d"] or 0), int(_dc["i"] or 0)
     return read_table(spark, tbl).agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.round(F.sum("o_totalprice"), 2).alias("total_value"),
@@ -17059,14 +17137,28 @@ def q_knn_batch_serving_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     drop_table(tbl)
     create_table(spark, tbl, joined)
-    single = KnnServer.from_txlog(
-        spark, tbl, n_partitions=8, id_col="doc_id",
-        max_vectors=10_000_000,
-    )
-    sharded = ShardedHybridServer.from_txlog(
-        spark, tbl, n_shards=3, n_partitions=8, id_col="doc_id",
-        max_docs_per_shard=10_000_000, max_vectors_per_shard=10_000_000,
-    )
+    # build the two topologies CONCURRENTLY (r14, guide §2.6): the
+    # builds are independent jobs over the same pinned txlog version
+    # (each runs its own seeded KMeans + collect), so the second
+    # build's tasks back-fill executors the first build's fit tail
+    # leaves idle; results are identical to the sequential builds
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as _pool:
+        _f_single = _pool.submit(
+            lambda: KnnServer.from_txlog(
+                spark, tbl, n_partitions=8, id_col="doc_id",
+                max_vectors=10_000_000,
+            )
+        )
+        _f_sharded = _pool.submit(
+            lambda: ShardedHybridServer.from_txlog(
+                spark, tbl, n_shards=3, n_partitions=8, id_col="doc_id",
+                max_docs_per_shard=10_000_000,
+                max_vectors_per_shard=10_000_000,
+            )
+        )
+        single, sharded = _f_single.result(), _f_sharded.result()
     qvs = [
         [float(x) for x in r["embedding"]]
         for r in emb.where(F.col("vec_id") < 3).orderBy("vec_id").collect()
@@ -17196,14 +17288,25 @@ def q_hybrid_batch_serving_parity(
     )
     drop_table(tbl)
     create_table(spark, tbl, joined)
-    single = HybridKnnServer.from_txlog(
-        spark, tbl, n_partitions=8, id_col="doc_id",
-        max_docs=10_000_000,
-    )
-    sharded = ShardedHybridServer.from_txlog(
-        spark, tbl, n_shards=3, n_partitions=8, id_col="doc_id",
-        max_docs_per_shard=10_000_000, max_vectors_per_shard=10_000_000,
-    )
+    # build the two topologies CONCURRENTLY (r14, guide §2.6) — same
+    # pinned version, independent seeded builds, identical results
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as _pool:
+        _f_single = _pool.submit(
+            lambda: HybridKnnServer.from_txlog(
+                spark, tbl, n_partitions=8, id_col="doc_id",
+                max_docs=10_000_000,
+            )
+        )
+        _f_sharded = _pool.submit(
+            lambda: ShardedHybridServer.from_txlog(
+                spark, tbl, n_shards=3, n_partitions=8, id_col="doc_id",
+                max_docs_per_shard=10_000_000,
+                max_vectors_per_shard=10_000_000,
+            )
+        )
+        single, sharded = _f_single.result(), _f_sharded.result()
     term_lists = [["vector"], ["data"]]
     qvs = [
         [float(x) for x in r["embedding"]]
@@ -17569,13 +17672,25 @@ def q_keyword_batch_serving_parity(
     )
     drop_table(tbl)
     create_table(spark, tbl, joined)
-    single = HybridKnnServer.from_txlog(
-        spark, tbl, n_partitions=8, id_col="doc_id", max_docs=10_000_000,
-    )
-    sharded = ShardedHybridServer.from_txlog(
-        spark, tbl, n_shards=3, n_partitions=8, id_col="doc_id",
-        max_docs_per_shard=10_000_000, max_vectors_per_shard=10_000_000,
-    )
+    # build the two topologies CONCURRENTLY (r14, guide §2.6) — same
+    # pinned version, independent seeded builds, identical results
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as _pool:
+        _f_single = _pool.submit(
+            lambda: HybridKnnServer.from_txlog(
+                spark, tbl, n_partitions=8, id_col="doc_id",
+                max_docs=10_000_000,
+            )
+        )
+        _f_sharded = _pool.submit(
+            lambda: ShardedHybridServer.from_txlog(
+                spark, tbl, n_shards=3, n_partitions=8, id_col="doc_id",
+                max_docs_per_shard=10_000_000,
+                max_vectors_per_shard=10_000_000,
+            )
+        )
+        single, sharded = _f_single.result(), _f_sharded.result()
     term_lists = [["vector"], ["data", "vector"]]
     allowed = [
         int(i) for i in single._snap.doc_ids if int(i) % 3 != 1

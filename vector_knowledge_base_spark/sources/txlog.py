@@ -2562,6 +2562,40 @@ def drop_table(path: str) -> None:
     shutil.rmtree(path, ignore_errors=True)
 
 
+def stats_rowcount(path: str, version: int | None = None) -> int | None:
+    """METADATA-ONLY row count of the table at ``version`` (default:
+    latest) — the Delta/Iceberg answer-COUNT(*)-from-the-log idea: the
+    manifest already records every file's footer row count, so the sum
+    is exact without reading a byte of data or running a Spark job.
+
+    Returns ``None`` (abstains) whenever the manifest alone cannot be
+    exact: no table yet, any live file missing its ``rows`` stat, or
+    any deletion vector in force (soft-deleted positions live in DV
+    parquet, not the manifest). Callers fall back to a real
+    ``read_table(...).count()`` — abstention is never a wrong answer.
+
+    100 TB shape: progress polling / cardinality checks on an
+    append-only table become O(manifest) driver work instead of a
+    full-scan job per probe."""
+    versions = _list_versions(path)
+    if not versions:
+        return None
+    v = versions[-1] if version is None else version
+    if v not in versions:
+        return None
+    m = _read_manifest(path, v)
+    if m.get("dv"):
+        return None
+    stats = m.get("stats") or {}
+    total = 0
+    for f in m.get("files") or []:
+        rows = (stats.get(f) or {}).get("rows")
+        if rows is None:
+            return None
+        total += int(rows)
+    return total
+
+
 def read_table(
     spark: SparkSession,
     path: str,
