@@ -53,6 +53,14 @@ def test_dv_redelete_idempotent_and_accumulates(spark, tmp_path):
     # a second real delete ACCUMULATES per-file vector lists
     tx.delete_where(spark, p, F.col("k") >= 38, mode="dv")
     assert _ks(spark, p) == list(range(5, 38))
+    # write-first no-match detection (r14): the empty sidecar a
+    # no-match delete probes with is removed before commit — only
+    # the two REAL dv batches exist on disk
+    import os
+
+    data = os.path.join(p, "data")
+    dv_dirs = [d for d in os.listdir(data) if d.startswith("dv")]
+    assert len(dv_dirs) == 2
 
 
 def test_dv_cdc_and_matview_follow_soft_deletes(spark, tmp_path):

@@ -1051,32 +1051,39 @@ def pq_opq_recall_curve(
 
     import numpy as np
 
+    from functools import reduce
+
     qrows = (
         emb.orderBy(id_col).limit(n_queries).select(id_col, vec_col).collect()
     )
 
-    # Every build is seeded and every scan reads an immutable checkpoint,
-    # so the per-budget bodies and the per-query recall scans are
-    # INDEPENDENT jobs — overlap them (guide §2.6): at bench scale each
-    # tiny action costs ~0.15 s of dispatch and the row ran ~40 of them
-    # sequentially; results land in indexed slots so the returned rows
-    # are byte-identical to the sequential loop.
-    def _exact_ids(r):
-        return {
-            x[0]
-            for x in cosine_topk(emb, [float(v) for v in r[vec_col]], k=k)
-            .select(id_col)
-            .collect()
-        }
+    # Tagged-union batching (guide §1.2): every per-query top-k plan is
+    # the same limited subtree it always was — tagging each with its
+    # query id and unioning them turns n_queries driver round-trips
+    # into ONE job per variant (the scans were dispatch-bound: ~0.1 s
+    # of scheduling around sub-ms compute on the checkpointed codes).
+    # Union preserves each subplan's own LIMIT, so the per-query id
+    # sets — and therefore every recall value — are identical to the
+    # one-collect-per-query loop.
+    def _union_ids(frames):
+        tagged = [
+            df.select(F.col(id_col)).withColumn("_q", F.lit(qid))
+            for qid, df in frames
+        ]
+        out: dict = {qid: set() for qid, _ in frames}
+        for row in reduce(lambda a, b: a.unionAll(b), tagged).collect():
+            out[row["_q"]].add(row[id_col])
+        return out
 
-    with ThreadPoolExecutor(max_workers=max(1, len(qrows))) as pool:
-        exact = {
-            r[id_col]: ids for r, ids in zip(qrows, pool.map(_exact_ids, qrows))
-        }
-
-    def _recall(result_df, qid) -> float:
-        got = {x[0] for x in result_df.select(id_col).collect()}
-        return len(got & exact[qid]) / float(k)
+    exact = _union_ids(
+        [
+            (
+                r[id_col],
+                cosine_topk(emb, [float(v) for v in r[vec_col]], k=k),
+            )
+            for r in qrows
+        ]
+    )
 
     def _budget_rows(m: int) -> list:
         bits = int(m * math.log2(ksub))
@@ -1104,28 +1111,34 @@ def pq_opq_recall_curve(
         )
         ivf_idx = ivf_idx.localCheckpoint(eager=True)
 
-        def _one(job):
-            variant, r = job
-            qv = [float(v) for v in r[vec_col]]
-            qid = r[id_col]
-            if variant == "pq":
-                df = pq_topk(pq_cb, pq_codes, qv, k=k, id_col=id_col)
-            elif variant == "opq":
-                q_rot = list(np.asarray(qv) @ R)
-                df = pq_topk(opq_cb, opq_codes, q_rot, k=k, id_col=id_col)
-            else:
-                df = opq_ivfpq_topk(
-                    Rc, cents, ivf_cb, ivf_idx, emb, qv,
-                    k=k, n_probe=n_probe, shortlist=k,
-                    id_col=id_col, vec_col=vec_col,
-                )
-            return _recall(df, qid)
+        def _variant_recalls(variant):
+            frames = []
+            for r in qrows:
+                qv = [float(v) for v in r[vec_col]]
+                if variant == "pq":
+                    df = pq_topk(pq_cb, pq_codes, qv, k=k, id_col=id_col)
+                elif variant == "opq":
+                    q_rot = list(np.asarray(qv) @ R)
+                    df = pq_topk(opq_cb, opq_codes, q_rot, k=k, id_col=id_col)
+                else:
+                    df = opq_ivfpq_topk(
+                        Rc, cents, ivf_cb, ivf_idx, emb, qv,
+                        k=k, n_probe=n_probe, shortlist=k,
+                        id_col=id_col, vec_col=vec_col,
+                    )
+                frames.append((r[id_col], df))
+            got = _union_ids(frames)  # ONE job for all n_queries scans
+            return [
+                len(got[r[id_col]] & exact[r[id_col]]) / float(k)
+                for r in qrows
+            ]
 
-        jobs = [(v, r) for v in ("pq", "opq", "ivf") for r in qrows]
-        with ThreadPoolExecutor(max_workers=5) as pool:
-            rec = list(pool.map(_one, jobs))
-        nq = len(qrows)
-        pq_r, opq_r, ivf_r = rec[:nq], rec[nq : 2 * nq], rec[2 * nq :]
+        # the three variants scan independent checkpointed code tables
+        # — overlap their (single-job) collects (guide §2.6)
+        with ThreadPoolExecutor(max_workers=3) as pool:
+            pq_r, opq_r, ivf_r = list(
+                pool.map(_variant_recalls, ("pq", "opq", "ivf"))
+            )
         return [
             (bits, "pq", round(sum(pq_r) / len(pq_r), 4), round(pq_mse, 6)),
             (bits, "opq", round(sum(opq_r) / len(opq_r), 4), round(hist[-1], 6)),

@@ -62,6 +62,25 @@ def _session_tag(spark) -> str:
     return _re.sub(r"[^A-Za-z0-9]", "", spark.sparkContext.applicationId)[-12:]
 
 
+def _overlap(*thunks):
+    """Run INDEPENDENT Spark actions concurrently from a small driver
+    thread pool (guide §2.6: actions are only sequential because the
+    driver calls them sequentially; overlapped jobs back-fill executors
+    the other job's tail leaves idle) and return their results in call
+    order. Callers must only pass thunks whose results do not depend on
+    each other or on execution order — every use site in this module is
+    a set of seeded, deterministic builds/collects over immutable
+    inputs, so the returned values are identical to the sequential
+    form."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    if len(thunks) == 1:
+        return [thunks[0]()]
+    with ThreadPoolExecutor(max_workers=len(thunks)) as pool:
+        futs = [pool.submit(t) for t in thunks]
+        return [f.result() for f in futs]
+
+
 # ---------------------------------------------------------------------------
 # K1/K2 — top-k cosine vector search (SURVEY §2.3; reference
 # /root/reference/backend/main.py:185-230, backend/vector_db.py:165-170)
@@ -13127,10 +13146,13 @@ def q_opq_ivfpq_exact_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = _t(spark, sf_dir, "embeddings")
-    n = emb.count()
-    qvec = emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
-    R, centroids, codebooks, index = build_opq_ivfpq(
-        emb, n_cells=8, m=8, ksub=16, opq_iters=2
+    # corpus count, query-vector fetch and the index build are
+    # independent jobs over the same immutable input — overlap them
+    # (r14, guide §2.6); same three values as the sequential form
+    n, qvec, (R, centroids, codebooks, index) = _overlap(
+        emb.count,
+        lambda: emb.where(F.col("vec_id") == 0).select("embedding").first()[0],
+        lambda: build_opq_ivfpq(emb, n_cells=8, m=8, ksub=16, opq_iters=2),
     )
     return opq_ivfpq_topk(
         R, centroids, codebooks, index, emb, qvec,
@@ -13544,9 +13566,14 @@ def q_ivfpq_serving_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vector_knowledge_base_spark.operators.knn import cosine_topk
 
     emb = _t(spark, sf_dir, "embeddings")
-    n = emb.count()
-    qvec = emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
-    centroids, codebooks, index = build_ivfpq(emb, n_cells=8, m=8, ksub=16)
+    # corpus count, query-vector fetch and the index build are
+    # independent jobs over the same immutable input — overlap them
+    # (r14, guide §2.6); same three values as the sequential form
+    n, qvec, (centroids, codebooks, index) = _overlap(
+        emb.count,
+        lambda: emb.where(F.col("vec_id") == 0).select("embedding").first()[0],
+        lambda: build_ivfpq(emb, n_cells=8, m=8, ksub=16),
+    )
     codes_len_ok = (
         index.where(F.size("codes") != codebooks.shape[0]).count() == 0
     )
@@ -16198,22 +16225,32 @@ def q_ivfpq_inproc_serving_parity(spark: SparkSession, sf_dir: str) -> DataFrame
     from vector_knowledge_base_spark.operators.serving import IvfPqKnnServer
 
     emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    centroids, codebooks, index = build_ivfpq(emb, n_cells=8, m=8, ksub=16)
+    # the index build and the query-row collect are independent jobs
+    # over the same immutable input — overlap them (r14, guide §2.6)
+    (centroids, codebooks, index), qrows = _overlap(
+        lambda: build_ivfpq(emb, n_cells=8, m=8, ksub=16),
+        lambda: (
+            emb.where(F.col("vec_id") < 6)
+            .select("vec_id", "embedding")
+            .collect()
+        ),
+    )
     srv = IvfPqKnnServer(centroids, codebooks, index)
 
-    # (1) in-process probed ADC ≡ the Spark ADC plan, six queries
-    qrows = (
-        emb.where(F.col("vec_id") < 6)
-        .select("vec_id", "embedding")
-        .collect()
-    )
-    n_match = 0
-    for r in qrows:
+    # (1) in-process probed ADC ≡ the Spark ADC plan, six queries —
+    # the six shortlist scans are independent collects over the
+    # checkpointed index, so they overlap too (r14, guide §2.6);
+    # results land in per-query slots, n_match is computed identically
+    def _adc(r):
         qv = [float(x) for x in r["embedding"]]
         rows = _ivfpq_adc_shortlist(
             centroids, codebooks, index, qv,
             n_probe=4, shortlist=1500, id_col="vec_id",
         ).collect()
+        return qv, rows
+
+    n_match = 0
+    for qv, rows in _overlap(*[lambda r=r: _adc(r) for r in qrows]):
         want = sorted(
             ((row["vec_id"], float(np.round(row["adc"], 6))) for row in rows),
             key=lambda t: (-t[1], t[0]),
@@ -16222,9 +16259,13 @@ def q_ivfpq_inproc_serving_parity(spark: SparkSession, sf_dir: str) -> DataFrame
             n_match += 1
 
     # (2) served full-probe shortlist → exact rerank ≡ exact kNN
+    # (query vector taken from the already-collected qrows — same
+    # value the old one-row first() job fetched)
     qv0 = [
         float(x)
-        for x in emb.where(F.col("vec_id") == 0).first()["embedding"]
+        for x in next(
+            r for r in qrows if int(r["vec_id"]) == 0
+        )["embedding"]
     ]
     shortlist = [i for i, _ in srv.query(qv0, k=2000, n_probe=None)]
     rerank = cosine_topk(
@@ -17488,17 +17529,28 @@ def q_pq_batch_filtered_serving_parity(
     )
 
     emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    codebooks, codes = build_pq(emb, m=8, ksub=16)
-    codes = codes.localCheckpoint(eager=True)  # encode once, read twice
-    pq = PqKnnServer(codebooks, codes)
-    centroids, cbs, index = build_ivfpq(emb, n_cells=8, m=8, ksub=16)
-    ivfpq = IvfPqKnnServer(centroids, cbs, index)
 
-    qrows = (
-        emb.where(F.col("vec_id") < 3)
-        .select("vec_id", "embedding")
-        .orderBy("vec_id")
-        .collect()
+    # the PQ and IVF-PQ tier builds are independent seeded pipelines
+    # over the same immutable input — overlap them (r14, guide §2.6);
+    # each thunk returns the same server the sequential build did
+    def _build_pq_tier():
+        codebooks, codes = build_pq(emb, m=8, ksub=16)
+        codes = codes.localCheckpoint(eager=True)  # encode once, read twice
+        return PqKnnServer(codebooks, codes)
+
+    def _build_ivfpq_tier():
+        centroids, cbs, index = build_ivfpq(emb, n_cells=8, m=8, ksub=16)
+        return IvfPqKnnServer(centroids, cbs, index)
+
+    pq, ivfpq, qrows = _overlap(
+        _build_pq_tier,
+        _build_ivfpq_tier,
+        lambda: (
+            emb.where(F.col("vec_id") < 3)
+            .select("vec_id", "embedding")
+            .orderBy("vec_id")
+            .collect()
+        ),
     )
     vecs = [[float(x) for x in r["embedding"]] for r in qrows]
     allowed = [int(i) for i in pq.ids if int(i) % 3 != 1]

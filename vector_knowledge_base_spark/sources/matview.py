@@ -504,7 +504,10 @@ def refresh_matview(spark: SparkSession, mv_path: str) -> dict:
                 colmap={c: _cur(c) for c in defn_need},
             )
             mode = "rescan"
-        new_state = new_state.localCheckpoint(eager=True)
+        # write the merged state directly — the write is its ONLY
+        # consumer, so the pre-write eager checkpoint was a second full
+        # materialization of the same plan (r14, guide §1.2; the cdc /
+        # affected checkpoints above stay: they feed multiple branches)
         files = _write_batch(new_state, mv_path)
         try:
             mv_version = _mv_commit(

@@ -614,6 +614,27 @@ def _json_safe(v):
     return str(v)  # dates/timestamps → ISO strings (orderable)
 
 
+def _parquet_rows(files: list[str]) -> int:
+    """Driver-side total row count of freshly-written parquet files
+    from their footers — no Spark job (r14, guide §1.2: the write
+    already computed the rows; re-counting them with a second scan
+    job is a pure dispatch tax). Same source of truth as
+    ``_file_stats``'s ``rows``."""
+    import pyarrow.parquet as pq
+
+    return sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+
+
+def _dir_parquet_files(dirpath: str) -> list[str]:
+    """All parquet data files under a just-written batch directory."""
+    return sorted(
+        os.path.join(r, n)
+        for r, _dirs, names in os.walk(dirpath)
+        for n in names
+        if n.endswith(".parquet")
+    )
+
+
 def _file_stats(path: str, files: list[str]) -> dict:
     """Per-file stats from the parquet footers (no data read): row
     count + per-top-level-column min/max, keyed by the manifest entry
@@ -2659,22 +2680,30 @@ def _delete_where_dv(
         latest = versions[-1]
         m = _read_manifest(path, latest)
         candidates = _prune_files(path, m, filters)
-        hits = None
+        dv_batch = None
+        n_hits = 0
         if candidates:
             # tag=path: positions tagged BEFORE any projection (the
             # hidden _metadata column stops resolving after one) and
             # already-soft-deleted rows dropped, so a re-delete nets
-            # zero; colmap-aware by construction
+            # zero; colmap-aware by construction.
+            # WRITE-FIRST (r14, guide §1.2): the hit list lands
+            # straight in its sidecar batch — ONE predicate-scan job —
+            # and emptiness comes from the written footers driver-side,
+            # where the old shape paid a checkpoint job plus a count
+            # job before an identical write
             tagged = _read_files(spark, m, candidates, path, tag=path)
-            hits = (
-                tagged.where(predicate)
-                .select(
-                    F.col("_dv_entry").alias("entry"),
-                    F.col("_dv_ri").alias("row_index"),
-                )
-                .localCheckpoint(eager=True)
+            dv_batch = os.path.join(
+                path, _DATA_DIR, f"dv{uuid.uuid4().hex[:12]}"
             )
-        if hits is None or not hits.limit(1).count():
+            tagged.where(predicate).select(
+                F.col("_dv_entry").alias("entry"),
+                F.col("_dv_ri").alias("row_index"),
+            ).write.mode("error").parquet(dv_batch)
+            n_hits = _parquet_rows(_dir_parquet_files(dv_batch))
+        if not n_hits:
+            if dv_batch is not None:  # empty sidecar: never referenced
+                shutil.rmtree(dv_batch, ignore_errors=True)
             try:  # nothing matched: pure-metadata idempotent commit
                 return _commit(
                     path,
@@ -2690,8 +2719,6 @@ def _delete_where_dv(
                 )
             except TxConflict:
                 continue
-        dv_batch = os.path.join(path, _DATA_DIR, f"dv{uuid.uuid4().hex[:12]}")
-        hits.write.mode("error").parquet(dv_batch)
         dv_entry = _rel(path, dv_batch)
         touched = [
             r["entry"]
@@ -2989,15 +3016,24 @@ def delete_where(
             except TxConflict:
                 continue
         # SQL DELETE semantics: remove rows where the predicate is TRUE;
-        # NULL-evaluating rows survive (plain ~predicate would drop them)
+        # NULL-evaluating rows survive (plain ~predicate would drop them).
+        # WRITE-FIRST (r14, guide §1.2): the rewrite is ONE pass over
+        # the affected files — the old emptiness pre-count was a second
+        # full read of them; an all-deleted batch is detected from the
+        # written footers driver-side and removed before it is ever
+        # referenced, reproducing the old new_files=[] manifest exactly
         survivors = _read_files(spark, m, sorted(affected), path).where(
             ~F.coalesce(predicate, F.lit(False))
         )
-        new_files = (
-            _write_batch(survivors, path, m.get("partition_by"), m.get("colmap"))
-            if survivors.limit(1).count()
-            else []
+        new_files = _write_batch(
+            survivors, path, m.get("partition_by"), m.get("colmap")
         )
+        if not _parquet_rows(new_files):
+            if new_files:
+                shutil.rmtree(
+                    os.path.dirname(new_files[0]), ignore_errors=True
+                )
+            new_files = []
         kept = [e for e in m["files"] if _resolve(path, e) not in affected]
         stats = {
             k: v
