@@ -428,6 +428,43 @@ def test_opq_rotation_invariants(spark, emb):
     assert len(row["codes"]) == 8 and all(0 <= c < 16 for c in row["codes"])
 
 
+def test_opq_r_snapshots_prefix(spark, emb):
+    """OPQ training is deterministic and strictly sequential, so the
+    rotation snapshot after i iterations of a longer run must be
+    BIT-identical to a fresh build_opq(iters=i) — the property the
+    recall curve relies on to hand build_opq_ivfpq a prefix R instead
+    of re-training (r14 optimization). Also pins that
+    build_opq_ivfpq(pretransform=R3) reproduces the from-scratch
+    build exactly (centroids, codebooks, index rows)."""
+    import numpy as np
+
+    from vector_knowledge_base_spark.operators.ann import (
+        build_opq,
+        build_opq_ivfpq,
+    )
+
+    snaps: list = []
+    build_opq(emb, m=8, ksub=16, iters=4, r_snapshots=snaps)
+    assert len(snaps) == 4
+    r3, _cb3, _codes3, _h3 = build_opq(emb, m=8, ksub=16, iters=3)
+    assert np.array_equal(snaps[2], r3)
+
+    ra, ca, cba, ia = build_opq_ivfpq(emb, n_cells=8, m=8, opq_iters=3)
+    rb, cb_, cbb, ib = build_opq_ivfpq(
+        emb, n_cells=8, m=8, opq_iters=3, pretransform=snaps[2]
+    )
+    assert np.array_equal(ra, rb)
+    assert np.array_equal(ca, cb_)
+    assert np.array_equal(cba, cbb)
+    rows_a = sorted(
+        (r["vec_id"], r["ivf_cell"], tuple(r["codes"])) for r in ia.collect()
+    )
+    rows_b = sorted(
+        (r["vec_id"], r["ivf_cell"], tuple(r["codes"])) for r in ib.collect()
+    )
+    assert rows_a == rows_b
+
+
 def test_opq_shortlist_rerank_equals_exact(spark, emb):
     """With a covering shortlist, rotated-space ADC + exact rerank must
     return EXACTLY the exact top-k — same contract as the PQ form

@@ -328,6 +328,7 @@ def build_opq(
     vec_col: str = "embedding",
     seed: int = 42,
     train_limit: int = 100_000,
+    r_snapshots: list | None = None,
 ):
     """Optimized Product Quantization (Ge et al., CVPR 2013 — the
     public OPQ-NP algorithm): learn an ORTHOGONAL rotation R so the
@@ -399,6 +400,14 @@ def build_opq(
         # Procrustes: best orthogonal R for the fixed reconstructions
         u, _s, vt = np.linalg.svd(sample.T @ Y)
         R = u @ vt
+        if r_snapshots is not None:
+            # training is deterministic and strictly sequential, so the
+            # state after i iterations IS the iters=i result: callers
+            # that also need a shorter-iters rotation (the recall curve
+            # runs iters=4 for the OPQ variant and iters=3 inside
+            # build_opq_ivfpq) can take the prefix instead of paying
+            # the whole training twice (guide §1.2)
+            r_snapshots.append(R.copy())
 
     spark = emb.sparkSession
     bc_r = spark.sparkContext.broadcast(R)
@@ -904,6 +913,7 @@ def build_opq_ivfpq(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    pretransform=None,
 ):
     """OPQ-pretransformed IVF-PQ (FAISS's ``OPQ{m},IVF{n},PQ{m}``
     factory string): learn the orthogonal rotation R on global PQ error
@@ -919,11 +929,25 @@ def build_opq_ivfpq(
     encode — both single-pass, no shuffle added.
 
     Returns (R, centroids, codebooks, index) — centroids/codebooks/
-    index exactly as build_ivfpq, all in rotated space."""
-    R, _cb, _codes, _hist = build_opq(
-        emb, m=m, ksub=ksub, iters=opq_iters,
-        id_col=id_col, vec_col=vec_col, seed=seed,
-    )
+    index exactly as build_ivfpq, all in rotated space.
+
+    ``pretransform``: a rotation trained elsewhere with the SAME
+    (sample, m, ksub, seed) at ``opq_iters`` iterations — OPQ training
+    is deterministic and sequential, so a caller that already ran a
+    longer training can hand over the iteration-``opq_iters`` prefix R
+    instead of paying the sample collect + training again (guide §1.2;
+    the recall curve trains iters=4 for its OPQ variant and previously
+    re-trained iters=3 here on the same sample). Prefix equality is
+    pinned by tests/test_ml_operators.py."""
+    if pretransform is not None:
+        import numpy as np
+
+        R = np.asarray(pretransform, dtype=np.float64)
+    else:
+        R, _cb, _codes, _hist = build_opq(
+            emb, m=m, ksub=ksub, iters=opq_iters,
+            id_col=id_col, vec_col=vec_col, seed=seed,
+        )
     rotated = rotate_embeddings(emb, R, id_col=id_col, vec_col=vec_col)
     centroids, codebooks, index = build_ivfpq(
         rotated, n_cells=n_cells, m=m, ksub=ksub,
@@ -1101,13 +1125,19 @@ def pq_opq_recall_curve(
             d2 = ((sub[:, None, :] - pq_cb[j][None, :, :]) ** 2).sum(axis=2)
             err += float(d2.min(axis=1).sum())
         pq_mse = err / len(sample)
+        snaps: list = []
         R, opq_cb, opq_codes, hist = build_opq(
-            emb, m=m, ksub=ksub, iters=4, id_col=id_col, vec_col=vec_col
+            emb, m=m, ksub=ksub, iters=4, id_col=id_col, vec_col=vec_col,
+            r_snapshots=snaps,
         )
         opq_codes = opq_codes.localCheckpoint(eager=True)
+        # snaps[2] is R after 3 iterations — bit-identical to the
+        # build_opq(iters=3) rotation this call used to re-train from
+        # scratch on the same sample (prefix property; pinned by
+        # tests/test_ml_operators.py::test_opq_r_snapshots_prefix)
         Rc, cents, ivf_cb, ivf_idx = build_opq_ivfpq(
             emb, n_cells=n_cells, m=m, ksub=ksub, opq_iters=3,
-            id_col=id_col, vec_col=vec_col,
+            id_col=id_col, vec_col=vec_col, pretransform=snaps[2],
         )
         ivf_idx = ivf_idx.localCheckpoint(eager=True)
 
