@@ -139,7 +139,10 @@ def train_quality_model(labeled: DataFrame, sample_mod: int = 5):
     """
     import numpy as np
 
-    buckets = hashed_buckets(labeled)
+    # materialize the sparse feature table once (r14, guide §5): it
+    # feeds the training sample collect AND the scoring pass — without
+    # the barrier the scan→explode→hash-agg lineage runs per consumer
+    buckets = hashed_buckets(labeled).localCheckpoint(eager=True)
     sample = (
         buckets.where(F.col("doc_id") % sample_mod == 0)
         .toPandas()  # Arrow-backed bounded collect

@@ -6183,33 +6183,51 @@ def q_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", _shingle_text(3).alias("shingle"))
     )
     tf = shing.groupBy("doc_id", "shingle").agg(F.count(F.lit(1)).alias("tf"))
-    df_ = tf.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     n = docs.agg(F.count(F.lit(1)).alias("n"))
-    w = (
-        tf.join(df_.where(F.col("df") <= 20), "shingle")
+    # ONE (shingle)-grouped aggregation yields df (= posting-list size)
+    # AND the posting list itself (r14, guide §1.2/§2.4): the previous
+    # shape ran a second df aggregation, joined it back onto tf, and
+    # SELF-JOINED the weighted relation on shingle — three extra
+    # exchanges of the full posting relation. The df<=20 cap bounds
+    # every posting array, so pairs are generated INSIDE the group
+    # (the minhash_lsh_candidates pattern); df=1 rows stay for norms.
+    post = (
+        tf.groupBy("shingle")
+        .agg(F.sort_array(F.collect_list(F.struct("doc_id", "tf"))).alias("pl"))
+        .where(F.size("pl") <= 20)
         .join(F.broadcast(n))
-        .select(
-            "doc_id",
-            "shingle",
-            (F.col("tf") * F.log(F.col("n") * 1.0 / F.col("df"))).alias("w"),
-        )
-        # the weighted posting list feeds THREE consumers (norms + both
-        # self-join sides) — materialize once instead of running the
-        # scan→shingle→tf→df pipeline per consumer, and re-spread the
-        # checkpointed rows (AQE coalesces the tiny shuffle to one
-        # partition, which would serialize the pair join); the simhash
-        # r4/r5 lesson applied
+        .select(F.log(F.col("n") * 1.0 / F.size("pl")).alias("idf"), "pl")
+        # feeds TWO consumers (pair dots + norms) — materialize once,
+        # and re-spread the checkpointed rows (AQE coalesces the tiny
+        # shuffle to one partition, which would serialize pair
+        # generation); the simhash r4/r5 lesson applied
         .localCheckpoint(eager=True)
         .repartition(par)
     )
-    nrm = w.groupBy("doc_id").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
-    a = w.select(F.col("doc_id").alias("doc_id_a"), "shingle", F.col("w").alias("wa"))
-    b = w.select(F.col("doc_id").alias("doc_id_b"), "shingle", F.col("w").alias("wb"))
+    wrows = post.select("idf", F.explode("pl").alias("p")).select(
+        F.col("p.doc_id").alias("doc_id"),
+        (F.col("p.tf") * F.col("idf")).alias("w"),
+    )
+    nrm = wrows.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm")
+    )
+    # per-group (a < b) pairs with the SAME float sequence as the old
+    # self-join: wa = tf_a*idf and wb = tf_b*idf each round once, then
+    # multiply — (x.tf*idf)*(y.tf*idf), not (tf_a*tf_b)*idf^2
+    pairs = F.expr(
+        "flatten(transform(pl, (x, i) -> "
+        "transform(slice(pl, i + 2, size(pl)), "
+        "y -> struct(x.doc_id AS doc_id_a, y.doc_id AS doc_id_b, "
+        "(CAST(x.tf AS DOUBLE) * idf) * (CAST(y.tf AS DOUBLE) * idf) AS ww))))"
+    )
     dot = (
-        a.join(b, "shingle")
-        .where(F.col("doc_id_a") < F.col("doc_id_b"))
-        .groupBy("doc_id_a", "doc_id_b")
-        .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot"))
+        post.where(F.size("pl") >= 2)
+        .select(F.explode(pairs).alias("p"))
+        .groupBy(
+            F.col("p.doc_id_a").alias("doc_id_a"),
+            F.col("p.doc_id_b").alias("doc_id_b"),
+        )
+        .agg(F.sum("p.ww").alias("dot"))
     )
     sim = F.round(
         F.col("dot") / (F.col("na") * F.col("nb")), 6
@@ -7449,11 +7467,12 @@ def q_minhash_calibration_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact shingle Jaccard, worst absolute errors first — the report
     that says whether 8 hashes are enough before a 100 TB run trusts
     the estimate. Touches candidates only (never all pairs); the exact
-    side reuses the checkpointed shingle relation."""
+    side broadcasts per-doc distinct-shingle hash arrays into the
+    candidate stream (the simhash_precision_audit verify shape)."""
     from vector_knowledge_base_spark.operators.text_dedup import (
-        doc_shingles,
         minhash_lsh_candidates,
         minhash_signatures,
+        shingle_structs,
     )
 
     docs = _t(spark, sf_dir, "documents")
@@ -7470,28 +7489,36 @@ def q_minhash_calibration_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(sig.alias("sb"), F.col("sb.doc_id") == F.col("doc_id_b"))
         .select("doc_id_a", "doc_id_b", est_expr.alias("j_est"))
     )
-    sh = doc_shingles(docs).localCheckpoint(eager=True)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    inter = (
-        est.select("doc_id_a", "doc_id_b")
-        .join(sh.select(F.col("doc_id").alias("doc_id_a"), "shingle"), "doc_id_a")
-        .join(
-            sh.select(F.col("doc_id").alias("doc_id_b"), "shingle"),
-            ["doc_id_b", "shingle"],
-        )
-        .groupBy("doc_id_a", "doc_id_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
+    # exact side (r14, guide §2.3/§2.4): per-doc DISTINCT-shingle HASH
+    # arrays broadcast into the candidate stream — replaces two shuffle
+    # joins of the full exploded shingle relation + a pair aggregation
+    # + two sizes joins with one per-row array_intersect (the
+    # simhash_precision_audit verify shape). xxhash64 equality stands
+    # in for string equality exactly as in the posting-list operators
+    # (ngram_jaccard_pairs / shingle_containment_pairs).
+    par = spark.sparkContext.defaultParallelism
+    arr = (
+        docs.select("doc_id", F.split("text", " ").alias("toks"))
+        .repartition(par)
+        .select("doc_id", F.explode(shingle_structs("toks", 3)).alias("s"))
+        .select("doc_id", F.xxhash64("s.0", "s.1", "s.2").alias("sh"))
+        .groupBy("doc_id")
+        .agg(F.collect_set("sh").alias("sh"))
+        .localCheckpoint(eager=True)
     )
-    ni = F.coalesce("n_inter", F.lit(0))
-    j_exact = ni * 1.0 / (F.col("na") + F.col("nb") - ni)
+    ni = F.size(F.array_intersect("sa", "sb"))
+    j_exact = ni * 1.0 / (F.size("sa") + F.size("sb") - ni)
     return (
-        est.join(inter, ["doc_id_a", "doc_id_b"], "left")
-        .join(
-            sizes.select(F.col("doc_id").alias("doc_id_a"), F.col("n_sh").alias("na")),
+        est.join(
+            F.broadcast(
+                arr.select(F.col("doc_id").alias("doc_id_a"), F.col("sh").alias("sa"))
+            ),
             "doc_id_a",
         )
         .join(
-            sizes.select(F.col("doc_id").alias("doc_id_b"), F.col("n_sh").alias("nb")),
+            F.broadcast(
+                arr.select(F.col("doc_id").alias("doc_id_b"), F.col("sh").alias("sb"))
+            ),
             "doc_id_b",
         )
         .select(
@@ -8320,36 +8347,41 @@ def q_quality_classifier_invariants(spark: SparkSession, sf_dir: str) -> DataFra
     labeled = weak_labels(docs)
     model, feats = train_quality_model(labeled)
     scores = quality_scores(model, feats)
-    base = scores.agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum(F.col("label").cast("long")).alias("n_pos_weak"),
-        F.avg(
+    # ONE scored pass (r14, guide §1.2): the base stats (counts,
+    # agreement) ride the SAME per-bucket histogram aggregation the
+    # AUC needs — previously `scores` was materialized twice (one agg
+    # per consumer) and the two 1-row frames cross-joined. Counts and
+    # 0/1 sums per bucket re-sum exactly to the global aggregates.
+    buckets = scores.groupBy(
+        F.floor(F.col("quality_prob") * 1000).alias("b")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("label")).alias("pos"),
+        F.sum(F.lit(1.0) - F.col("label")).alias("neg"),
+        F.sum(
             (F.col("prediction") == F.col("label")).cast("double")
-        ).alias("agreement"),
+        ).alias("n_agree"),
     )
     # Histogram AUC: P(score_pos > score_neg) + 0.5*P(tie), computed
-    # from per-bucket pos/neg counts — mergeable, no per-row window.
-    buckets = (
-        scores.groupBy(
-            F.floor(F.col("quality_prob") * 1000).alias("b")
-        )
-        .agg(
-            F.sum(F.col("label")).alias("pos"),
-            F.sum(F.lit(1.0) - F.col("label")).alias("neg"),
-        )
-    )
+    # from per-bucket pos/neg counts — mergeable, no per-row window
+    # (the window below runs over <= 1001 bucket rows, never corpus
+    # rows).
     wb = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
-    auc_df = buckets.select(
+    agg = buckets.select(
+        "n",
         "pos",
         "neg",
+        "n_agree",
         F.coalesce(F.sum("neg").over(wb), F.lit(0.0)).alias("neg_below"),
     ).agg(
+        F.sum("n").alias("n_docs"),
+        F.sum("pos").alias("n_pos_weak"),
+        (F.sum("n_agree") / F.sum("n")).alias("agreement"),
         (
             F.sum(F.col("pos") * (F.col("neg_below") + F.col("neg") / 2))
             / (F.sum("pos") * F.sum("neg"))
-        ).alias("auc")
+        ).alias("auc"),
     )
-    agg = base.crossJoin(auc_df)  # two 1-row frames
     return agg.select(
         F.col("n_docs").cast("long").alias("n_docs"),
         F.col("n_pos_weak").cast("long").alias("n_pos_weak"),
@@ -12348,7 +12380,7 @@ def q_simhash_precision_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     any broadcastable corpus this is the right plan.
     """
     from vector_knowledge_base_spark.operators.text_dedup import (
-        doc_shingles,
+        shingle_structs,
         simhash_hamming_candidates,
     )
 
@@ -12373,12 +12405,20 @@ def q_simhash_precision_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     # the per-doc shingle-array map feeds TWO broadcasts — materialize
-    # it once instead of rebuilding the shingle pipeline per side
+    # it once instead of rebuilding the shingle pipeline per side.
+    # r14: the arrays hold xxhash64 shingle HASHES, not strings —
+    # array_intersect over longs is far cheaper than over ~20-char
+    # strings and the broadcast shrinks ~3x; hash equality stands in
+    # for string equality exactly as in the posting-list operators
+    # (ngram_jaccard_pairs / shingle_containment_pairs)
     def _arr():
         return (
-            doc_shingles(docs)
+            docs.select("doc_id", F.split("text", " ").alias("toks"))
+            .repartition(par)
+            .select("doc_id", F.explode(shingle_structs("toks", 3)).alias("s"))
+            .select("doc_id", F.xxhash64("s.0", "s.1", "s.2").alias("sh"))
             .groupBy("doc_id")
-            .agg(F.collect_list("shingle").alias("sh"))
+            .agg(F.collect_set("sh").alias("sh"))
             .localCheckpoint(eager=True)
         )
 
@@ -14979,7 +15019,10 @@ def q_txlog_stream_multihop(spark: SparkSession, sf_dir: str) -> DataFrame:
                     n = -1  # B not created yet
             if n >= target:
                 return True
-            _time.sleep(0.4)
+            # 0.1 s poll (r14): stats_rowcount is a zero-job manifest
+            # probe, so polling 4x faster costs nothing and shaves the
+            # average half-interval overshoot off every wait
+            _time.sleep(0.1)
         return False
 
     q = (
@@ -15499,7 +15542,8 @@ def q_txlog_stream_backpressure(spark: SparkSession, sf_dir: str) -> DataFrame:
                     n = -1  # B not created yet
             if n >= total:
                 break
-            _time.sleep(0.4)
+            # 0.1 s poll (r14): zero-job manifest probe, poll faster
+            _time.sleep(0.1)
     finally:
         q.stop()
 
@@ -15714,16 +15758,32 @@ def q_txlog_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     before = read_table(spark, tbl).agg(F.count(F.lit(1)), _cents).first()
     compact_files(spark, tbl, target_files=4)
     mc = _read_manifest(tbl, _list_versions(tbl)[-1])
-    after = read_table(spark, tbl).agg(F.count(F.lit(1)), _cents).first()
-    materialized_equal = (
-        tuple(before) == tuple(after) and (mc.get("dv") or {}) == {}
+    # ONE post-compaction read serves BOTH the materialization check
+    # and the returned aggregates (r14, guide §1.2): total_value is the
+    # same ROUND(SUM(), 2) expression the old third read recomputed
+    after = (
+        read_table(spark, tbl)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            _cents.alias("cents"),
+            F.round(F.sum("o_totalprice"), 2).alias("tv"),
+        )
+        .first()
     )
-    return read_table(spark, tbl).agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        F.round(F.sum("o_totalprice"), 2).alias("total_value"),
-        (F.lit(n_del) - F.lit(n_ins)).cast("long").alias("n_soft_deleted"),
-        F.lit(bool(files_unmoved)).alias("files_unmoved"),
-        F.lit(bool(materialized_equal)).alias("materialized_equal"),
+    materialized_equal = (
+        (before[0], before[1]) == (after["n"], after["cents"])
+        and (mc.get("dv") or {}) == {}
+    )
+    return _local_df(spark,
+        [(
+            int(after["n"]),
+            float(after["tv"]),
+            int(n_del - n_ins),
+            bool(files_unmoved),
+            bool(materialized_equal),
+        )],
+        "n_rows long, total_value double, n_soft_deleted long, "
+        "files_unmoved boolean, materialized_equal boolean",
     )
 
 

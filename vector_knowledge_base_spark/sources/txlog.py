@@ -201,6 +201,13 @@ def _data_files(path: str) -> list[str]:
     ]
 
 
+# every DV sidecar batch has exactly this shape; passing it explicitly
+# saves one schema-inference job per spark.read of a sidecar (r14,
+# guide §1.2 — the inference footer read is a full driver round-trip
+# per call, and DV-aware reads open every covering batch)
+_DV_SIDECAR_SCHEMA = "entry STRING, row_index BIGINT"
+
+
 def _dv_kept(path: str, m: dict, removed_abs: set) -> dict:
     """The manifest ``dv`` map minus entries for files a rewrite
     removed — their deletions are MATERIALIZED by the rewrite."""
@@ -300,7 +307,7 @@ def _dv_deleted_df(
     for d in dirs:
         base = os.path.dirname(os.path.dirname(d))  # <root>/data/dvX
         parts.append(
-            spark.read.parquet(d).select(
+            spark.read.schema(_DV_SIDECAR_SCHEMA).parquet(d).select(
                 F.when(
                     F.col("entry").startswith(os.sep), F.col("entry")
                 )
@@ -2181,7 +2188,7 @@ def _merge_dv(
                 dv_entry = _rel(path, dv_batch)
                 touched = [
                     r["entry"]
-                    for r in spark.read.parquet(dv_batch)
+                    for r in spark.read.schema(_DV_SIDECAR_SCHEMA).parquet(dv_batch)
                     .select("entry")
                     .distinct()
                     .collect()
@@ -2722,7 +2729,7 @@ def _delete_where_dv(
         dv_entry = _rel(path, dv_batch)
         touched = [
             r["entry"]
-            for r in spark.read.parquet(dv_batch)
+            for r in spark.read.schema(_DV_SIDECAR_SCHEMA).parquet(dv_batch)
             .select("entry")
             .distinct()
             .collect()
@@ -2853,7 +2860,7 @@ def update_where(
             dv_entry = _rel(path, dv_batch)
             touched = [
                 r["entry"]
-                for r in spark.read.parquet(dv_batch)
+                for r in spark.read.schema(_DV_SIDECAR_SCHEMA).parquet(dv_batch)
                 .select("entry")
                 .distinct()
                 .collect()
