@@ -303,3 +303,35 @@ def test_ingest_chain_stored_artifacts_assignment_equivalence(spark, tmp_path):
     # the chain must have found at least one cross-partner adoption,
     # otherwise the test is vacuous
     assert any(c < 400 for _, c in got)
+
+
+def test_doc_shingle_hash_sets_match_string_shingles(spark):
+    """The r14 broadcast-verify artifact must be a faithful stand-in
+    for string shingles: per-doc set SIZE and per-pair INTERSECTION
+    size computed from the xxhash64 arrays equal the values computed
+    from the string shingle sets (the quantities every precision /
+    calibration audit derives from it)."""
+    from vector_knowledge_base_spark.operators.text_dedup import (
+        doc_shingle_hash_sets,
+        doc_shingles,
+    )
+    from vector_knowledge_base_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    strings = {
+        r["doc_id"]: set(r["sh"])
+        for r in doc_shingles(docs)
+        .groupBy("doc_id")
+        .agg(F.collect_set("shingle").alias("sh"))
+        .collect()
+    }
+    hashes = {
+        r["doc_id"]: set(r["sh"]) for r in doc_shingle_hash_sets(docs).collect()
+    }
+    assert set(strings) == set(hashes)
+    for d in strings:
+        assert len(strings[d]) == len(hashes[d]), d
+    ids = sorted(strings)
+    pairs = [(a, b) for i, a in enumerate(ids[:30]) for b in ids[i + 1 : 30]]
+    for a, b in pairs:
+        assert len(strings[a] & strings[b]) == len(hashes[a] & hashes[b]), (a, b)

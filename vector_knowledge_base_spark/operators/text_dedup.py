@@ -100,6 +100,34 @@ def doc_shingles(
     )
 
 
+def doc_shingle_hash_sets(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """(doc_id, array<long>) — per-doc DISTINCT-shingle xxhash64 sets,
+    the broadcastable exact-verify artifact (r14): precision/calibration
+    audits intersect these arrays per CANDIDATE pair instead of
+    shuffle-joining the full exploded shingle relation (two sort-merge
+    joins + a pair aggregation + sizes joins become one per-row
+    ``array_intersect``). Hash equality stands in for string equality,
+    the same convention as the posting-list operators
+    (``ngram_jaccard_pairs`` / ``shingle_containment_pairs``); longs
+    intersect far cheaper than shingle strings and broadcast ~3x
+    smaller. |set| and |intersection| equal the string-shingle values
+    (pinned by tests/test_text_dedup_edges.py)."""
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    return (
+        docs.select(F.col(id_col), F.split(F.col(text_col), " ").alias("toks"))
+        .repartition(par)
+        .select(F.col(id_col), F.explode(shingle_structs("toks", n)).alias("s"))
+        .select(
+            F.col(id_col),
+            F.xxhash64(*[F.col(f"s.{i}") for i in range(n)]).alias("sh"),
+        )
+        .groupBy(id_col)
+        .agg(F.collect_set("sh").alias("sh"))
+    )
+
+
 def minhash_signatures(
     docs: DataFrame,
     n_hashes: int = 8,

@@ -5978,41 +5978,34 @@ def q_lsh_candidate_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands×rows (how many candidates are real near-dups vs banding false
     positives) before a 100 TB dedup run commits to a scheme. The
     verify stage only touches candidate pairs (O(collisions), never
-    all-pairs); the shingle relation is checkpointed once and probed
-    from both sides of the intersection join."""
+    all-pairs); per-doc distinct-shingle hash arrays broadcast into
+    the candidate stream (r14 — the simhash_precision_audit verify
+    shape; was two shuffle joins of the exploded shingle relation +
+    a pair aggregation + two sizes joins)."""
     from vector_knowledge_base_spark.operators.text_dedup import (
-        doc_shingles,
+        doc_shingle_hash_sets,
         minhash_lsh_candidates,
         minhash_signatures,
     )
 
     docs = _t(spark, sf_dir, "documents")
     cand = minhash_lsh_candidates(minhash_signatures(docs), bands=4, rows_per_band=2)
-    sh = doc_shingles(docs).localCheckpoint(eager=True)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    inter = (
-        cand.join(
-            sh.select(F.col("doc_id").alias("doc_id_a"), "shingle"), "doc_id_a"
-        )
-        .join(
-            sh.select(F.col("doc_id").alias("doc_id_b"), "shingle"),
-            ["doc_id_b", "shingle"],
-        )
-        .groupBy("doc_id_a", "doc_id_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
-    ni = F.coalesce("n_inter", F.lit(0))
+    arr = doc_shingle_hash_sets(docs).localCheckpoint(eager=True)
+    ni = F.size(F.array_intersect("sa", "sb"))
     scored = (
-        cand.join(inter, ["doc_id_a", "doc_id_b"], "left")
-        .join(
-            sizes.select(F.col("doc_id").alias("doc_id_a"), F.col("n_sh").alias("na")),
+        cand.join(
+            F.broadcast(
+                arr.select(F.col("doc_id").alias("doc_id_a"), F.col("sh").alias("sa"))
+            ),
             "doc_id_a",
         )
         .join(
-            sizes.select(F.col("doc_id").alias("doc_id_b"), F.col("n_sh").alias("nb")),
+            F.broadcast(
+                arr.select(F.col("doc_id").alias("doc_id_b"), F.col("sh").alias("sb"))
+            ),
             "doc_id_b",
         )
-        .select((ni / (F.col("na") + F.col("nb") - ni)).alias("j"))
+        .select((ni / (F.size("sa") + F.size("sb") - ni)).alias("j"))
     )
     bucket = (
         F.when(F.col("j") >= 0.5, "j>=0.5")
@@ -7470,9 +7463,9 @@ def q_minhash_calibration_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     side broadcasts per-doc distinct-shingle hash arrays into the
     candidate stream (the simhash_precision_audit verify shape)."""
     from vector_knowledge_base_spark.operators.text_dedup import (
+        doc_shingle_hash_sets,
         minhash_lsh_candidates,
         minhash_signatures,
-        shingle_structs,
     )
 
     docs = _t(spark, sf_dir, "documents")
@@ -7493,19 +7486,8 @@ def q_minhash_calibration_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # arrays broadcast into the candidate stream — replaces two shuffle
     # joins of the full exploded shingle relation + a pair aggregation
     # + two sizes joins with one per-row array_intersect (the
-    # simhash_precision_audit verify shape). xxhash64 equality stands
-    # in for string equality exactly as in the posting-list operators
-    # (ngram_jaccard_pairs / shingle_containment_pairs).
-    par = spark.sparkContext.defaultParallelism
-    arr = (
-        docs.select("doc_id", F.split("text", " ").alias("toks"))
-        .repartition(par)
-        .select("doc_id", F.explode(shingle_structs("toks", 3)).alias("s"))
-        .select("doc_id", F.xxhash64("s.0", "s.1", "s.2").alias("sh"))
-        .groupBy("doc_id")
-        .agg(F.collect_set("sh").alias("sh"))
-        .localCheckpoint(eager=True)
-    )
+    # simhash_precision_audit verify shape).
+    arr = doc_shingle_hash_sets(docs).localCheckpoint(eager=True)
     ni = F.size(F.array_intersect("sa", "sb"))
     j_exact = ni * 1.0 / (F.size("sa") + F.size("sb") - ni)
     return (
@@ -9899,7 +9881,7 @@ def q_minhash_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-checkable integers (the wave-40 invariant pattern).
     """
     from vector_knowledge_base_spark.operators.text_dedup import (
-        doc_shingles,
+        doc_shingle_hash_sets,
         minhash_lsh_candidates,
         minhash_signatures,
     )
@@ -9916,32 +9898,27 @@ def q_minhash_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(sig.alias("sb"), F.col("sb.doc_id") == F.col("doc_id_b"))
         .select("doc_id_a", "doc_id_b", est_expr.alias("j_est"))
     )
-    sh = doc_shingles(docs).localCheckpoint(eager=True)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    inter = (
-        est.select("doc_id_a", "doc_id_b")
-        .join(sh.select(F.col("doc_id").alias("doc_id_a"), "shingle"), "doc_id_a")
-        .join(
-            sh.select(F.col("doc_id").alias("doc_id_b"), "shingle"),
-            ["doc_id_b", "shingle"],
-        )
-        .groupBy("doc_id_a", "doc_id_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
-    ni = F.coalesce("n_inter", F.lit(0))
+    # exact side via broadcast hash-set arrays (r14 — the
+    # simhash_precision_audit verify shape; was two shuffle joins of
+    # the exploded shingle relation + a pair agg + two sizes joins)
+    arr = doc_shingle_hash_sets(docs).localCheckpoint(eager=True)
+    ni = F.size(F.array_intersect("sa", "sb"))
     scored = (
-        est.join(inter, ["doc_id_a", "doc_id_b"], "left")
-        .join(
-            sizes.select(F.col("doc_id").alias("doc_id_a"), F.col("n_sh").alias("na")),
+        est.join(
+            F.broadcast(
+                arr.select(F.col("doc_id").alias("doc_id_a"), F.col("sh").alias("sa"))
+            ),
             "doc_id_a",
         )
         .join(
-            sizes.select(F.col("doc_id").alias("doc_id_b"), F.col("n_sh").alias("nb")),
+            F.broadcast(
+                arr.select(F.col("doc_id").alias("doc_id_b"), F.col("sh").alias("sb"))
+            ),
             "doc_id_b",
         )
         .select(
             "j_est",
-            (ni * 1.0 / (F.col("na") + F.col("nb") - ni)).alias("j_exact"),
+            (ni * 1.0 / (F.size("sa") + F.size("sb") - ni)).alias("j_exact"),
         )
     )
     ts = _local_df(spark, 
@@ -12380,7 +12357,7 @@ def q_simhash_precision_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     any broadcastable corpus this is the right plan.
     """
     from vector_knowledge_base_spark.operators.text_dedup import (
-        shingle_structs,
+        doc_shingle_hash_sets,
         simhash_hamming_candidates,
     )
 
@@ -12406,21 +12383,10 @@ def q_simhash_precision_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # the per-doc shingle-array map feeds TWO broadcasts — materialize
     # it once instead of rebuilding the shingle pipeline per side.
-    # r14: the arrays hold xxhash64 shingle HASHES, not strings —
-    # array_intersect over longs is far cheaper than over ~20-char
-    # strings and the broadcast shrinks ~3x; hash equality stands in
-    # for string equality exactly as in the posting-list operators
-    # (ngram_jaccard_pairs / shingle_containment_pairs)
+    # r14: xxhash64 HASH sets, not strings (doc_shingle_hash_sets) —
+    # longs intersect far cheaper and the broadcast shrinks ~3x
     def _arr():
-        return (
-            docs.select("doc_id", F.split("text", " ").alias("toks"))
-            .repartition(par)
-            .select("doc_id", F.explode(shingle_structs("toks", 3)).alias("s"))
-            .select("doc_id", F.xxhash64("s.0", "s.1", "s.2").alias("sh"))
-            .groupBy("doc_id")
-            .agg(F.collect_set("sh").alias("sh"))
-            .localCheckpoint(eager=True)
-        )
+        return doc_shingle_hash_sets(docs).localCheckpoint(eager=True)
 
     with ThreadPoolExecutor(max_workers=2) as pool:
         f_cand, f_arr = pool.submit(_cand), pool.submit(_arr)
