@@ -7232,12 +7232,21 @@ def q_shingle_df_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup run: the '>50' band's pair budget is the quadratic blow-up a
     cap removes. One explode + two hash aggregates; shingles shuffle as
     8-byte hashes."""
-    from vector_knowledge_base_spark.operators.text_dedup import doc_shingles
+    from vector_knowledge_base_spark.operators.text_dedup import shingle_structs
 
     docs = _t(spark, sf_dir, "documents")
+    # gram-HASH keys (r14, guide §2.3: narrower shuffle — 8-byte longs
+    # instead of ~20-char strings through both aggregations; identity
+    # is all the profile uses, same hash-for-string convention as the
+    # posting-list operators)
+    par = spark.sparkContext.defaultParallelism
     df_ = (
-        doc_shingles(docs)
-        .groupBy("shingle")
+        docs.select("doc_id", F.split("text", " ").alias("toks"))
+        .repartition(par)
+        .select("doc_id", F.explode(shingle_structs("toks", 3)).alias("s"))
+        .select("doc_id", F.xxhash64("s.0", "s.1", "s.2").alias("gh"))
+        .distinct()
+        .groupBy("gh")
         .agg(F.count(F.lit(1)).alias("c"))
     )
     band = (
@@ -9295,15 +9304,35 @@ def q_ngram_novelty_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-source agg. No pair join at all — this is strictly cheaper
     than the dedup pass that shares its scan.
     """
-    from vector_knowledge_base_spark.operators.text_dedup import doc_shingles
+    from vector_knowledge_base_spark.operators.text_dedup import (
+        shingle_structs,
+    )
 
     docs = _t(spark, sf_dir, "documents")
-    sh = doc_shingles(docs, n=3)
-    df_tab = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    # (doc_id, gram-HASH) distinct pairs (r14, guide §2.3): the grams
+    # shuffle as 8-byte longs instead of ~20-char strings, and the
+    # checkpoint stops the scan→explode→distinct lineage running once
+    # per consumer (df aggregation AND the join-back side). Gram
+    # IDENTITY is all this query uses — counts are over distinct
+    # (doc, gram) pairs — so hash-for-string equality applies exactly
+    # as in the posting-list operators. No unbounded collect: df has
+    # no cap here (stop-grams legitimately hit every doc), so the
+    # posting-list pair trick is wrong at 100 TB — the join-back on
+    # the gram key is the scale-safe shape.
+    par = spark.sparkContext.defaultParallelism
+    sh = (
+        docs.select("doc_id", F.split("text", " ").alias("toks"))
+        .repartition(par)
+        .select("doc_id", F.explode(shingle_structs("toks", 3)).alias("s"))
+        .select("doc_id", F.xxhash64("s.0", "s.1", "s.2").alias("gh"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    df_tab = sh.groupBy("gh").agg(F.count(F.lit(1)).alias("df"))
     src = docs.select("doc_id", "source")
     novel = (F.col("df") == 1).cast("long")
     return (
-        sh.join(df_tab, "shingle")
+        sh.join(df_tab, "gh")
         .join(src, "doc_id")
         .groupBy("source")
         .agg(
