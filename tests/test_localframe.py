@@ -67,3 +67,32 @@ def test_type_mismatch_still_rejected(spark):
     # path must not silently truncate it either
     with pytest.raises(Exception):
         local_df(spark, [(1.5,)], "x long").collect()
+
+
+def test_known_good_fixture_schemas_take_arrow_path_zero_fallbacks(spark):
+    """r15 (VERDICT r14 item #8): ``local_df`` swallows every arrow-path
+    exception by design, so a typo in the fast path would silently
+    regress every call site to the pickled-RDD plan. Pin: the fixture
+    schemas the engine actually uses land as LocalRelation with ZERO
+    fallbacks recorded."""
+    from vector_knowledge_base_spark.sources import localframe
+
+    cases = [
+        ([(1, "a", 0.5)], "doc_id long, text string, score double"),
+        ([("m", 3)], "metric string, value long"),
+        ([(0, [0.1, 0.2])], "query_id int, query_vec array<double>"),
+        ([(1, 2.0)], "doc_id long, rrf_score double"),
+        ([("s", 0, 7, 0.25)], "regime string, query_id long, doc_id long, score double"),
+        ([(True, b"x", datetime.date(2024, 1, 2))], "ok boolean, blob binary, d date"),
+        ([], "empty_col string"),
+    ]
+    before = localframe.FALLBACKS["count"]
+    for rows, schema in cases:
+        df = local_df(spark, rows, schema)
+        plan = df._jdf.queryExecution().optimizedPlan().getClass().getName()
+        assert plan.endswith("LocalRelation"), (schema, plan)
+    assert localframe.FALLBACKS["count"] == before, localframe.FALLBACKS["last"]
+    # and a deliberate fallback IS counted
+    local_df(spark, [("doc1", datetime.datetime(2024, 1, 1))],
+             "document_id string, upload_date timestamp")
+    assert localframe.FALLBACKS["count"] == before + 1

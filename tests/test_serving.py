@@ -2174,3 +2174,107 @@ def test_sharded_one_pass_bound_refusal_before_collect(spark, tmp_path):
             spark, p, n_shards=2, n_partitions=4,
             max_docs_per_shard=5, max_vectors_per_shard=10_000,
         )
+
+
+def test_arrow_build_paths_equal_row_paths_byte_identical(spark):
+    """r15 optimization: the serving builds collect via ONE Arrow
+    transfer + vectorized numpy grouping/remap instead of per-Row
+    pickling + Python loops. Pin: both the vector snapshot and the
+    keyword arrays are BYTE-identical (values and dtypes) to the
+    legacy row path, for integer ids and for string ids (the facade's
+    chunk_id regime), including the sharded splitters."""
+    import numpy as np
+
+    from vector_knowledge_base_spark.operators.serving import (
+        _float_snapshot_from_arrow,
+        _float_snapshot_from_rows,
+        _float_snapshots_by_shard_arrow,
+        _hybrid_snapshot_from_arrays,
+        _keyword_arrays_by_shard_arrow,
+        _keyword_arrays_from_arrow,
+        _keyword_arrays_from_rows,
+        _keyword_build_frames,
+        _keyword_build_frames_sharded,
+        _shard_expr,
+    )
+
+    emb = load_table(spark, SF, "embeddings").select("vec_id", "embedding")
+    docs = load_table(spark, SF, "documents")
+    centroids, assigned = build_ivf(emb, n_partitions=4)
+
+    def _assert_snap_equal(a, r):
+        assert np.array_equal(a.ids, r.ids)
+        if a.ids.shape[0]:
+            assert a.ids.dtype == r.ids.dtype
+        assert np.array_equal(a.mat, r.mat) and a.mat.dtype == r.mat.dtype
+        assert list(a.offsets) == list(r.offsets)
+        assert np.array_equal(a.centroids, r.centroids)
+
+    proj = assigned.select("vec_id", "embedding", "ivf_cell")
+    _assert_snap_equal(
+        _float_snapshot_from_arrow(
+            centroids, proj.toArrow(), "vec_id", "embedding", 3
+        ),
+        _float_snapshot_from_rows(
+            centroids, proj.collect(), "vec_id", "embedding", 3
+        ),
+    )
+
+    def _assert_kw_equal(a_tuple, r_tuple):
+        sa = _hybrid_snapshot_from_arrays(*a_tuple, 1)
+        sr = _hybrid_snapshot_from_arrays(*r_tuple, 1)
+        assert np.array_equal(sa.doc_ids, sr.doc_ids)
+        if sa.doc_ids.shape[0]:
+            assert sa.doc_ids.dtype == sr.doc_ids.dtype
+        assert np.array_equal(sa.dl, sr.dl) and sa.dl.dtype == sr.dl.dtype
+        assert sa.avgdl == sr.avgdl and sa.n_docs == sr.n_docs
+        assert set(sa.postings) == set(sr.postings)
+        for t in sa.postings:
+            for i in (0, 1):
+                assert np.array_equal(sa.postings[t][i], sr.postings[t][i])
+                assert sa.postings[t][i].dtype == sr.postings[t][i].dtype
+
+    dlf, plf = _keyword_build_frames(docs, "doc_id", "text")
+    _assert_kw_equal(
+        _keyword_arrays_from_arrow(dlf.toArrow(), plf.toArrow()),
+        _keyword_arrays_from_rows(dlf.collect(), plf.collect()),
+    )
+
+    # string ids — the facade's chunk_id regime
+    sdocs = docs.select(
+        F.concat(F.lit("d_"), F.col("doc_id").cast("string")).alias("cid"),
+        "text",
+    )
+    dlf_s, plf_s = _keyword_build_frames(sdocs, "cid", "text")
+    _assert_kw_equal(
+        _keyword_arrays_from_arrow(dlf_s.toArrow(), plf_s.toArrow()),
+        _keyword_arrays_from_rows(dlf_s.collect(), plf_s.collect()),
+    )
+
+    # sharded splitters
+    n_shards = 3
+    sharded_vec = assigned.withColumn("_shard", _shard_expr("vec_id", n_shards))
+    snaps = _float_snapshots_by_shard_arrow(
+        centroids, sharded_vec, "vec_id", "embedding", n_shards, 3
+    )
+    rows = sharded_vec.select("vec_id", "embedding", "ivf_cell", "_shard").collect()
+    for s in range(n_shards):
+        ref = _float_snapshot_from_rows(
+            centroids,
+            [r for r in rows if r["_shard"] == s],
+            "vec_id",
+            "embedding",
+            3,
+        )
+        _assert_snap_equal(snaps[s], ref)
+    sharded_docs = docs.withColumn("_shard", _shard_expr("doc_id", n_shards))
+    dlf2, plf2 = _keyword_build_frames_sharded(sharded_docs, "doc_id", "text", "_shard")
+    kw_by = _keyword_arrays_by_shard_arrow(dlf2.toArrow(), plf2.toArrow(), n_shards)
+    dl_rows, pl_rows = dlf2.collect(), plf2.collect()
+    for s in range(n_shards):
+        ref = _keyword_arrays_from_rows(
+            [r for r in dl_rows if r["_shard"] == s],
+            [r for r in pl_rows if r["_shard"] == s],
+        )
+        _assert_kw_equal(kw_by[s], ref)
+    assigned.unpersist()

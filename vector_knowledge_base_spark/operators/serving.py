@@ -205,6 +205,46 @@ def _extend_float_snapshot(
     )
 
 
+def _ids_to_numpy(col):
+    """Numpy ids from an Arrow column, matching the row path's dtypes
+    exactly: integer ids land int64 (``np.asarray`` of Python ints),
+    string ids land unicode '<U' (``np.asarray`` of str). Raises for
+    nulls — the caller falls back to the row path."""
+    import numpy as np
+    import pyarrow as pa
+
+    arr = col.combine_chunks() if hasattr(col, "combine_chunks") else col
+    if arr.null_count:
+        raise TypeError("null ids need the row path")
+    if pa.types.is_integer(arr.type):
+        return arr.to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+    return np.asarray(arr.to_pylist())
+
+
+def _list_col_to_matrix(col, dim: int, n: int):
+    """(n, dim) float64 matrix from an Arrow list<float/double> column —
+    one flat-buffer reshape instead of n per-row Python lists. Raises
+    for nulls or ragged rows (caller falls back)."""
+    import numpy as np
+
+    arr = col.combine_chunks()
+    if arr.null_count:
+        raise TypeError("null vectors need the row path")
+    if n == 0:
+        return np.zeros((0, dim))
+    lengths = arr.value_lengths().to_numpy(zero_copy_only=False)
+    if not (lengths == dim).all():
+        raise TypeError("ragged vectors need the row path")
+    values = arr.flatten()
+    if values.null_count:
+        raise TypeError("null vector elements need the row path")
+    return (
+        values.to_numpy(zero_copy_only=False)
+        .astype(np.float64, copy=False)
+        .reshape(n, dim)
+    )
+
+
 def _knn_bound_message(n: int, max_vectors: int) -> str:
     return (
         f"KnnServer: corpus has {n} vectors > max_vectors="
@@ -254,6 +294,123 @@ def _float_snapshot_from_rows(
     )
 
 
+def _float_snapshot_from_arrow(
+    centroids, tbl, id_col: str, vec_col: str, version
+) -> _Snapshot:
+    """Vectorized twin of ``_float_snapshot_from_rows`` over an Arrow
+    table (r15, guide §4 applied to the driver boundary): the collect
+    crosses as three columnar buffers instead of n pickled Rows, and
+    the per-cell grouping is one stable argsort instead of a Python
+    append loop. Stable sort by cell ≡ the row loop's per-cell append
+    order, so ids/mat/offsets are byte-identical (pinned by test).
+    Raises for anything it cannot prove identical — nulls, ragged
+    vectors, out-of-range cells — and the caller falls back."""
+    import numpy as np
+
+    cents = np.asarray(centroids, dtype=np.float64)
+    k_cells = cents.shape[0]
+    n = tbl.num_rows
+    if n == 0:
+        return _float_snapshot_from_rows(centroids, [], id_col, vec_col, version)
+    cells_arr = tbl.column("ivf_cell").combine_chunks()
+    if cells_arr.null_count:
+        raise TypeError("null cells need the row path")
+    cells = cells_arr.to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+    if cells.min() < 0 or cells.max() >= k_cells:
+        raise TypeError("out-of-range cells need the row path")
+    ids = _ids_to_numpy(tbl.column(id_col))
+    mat = _list_col_to_matrix(tbl.column(vec_col), cents.shape[1], n)
+    order = np.argsort(cells, kind="stable")
+    counts = np.bincount(cells, minlength=k_cells)
+    offsets, off = [0], 0
+    for c in range(k_cells):
+        off += int(counts[c])
+        offsets.append(off)
+    return _Snapshot(
+        centroids=cents,
+        ids=ids[order],
+        mat=mat[order],
+        offsets=offsets,
+        version=version,
+    )
+
+
+def _collect_float_snapshot(
+    centroids, assigned: DataFrame, id_col: str, vec_col: str, version
+) -> _Snapshot:
+    """Collect an assigned corpus into a ``_Snapshot`` via ONE Arrow
+    transfer (``toArrow``), falling back to the legacy per-Row collect
+    for anything the fast path cannot prove value-identical."""
+    proj = assigned.select(id_col, vec_col, "ivf_cell")
+    try:
+        tbl = proj.toArrow()
+        return _float_snapshot_from_arrow(centroids, tbl, id_col, vec_col, version)
+    except Exception:  # noqa: BLE001 — fall back to the legacy verifier
+        return _float_snapshot_from_rows(
+            centroids, proj.collect(), id_col, vec_col, version
+        )
+
+
+def _float_snapshots_by_shard_arrow(
+    centroids, sharded: DataFrame, id_col: str, vec_col: str,
+    n_shards: int, version
+) -> list[_Snapshot]:
+    """Arrow twin of the sharded row-split (r15): ONE columnar collect
+    of (id, vec, cell, _shard), then per shard a boolean mask (which
+    preserves row order, exactly as the row loop's filter did) followed
+    by the same stable per-cell grouping. Raises on anything the fast
+    path cannot prove identical — including a NULL shard route, which
+    the row path drops — and the caller falls back."""
+    import numpy as np
+
+    tbl = sharded.select(id_col, vec_col, "ivf_cell", "_shard").toArrow()
+    cents = np.asarray(centroids, dtype=np.float64)
+    k_cells = cents.shape[0]
+    n = tbl.num_rows
+    shard_arr = tbl.column("_shard").combine_chunks()
+    if shard_arr.null_count:
+        raise TypeError("null shard routes need the row path")
+    if n == 0:
+        return [
+            _float_snapshot_from_rows(centroids, [], id_col, vec_col, version)
+            for _ in range(n_shards)
+        ]
+    shards_np = shard_arr.to_numpy(zero_copy_only=False).astype(
+        np.int64, copy=False
+    )
+    cells_arr = tbl.column("ivf_cell").combine_chunks()
+    if cells_arr.null_count:
+        raise TypeError("null cells need the row path")
+    cells = cells_arr.to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+    if cells.min() < 0 or cells.max() >= k_cells:
+        raise TypeError("out-of-range cells need the row path")
+    ids = _ids_to_numpy(tbl.column(id_col))
+    mat = _list_col_to_matrix(tbl.column(vec_col), cents.shape[1], n)
+    out = []
+    for s in range(n_shards):
+        sel = np.flatnonzero(shards_np == s)
+        order = sel[np.argsort(cells[sel], kind="stable")]
+        counts = np.bincount(cells[sel], minlength=k_cells)
+        offsets, off = [0], 0
+        for c in range(k_cells):
+            off += int(counts[c])
+            offsets.append(off)
+        out.append(
+            _Snapshot(
+                centroids=cents,
+                ids=ids[order],
+                mat=(
+                    mat[order]
+                    if order.shape[0]
+                    else np.zeros((0, cents.shape[1]))
+                ),
+                offsets=offsets,
+                version=version,
+            )
+        )
+    return out
+
+
 class KnnServer:
     """Point-query kNN over an in-memory IVF artifact.
 
@@ -277,6 +434,7 @@ class KnnServer:
         max_vectors: int = 5_000_000,
         _table_version: int | None = None,
         _table_path: str | None = None,
+        _known_count: int | None = None,
     ):
         import numpy as np
 
@@ -290,12 +448,16 @@ class KnnServer:
         self.table_path = _table_path
         self.last_refresh_mode: str | None = None
 
-        n = assigned.count()
+        # the bound still refuses BEFORE any vector is collected;
+        # _known_count lets from_txlog supply the exact row count from
+        # manifest footer stats (r15, guide §1.2 — the metadata-COUNT(*)
+        # idea: build_ivf's transform is row-preserving, so the pinned
+        # table's manifest count IS the assigned count, zero jobs)
+        n = assigned.count() if _known_count is None else int(_known_count)
         if n > max_vectors:
             raise RuntimeError(_knn_bound_message(n, max_vectors))
-        rows = assigned.select(id_col, vec_col, "ivf_cell").collect()
-        self._snap = _float_snapshot_from_rows(
-            centroids, rows, id_col, vec_col, _table_version
+        self._snap = _collect_float_snapshot(
+            centroids, assigned, id_col, vec_col, _table_version
         )
 
     # back-compat views over the current snapshot (read-only by intent)
@@ -338,6 +500,7 @@ class KnnServer:
         from vector_knowledge_base_spark.sources.txlog import (
             _list_versions,
             read_table,
+            stats_rowcount,
         )
 
         v = _list_versions(table_path)[-1]
@@ -353,6 +516,9 @@ class KnnServer:
             max_vectors=max_vectors,
             _table_version=v,
             _table_path=table_path,
+            # manifest footer count of the pinned version (exact for
+            # any DV-free version; abstains → the count job runs)
+            _known_count=stats_rowcount(table_path, version=v),
         )
         assigned.unpersist()
         return srv
@@ -386,6 +552,31 @@ class KnnServer:
         srv._snap = _float_snapshot_from_rows(
             centroids, rows, id_col, vec_col, _table_version
         )
+        return srv
+
+    @classmethod
+    def _from_snapshot(
+        cls,
+        snap: _Snapshot,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        max_vectors: int = 5_000_000,
+        _table_path: str | None = None,
+    ) -> "KnnServer":
+        """Build from an already-assembled ``_Snapshot`` — the Arrow
+        sharded-build seam (r15): the sharded builders collect ONE
+        Arrow table and slice it per shard into snapshots driver-side.
+        Same bound refusal as ``_from_rows``."""
+        srv = cls.__new__(cls)
+        srv.id_col = id_col
+        srv.vec_col = vec_col
+        srv.max_vectors = max_vectors
+        srv.table_path = _table_path
+        srv.last_refresh_mode = None
+        n = int(snap.ids.shape[0])
+        if n > max_vectors:
+            raise RuntimeError(_knn_bound_message(n, max_vectors))
+        srv._snap = snap
         return srv
 
     def refresh_if_stale(self, spark: SparkSession) -> bool:
@@ -1482,15 +1673,18 @@ def _keyword_build_frames(docs: DataFrame, id_col: str, text_col: str):
     the PRODUCTION plans — a regression reintroducing the row_number
     window or the ids→tokens self-join now fails the guard, not just
     an inline replica of the old plan. Returns ``(dl_frame,
-    postings_frame)``: the (id, doc_len) table distributed-sorted by
-    id, and the term → id-sorted posting-list aggregate."""
+    postings_frame)``: the (id, doc_len) table and the term →
+    id-sorted posting-list aggregate. r15: the dl frame is no longer
+    distributed-sorted — the consumer sorts the collected ids
+    driver-side (one argsort over arrays it holds anyway), which
+    removes the range-partitioner sample job + the sort exchange from
+    every build; ascending-id order (and therefore every row index) is
+    identical by construction."""
     toks = docs.select(
         F.col(id_col).alias("_id"),
         F.split(F.coalesce(F.col(text_col), F.lit("")), " ").alias("_toks"),
     )
-    dl_frame = (
-        toks.select("_id", F.size("_toks").alias("_dl")).orderBy("_id")
-    )
+    dl_frame = toks.select("_id", F.size("_toks").alias("_dl"))
     postings_frame = (
         toks.select("_id", F.explode("_toks").alias("_t"))
         .groupBy("_t", "_id")
@@ -1509,12 +1703,13 @@ def _build_keyword_arrays(docs: DataFrame, id_col: str, text_col: str):
     tokenize loop): tokenize with the same ``split(text, ' ')`` the
     batch plans use, explode, and hash-aggregate (term, id) → tf then
     term → id-sorted posting list — all JVM-side codegen — finishing
-    with ONE bounded collect of (a) the (id, doc_len) table (a
-    DISTRIBUTED range sort by id; collect preserves its order) and
+    with ONE bounded Arrow collect of (a) the (id, doc_len) table and
     (b) the finished posting lists. Row indices are the ascending-id
-    ranks, assigned driver-side from the already-sorted dl table — an
-    O(1) dict remap per posting entry on arrays the driver holds
-    anyway. r12 (VERDICT r11 wrong-nit #1): this replaces the
+    ranks: the ascending sort and the id→rank remap both run
+    driver-side on the collected arrays (r15 — one argsort + one
+    vectorized ``searchsorted`` instead of a distributed range sort +
+    a per-entry Python dict remap; dtypes and values are pinned
+    byte-identical to the legacy row path by test). r12 (VERDICT r11 wrong-nit #1): this replaces the
     unpartitioned ``row_number`` window (a single-task sort of the
     whole id column at the 5M-doc bound) AND the ids→tokens self-join
     the old index carry needed — the build plan now has no
@@ -1529,15 +1724,165 @@ def _build_keyword_arrays(docs: DataFrame, id_col: str, text_col: str):
     Returns ``(doc_ids, dl, postings)`` as plain lists/dict — the
     caller wraps them in numpy arrays."""
     dl_frame, postings_frame = _keyword_build_frames(docs, id_col, text_col)
-    return _keyword_arrays_from_rows(dl_frame.collect(), postings_frame.collect())
+    try:
+        # ONE Arrow transfer per frame + vectorized remap (r15, guide
+        # §4 applied to the driver boundary) — replaces per-Row pickling
+        # and the per-posting-entry Python list comprehensions. A
+        # duplicate-id corpus raises from this path too; any other
+        # failure falls back to the legacy row path, which re-derives
+        # (and re-raises) identically.
+        return _keyword_arrays_from_arrow(
+            dl_frame.toArrow(), postings_frame.toArrow()
+        )
+    except _DuplicateIdsError:
+        raise  # the bijectivity refusal — identical on both paths
+    except Exception:  # noqa: BLE001 — exotic types take the row path
+        return _keyword_arrays_from_rows(
+            dl_frame.collect(), postings_frame.collect()
+        )
+
+
+class _DuplicateIdsError(ValueError):
+    """The keyword build's bijectivity refusal — a dedicated subclass so
+    the Arrow fast path can re-raise it while every OTHER Arrow failure
+    (pyarrow raises ValueError subclasses for conversion errors) falls
+    back to the legacy row path."""
+
+
+def _keyword_arrays_from_arrow(dl_tbl, pl_tbl):
+    """Numpy twin of ``_keyword_arrays_from_rows`` over Arrow tables:
+    sort (id, dl) ascending driver-side, refuse non-bijective ids with
+    the same error, remap every posting entry to its ascending-id rank
+    with ONE ``searchsorted`` over the flattened entry buffer, and
+    slice per-term views — returning the FINAL numpy dtypes
+    (``doc_ids`` int64/unicode, ``dl``/tf float64, row indices int64),
+    byte-identical to the row path + ``_hybrid_snapshot_from_arrays``
+    (pinned by test)."""
+    import numpy as np
+
+    ids_raw = _ids_to_numpy(dl_tbl.column("_id"))
+    dl_col = dl_tbl.column("_dl").combine_chunks()
+    if dl_col.null_count:
+        raise TypeError("null doc lengths need the row path")
+    dl_raw = dl_col.to_numpy(zero_copy_only=False).astype(np.float64)
+    order = np.argsort(ids_raw, kind="stable")
+    doc_ids = ids_raw[order]
+    dl = dl_raw[order]
+    if doc_ids.shape[0] and (doc_ids[1:] == doc_ids[:-1]).any():
+        raise _DuplicateIdsError(
+            "keyword artifact build: duplicate ids in the corpus "
+            f"({doc_ids.shape[0]} rows, "
+            f"{np.unique(doc_ids).shape[0]} distinct ids) — the "
+            "id→row-index map must be bijective (ids are the upsert "
+            "key; dedupe or fix the upstream constraint)"
+        )
+    pl = pl_tbl.column("_pl").combine_chunks()
+    if pl.null_count:
+        raise TypeError("null posting lists need the row path")
+    entries = pl.flatten()
+    ent_ids = _ids_to_numpy(entries.field("_id"))
+    c_col = entries.field("_c")
+    if c_col.null_count:
+        raise TypeError("null posting counts need the row path")
+    ent_c = c_col.to_numpy(zero_copy_only=False).astype(np.float64)
+    ri_flat = np.searchsorted(doc_ids, ent_ids)
+    if ent_ids.shape[0]:
+        if (ri_flat >= doc_ids.shape[0]).any() or not (
+            doc_ids[ri_flat] == ent_ids
+        ).all():
+            raise TypeError("posting id outside the corpus — row path")
+    lengths = pl.value_lengths().to_numpy(zero_copy_only=False)
+    bounds = np.concatenate(([0], np.cumsum(lengths)))
+    terms = pl_tbl.column("_t").to_pylist()
+    postings = {
+        t: (ri_flat[bounds[i] : bounds[i + 1]], ent_c[bounds[i] : bounds[i + 1]])
+        for i, t in enumerate(terms)
+    }
+    return doc_ids, dl, postings
+
+
+def _keyword_arrays_by_shard_arrow(dl_tbl, pl_tbl, n_shards: int):
+    """Arrow twin of the sharded keyword split (r15): ONE columnar
+    collect per frame, per-shard boolean masks (order-preserving, like
+    the row loop's filter), then the same ascending-id sort + rank
+    remap as ``_keyword_arrays_from_arrow`` per shard. Rows with a
+    NULL shard route make this raise (the row path drops them) — the
+    caller falls back. Returns ``[(doc_ids, dl, postings), ...]`` in
+    shard order, in the FINAL numpy dtypes."""
+    import numpy as np
+
+    dl_shard = dl_tbl.column("_shard").combine_chunks()
+    pl_shard = pl_tbl.column("_shard").combine_chunks()
+    if dl_shard.null_count or pl_shard.null_count:
+        raise TypeError("null shard routes need the row path")
+    dl_shards = dl_shard.to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+    pl_shards = pl_shard.to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+    ids_all = _ids_to_numpy(dl_tbl.column("_id"))
+    dl_col = dl_tbl.column("_dl").combine_chunks()
+    if dl_col.null_count:
+        raise TypeError("null doc lengths need the row path")
+    dl_all = dl_col.to_numpy(zero_copy_only=False).astype(np.float64)
+    pl = pl_tbl.column("_pl").combine_chunks()
+    if pl.null_count:
+        raise TypeError("null posting lists need the row path")
+    entries = pl.flatten()
+    ent_ids = _ids_to_numpy(entries.field("_id"))
+    c_col = entries.field("_c")
+    if c_col.null_count:
+        raise TypeError("null posting counts need the row path")
+    ent_c = c_col.to_numpy(zero_copy_only=False).astype(np.float64)
+    lengths = pl.value_lengths().to_numpy(zero_copy_only=False)
+    bounds = np.concatenate(([0], np.cumsum(lengths)))
+    terms = pl_tbl.column("_t").to_pylist()
+    # ONE searchsorted per shard over that shard's flattened entries
+    # (not one per (shard, term) row), written back into a full-length
+    # rank buffer that the per-term slices below view into
+    ent_shard = np.repeat(pl_shards, lengths)
+    ri_full = np.empty(ent_ids.shape[0], dtype=np.int64)
+    out = []
+    for s in range(n_shards):
+        sel = np.flatnonzero(dl_shards == s)
+        order = sel[np.argsort(ids_all[sel], kind="stable")]
+        doc_ids = ids_all[order]
+        dl = dl_all[order]
+        if doc_ids.shape[0] and (doc_ids[1:] == doc_ids[:-1]).any():
+            raise _DuplicateIdsError(
+                "keyword artifact build: duplicate ids in the corpus "
+                f"({doc_ids.shape[0]} rows, "
+                f"{np.unique(doc_ids).shape[0]} distinct ids) — the "
+                "id→row-index map must be bijective (ids are the "
+                "upsert key; dedupe or fix the upstream constraint)"
+            )
+        emask = ent_shard == s
+        pids = ent_ids[emask]
+        ri = np.searchsorted(doc_ids, pids)
+        if pids.shape[0]:
+            if (ri >= doc_ids.shape[0]).any() or not (
+                doc_ids[ri] == pids
+            ).all():
+                raise TypeError("posting id outside its shard — row path")
+        ri_full[emask] = ri
+        postings = {
+            terms[i]: (
+                ri_full[bounds[i] : bounds[i + 1]],
+                ent_c[bounds[i] : bounds[i + 1]],
+            )
+            for i in np.flatnonzero(pl_shards == s)
+        }
+        out.append((doc_ids, dl, postings))
+    return out
 
 
 def _keyword_arrays_from_rows(dl_rows, posting_rows):
     """The driver-side half of ``_build_keyword_arrays``: id→rank from
-    the already-id-sorted dl rows (with the bijectivity refusal), then
-    posting lists remapped to row indices. Shared with the sharded
+    the dl rows sorted ascending by id (with the bijectivity refusal),
+    then posting lists remapped to row indices. Shared with the sharded
     one-pass build, which collects both frames ONCE with a shard
-    column and feeds each shard's slice here."""
+    column and feeds each shard's slice here. r15: the ascending-id
+    sort moved driver-side (the dl frame is no longer distributed-
+    sorted); sorting already-sorted input is a no-op, so pre-r15
+    callers are unaffected."""
+    dl_rows = sorted(dl_rows, key=lambda r: r["_id"])
     doc_ids = [r["_id"] for r in dl_rows]
     dl = [r["_dl"] for r in dl_rows]
     ri_of = {i: ri for ri, i in enumerate(doc_ids)}
@@ -1567,17 +1912,17 @@ def _keyword_build_frames_sharded(
     shards' keyword arrays costs ONE corpus pass instead of N. Each
     shard's slice of the result is value-identical to running
     ``_keyword_build_frames`` on that shard's filtered docs: the
-    per-(shard, term) aggregates see exactly that shard's rows, and the
-    dl frame's global id sort keeps every shard's ids ascending."""
+    per-(shard, term) aggregates see exactly that shard's rows, and
+    the consumers sort each shard's ids ascending driver-side (r15 —
+    the distributed global sort and its range-partitioner sample job
+    are gone; ascending order is re-established identically on
+    arrays/rows the driver holds anyway)."""
     toks = docs.select(
         F.col(shard_col),
         F.col(id_col).alias("_id"),
         F.split(F.coalesce(F.col(text_col), F.lit("")), " ").alias("_toks"),
     )
-    dl_frame = (
-        toks.select(shard_col, "_id", F.size("_toks").alias("_dl"))
-        .orderBy("_id")
-    )
+    dl_frame = toks.select(shard_col, "_id", F.size("_toks").alias("_dl"))
     postings_frame = (
         toks.select(shard_col, "_id", F.explode("_toks").alias("_t"))
         .groupBy(shard_col, "_t", "_id")
@@ -1617,6 +1962,10 @@ def _hybrid_bound_message(n: int, max_docs: int) -> str:
 
 
 def _hybrid_snapshot_from_arrays(doc_ids, dl, postings, version):
+    """Wrap build output in a snapshot. Accepts the row path's plain
+    lists AND the Arrow path's numpy arrays (np.asarray passes through
+    an array of the right dtype unchanged, so the Arrow path pays no
+    copy); ``len()`` guards work on both."""
     import numpy as np
 
     return _HybridSnapshot(
@@ -1626,7 +1975,7 @@ def _hybrid_snapshot_from_arrays(doc_ids, dl, postings, version):
             t: (np.asarray(ri, dtype=np.int64), np.asarray(c, dtype=np.float64))
             for t, (ri, c) in postings.items()
         },
-        avgdl=float(np.mean(dl)) if dl else 0.0,
+        avgdl=float(np.mean(dl)) if len(dl) else 0.0,
         n_docs=len(doc_ids),
         version=version,
     )
@@ -1677,6 +2026,7 @@ class HybridKnnServer:
         text_col: str = "text",
         max_docs: int = 5_000_000,
         _table_path: str | None = None,
+        _known_count: int | None = None,
     ):
         import numpy as np
 
@@ -1688,7 +2038,10 @@ class HybridKnnServer:
         self.last_refresh_mode: str | None = None
         self._docs_source = docs
 
-        n = docs.count()
+        # bound refusal BEFORE any collect; _known_count lets from_txlog
+        # supply the pinned version's manifest footer count (r15 — zero
+        # jobs where this ran a full count)
+        n = docs.count() if _known_count is None else int(_known_count)
         if n > max_docs:
             raise RuntimeError(_hybrid_bound_message(n, max_docs))
         doc_ids, dl, postings = _build_keyword_arrays(docs, id_col, text_col)
@@ -1756,10 +2109,16 @@ class HybridKnnServer:
         from vector_knowledge_base_spark.sources.txlog import (
             _list_versions,
             read_table,
+            stats_rowcount,
         )
 
         v = _list_versions(table_path)[-1]
         tbl = read_table(spark, table_path, version=v)
+        # ONE metadata count serves both tiers' bounds (r15): the table
+        # rows at the pinned version ARE the vector count (build_ivf's
+        # transform is row-preserving) and the doc count; abstention
+        # (None) keeps the old count jobs
+        nrows = stats_rowcount(table_path, version=v)
         centroids, assigned = build_ivf(
             tbl, n_partitions=n_partitions, id_col=id_col, vec_col=vec_col
         )
@@ -1771,6 +2130,7 @@ class HybridKnnServer:
             max_vectors=max_vectors,
             _table_version=v,
             _table_path=table_path,
+            _known_count=nrows,
         )
         assigned.unpersist()
         return cls(
@@ -1780,6 +2140,7 @@ class HybridKnnServer:
             text_col=text_col,
             max_docs=max_docs,
             _table_path=table_path,
+            _known_count=nrows,
         )
 
     def refresh_if_stale(self, spark: SparkSession) -> bool:
@@ -2192,6 +2553,24 @@ class ShardedKnnServer:
                 raise RuntimeError(
                     _knn_bound_message(counts[s], max_vectors_per_shard)
                 )
+        try:
+            # ONE Arrow transfer + vectorized per-shard split (r15)
+            snaps = _float_snapshots_by_shard_arrow(
+                centroids, sharded, id_col, vec_col, n_shards, _table_version
+            )
+            shards = [
+                KnnServer._from_snapshot(
+                    snaps[s],
+                    id_col=id_col,
+                    vec_col=vec_col,
+                    max_vectors=max_vectors_per_shard,
+                    _table_path=_table_path,
+                )
+                for s in range(n_shards)
+            ]
+            return cls(shards)
+        except Exception:  # noqa: BLE001 — legacy row path
+            pass
         all_rows = sharded.select(id_col, vec_col, "ivf_cell", "_shard").collect()
         per_shard: list[list] = [[] for _ in range(n_shards)]
         for r in all_rows:
@@ -2520,38 +2899,71 @@ class ShardedHybridServer:
                 raise RuntimeError(
                     _hybrid_bound_message(n_s, max_docs_per_shard)
                 )
-        vec_rows = sharded_vec.select(
-            id_col, vec_col, "ivf_cell", "_shard"
-        ).collect()
+        # Arrow fast path for BOTH halves (r15): one columnar collect
+        # per artifact, vectorized per-shard split — the row loops below
+        # remain the fallback (and the equality pin's reference shape)
+        vec_snaps = None
+        try:
+            vec_snaps = _float_snapshots_by_shard_arrow(
+                centroids, sharded_vec, id_col, vec_col, n_shards, v
+            )
+        except Exception:  # noqa: BLE001
+            vec_snaps = None
         per_shard_vec: list[list] = [[] for _ in range(n_shards)]
-        for r in vec_rows:
-            if r["_shard"] is not None:
-                per_shard_vec[r["_shard"]].append(r)
+        if vec_snaps is None:
+            vec_rows = sharded_vec.select(
+                id_col, vec_col, "ivf_cell", "_shard"
+            ).collect()
+            for r in vec_rows:
+                if r["_shard"] is not None:
+                    per_shard_vec[r["_shard"]].append(r)
         dl_frame, postings_frame = _keyword_build_frames_sharded(
             sharded_docs, id_col, text_col, "_shard"
         )
+        kw_by = None
+        try:
+            kw_by = _keyword_arrays_by_shard_arrow(
+                dl_frame.toArrow(), postings_frame.toArrow(), n_shards
+            )
+        except _DuplicateIdsError:
+            raise
+        except Exception:  # noqa: BLE001
+            kw_by = None
         dl_by: list[list] = [[] for _ in range(n_shards)]
-        for r in dl_frame.collect():
-            if r["_shard"] is not None:
-                dl_by[r["_shard"]].append(r)
         pl_by: list[list] = [[] for _ in range(n_shards)]
-        for r in postings_frame.collect():
-            if r["_shard"] is not None:
-                pl_by[r["_shard"]].append(r)
+        if kw_by is None:
+            for r in dl_frame.collect():
+                if r["_shard"] is not None:
+                    dl_by[r["_shard"]].append(r)
+            for r in postings_frame.collect():
+                if r["_shard"] is not None:
+                    pl_by[r["_shard"]].append(r)
         shards = []
         for s in range(n_shards):
-            knn_s = KnnServer._from_rows(
-                centroids,
-                per_shard_vec[s],
-                id_col=id_col,
-                vec_col=vec_col,
-                max_vectors=max_vectors_per_shard,
-                _table_version=v,
-                _table_path=table_path,
-            )
-            doc_ids, dl, postings = _keyword_arrays_from_rows(
-                dl_by[s], pl_by[s]
-            )
+            if vec_snaps is not None:
+                knn_s = KnnServer._from_snapshot(
+                    vec_snaps[s],
+                    id_col=id_col,
+                    vec_col=vec_col,
+                    max_vectors=max_vectors_per_shard,
+                    _table_path=table_path,
+                )
+            else:
+                knn_s = KnnServer._from_rows(
+                    centroids,
+                    per_shard_vec[s],
+                    id_col=id_col,
+                    vec_col=vec_col,
+                    max_vectors=max_vectors_per_shard,
+                    _table_version=v,
+                    _table_path=table_path,
+                )
+            if kw_by is not None:
+                doc_ids, dl, postings = kw_by[s]
+            else:
+                doc_ids, dl, postings = _keyword_arrays_from_rows(
+                    dl_by[s], pl_by[s]
+                )
             shards.append(
                 HybridKnnServer._from_arrays(
                     sharded_docs.where(F.col("_shard") == s).drop("_shard"),

@@ -31,6 +31,15 @@ from pyspark.sql import DataFrame, SparkSession
 # schemas thousands of times across a bench/sweep run
 _SCHEMA_CACHE: dict[str, tuple] = {}
 
+# Fallback observability (r15, VERDICT r14 item #5/#8): the arrow path
+# swallows every exception by design (the legacy verifier IS the
+# fallback), which means a typo in the fast path silently forfeits the
+# optimization on the affected site. This counter makes that visible:
+# tests assert zero fallbacks over the known-good fixture schemas, so
+# a regression to the pickled path fails loudly in CI instead of
+# showing up as a mystery slowdown.
+FALLBACKS: dict = {"count": 0, "last": None}
+
 
 def _arrow_fields(schema):
     """[(name, pyarrow type, value-checker)] for a StructType, or raise
@@ -124,7 +133,9 @@ def local_df(spark: SparkSession, data, schema=None) -> DataFrame:
     guarantee value identity."""
     try:
         return _arrow_local_df(spark, data, schema)
-    except Exception:  # noqa: BLE001 — fall back to the legacy path
+    except Exception as e:  # noqa: BLE001 — fall back to the legacy path
+        FALLBACKS["count"] += 1
+        FALLBACKS["last"] = f"{type(e).__name__}: {str(e)[:200]}"
         if schema is None:
             return spark.createDataFrame(data)
         return spark.createDataFrame(data, schema)
