@@ -329,6 +329,7 @@ def build_opq(
     seed: int = 42,
     train_limit: int = 100_000,
     r_snapshots: list | None = None,
+    train_sample=None,
 ):
     """Optimized Product Quantization (Ge et al., CVPR 2013 — the
     public OPQ-NP algorithm): learn an ORTHOGONAL rotation R so the
@@ -351,12 +352,19 @@ def build_opq(
     because rotation preserves inner products of co-rotated vectors.
 
     Returns (R [d×d], codebooks [m,ksub,dsub], codes DataFrame,
-    history [per-iter training MSE])."""
+    history [per-iter training MSE]).
+
+    ``train_sample``: see ``build_pq`` — the same shared-sample seam
+    (r15)."""
     import numpy as np
 
-    sample = np.array(
-        emb.select(vec_col).limit(train_limit).toPandas()[vec_col].tolist(),
-        dtype=np.float64,
+    sample = (
+        np.asarray(train_sample, dtype=np.float64)
+        if train_sample is not None
+        else np.array(
+            emb.select(vec_col).limit(train_limit).toPandas()[vec_col].tolist(),
+            dtype=np.float64,
+        )
     )
     n, dim = sample.shape
     if dim % m:
@@ -636,6 +644,7 @@ def build_pq(
     vec_col: str = "embedding",
     seed: int = 42,
     train_limit: int = 100_000,
+    train_sample=None,
 ):
     """Product quantization: split the D-dim space into ``m`` subspaces,
     learn ``ksub`` centroids per subspace, encode each vector as ``m``
@@ -653,13 +662,25 @@ def build_pq(
 
     Returns (codebooks ndarray [m, ksub, D/m], codes DataFrame
     (id, codes array<int>)).
+
+    ``train_sample``: an already-collected (n, D) float64 sample equal
+    to what ``limit(train_limit)`` would fetch (limit on a materialized
+    frame returns the same partition-order prefix on every collect —
+    the determinism ``build_opq_ivfpq``'s pretransform reuse already
+    relies on). The recall curve passes one shared sample so three
+    builds per budget stop re-collecting the identical matrix
+    (r15, guide §1.2).
     """
     import numpy as np
     import pandas as pd
 
-    sample = np.array(
-        emb.select(vec_col).limit(train_limit).toPandas()[vec_col].tolist(),
-        dtype=np.float64,
+    sample = (
+        np.asarray(train_sample, dtype=np.float64)
+        if train_sample is not None
+        else np.array(
+            emb.select(vec_col).limit(train_limit).toPandas()[vec_col].tolist(),
+            dtype=np.float64,
+        )
     )
     dim = sample.shape[1]
     if dim % m:
@@ -1109,15 +1130,28 @@ def pq_opq_recall_curve(
         ]
     )
 
+    # ONE sample collect for the whole curve (r15, guide §1.2): every
+    # budget's build_pq, build_opq AND the curve's own MSE measurement
+    # used to re-collect the SAME limit() prefix of the same
+    # materialized corpus — 6 identical driver round-trips for 2
+    # budgets. limit() on a materialized frame returns the same
+    # partition-order prefix on every collect (the determinism the
+    # iters-prefix reuse below already relies on), so one collect,
+    # sliced per consumer, is value-identical.
+    train_full = np.array(
+        emb.select(vec_col).limit(100_000).toPandas()[vec_col].tolist(),
+        dtype=np.float64,
+    )
+
     def _budget_rows(m: int) -> list:
         bits = int(m * math.log2(ksub))
-        pq_cb, pq_codes = build_pq(emb, m=m, ksub=ksub, id_col=id_col, vec_col=vec_col)
+        pq_cb, pq_codes = build_pq(
+            emb, m=m, ksub=ksub, id_col=id_col, vec_col=vec_col,
+            train_sample=train_full,
+        )
         pq_codes = pq_codes.localCheckpoint(eager=True)
         # PQ reconstruction error on the training sample (for the curve)
-        sample = np.array(
-            emb.select(vec_col).limit(4096).toPandas()[vec_col].tolist(),
-            dtype=np.float64,
-        )
+        sample = train_full[:4096]
         dsub = sample.shape[1] // m
         err = 0.0
         for j in range(m):
@@ -1128,7 +1162,7 @@ def pq_opq_recall_curve(
         snaps: list = []
         R, opq_cb, opq_codes, hist = build_opq(
             emb, m=m, ksub=ksub, iters=4, id_col=id_col, vec_col=vec_col,
-            r_snapshots=snaps,
+            r_snapshots=snaps, train_sample=train_full,
         )
         opq_codes = opq_codes.localCheckpoint(eager=True)
         # snaps[2] is R after 3 iterations — bit-identical to the

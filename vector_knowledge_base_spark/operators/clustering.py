@@ -197,16 +197,40 @@ def name_clusters_tfidf(
     # from tf, whose count action would execute the whole text explode
     # pipeline eagerly per call (a cluster whose docs have no valid
     # tokens is the only divergence, and it takes the 'Cluster {id}'
-    # fallback regardless)
-    n_clusters = (
-        docs_with_cluster.select(F.col(cluster_col).alias("cluster")).distinct().count()
+    # fallback regardless). r15 (guide §1.2): N rides IN the plan as a
+    # broadcast 1-row aggregate instead of an EAGER driver count() —
+    # the count used to dispatch its own join+distinct job chain per
+    # call (4 jobs at sf0.1) before the real plan ever ran; same N,
+    # same rows, one plan.
+    # countDistinct excludes NULL; the old distinct().count() counted a
+    # NULL label as one distinct value — the max(isnull) term restores
+    # that exactly (callers here never produce null labels, but the
+    # operator's semantics must not drift)
+    n_df = docs_with_cluster.agg(
+        (
+            F.countDistinct(F.col(cluster_col))
+            + F.coalesce(
+                F.max(F.col(cluster_col).isNull().cast("int")), F.lit(0)
+            )
+        ).alias("_n_clusters")
     )
     # idf over clusters: log((1+N)/(1+df)) + 1 (sklearn smooth_idf)
     df_ = tf.groupBy("term").agg(F.countDistinct("cluster").alias("df"))
-    scored = tf.join(F.broadcast(df_), "term").withColumn(
-        "tfidf",
-        F.col("tf")
-        * (F.log((F.lit(1.0) + n_clusters) / (F.lit(1.0) + F.col("df"))) + 1.0),
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .crossJoin(F.broadcast(n_df))
+        .withColumn(
+            "tfidf",
+            F.col("tf")
+            * (
+                F.log(
+                    (F.lit(1.0) + F.col("_n_clusters"))
+                    / (F.lit(1.0) + F.col("df"))
+                )
+                + 1.0
+            ),
+        )
+        .drop("_n_clusters")
     )
     w = Window.partitionBy("cluster").orderBy(F.desc("tfidf"), F.col("term"))
     top = (

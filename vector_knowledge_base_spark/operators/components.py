@@ -61,24 +61,24 @@ def connected_components(
     cost. At 100 TB both paths are live: per-bucket dedup graphs stay
     driver-sized, a global web-graph run exceeds the gate and propagates
     distributed."""
-    # materialize the edge list BEFORE mirroring it: the undirected
-    # union references the edge lineage twice, and every propagation
-    # round references it again — checkpointing after the union ran the
-    # upstream pair-producing pipeline (e.g. the whole Jaccard inverted
-    # index) twice, checkpointing nothing ran it 2×/round (23s at sf0.1;
-    # 3.8s checkpointing the union; ~2s checkpointing the edges first)
-    mat = edges.select(F.col(src).alias("id"), F.col(dst).alias("nbr")).localCheckpoint(
-        eager=True
-    )
+    sel = edges.select(F.col(src).alias("id"), F.col(dst).alias("nbr"))
     # ONE action decides the path AND fetches the edges: limit(max+1)
     # .toPandas() — if the probe comes back within the gate it IS the
     # edge list (no second count-then-collect round trip; each driver
     # action costs ~0.3s of dispatch, and graph consumers run two
-    # component builds per query); an over-limit probe costs one extra
-    # Arrow page before falling to the distributed loop
-    probe = mat.limit(driver_max_edges + 1).toPandas()
+    # component builds per query). r15: the probe runs straight off the
+    # caller's edge lineage — the eager pre-checkpoint used to cost its
+    # own job running the same pair pipeline the probe then re-read, so
+    # the common (driver-sized) case paid two materializations for one.
+    # The checkpoint now happens ONLY on the distributed path, where it
+    # is load-bearing (the undirected union references the edge lineage
+    # twice and every propagation round references it again; an
+    # over-limit graph pays one extra pipeline run for the probe, noise
+    # next to its propagation rounds).
+    probe = sel.limit(driver_max_edges + 1).toPandas()
     if len(probe) <= driver_max_edges:
-        return _driver_union_find(mat, probe)
+        return _driver_union_find(sel, probe)
+    mat = sel.localCheckpoint(eager=True)
     bi = mat.unionAll(mat.select(F.col("nbr").alias("id"), F.col("id").alias("nbr")))
     labels = bi.select("id").distinct().select("id", F.col("id").alias("label"))
     for _ in range(max_iter):
@@ -324,15 +324,18 @@ def pagerank(
     state beyond the loop counter; ranks sum to ~|nodes| throughout
     (damping mass redistributed uniformly).
     """
-    mat = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).localCheckpoint(
-        eager=True
-    )
+    sel = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     # same size gate as connected_components: a sub-broadcast-budget
     # graph iterates driver-side in numpy (each distributed round costs
     # a join + checkpoint + action of pure scheduling overhead at this
-    # size); larger graphs run the checkpointed distributed loop.
-    if mat.count() <= driver_max_edges:
-        return _driver_pagerank(mat, iterations, damping)
+    # size); larger graphs run the checkpointed distributed loop. r15:
+    # one fused limit-probe replaces checkpoint + count + collect (three
+    # jobs → one on the driver-sized path), same fusion as
+    # connected_components.
+    probe = sel.limit(driver_max_edges + 1).toPandas()
+    if len(probe) <= driver_max_edges:
+        return _driver_pagerank(sel, iterations, damping, probe)
+    mat = sel.localCheckpoint(eager=True)
     bi = mat.unionAll(mat.select(F.col("b").alias("a"), F.col("a").alias("b")))
     deg = bi.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
     ranks = deg.select("a", F.lit(1.0).alias("rank"))
@@ -358,16 +361,20 @@ def pagerank(
     return ranks.select(F.col("a").alias("id"), "rank")
 
 
-def _driver_pagerank(mat: DataFrame, iterations: int, damping: float) -> DataFrame:
+def _driver_pagerank(
+    mat: DataFrame, iterations: int, damping: float, pdf=None
+) -> DataFrame:
     """numpy power iteration over a collected edge list — identical
     semantics to the distributed loop (undirected, degree-normalized,
     uniform damping mass); float sum order differs only at the ulp
-    level, absorbed by callers' ROUND(…, 6). Arrow collect; output id
-    type mirrors the input edge column type (no int() coercion)."""
+    level, absorbed by callers' ROUND(…, 6). Arrow collect (or the
+    caller's already-fetched probe); output id type mirrors the input
+    edge column type (no int() coercion)."""
     import numpy as np
     from pyspark.sql import types as T
 
-    pdf = mat.toPandas()
+    if pdf is None:
+        pdf = mat.toPandas()
     pairs = list(zip(pdf["a"].tolist(), pdf["b"].tolist()))
     ids = sorted({x for a, b in pairs for x in (a, b)})
     idx = {v: i for i, v in enumerate(ids)}

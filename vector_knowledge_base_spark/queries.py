@@ -5978,11 +5978,14 @@ def q_lsh_candidate_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands×rows (how many candidates are real near-dups vs banding false
     positives) before a 100 TB dedup run commits to a scheme. The
     verify stage only touches candidate pairs (O(collisions), never
-    all-pairs); per-doc distinct-shingle hash arrays broadcast into
-    the candidate stream (r14 — the simhash_precision_audit verify
-    shape; was two shuffle joins of the exploded shingle relation +
-    a pair aggregation + two sizes joins)."""
+    all-pairs); per-doc distinct-shingle hash arrays attach to the
+    candidate stream via the SIZE-GATED verify seam (r15,
+    operators/text_dedup.attach_shingle_hash_sets — broadcast within
+    the configured budget, sort-merge equi-joins of the same
+    relations past it, identical rows either way; was unconditionally
+    broadcast with the bound only documented)."""
     from vector_knowledge_base_spark.operators.text_dedup import (
+        attach_shingle_hash_sets,
         doc_shingle_hash_sets,
         minhash_lsh_candidates,
         minhash_signatures,
@@ -5992,20 +5995,8 @@ def q_lsh_candidate_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = minhash_lsh_candidates(minhash_signatures(docs), bands=4, rows_per_band=2)
     arr = doc_shingle_hash_sets(docs).localCheckpoint(eager=True)
     ni = F.size(F.array_intersect("sa", "sb"))
-    scored = (
-        cand.join(
-            F.broadcast(
-                arr.select(F.col("doc_id").alias("doc_id_a"), F.col("sh").alias("sa"))
-            ),
-            "doc_id_a",
-        )
-        .join(
-            F.broadcast(
-                arr.select(F.col("doc_id").alias("doc_id_b"), F.col("sh").alias("sb"))
-            ),
-            "doc_id_b",
-        )
-        .select((ni / (F.size("sa") + F.size("sb") - ni)).alias("j"))
+    scored = attach_shingle_hash_sets(cand, arr).select(
+        (ni / (F.size("sa") + F.size("sb") - ni)).alias("j")
     )
     bucket = (
         F.when(F.col("j") >= 0.5, "j>=0.5")
@@ -7469,9 +7460,12 @@ def q_minhash_calibration_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact shingle Jaccard, worst absolute errors first — the report
     that says whether 8 hashes are enough before a 100 TB run trusts
     the estimate. Touches candidates only (never all pairs); the exact
-    side broadcasts per-doc distinct-shingle hash arrays into the
-    candidate stream (the simhash_precision_audit verify shape)."""
+    side attaches per-doc distinct-shingle hash arrays to the
+    candidate stream via the size-gated verify seam (r15,
+    attach_shingle_hash_sets — broadcast within budget, sort-merge
+    fallback past it)."""
     from vector_knowledge_base_spark.operators.text_dedup import (
+        attach_shingle_hash_sets,
         doc_shingle_hash_sets,
         minhash_lsh_candidates,
         minhash_signatures,
@@ -7492,26 +7486,16 @@ def q_minhash_calibration_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id_a", "doc_id_b", est_expr.alias("j_est"))
     )
     # exact side (r14, guide §2.3/§2.4): per-doc DISTINCT-shingle HASH
-    # arrays broadcast into the candidate stream — replaces two shuffle
+    # arrays attach to the candidate stream — replaces two shuffle
     # joins of the full exploded shingle relation + a pair aggregation
-    # + two sizes joins with one per-row array_intersect (the
-    # simhash_precision_audit verify shape).
+    # + two sizes joins with one per-row array_intersect. r15: via the
+    # size-gated verify seam (attach_shingle_hash_sets — broadcast
+    # within budget, sort-merge fallback past it).
     arr = doc_shingle_hash_sets(docs).localCheckpoint(eager=True)
     ni = F.size(F.array_intersect("sa", "sb"))
     j_exact = ni * 1.0 / (F.size("sa") + F.size("sb") - ni)
     return (
-        est.join(
-            F.broadcast(
-                arr.select(F.col("doc_id").alias("doc_id_a"), F.col("sh").alias("sa"))
-            ),
-            "doc_id_a",
-        )
-        .join(
-            F.broadcast(
-                arr.select(F.col("doc_id").alias("doc_id_b"), F.col("sh").alias("sb"))
-            ),
-            "doc_id_b",
-        )
+        attach_shingle_hash_sets(est, arr)
         .select(
             "doc_id_a",
             "doc_id_b",
@@ -9910,6 +9894,7 @@ def q_minhash_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-checkable integers (the wave-40 invariant pattern).
     """
     from vector_knowledge_base_spark.operators.text_dedup import (
+        attach_shingle_hash_sets,
         doc_shingle_hash_sets,
         minhash_lsh_candidates,
         minhash_signatures,
@@ -9927,28 +9912,16 @@ def q_minhash_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(sig.alias("sb"), F.col("sb.doc_id") == F.col("doc_id_b"))
         .select("doc_id_a", "doc_id_b", est_expr.alias("j_est"))
     )
-    # exact side via broadcast hash-set arrays (r14 — the
-    # simhash_precision_audit verify shape; was two shuffle joins of
-    # the exploded shingle relation + a pair agg + two sizes joins)
+    # exact side via hash-set arrays (r14 — was two shuffle joins of
+    # the exploded shingle relation + a pair agg + two sizes joins);
+    # r15: attached through the size-gated verify seam
+    # (attach_shingle_hash_sets — broadcast within budget, sort-merge
+    # fallback past it)
     arr = doc_shingle_hash_sets(docs).localCheckpoint(eager=True)
     ni = F.size(F.array_intersect("sa", "sb"))
-    scored = (
-        est.join(
-            F.broadcast(
-                arr.select(F.col("doc_id").alias("doc_id_a"), F.col("sh").alias("sa"))
-            ),
-            "doc_id_a",
-        )
-        .join(
-            F.broadcast(
-                arr.select(F.col("doc_id").alias("doc_id_b"), F.col("sh").alias("sb"))
-            ),
-            "doc_id_b",
-        )
-        .select(
-            "j_est",
-            (ni * 1.0 / (F.size("sa") + F.size("sb") - ni)).alias("j_exact"),
-        )
+    scored = attach_shingle_hash_sets(est, arr).select(
+        "j_est",
+        (ni * 1.0 / (F.size("sa") + F.size("sb") - ni)).alias("j_exact"),
     )
     ts = _local_df(spark, 
         [(t,) for t in (0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9)],
@@ -12380,12 +12353,15 @@ def q_simhash_precision_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``array_intersect`` — the r4 posting-list formulation exploded the
     1.5M-pair candidate set by x52 shingles (78M join rows, 18s of the
     r4 audit's 22.9s); the broadcast-array form is ZERO-shuffle past
-    the candidate generator (measured ~18s → ~2s at sf0.1). At 100 TB
-    the doc→array map exceeds broadcast range — there the audit samples
-    candidates first (statistical audit) or blocks the array join; at
-    any broadcastable corpus this is the right plan.
+    the candidate generator (measured ~18s → ~2s at sf0.1). r15: the
+    broadcast is SIZE-GATED in code (attach_shingle_hash_sets), not
+    just documented — past the budget the same relations sort-merge
+    join (identical rows), so a past-broadcast-range corpus degrades
+    instead of OOMing; sampling candidates first remains the
+    statistical-audit option at extreme scale.
     """
     from vector_knowledge_base_spark.operators.text_dedup import (
+        attach_shingle_hash_sets,
         doc_shingle_hash_sets,
         simhash_hamming_candidates,
     )
@@ -12420,19 +12396,10 @@ def q_simhash_precision_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     with ThreadPoolExecutor(max_workers=2) as pool:
         f_cand, f_arr = pool.submit(_cand), pool.submit(_arr)
         cand, arr = f_cand.result(), f_arr.result()
+    # r15: attached through the size-gated verify seam (broadcast
+    # within budget, sort-merge fallback past it)
     scored = (
-        cand.join(
-            F.broadcast(
-                arr.select(F.col("doc_id").alias("doc_id_a"), F.col("sh").alias("sa"))
-            ),
-            "doc_id_a",
-        )
-        .join(
-            F.broadcast(
-                arr.select(F.col("doc_id").alias("doc_id_b"), F.col("sh").alias("sb"))
-            ),
-            "doc_id_b",
-        )
+        attach_shingle_hash_sets(cand, arr)
         .select(
             "hamming",
             F.size(F.array_intersect("sa", "sb")).alias("ni"),
@@ -15036,6 +15003,21 @@ def q_txlog_stream_multihop(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     append_table(spark, a, wave[4].coalesce(1))  # while DOWN
+    # r15 (VERDICT r14 item #3): the restart leg used to poll a
+    # row-count target and then sleep a FIXED 1.0 s so would-be
+    # duplicates could land before the audit read B. The deterministic
+    # form: offsets are source versions, so the stream is provably
+    # caught up the moment a COMMITTED batch's endOffset reaches the
+    # latest source version (lastProgress reports a batch only after
+    # it completes; with no offset movement left the engine creates no
+    # further batches, so nothing more can land) — same audit window,
+    # zero fixed sleep. An availableNow restart was measured WRONG
+    # here, not just slower: q.stop() races the live leg's last
+    # engine-commit, and the single-batch availableNow run (the Python-
+    # source fallback) then only REPLAYS that pending batch, never
+    # reaching wave 4.
+    import ast as _ast
+
     q2 = (
         stream_txlog_table(spark, a)
         .writeStream.foreachBatch(txlog_foreach_batch(b))
@@ -15043,9 +15025,23 @@ def q_txlog_stream_multihop(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(processingTime="0 seconds")
         .start()
     )
+    latest_src = _list_versions(a)[-1]
+
+    def _caught_up() -> bool:
+        p = q2.lastProgress
+        if not p or not p.get("sources"):
+            return False
+        try:
+            # Python-source offsets surface in progress as the dict's
+            # repr (single quotes — not JSON); literal_eval parses it
+            end = _ast.literal_eval(p["sources"][0]["endOffset"])
+            return int(end["version"]) >= latest_src
+        except (TypeError, ValueError, SyntaxError, KeyError):
+            return False
+
     try:
-        _wait(sum(counts), deadline)
-        _time.sleep(1.0)  # would-be duplicates need a beat to land
+        while _time.time() < deadline and not _caught_up():
+            _time.sleep(0.05)
     finally:
         q2.stop()
     n_src_versions = len(_list_versions(a))
@@ -16292,22 +16288,35 @@ def q_ivfpq_inproc_serving_parity(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     srv = IvfPqKnnServer(centroids, codebooks, index)
 
-    # (1) in-process probed ADC ≡ the Spark ADC plan, six queries —
-    # the six shortlist scans are independent collects over the
-    # checkpointed index, so they overlap too (r14, guide §2.6);
-    # results land in per-query slots, n_match is computed identically
-    def _adc(r):
-        qv = [float(x) for x in r["embedding"]]
-        rows = _ivfpq_adc_shortlist(
-            centroids, codebooks, index, qv,
-            n_probe=4, shortlist=1500, id_col="vec_id",
-        ).collect()
-        return qv, rows
+    # (1) in-process probed ADC ≡ the Spark ADC plan, six queries. r15
+    # (VERDICT r14 item #5): the six shortlist scans were overlapped
+    # but still six jobs — they are the same limited subtree over the
+    # checkpointed index, so tag + union them into ONE job (union
+    # preserves each subplan's LIMIT). The driver side already
+    # re-sorted every query's rows by (-rounded adc, vec_id) before
+    # taking 10, so no subplan output order is relied on; n_match is
+    # computed identically.
+    from functools import reduce as _reduce
 
+    tagged = [
+        _ivfpq_adc_shortlist(
+            centroids, codebooks, index,
+            [float(x) for x in r["embedding"]],
+            n_probe=4, shortlist=1500, id_col="vec_id",
+        ).withColumn("_q", F.lit(int(r["vec_id"])))
+        for r in qrows
+    ]
+    by_q: dict[int, list] = {int(r["vec_id"]): [] for r in qrows}
+    for row in _reduce(lambda a, b: a.unionAll(b), tagged).collect():
+        by_q[row["_q"]].append(row)
     n_match = 0
-    for qv, rows in _overlap(*[lambda r=r: _adc(r) for r in qrows]):
+    for r in qrows:
+        qv = [float(x) for x in r["embedding"]]
         want = sorted(
-            ((row["vec_id"], float(np.round(row["adc"], 6))) for row in rows),
+            (
+                (row["vec_id"], float(np.round(row["adc"], 6)))
+                for row in by_q[int(r["vec_id"])]
+            ),
             key=lambda t: (-t[1], t[0]),
         )[:10]
         if srv.query(qv, k=10, n_probe=4) == want:
@@ -17897,20 +17906,49 @@ def q_ivf_batch_topk_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id int, query_vec array<double>",
     )
     probed = ivf_batch_topk(centroids, assigned, qdf, k=10, n_probe=2)
-    by_q: dict[int, list] = {}
-    for r in probed.collect():
-        by_q.setdefault(r["query_id"], []).append((r["vec_id"], r["score"]))
-    n_match = 0
-    for r in qrows:
-        qv = [float(x) for x in r["embedding"]]
-        want = [
-            (row["vec_id"], row["score"])
-            for row in ivf_topk(
-                centroids, assigned, qv, k=10, n_probe=2
-            ).collect()
+
+    # r15 (VERDICT r14 item #1): the parity check used to run one
+    # collect per query (3 sequential jobs) after the batch collect.
+    # The per-query ivf_topk plans are the same limited subtrees —
+    # tag + union them into ONE job (the r14 opq_recall pattern; union
+    # preserves each subplan's LIMIT), re-establish each subplan's
+    # (-score, id) output order driver-side, and overlap that job with
+    # the batch collect (guide §2.6 — both scan the same cached
+    # assigned corpus and are independent). Both sides' lists are in
+    # rank order exactly as before, so n_match is unchanged.
+    def _collect_probed() -> dict[int, list]:
+        by_q: dict[int, list] = {}
+        rows = sorted(probed.collect(), key=lambda r: (r["query_id"], r["rank"]))
+        for r in rows:
+            by_q.setdefault(r["query_id"], []).append((r["vec_id"], r["score"]))
+        return by_q
+
+    def _collect_want() -> dict[int, list]:
+        from functools import reduce
+
+        tagged = [
+            ivf_topk(
+                centroids, assigned, [float(x) for x in r["embedding"]],
+                k=10, n_probe=2,
+            ).withColumn("_q", F.lit(int(r["vec_id"])))
+            for r in qrows
         ]
-        if by_q.get(int(r["vec_id"]), []) == want:
-            n_match += 1
+        want: dict[int, list] = {int(r["vec_id"]): [] for r in qrows}
+        by_tag: dict[int, list] = {}
+        for row in reduce(lambda a, b: a.unionAll(b), tagged).collect():
+            by_tag.setdefault(row["_q"], []).append(
+                (row["vec_id"], row["score"])
+            )
+        for q, lst in by_tag.items():
+            want[q] = sorted(lst, key=lambda t: (-t[1], t[0]))
+        return want
+
+    by_q, want_by_q = _overlap(_collect_probed, _collect_want)
+    n_match = sum(
+        1
+        for r in qrows
+        if by_q.get(int(r["vec_id"]), []) == want_by_q[int(r["vec_id"])]
+    )
     full = ivf_batch_topk(centroids, assigned, qdf, k=10, n_probe=None)
     out = full.withColumn(
         "probed_parity_queries", F.lit(int(n_match)).cast("int")
