@@ -2278,3 +2278,39 @@ def test_arrow_build_paths_equal_row_paths_byte_identical(spark):
         )
         _assert_kw_equal(kw_by[s], ref)
     assigned.unpersist()
+
+
+def test_pq_tiers_arrow_build_equals_row_build(spark, emb):
+    """r15: the PQ code tiers collect via the same Arrow seam. Pin both
+    snapshots byte-identical to constructors forced down the legacy row
+    path (toArrow patched away)."""
+    import numpy as np
+
+    from unittest import mock
+
+    from vector_knowledge_base_spark.operators.ann import build_ivfpq, build_pq
+    from vector_knowledge_base_spark.operators.serving import (
+        IvfPqKnnServer,
+        PqKnnServer,
+    )
+
+    codebooks, codes = build_pq(emb, m=8, ksub=16)
+    codes = codes.localCheckpoint(eager=True)
+    centroids, cbs, index = build_ivfpq(emb, n_cells=4, m=8, ksub=16)
+
+    pq_a = PqKnnServer(codebooks, codes)
+    ivf_a = IvfPqKnnServer(centroids, cbs, index)
+    with mock.patch(
+        "pyspark.sql.DataFrame.toArrow",
+        side_effect=RuntimeError("force row path"),
+    ):
+        pq_r = PqKnnServer(codebooks, codes)
+        ivf_r = IvfPqKnnServer(centroids, cbs, index)
+    assert np.array_equal(pq_a._snap.ids, pq_r._snap.ids)
+    assert pq_a._snap.ids.dtype == pq_r._snap.ids.dtype
+    assert np.array_equal(pq_a._snap.codes, pq_r._snap.codes)
+    assert pq_a._snap.codes.dtype == pq_r._snap.codes.dtype
+    assert np.array_equal(ivf_a._snap.ids, ivf_r._snap.ids)
+    assert np.array_equal(ivf_a._snap.codes, ivf_r._snap.codes)
+    assert ivf_a._snap.codes.dtype == ivf_r._snap.codes.dtype
+    assert list(ivf_a._snap.offsets) == list(ivf_r._snap.offsets)

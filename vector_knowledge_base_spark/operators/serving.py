@@ -854,6 +854,29 @@ class _PqSnapshot:
         self.allow_cache: dict = {}  # filter-content → np.isin mask (r14)
 
 
+def _int_matrix_from_arrow(col, m: int, n: int, dtype):
+    """(n, m) code matrix from an Arrow list<int> column — the PQ-tier
+    twin of ``_list_col_to_matrix``. Raises for nulls/ragged rows."""
+    import numpy as np
+
+    arr = col.combine_chunks()
+    if arr.null_count:
+        raise TypeError("null code rows need the row path")
+    if n == 0:
+        return np.zeros((0, m), dtype=dtype)
+    lengths = arr.value_lengths().to_numpy(zero_copy_only=False)
+    if not (lengths == m).all():
+        raise TypeError("ragged code rows need the row path")
+    flat = arr.flatten()
+    if flat.null_count:
+        raise TypeError("null codes need the row path")
+    return (
+        flat.to_numpy(zero_copy_only=False)
+        .astype(dtype, copy=False)
+        .reshape(n, m)
+    )
+
+
 class PqKnnServer:
     """Point-query ADC serving over PQ CODES — the memory-bound shard
     tier the float server's ``max_vectors`` error points at: ``m``
@@ -884,6 +907,7 @@ class PqKnnServer:
         _table_version: int | None = None,
         _table_path: str | None = None,
         _build_params: dict | None = None,
+        _known_count: int | None = None,
     ):
         import numpy as np
 
@@ -893,7 +917,11 @@ class PqKnnServer:
         self._build_params = dict(_build_params or {})
         self.last_refresh_mode: str | None = None
 
-        n = codes.count()
+        # _known_count (r15): from_txlog supplies the manifest footer
+        # count of the pinned version — the encode is row-preserving, so
+        # this skips a count() that re-ran the WHOLE encode UDF pipeline
+        # once just to check the bound
+        n = codes.count() if _known_count is None else int(_known_count)
         if n > max_vectors:
             raise RuntimeError(
                 f"PqKnnServer: corpus has {n} vectors > max_vectors="
@@ -902,8 +930,24 @@ class PqKnnServer:
             )
         cb = np.asarray(codebooks, dtype=np.float64)
         m, ksub, _dsub = cb.shape
-        rows = codes.select(id_col, "codes").collect()
         dtype = np.uint8 if ksub <= 256 else np.int32
+        proj = codes.select(id_col, "codes")
+        # ONE Arrow transfer + flat reshape (r15 — same seam as the
+        # float tier); legacy per-Row collect is the fallback
+        try:
+            tbl = proj.toArrow()
+            self._snap = _PqSnapshot(
+                codebooks=cb,
+                ids=_ids_to_numpy(tbl.column(id_col)),
+                codes=_int_matrix_from_arrow(
+                    tbl.column("codes"), m, tbl.num_rows, dtype
+                ),
+                version=_table_version,
+            )
+            return
+        except Exception:  # noqa: BLE001 — row path below
+            pass
+        rows = proj.collect()
         self._snap = _PqSnapshot(
             codebooks=cb,
             ids=np.asarray([r[id_col] for r in rows]),  # dtype inferred
@@ -953,6 +997,7 @@ class PqKnnServer:
         from vector_knowledge_base_spark.sources.txlog import (
             _list_versions,
             read_table,
+            stats_rowcount,
         )
 
         v = _list_versions(table_path)[-1]
@@ -972,6 +1017,10 @@ class PqKnnServer:
                 "m": m, "ksub": ksub, "vec_col": vec_col,
                 "seed": seed, "train_limit": train_limit,
             },
+            # manifest footer count of the pinned version (r15 — skips
+            # a count() that re-ran the encode pipeline); abstention
+            # (None) keeps the count job
+            _known_count=stats_rowcount(table_path, version=v),
         )
 
     def refresh_if_stale(self, spark: SparkSession) -> bool:
@@ -1213,6 +1262,7 @@ class IvfPqKnnServer:
         _table_version: int | None = None,
         _table_path: str | None = None,
         _build_params: dict | None = None,
+        _known_count: int | None = None,
     ):
         import numpy as np
 
@@ -1222,7 +1272,11 @@ class IvfPqKnnServer:
         self._build_params = dict(_build_params or {})
         self.last_refresh_mode: str | None = None
 
-        n = index.count()
+        # manifest footer count from from_txlog (r15) — the index is
+        # row-preserving over the pinned table, and the count() here
+        # re-ran the encode+join lineage when the caller had not
+        # checkpointed it
+        n = index.count() if _known_count is None else int(_known_count)
         if n > max_vectors:
             raise RuntimeError(
                 f"IvfPqKnnServer: corpus has {n} vectors > max_vectors="
@@ -1234,8 +1288,50 @@ class IvfPqKnnServer:
         m, ksub, _dsub = cb.shape
         dtype = np.uint8 if ksub <= 256 else np.int32
         k_cells = cents.shape[0]
+        rot = (
+            np.asarray(rotation, dtype=np.float64)
+            if rotation is not None
+            else None
+        )
+        proj = index.select(id_col, "ivf_cell", "codes")
+        # ONE Arrow transfer + stable per-cell grouping (r15 — same
+        # seam as the float tier); legacy per-Row collect below
+        try:
+            tbl = proj.toArrow()
+            nrows = tbl.num_rows
+            if nrows:
+                cells_arr = tbl.column("ivf_cell").combine_chunks()
+                if cells_arr.null_count:
+                    raise TypeError("null cells need the row path")
+                cells = cells_arr.to_numpy(zero_copy_only=False).astype(
+                    np.int64, copy=False
+                )
+                if cells.min() < 0 or cells.max() >= k_cells:
+                    raise TypeError("out-of-range cells need the row path")
+                aids = _ids_to_numpy(tbl.column(id_col))
+                acodes = _int_matrix_from_arrow(
+                    tbl.column("codes"), m, nrows, dtype
+                )
+                order = np.argsort(cells, kind="stable")
+                counts = np.bincount(cells, minlength=k_cells)
+                offsets, off = [0], 0
+                for c in range(k_cells):
+                    off += int(counts[c])
+                    offsets.append(off)
+                self._snap = _IvfPqSnapshot(
+                    centroids=cents,
+                    codebooks=cb,
+                    ids=aids[order],
+                    codes=acodes[order],
+                    offsets=offsets,
+                    version=_table_version,
+                    rotation=rot,
+                )
+                return
+        except Exception:  # noqa: BLE001 — row path below
+            pass
         by_cell: list[list] = [[] for _ in range(k_cells)]
-        for r in index.select(id_col, "ivf_cell", "codes").collect():
+        for r in proj.collect():
             by_cell[r["ivf_cell"]].append((r[id_col], r["codes"]))
         ids, codes, offsets, off = [], [], [0], 0
         for cell_rows in by_cell:
@@ -1255,11 +1351,7 @@ class IvfPqKnnServer:
             ),
             offsets=offsets,
             version=_table_version,
-            rotation=(
-                np.asarray(rotation, dtype=np.float64)
-                if rotation is not None
-                else None
-            ),
+            rotation=rot,
         )
 
     @property
@@ -1307,6 +1399,7 @@ class IvfPqKnnServer:
         from vector_knowledge_base_spark.sources.txlog import (
             _list_versions,
             read_table,
+            stats_rowcount,
         )
 
         v = _list_versions(table_path)[-1]
@@ -1327,6 +1420,7 @@ class IvfPqKnnServer:
                 "n_cells": n_cells, "m": m, "ksub": ksub,
                 "vec_col": vec_col, "seed": seed,
             },
+            _known_count=stats_rowcount(table_path, version=v),
         )
 
     @classmethod
@@ -1353,6 +1447,7 @@ class IvfPqKnnServer:
         from vector_knowledge_base_spark.sources.txlog import (
             _list_versions,
             read_table,
+            stats_rowcount,
         )
 
         v = _list_versions(table_path)[-1]
@@ -1374,6 +1469,7 @@ class IvfPqKnnServer:
                 "n_cells": n_cells, "m": m, "ksub": ksub,
                 "opq_iters": opq_iters, "vec_col": vec_col, "seed": seed,
             },
+            _known_count=stats_rowcount(table_path, version=v),
         )
 
     def refresh_if_stale(self, spark: SparkSession) -> bool:

@@ -6173,8 +6173,14 @@ def q_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shape ran a second df aggregation, joined it back onto tf, and
     # SELF-JOINED the weighted relation on shingle — three extra
     # exchanges of the full posting relation. The df<=20 cap bounds
-    # every posting array, so pairs are generated INSIDE the group
-    # (the minhash_lsh_candidates pattern); df=1 rows stay for norms.
+    # every RETAINED posting array, so pairs are generated INSIDE the
+    # group (the minhash_lsh_candidates pattern); df=1 rows stay for
+    # norms. Honest scale note (ADVICE r14): the cap filters AFTER
+    # collect_list, so a stop-shingle's list is still materialized in
+    # the aggregation buffer before being dropped — the repo-wide
+    # convention (ngram_jaccard_pairs shares it); a very-large-corpus
+    # run pre-filters high-df shingles with a cheap count aggregate
+    # before the collect.
     post = (
         tf.groupBy("shingle")
         .agg(F.sort_array(F.collect_list(F.struct("doc_id", "tf"))).alias("pl"))
@@ -11217,7 +11223,10 @@ def q_ann_probe_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     assigned.unpersist()
-    total = emb.count()
+    # corpus size rides IN the final plan as a broadcast 1-row
+    # aggregate (r15, guide §1.2 — was an eager count() job whose only
+    # consumer is the scanned_frac denominator)
+    total_df = emb.agg(F.count(F.lit(1)).alias("_total"))
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), "vec_id")
     levels = None
     for p in (1, 2, 4, 8):
@@ -11245,12 +11254,13 @@ def q_ann_probe_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         per_q.join(scan, ["n_probe", "query_id"])
+        .crossJoin(F.broadcast(total_df))
         .groupBy("n_probe")
         .agg(
             F.count(F.lit(1)).cast("int").alias("n_queries"),
-            F.round(F.avg(F.col("scanned") / F.lit(float(total))), 4).alias(
-                "scanned_frac"
-            ),
+            F.round(
+                F.avg(F.col("scanned") / F.col("_total").cast("double")), 4
+            ).alias("scanned_frac"),
             F.round(F.avg("recall"), 4).alias("recall_at_10"),
             F.round(F.min("recall"), 4).alias("min_recall_at_10"),
         )
@@ -15735,18 +15745,22 @@ def q_txlog_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     files_unmoved = list(m2["files"]) == files0 and bool(m2.get("dv"))
     # CDC across BOTH dv commits: deletes only, counted
     diff = table_diff(spark, tbl, 0, v2)
-    # one conditional aggregate instead of two full diff-lineage
-    # count() jobs (r14, guide §1.2)
-    _dc = diff.agg(
-        F.sum((F.col("change") == "delete").cast("long")).alias("d"),
-        F.sum((F.col("change") == "insert").cast("long")).alias("i"),
-    ).first()
-    n_del, n_ins = int(_dc["d"] or 0), int(_dc["i"] or 0)
     # materialization: compaction must not change what readers see —
     # compared in exact integer CENTS (a rounded double sum at 1e10
     # drifts in the last cent when compaction reorders accumulation)
     _cents = F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
-    before = read_table(spark, tbl).agg(F.count(F.lit(1)), _cents).first()
+    # one conditional aggregate instead of two full diff-lineage
+    # count() jobs (r14, guide §1.2); the diff aggregate and the
+    # pre-compaction read are independent scans of immutable versions —
+    # overlapped (r15, guide §2.6)
+    _dc, before = _overlap(
+        lambda: diff.agg(
+            F.sum((F.col("change") == "delete").cast("long")).alias("d"),
+            F.sum((F.col("change") == "insert").cast("long")).alias("i"),
+        ).first(),
+        lambda: read_table(spark, tbl).agg(F.count(F.lit(1)), _cents).first(),
+    )
+    n_del, n_ins = int(_dc["d"] or 0), int(_dc["i"] or 0)
     compact_files(spark, tbl, target_files=4)
     mc = _read_manifest(tbl, _list_versions(tbl)[-1])
     # ONE post-compaction read serves BOTH the materialization check

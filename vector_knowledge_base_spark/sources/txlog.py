@@ -204,7 +204,14 @@ def _data_files(path: str) -> list[str]:
 # every DV sidecar batch has exactly this shape; passing it explicitly
 # saves one schema-inference job per spark.read of a sidecar (r14,
 # guide §1.2 — the inference footer read is a full driver round-trip
-# per call, and DV-aware reads open every covering batch)
+# per call, and DV-aware reads open every covering batch).
+# ADVICE r14 trade-off, stated: the explicit schema null-fills a
+# drifted sidecar (renamed/retyped column) instead of erroring on
+# shape mismatch. Acceptable because the format is internal and fixed
+# — only _delete_where_dv writes sidecars, with exactly these two
+# columns — and a null entry matches no file in _dv_deleted_df, so a
+# hypothetical drifted batch degrades to "deletes ignored", which the
+# materialization/equality audits (txlog_deletion_vectors) would trip.
 _DV_SIDECAR_SCHEMA = "entry STRING, row_index BIGINT"
 
 
